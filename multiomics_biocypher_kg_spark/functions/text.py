@@ -1,0 +1,132 @@
+"""HTML synthesis + byte-identical text extraction.
+
+The extraction rules are the web-corpus analog of the reference's
+PDF text extraction (_extract_pdf_text / _clean_pdf_text,
+/root/reference/multiomics_kg/adapters/pdf_publication_extraction.py:154-265):
+a deterministic, rule-based binary->text transform whose output must
+be byte-identical per url across runs and across Arrow batch
+boundaries (BASELINE.json input_hint invariant).
+
+Two implementations are kept in lock-step:
+
+- ``synth_html_col`` / ``extract_text_col``-adjacent Spark-native
+  Column builders (used by the engine; JVM-side, codegen'd), and
+- pure-Python ``synth_html`` / ``extract_text`` (the single source
+  of truth for the extraction rules, executed inside the vectorized
+  pandas UDF in ``operators.extract`` and by unit tests).
+
+Extraction contract:
+1. decode bytes as UTF-8 (errors -> U+FFFD, never thrown)
+2. drop <script>...</script>, <style>...</style>, <!-- comments -->
+3. take the inner content of the first <main>...</main> region
+   (content region marker; absent -> whole body, best effort)
+4. strip remaining tags
+5. HTML-unescape entities
+
+No whitespace normalization is applied inside the content region —
+that is what makes the transform byte-exact invertible for
+well-formed pages.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- pure-Python reference implementation (UDF + tests) ---
+
+_SCRIPT_RE = re.compile(r"<script\b.*?</script>", re.S | re.I)
+_STYLE_RE = re.compile(r"<style\b.*?</style>", re.S | re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_MAIN_RE = re.compile(r"<main\b[^>]*>(.*?)</main>", re.S | re.I)
+_BODY_RE = re.compile(r"<body\b[^>]*>(.*)", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def html_escape(text: str) -> str:
+    """Minimal escape used by the synthesizer (& first, then angle brackets)."""
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def synth_html(url: str, text: str, lang: str, broken: bool = False) -> str:
+    """Deterministic page synthesizer (FIXTURES.md A1 shape).
+
+    Includes the strip targets the extractor must handle: scripts,
+    styles, comments, entities, nested tags, and (when ``broken``)
+    trailing malformed markup after the content region.
+    """
+    body = (
+        f'<html lang="{lang}"><head><title>{url}</title>'
+        "<script>var t=1;function f(){return '<main>';}</script>"
+        "<style>.x{color:red}/*<main>*/</style></head>"
+        f'<body><!-- header for {url} --><h1>{url}</h1>'
+        f"<main><p>{html_escape(text)}</p></main>"
+        '<div class="footer">&copy; 2026 Example &amp; Co. &#174;</div>'
+    )
+    if broken:
+        return body + "<div><span class='unclosed"
+    return body + "</body></html>"
+
+
+def extract_text(html_bytes: bytes | bytearray | None) -> str | None:
+    """The extraction rule chain (see module docstring). Pure, total."""
+    if html_bytes is None:
+        return None
+    raw = bytes(html_bytes).decode("utf-8", errors="replace")
+    raw = _SCRIPT_RE.sub("", raw)
+    raw = _STYLE_RE.sub("", raw)
+    raw = _COMMENT_RE.sub("", raw)
+    m = _MAIN_RE.search(raw)
+    if m is not None:
+        region = m.group(1)
+    else:
+        b = _BODY_RE.search(raw)
+        region = b.group(1) if b is not None else raw
+    stripped = _TAG_RE.sub("", region)
+    return _html.unescape(stripped)
+
+
+# --- Spark-native synthesizer (engine-side page generation) ---
+
+
+def html_escape_col(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"
+    )
+
+
+def synth_html_col(url: Column, text: Column, lang: Column, broken: Column) -> Column:
+    """Column-expression twin of ``synth_html`` (kept byte-identical;
+    guarded by tests/test_extract.py round-trip + parity tests)."""
+    head = F.concat(
+        F.lit('<html lang="'),
+        lang,
+        F.lit('"><head><title>'),
+        url,
+        F.lit("</title>"),
+        F.lit("<script>var t=1;function f(){return '<main>';}</script>"),
+        F.lit("<style>.x{color:red}/*<main>*/</style></head>"),
+        F.lit("<body><!-- header for "),
+        url,
+        F.lit(" --><h1>"),
+        url,
+        F.lit("</h1><main><p>"),
+        html_escape_col(text),
+        F.lit("</p></main>"),
+        F.lit('<div class="footer">&copy; 2026 Example &amp; Co. &#174;</div>'),
+    )
+    return F.concat(
+        head,
+        F.when(broken, F.lit("<div><span class='unclosed")).otherwise(
+            F.lit("</body></html>")
+        ),
+    )
+
+
+def clean_text_col(c: Column) -> Column:
+    """Reference clean_text: single-pass translate of '|'->',' and
+    "'"->'^' (/root/reference/multiomics_kg/utils/curie_utils.py:38-53)."""
+    return F.translate(c, "|'", ",^")

@@ -1,0 +1,126 @@
+"""Stage 4 — canonicalize: connected components over same-as edges.
+
+Re-expresses GeneIdGraph's fixed-point anchor propagation
+(/root/reference/multiomics_kg/download/gene_id_graph.py:92-244,
+convergence loop :172-196) as iterative DataFrame min-label
+propagation. The reference notes it needs no Union-Find "at these
+dataset sizes" (:96-98); at web scale we need the distributed
+version:
+
+- undirected edge list, labels initialized to the node id,
+- each round every node takes min(own label, neighbor labels) —
+  one broadcast-free shuffle per round, keyed by node,
+- converges in O(component diameter) rounds; same-as components
+  are shallow (reference: fixed point in 2-3 passes), so 5-15
+  rounds in practice,
+- ``localCheckpoint`` every round truncates the lineage so the plan
+  doesn't grow exponentially,
+- skew: min() aggregation does map-side partial aggregation
+  (combiners), so a hot node's updates collapse before the shuffle;
+  AQE skew-join handles the join side.
+
+Tier-priority anchors: labels can be seeded with a sort key that
+makes tier-1 anchors win the min() (prefix '0:' for anchors, '1:'
+otherwise) — see ``canonical_mapping``. Components with >=2 distinct
+tier-1 anchors are conflicts and quarantined (G1 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id.
+
+    String or numeric ids; component is the minimum id in the
+    component under the natural ordering of the id type.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            und.join(labels, und.b == labels.node)
+            .select(und.a.alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(
+    sameas: DataFrame,
+    anchors: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """sameas evidence -> (entity_id, canonical_id, is_conflict).
+
+    canonical_id = the component's tier-1 anchor if exactly one
+    anchor is present, else the min entity id; components with >=2
+    anchors are flagged is_conflict='true' and downstream
+    materialization quarantines them (keeps them out of the node
+    table, like GeneIdGraph.conflicts).
+
+    ``anchors``: optional DataFrame(entity_id) of tier-1 anchor ids.
+    """
+    comp = connected_components(sameas, src=id_a, dst=id_b).select(
+        F.col("node").alias("entity_id"), "component"
+    )
+    if anchors is None:
+        return comp.select(
+            "entity_id",
+            F.col("component").alias("canonical_id"),
+            F.lit("false").alias("is_conflict"),
+        )
+    a = anchors.select(F.col(anchors.columns[0]).alias("anchor_id")).distinct()
+    comp_anchor = (
+        comp.join(F.broadcast(a), comp.entity_id == a.anchor_id, "left")
+        .groupBy("component")
+        .agg(
+            F.countDistinct("anchor_id").alias("n_anchors"),
+            F.min("anchor_id").alias("anchor"),
+        )
+    )
+    return (
+        comp.join(comp_anchor, "component")
+        .select(
+            "entity_id",
+            F.when(F.col("n_anchors") == 1, F.col("anchor"))
+            .otherwise(F.col("component"))
+            .alias("canonical_id"),
+            F.when(F.col("n_anchors") >= 2, F.lit("true"))
+            .otherwise(F.lit("false"))
+            .alias("is_conflict"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Settings chosen for the 100 TB design point (and scaled down
+automatically for local testing):
+
+- AQE on (runtime coalesce + skew-join splitting): hot hosts /
+  hot entities are expected in web corpora, and AQE's skew handling
+  plus explicit salting in ``operators.canonicalize`` is the plan.
+- ``spark.sql.shuffle.partitions`` defaults to the session core
+  count locally; on a real cluster this is set to 2-3x total cores
+  via spark-submit conf.
+- Arrow enabled: the extract / mention UDFs are pandas UDFs.
+- Session timezone pinned to UTC so results compare bit-for-bit
+  against the DuckDB oracle (naive-UTC timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "multiomics_biocypher_kg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    all cores). On a real cluster pass ``None`` and let spark-submit
+    own the master; every other setting here is cluster-safe.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # exact percentile + deterministic float handling for oracle parity
+        .config("spark.sql.legacy.allowUntypedScalaUDF", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

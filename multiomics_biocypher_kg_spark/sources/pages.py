@@ -1,0 +1,53 @@
+"""Deterministic synthetic page corpus (FIXTURES.md A1 shape).
+
+Builds the input_hint table ``pages(url, warc_ts, html binary,
+text, lang)`` from the driver's ``documents`` parquet with:
+
+- unique urls; a hot host holding ~30% of rows (doc_id % 10 < 3)
+  to exercise salting / AQE skew handling downstream,
+- ``warc_ts`` deterministic and monotone per host,
+- ``html`` synthesized entirely with native Column expressions
+  (functions.text.synth_html_col): entities, script/style blocks,
+  comments, nested tags, and ~1/17 rows with broken trailing markup,
+- ``text`` kept as the byte-identical-per-url oracle column.
+
+``doc_id`` is carried through as the parity join key to the DuckDB
+oracle (a real corpus would not have it; nothing downstream depends
+on it except tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.text import synth_html_col
+
+# 2026-01-01T00:00:00Z
+_EPOCH0 = 1767225600
+HOT_HOST = "hot.example.com"
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages DataFrame (input_hint shape + doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.when(F.col("doc_id") % 10 < 3, F.lit(HOT_HOST)).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/doc/"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+    )
+    broken = (F.col("doc_id") % 17) == 0
+    return docs.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH0) + F.col("doc_id")).alias("warc_ts"),
+        synth_html_col(url, F.col("text"), F.col("lang"), broken)
+        .cast("binary")
+        .alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
