@@ -113,12 +113,20 @@ def ancestors_closure(
                 (F.col("f.depth") + 1).alias("depth"),
             )
         )
-        step = step.join(
-            closure, ["node", "ancestor"], "left_anti"
-        ).localCheckpoint(eager=True)
+        # re-project through an aggregate to mint fresh attribute ids
+        # (localCheckpoint directly on the anti-joined plan trips
+        # attribute resolution under AQE in Spark 4)
+        step = (
+            step.join(closure, ["node", "ancestor"], "left_anti")
+            .groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
         if step.isEmpty():
             break
-        closure = closure.union(step).localCheckpoint(eager=True)
+        # no checkpoint on the accumulated union: every step is already
+        # a checkpoint leaf, so the plan stays linear in depth (<=8)
+        closure = closure.union(step)
         frontier = step
     return closure
 

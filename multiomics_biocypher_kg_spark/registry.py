@@ -317,3 +317,817 @@ def kg_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_percentile",
         "metric_bucket",
     )
+
+
+# --------------------------------------------------------------------------
+# Relational section: the reference's aggregate/window/join inventory
+# (SURVEY.md §2.3-2.8) exercised over the TPC-H-ish tables.
+# --------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register(
+    "rel_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+      round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+      round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+      round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
+      round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+      count(*) AS count_order,
+      CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 (group rollups + conditional counts), TPC-H Q1 shape."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_disc"),
+        )
+    )
+
+
+@register(
+    "rel_top_suppliers_per_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT s.s_nationkey, s.s_suppkey, s.s_name, r.revenue,
+             CAST(row_number() OVER (PARTITION BY s.s_nationkey
+                  ORDER BY r.revenue DESC, s.s_suppkey ASC) AS INTEGER) AS rnk
+      FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    )
+    SELECT s_nationkey, s_suppkey, s_name, revenue, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def rel_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (top-k per group) + J1 (broadcast dim join).
+
+    Physical: lineitem pre-aggregated per suppkey (map-side partial
+    agg), supplier broadcast, window over small aggregate only."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_name", "revenue", "rnk")
+    )
+
+
+@register(
+    "rel_market_share",
+    oracle="""
+    SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+      round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+      count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+    """,
+)
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: star join — fact shuffled once on orderkey, every
+    dimension broadcast; Catalyst collapses dim chain map-side."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_ref_integrity",
+    oracle="""
+    SELECT o.o_orderstatus,
+      count(*) AS n_orders,
+      CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def rel_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 (skip_bad_relationships): orphan-edge detection via
+    left join + null probe (semi/anti equivalent, counted)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+    )
+
+
+@register(
+    "rel_collect_sorted",
+    oracle="""
+    SELECT n.n_name,
+      string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment) AS segments,
+      count(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def rel_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: sorted distinct collect (apoc.coll.sort analog),
+    canonicalized to a pipe-joined string."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "rel_parallel_arrays",
+    oracle="""
+    WITH pre AS (
+      SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS m,
+             round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+      FROM lineitem GROUP BY l_returnflag, month(l_shipdate)
+    )
+    SELECT l_returnflag,
+      string_agg(CAST(m AS VARCHAR), '|' ORDER BY m) AS month_labels,
+      string_agg(CAST(qty AS VARCHAR), '|' ORDER BY m) AS month_totals
+    FROM pre GROUP BY l_returnflag
+    """,
+)
+def rel_parallel_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: ordered parallel-array collect (time_point_labels/totals
+    pattern, post-import.cypher:235-270): pre-agg per (group, order
+    key), sort_array(collect_list(struct)), project parallel arrays."""
+    li = _read(spark, sf_dir, "lineitem")
+    pre = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").cast("int").alias("m")
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    return (
+        pre.groupBy("l_returnflag")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "qty"))).alias("arr"))
+        .select(
+            "l_returnflag",
+            F.array_join(
+                F.transform("arr", lambda x: x["m"].cast("string")), "|"
+            ).alias("month_labels"),
+            F.array_join(
+                F.transform("arr", lambda x: x["qty"].cast("string")), "|"
+            ).alias("month_totals"),
+        )
+    )
+
+
+@register(
+    "rel_percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+      round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_value,
+      round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max_value,
+      round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
+      round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
+      round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 6) AS p75,
+      count(l_extendedprice) AS n_values
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact percentileCont quartiles (post-import.cypher:339-350).
+    Exact percentile(), not percentile_approx — pinned semantics."""
+    from multiomics_biocypher_kg_spark.operators.enrich import distribution_stats
+
+    li = _read(spark, sf_dir, "lineitem")
+    return distribution_stats(li, ["l_returnflag"], "l_extendedprice")
+
+
+@register(
+    "rel_mode_consensus",
+    oracle="""
+    WITH counts AS (
+      SELECT p_type, p_brand, count(*) AS cnt,
+        CASE WHEN p_brand = 'Brand#13' THEN 1 ELSE 0 END AS excluded
+      FROM part GROUP BY p_type, p_brand
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_type
+        ORDER BY excluded ASC, cnt DESC, p_brand ASC) AS rn
+      FROM counts
+    )
+    SELECT p_type, p_brand AS consensus_brand, cnt AS n_members FROM ranked WHERE rn = 1
+    """,
+)
+def rel_mode_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: mode/consensus with exclusion preference ('hypothetical
+    protein' blacklist analog, ortholog_group_adapter.py:51-64):
+    most-common brand per type, preferring non-blacklisted values,
+    deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    p = _read(spark, sf_dir, "part")
+    counts = (
+        p.groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "excluded", F.when(F.col("p_brand") == "Brand#13", 1).otherwise(0)
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("excluded").asc(), F.col("cnt").desc(), F.col("p_brand").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_type", F.col("p_brand").alias("consensus_brand"), F.col("cnt").alias("n_members"))
+    )
+
+
+@register(
+    "rel_union_evidence",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_nationkey AS nationkey, 'customer' AS source FROM customer
+      UNION ALL
+      SELECT s_nationkey, 'supplier' FROM supplier
+    )
+    SELECT nationkey,
+      string_agg(DISTINCT source, '|' ORDER BY source) AS evidence_sources,
+      count(*) AS n_refs
+    FROM tagged GROUP BY nationkey
+    """,
+)
+def rel_union_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U5: union of tagged evidence streams + per-key
+    evidence_sources accretion (post-import.cypher:1056-1087)."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("source")
+    )
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("source")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), "|").alias(
+                "evidence_sources"
+            ),
+            F.count(F.lit(1)).alias("n_refs"),
+        )
+    )
+
+
+@register(
+    "rel_window_rank_effect",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        CAST(row_number() OVER (PARTITION BY l_suppkey
+          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER)
+          AS rank_by_effect
+      FROM lineitem
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rank_by_effect
+    FROM ranked WHERE rank_by_effect <= 3
+    """,
+)
+def rel_window_rank_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: rank_by_effect — fully tie-broken row_number window
+    (post-import.cypher:693-705 ORDER BY abs(fc) DESC, padj, locus)."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.withColumn("rank_by_effect", F.row_number().over(w))
+        .where(F.col("rank_by_effect") <= 3)
+        .select(
+            "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rank_by_effect"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Events section: sessionization, as-of join, range join, replicate
+# aggregation, majority vote, ordering, significance cascade, JSON.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ev_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+        date_diff('second',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 21600 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+      CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+      CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 6h starts a new session (the batch
+    twin of streaming session_window; one shuffle keyed by user)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("gap", gap)
+        .withColumn(
+            "session_id",
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > 21600), 1).otherwise(0)
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("int"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+    )
+
+
+@register(
+    "ev_asof_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+      (SELECT c.event_id FROM events c
+       WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent prior click per error, per user) via
+    the union+window trick: tag both streams, sort within user by
+    (ts, type, id), carry last click id forward — one shuffle, no
+    per-group pandas, scales to arbitrary group sizes."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error")
+    )
+    # 'click' < 'error' lexicographically -> clicks at equal ts sort first
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn(
+        "click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return tagged.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "click_id"
+    )
+
+
+@register(
+    "ev_range_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts > c.ts AND date_diff('second', c.ts, v.ts) <= 86400
+    """,
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6-style interval/range join (position-fallback merge analog,
+    build_gene_mapping.py:186-294): views within 24h after a click.
+
+    Physical strategy: bucketize time into window-sized buckets and
+    equi-join on (user, bucket) with the click exploded into its two
+    candidate buckets — turns a theta join (cross product per user)
+    into a hash join; the residual predicate filters exactly."""
+    ev = _read(spark, sf_dir, "events")
+    win = 86400
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+        F.explode(
+            F.array(
+                (F.unix_timestamp("ts") / win).cast("long"),
+                (F.unix_timestamp("ts") / win).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+        (F.unix_timestamp("ts") / win).cast("long").alias("bucket"),
+    )
+    return (
+        clicks.join(views, ["bucket"])
+        .where(
+            (F.col("cu") == F.col("vu"))
+            & (F.col("vts") > F.col("cts"))
+            & (
+                F.unix_timestamp("vts") - F.unix_timestamp("cts") <= win
+            )
+        )
+        .select("click_id", "view_id")
+    )
+
+
+@register(
+    "ev_replicate_agg",
+    oracle="""
+    SELECT user_id, event_type,
+      count(*) AS n,
+      round(CAST(avg(value) AS DOUBLE), 6) AS mean_value,
+      CASE WHEN count(*) > 1 THEN round(CAST(stddev_samp(value) AS DOUBLE), 6) END AS sd_value,
+      CAST(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      CASE WHEN sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) >= 2 THEN 'detected'
+           WHEN sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) = 1 THEN 'sporadic'
+           ELSE 'not_detected' END AS detection_status
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def ev_replicate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: replicate aggregation (metabolite_assay_adapter.py:106-148):
+    mean / sample-stdev / n / n-above-threshold / detection_status."""
+    ev = _read(spark, sf_dir, "events")
+    n_high = F.sum(F.when(F.col("value") > 10, 1).otherwise(0))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.when(F.count(F.lit(1)) > 1, F.round(F.stddev_samp("value"), 6)).alias(
+            "sd_value"
+        ),
+        n_high.cast("long").alias("n_high"),
+        F.when(n_high >= 2, F.lit("detected"))
+        .when(n_high == 1, F.lit("sporadic"))
+        .otherwise(F.lit("not_detected"))
+        .alias("detection_status"),
+    )
+
+
+@register(
+    "ev_majority_vote",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total FROM per GROUP BY user_id)
+    SELECT p.user_id, p.event_type, p.cnt, t.total
+    FROM per p JOIN tot t ON p.user_id = t.user_id
+    WHERE p.cnt * 2 > t.total
+    """,
+)
+def ev_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: strict >50% majority vote (ortholog_group_adapter.py:67-81)."""
+    ev = _read(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.groupBy("user_id").agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        per.join(tot, "user_id")
+        .where(F.col("cnt") * 2 > F.col("total"))
+        .select("user_id", "event_type", "cnt", "total")
+    )
+
+
+@register(
+    "ev_timepoint_order",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+        AS tp_order
+    FROM events
+    """,
+)
+def ev_timepoint_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: time_point_order assignment (omics_adapter.py:446-475)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("tp_order")
+    )
+
+
+@register(
+    "ev_sig_cascade",
+    oracle="""
+    WITH synth AS (
+      SELECT event_id, user_id,
+        CASE WHEN event_id % 13 = 0 THEN 'NA'
+             WHEN event_id % 17 = 0 THEN ''
+             ELSE CAST(event_id % 41 - 20 AS VARCHAR) || '.' ||
+                  CAST(event_id % 10 AS VARCHAR) ||
+                  CASE WHEN event_id % 7 = 0 THEN '*' ELSE '' END
+        END AS fc_str,
+        CASE WHEN event_id % 11 = 0 THEN NULL
+             ELSE '0.0' || CAST(event_id % 100 AS VARCHAR) END AS p_str,
+        CASE WHEN user_id % 2 = 0 THEN 'linear' ELSE 'log2' END AS fold_change_type,
+        (user_id % 5 = 0) AS prefiltered
+      FROM events
+    ),
+    parsed AS (
+      SELECT *,
+        regexp_matches(fc_str, '\\*$') AS has_asterisk,
+        TRY_CAST(regexp_replace(fc_str, '\\*$', '') AS DOUBLE) AS fc_num,
+        TRY_CAST(p_str AS DOUBLE) AS adjusted_p
+      FROM synth
+    ),
+    conv AS (
+      SELECT *,
+        CASE WHEN fold_change_type = 'linear'
+             THEN CASE WHEN fc_num > 0 THEN round(log2(fc_num), 6) END
+             ELSE fc_num END AS log2_fc
+      FROM parsed
+    )
+    SELECT event_id, log2_fc, adjusted_p,
+      CASE WHEN log2_fc IS NULL THEN NULL
+           WHEN log2_fc > 0 THEN 'up' ELSE 'down' END AS expression_direction,
+      CASE WHEN prefiltered THEN 'significant'
+           WHEN has_asterisk THEN 'significant'
+           WHEN log2_fc IS NULL THEN 'unknown'
+           WHEN adjusted_p IS NULL THEN 'unknown'
+           WHEN abs(log2_fc) >= 1 AND adjusted_p <= 0.05 THEN 'significant'
+           ELSE 'not_significant' END AS significant
+    FROM conv
+    """,
+)
+def ev_sig_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F4/F6/F7: the full significance cascade — prefiltered ->
+    asterisk -> threshold -> unknown (omics_adapter.py:595-632), with
+    asterisk parsing (:770-787), linear->log2 conversion (:76-92) and
+    expression direction (:828-830) — over strings synthesized
+    deterministically from event ids (same on both engines)."""
+    ev = _read(spark, sf_dir, "events")
+    fc_core = F.concat(
+        (F.col("event_id") % 41 - 20).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 10).cast("string"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("*")).otherwise(F.lit("")),
+    )
+    synth = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit("NA"))
+        .when(F.col("event_id") % 17 == 0, F.lit(""))
+        .otherwise(fc_core)
+        .alias("fc_str"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("0.0"), (F.col("event_id") % 100).cast("string")))
+        .alias("p_str"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("linear"))
+        .otherwise(F.lit("log2"))
+        .alias("fold_change_type"),
+        (F.col("user_id") % 5 == 0).alias("prefiltered"),
+    )
+    parsed = synth.select(
+        "*",
+        F.col("fc_str").rlike(r"\*$").alias("has_asterisk"),
+        F.expr(r"try_cast(regexp_replace(fc_str, '\\*$', '') AS double)").alias(
+            "fc_num"
+        ),
+        F.expr("try_cast(p_str AS double)").alias("adjusted_p"),
+    )
+    conv = parsed.withColumn(
+        "log2_fc",
+        F.when(
+            F.col("fold_change_type") == "linear",
+            F.when(F.col("fc_num") > 0, F.round(F.log2("fc_num"), 6)),
+        ).otherwise(F.col("fc_num")),
+    )
+    return conv.select(
+        "event_id",
+        "log2_fc",
+        "adjusted_p",
+        F.when(F.col("log2_fc").isNull(), F.lit(None))
+        .when(F.col("log2_fc") > 0, F.lit("up"))
+        .otherwise(F.lit("down"))
+        .alias("expression_direction"),
+        F.when(F.col("prefiltered"), F.lit("significant"))
+        .when(F.col("has_asterisk"), F.lit("significant"))
+        .when(F.col("log2_fc").isNull(), F.lit("unknown"))
+        .when(F.col("adjusted_p").isNull(), F.lit("unknown"))
+        .when(
+            (F.abs(F.col("log2_fc")) >= 1) & (F.col("adjusted_p") <= 0.05),
+            F.lit("significant"),
+        )
+        .otherwise(F.lit("not_significant"))
+        .alias("significant"),
+    )
+
+
+@register(
+    "ev_json_extract",
+    oracle="""
+    SELECT event_type,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 analog: JSON property extraction (get_json_object)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("long")
+        .alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ev_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch twin of the
+    streaming groupBy(window(ts, '1 day')) in streaming.events)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ontology section: closure / levels / subtree rollups (G2/G3/G5)
+# over a deterministic tree derived from doc ids (FIXTURES B5).
+# --------------------------------------------------------------------------
+
+ONTO_EDGES_SQL = """
+  SELECT format('n{:04d}', doc_id) AS child,
+         format('n{:04d}', doc_id // 4) AS parent
+  FROM documents WHERE doc_id > 0
+"""
+
+ONTO_CLOSURE_SQL = f"""
+WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+clos(node, ancestor, depth) AS (
+  SELECT child, parent, 1 FROM edges
+  UNION
+  SELECT c.node, e.parent, c.depth + 1
+  FROM clos c JOIN edges e ON c.ancestor = e.child
+)
+SELECT node, ancestor, CAST(depth AS INTEGER) AS depth FROM clos
+"""
+
+
+def _onto_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.where(F.col("doc_id") > 0).select(
+        F.format_string("n%04d", F.col("doc_id")).alias("child"),
+        F.format_string("n%04d", F.floor(F.col("doc_id") / 4).cast("int")).alias(
+            "parent"
+        ),
+    )
+
+
+@register("onto_closure", oracle=ONTO_CLOSURE_SQL)
+def onto_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G5: bounded ancestor closure via iterative self-joins."""
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+
+    return ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10).select(
+        "node", "ancestor", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@register(
+    "onto_levels",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+    lv(node, level) AS (
+      SELECT 'n0000', 0
+      UNION
+      SELECT e.child, lv.level + 1 FROM lv JOIN edges e ON e.parent = lv.node
+    )
+    SELECT node, CAST(min(level) AS INTEGER) AS level FROM lv GROUP BY node
+    """,
+)
+def onto_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: min-depth BFS levels from the root (go_utils.py:255-325)."""
+    from multiomics_biocypher_kg_spark.operators.enrich import min_levels
+
+    spark_edges = _onto_edges(spark, sf_dir)
+    roots = spark.createDataFrame([("n0000",)], "node string")
+    return min_levels(spark_edges, roots).select(
+        "node", F.col("level").cast("int").alias("level")
+    )
+
+
+@register(
+    "onto_subtree_rollup",
+    oracle=f"""
+    WITH clos AS ({ONTO_CLOSURE_SQL}),
+    allnodes AS (SELECT node FROM clos UNION SELECT ancestor FROM clos),
+    pairs AS (
+      SELECT node, ancestor FROM clos
+      UNION
+      SELECT node, node FROM allnodes
+    )
+    SELECT ancestor, count(DISTINCT node) AS member_count
+    FROM pairs GROUP BY ancestor
+    """,
+)
+def onto_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: per-ancestor distinct-descendant rollup incl. self
+    (Cypher *0.. subtree counts, post-import.cypher:840-911)."""
+    from multiomics_biocypher_kg_spark.operators.enrich import (
+        ancestors_closure,
+        subtree_rollup,
+    )
+
+    closure = ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10)
+    nodes = (
+        closure.select("node")
+        .union(closure.select("ancestor"))
+        .distinct()
+        .select(F.col("node").alias("id"), F.col("node").alias("val"))
+    )
+    return subtree_rollup(closure, nodes, "id", "val")
