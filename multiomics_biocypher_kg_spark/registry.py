@@ -334,10 +334,10 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-      round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-      round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
       round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
-      round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+      round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE), 6) AS avg_disc,
       count(*) AS count_order,
       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -352,12 +352,22 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
             F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
             .cast("long")
@@ -370,7 +380,7 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_top_suppliers_per_nation",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+      SELECT l_suppkey, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
       FROM lineitem GROUP BY l_suppkey
     ),
     ranked AS (
@@ -392,9 +402,13 @@ def rel_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     sup = _read(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double"),
+            2,
+        ).alias("revenue")
     )
     w = Window.partitionBy("s_nationkey").orderBy(
         F.col("revenue").desc(), F.col("s_suppkey").asc()
@@ -411,7 +425,7 @@ def rel_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_market_share",
     oracle="""
     SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-      round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+      round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
       count(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -440,7 +454,11 @@ def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
