@@ -1,0 +1,220 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness
+  baseline and the verifier for ANN variants. Queries are broadcast;
+  the corpus is scanned once; per-pair dot products are native
+  zip_with/aggregate expressions (JVM codegen, no Python).
+- ``lsh_bucketed_topk``: the scale path — sign-LSH (random-ish but
+  DETERMINISTIC hyperplanes derived from (plane, dim) parity
+  formulas) buckets the corpus; candidates = same-bucket vectors,
+  then exact re-rank. Recall tested against brute force in pytest.
+- ``knn_classify`` / ``label_centroids``: the two downstream
+  consumers (majority-vote classification, per-label centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+N_PLANES = 4
+N_TABLES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_ids: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    -> (query_id, neighbor_id, cosine, rank); ties broken by
+    neighbor id. Self-matches excluded.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", _norm(F.col("v")))
+    q = vectors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    if query_ids is not None:
+        q = q.join(F.broadcast(query_ids), q.query_id == query_ids[query_ids.columns[0]], "leftsemi")
+    q = q.withColumn("nq", _norm(F.col("qv")))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_sign(table: int, plane: int, dim_col):
+    """Deterministic ±1 hyperplane entry for (table, plane, dim):
+    fixed affine mix parity. Same closed form is renderable in SQL."""
+    mix = (F.lit((table * 131 + plane) * 2654435761) + dim_col * 40503) % 97
+    return F.when(mix % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec_col, table: int, n_planes: int = N_PLANES):
+    """Sign-LSH bucket id (0..2^n_planes-1) for one hash table."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda d: _plane_sign(table, p, d),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """ANN: multi-table sign-LSH bucketing, exact re-rank on the
+    candidate union (classic LSH: T independent tables of p planes —
+    recall 1-(1-s^p)^T for same-side probability s).
+
+    At 100 TB the (table, bucket) equi-join replaces the cross join:
+    per-table candidate sets shrink by ~2^p, and T tables recover
+    recall. Each vector appears T times (explode by table) — linear
+    blowup, hash-partitioned by bucket, no skew beyond data skew
+    (AQE splits hot buckets).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
+    tables = v.select(
+        "id",
+        "v",
+        "nv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), lsh_bucket(F.col("v"), t).alias("b")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "nv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a = tables.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "t", "b"
+    )
+    b = tables.select(F.col("id").alias("neighbor_id"), "v", "nv", "t", "b")
+    cands = (
+        a.join(b, ["t", "b"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "nq", "neighbor_id", "v", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_classify(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label per vector (tie -> smaller label)."""
+    topk = cosine_topk(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    labeled = topk.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    return pred.join(
+        vectors.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+        ),
+        "query_id",
+    )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid via posexplode + (label, dim) mean; returns
+    (label, n_vectors, centroid_norm) — the array-op pattern without
+    shipping arrays to the comparator."""
+    exploded = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .join(
+            vectors.groupBy(F.col(label_col).alias("label")).agg(
+                F.count(F.lit(1)).alias("n_vectors")
+            ),
+            "label",
+        )
+        .select("label", "n_vectors", "centroid_norm")
+    )

@@ -1149,3 +1149,475 @@ def onto_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("id"), F.col("node").alias("val"))
     )
     return subtree_rollup(closure, nodes, "id", "val")
+
+
+# --------------------------------------------------------------------------
+# Dedup & text-analysis section (training-data pipeline operators)
+# over documents + deterministic synthetic near/exact duplicates.
+# --------------------------------------------------------------------------
+
+from multiomics_biocypher_kg_spark.functions.hashing import (  # noqa: E402
+    MINHASH_COEFFS,
+    R as MH_R,
+    ROWS_PER_BAND,
+    md5_long,
+    md5_long_sql,
+    minhash_coeffs_sql,
+)
+from multiomics_biocypher_kg_spark.operators import dedup as dd  # noqa: E402
+from multiomics_biocypher_kg_spark.functions import textstats as ts  # noqa: E402
+
+# corpus = documents + near-dups (every 4th doc, drop every 7th token)
+#                    + exact dups (every 5th doc)
+DEDUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    array_to_string(
+      list_where(string_split(text, ' '),
+                 list_transform(generate_series(1, len(string_split(text, ' '))),
+                                i -> (i - 1) % 10 <> 9)), ' ')
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id AS id,
+    arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM ({DEDUP_CORPUS_SQL})) d,
+       LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+"""
+
+JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+"""
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    near = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.filter(toks, lambda t, i: i % 10 != 9), " ").alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+      count(*) AS n_dups,
+      string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
+    FROM ({DEDUP_CORPUS_SQL}) GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy (one shuffle, map-side combine)."""
+    return dd.exact_duplicates(_dedup_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"SELECT id_a, id_b, jaccard FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard >= 0.5 via shared-shingle join (the
+    exact verifier; LSH below is the discovery path at scale)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return dd.jaccard_pairs(dd.shingles(corpus), 0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
+    sigs AS (
+      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
+      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
+      GROUP BY id, h.i
+    ),
+    banded AS (
+      SELECT id, i // {ROWS_PER_BAND} AS band,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5)
+    SELECT c.id_a, c.id_b, v.jaccard
+    FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4 bands x 4 rows) candidate pairs,
+    verified with exact Jaccard >= 0.5 — the scale path: linear
+    signature cost, bucket-join discovery, exact verify on the
+    (tiny) candidate set only."""
+    return dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({DEDUP_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM corpus
+    ),
+    tok_w AS (
+      SELECT id, token, count(*) AS w, {md5_long_sql('token')} AS h
+      FROM toks GROUP BY id, token
+    ),
+    per_bit AS (
+      SELECT id, b.bit AS bit,
+        sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN w ELSE -w END) AS s
+      FROM tok_w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY id, b.bit
+    ),
+    hashes AS (
+      SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+        AS simhash
+      FROM per_bit GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup pairs (hamming <= 3). Local all-pairs
+    verifier; at scale pairs come from 15-bit band buckets (any
+    hamming<=3 pair shares one of 4 bands exactly)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    hashes = dd.simhash64(corpus)
+    return dd.simhash_pairs(hashes, 3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+      CAST(length(text) AS INTEGER) AS n_chars,
+      round(CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS stopword_ratio,
+      round(
+        (CASE WHEN len(string_split(text,' ')) >= 20 THEN 1.0
+              ELSE len(string_split(text,' ')) / 20.0 END)
+        + (CASE WHEN length(text)::DOUBLE / len(string_split(text,' ')) BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.0 END)
+        + (CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+             / len(string_split(text, ' '))) * 5, 6) AS quality_score
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), stopword ratio,
+    composite quality score — all native expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(ts.quality_score(t), 6).alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ein'))) AS s_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) AS s_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','de','una'))) AS s_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','des','une'))) AS s_fr,
+        len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','我'))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, deterministic
+    alphabetical tie-break). On this synthetic corpus every doc uses
+    the same token universe, so the value is in the plumbing; unit
+    tests exercise real multilingual discrimination."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return ts.langid_predict(docs).select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+    ),
+    hashed AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS h FROM sh),
+    ranked AS (
+      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT doc_id, string_agg(CAST(h AS VARCHAR), '|' ORDER BY h) AS fingerprint
+    FROM ranked WHERE rn <= 8 GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: 8 smallest distinct shingle
+    hashes per document (rolling-hash document signature)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search section (embeddings)
+# --------------------------------------------------------------------------
+
+# exact double-precision pair cosine in SQL (element-wise, explicit
+# double cast — list_dot_product on FLOAT[] accumulates in float32
+# and would NOT match Spark's double math)
+def _pair_cosine_sql(query_filter: str) -> str:
+    return f"""
+    exploded AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exploded GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, sum(q.x * b.x) AS dot
+      FROM exploded q JOIN exploded b ON q.dim = b.dim AND q.vec_id <> b.vec_id
+      WHERE {query_filter}
+      GROUP BY q.vec_id, b.vec_id
+    ),
+    cos AS (
+      SELECT d.query_id, d.neighbor_id,
+        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nb ON d.neighbor_id = nb.vec_id
+    )
+    """
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH {_pair_cosine_sql("q.vec_id < 10")},
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM cos
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors —
+    the ANN correctness baseline (broadcast queries, single corpus
+    scan, native zip_with/aggregate dot products)."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select("vec_id")
+    return cosine_topk(emb, query_ids=q, k=5)
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH {_pair_cosine_sql("q.vec_id < 100")},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM cos
+    ),
+    votes AS (
+      SELECT r.query_id, e.label AS nb_label, count(*) AS votes
+      FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      WHERE r.rank <= 5 GROUP BY r.query_id, e.label
+    ),
+    pred AS (
+      SELECT query_id, nb_label AS pred_label,
+        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nb_label ASC) AS rn
+      FROM votes
+    )
+    SELECT p.query_id, p.pred_label, e.label AS true_label
+    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id WHERE p.rn = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification for the first 100 vectors
+    (votes desc, label asc tie-break)."""
+    from multiomics_biocypher_kg_spark.operators import simsearch as ss
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = ss.cosine_topk(
+        emb, query_ids=emb.where(F.col("vec_id") < 100).select("vec_id"), k=5
+    )
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    return pred.join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+        "query_id",
+    )
+
+
+@register(
+    "ann_centroids",
+    oracle="""
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    per_dim AS (SELECT label, dim, avg(x) AS m FROM exploded GROUP BY label, dim)
+    SELECT p.label, round(sqrt(sum(m * m)), 6) AS centroid_norm, c.n_vectors
+    FROM per_dim p
+    JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) c
+      ON p.label = c.label
+    GROUP BY p.label, c.n_vectors
+    """,
+)
+def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norms (posexplode + two-level agg)."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb).select("label", "n_vectors", "centroid_norm")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_pair_cosine_sql("q.vec_id < b.vec_id")}
+    SELECT query_id AS id_a, neighbor_id AS id_b, cosine
+    FROM cos WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.35). Brute-force
+    verifier; sign-LSH bucketing (simsearch.lsh_bucketed_topk) is
+    the discovery path at scale."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import _dot, _norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal section: binary payload plumbing + batch decode
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ascii(c) AS byte, count(*) AS cnt FROM chars GROUP BY doc_id, ascii(c)
+    ),
+    mode AS (
+      SELECT doc_id, min(byte) AS byte_mode FROM freq f1
+      WHERE cnt = (SELECT max(cnt) FROM freq f2 WHERE f2.doc_id = f1.doc_id)
+      GROUP BY doc_id
+    ),
+    mean AS (
+      SELECT doc_id, round(avg(ascii(c)), 6) AS byte_mean,
+             CAST(count(*) AS INTEGER) AS n_bytes
+      FROM chars GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+      CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      m.n_bytes, m.byte_mean, CAST(mo.byte_mode AS INTEGER) AS byte_mode
+    FROM mean m JOIN mode mo ON m.doc_id = mo.doc_id
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary payloads +
+    typed metadata, run the mapInPandas batch 'decoder' (stubbed
+    byte-statistics codec — the real image/audio codec slots into
+    the same contract), return per-asset features. The oracle
+    recomputes the byte statistics in SQL, so the Arrow batch path
+    itself is correctness-gated."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_payloads,
+        decode_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_features(attach_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.col("byte_mode").cast("int").alias("byte_mode"),
+    )

@@ -1,0 +1,101 @@
+"""Dedup + similarity-search behavioral tests (beyond oracle parity):
+LSH recall vs exact, langid on genuinely multilingual text, phrase
+recall of near-dup synthesis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.textstats import langid_predict
+from multiomics_biocypher_kg_spark.operators import dedup as dd
+from multiomics_biocypher_kg_spark.operators.simsearch import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from multiomics_biocypher_kg_spark.registry import _dedup_corpus
+from tests.conftest import SF_TINY
+
+
+def test_minhash_finds_synthetic_neardups(spark):
+    corpus = _dedup_corpus(spark, SF_TINY)
+    pairs = dd.minhash_neardup_pairs(corpus, 0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact copies (doc_id % 5 == 0 -> +2000000) have jaccard 1.0 and
+    # identical signatures: LSH must find every one of them
+    docs = {r.doc_id for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id").collect()}
+    exact_pairs = {(d, d + 2000000) for d in docs if d % 5 == 0}
+    assert exact_pairs <= found
+    # near-dups (drop 1-in-7 tokens) have jaccard ~>0.6: high recall
+    near_pairs = {(d, d + 1000000) for d in docs if d % 4 == 0}
+    recall = len(near_pairs & found) / len(near_pairs)
+    assert recall >= 0.8, recall
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark):
+    corpus = _dedup_corpus(spark, SF_TINY)
+    sh = dd.shingles(corpus)
+    exact = {
+        (r.id_a, r.id_b) for r in dd.jaccard_pairs(sh, 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_neardup_pairs(corpus, 0.5).collect()
+    }
+    # LSH output is verified, so it is a subset; recall must be high
+    assert lsh <= exact
+    assert len(lsh) >= 0.85 * len(exact)
+
+
+def test_simhash_exact_copies_distance_zero(spark):
+    corpus = _dedup_corpus(spark, SF_TINY)
+    hashes = dd.simhash64(corpus)
+    pairs = dd.simhash_pairs(hashes, 0).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    docs = {r.doc_id for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id").collect()}
+    assert {(d, d + 2000000) for d in docs if d % 5 == 0} <= found
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    exact = cosine_topk(emb, k=3).collect()
+    approx = lsh_bucketed_topk(emb, k=3).collect()
+    exact_top1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    approx_map = {(r.query_id, r.neighbor_id) for r in approx}
+    hit = sum(1 for q, n in exact_top1.items() if (q, n) in approx_map)
+    # sign-LSH with 8 planes on near-random vectors: modest recall is
+    # expected; assert it beats random chance by a wide margin
+    assert hit / len(exact_top1) >= 0.4, hit / len(exact_top1)
+    # every approx neighbor must share the query's bucket -> correctness
+    # of scoring itself is checked by comparing overlapping pairs
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_langid_discriminates_real_text(spark):
+    rows = [
+        (0, "the cat and the hat of a dog", "en"),
+        (1, "der hund und die katze und das haus", "de"),
+        (2, "el perro y la casa de los gatos una vez", "es"),
+        (3, "le chien et la maison les chats des une", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.pred_lang for r in langid_predict(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "es", 3: "fr"}
+
+
+def test_multimodal_decode_stub(spark):
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_payloads,
+        decode_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "zz")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decode_features(attach_payloads(docs)).collect()}
+    assert out[1].n_bytes == 3
+    assert abs(out[1].byte_mean - (97 + 98 + 99) / 3) < 1e-9
+    assert out[2].byte_mode == ord("z")
+    assert out[1].kind == "audio" and out[2].kind == "video"
