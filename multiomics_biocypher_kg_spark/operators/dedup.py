@@ -70,22 +70,46 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Pairwise n-gram Jaccard >= threshold via shared-shingle join.
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Pairwise n-gram Jaccard >= threshold.
 
-    -> (id_a, id_b, jaccard) with id_a < id_b. Exact; use on LSH
-    candidates at scale (the shared-shingle join is the quadratic
-    verifier, not the discovery path).
+    -> (id_a, id_b, jaccard) with id_a < id_b. Exact.
+
+    Without ``candidates``, pairs come from the shared-shingle
+    self-join — quadratic in bucket size, the exhaustive verifier.
+    With ``candidates(id_a, id_b)`` (e.g. from LSH), the
+    intersection is computed candidates-first: candidates join
+    a-shingles join b-shingles — cost |candidates| x shingles/doc
+    instead of all co-shingled pairs. That is the scale path.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidates is None:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sa = sh.select(F.col("id").alias("id_a"), "shingle")
+        sb = sh.select(
+            F.col("id").alias("_idb"), F.col("shingle").alias("_shb")
+        )
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(
+                sb,
+                (F.col("id_b") == F.col("_idb"))
+                & (F.col("shingle") == F.col("_shb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
@@ -142,11 +166,13 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_neardup_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """MinHash-LSH discovery + exact Jaccard verification."""
+    """MinHash-LSH discovery + exact Jaccard verification computed
+    on the candidate pairs only (never all co-shingled pairs)."""
     sh = shingles(docs, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
-    verified = jaccard_pairs(sh, threshold)
-    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return jaccard_pairs(sh, threshold, candidates=cands).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:

@@ -35,13 +35,33 @@ def html_to_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
-def extract(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    engine: str = "native",
+) -> DataFrame:
     """pages(url, warc_ts, html, lang, ...) -> docs(url, warc_ts, lang, text).
 
     Extra columns (e.g. the doc_id parity key) are passed through.
+
+    engine:
+    - 'native' (default): the rule chain as JVM regexp Column ops
+      (functions.text.extract_text_native) — whole-stage codegen,
+      no Python, linear core scaling. Measured: the Arrow shuttle of
+      raw html dominates the UDF engine on wide binary rows (a no-op
+      pandas UDF over 10 GB html costs ~10 s regardless of cores).
+    - 'arrow': the vectorized pandas UDF (full html.unescape entity
+      fidelity). Tests pin native == arrow on every test corpus.
     """
+    from multiomics_biocypher_kg_spark.functions.text import extract_text_native
+
     passthrough = [c for c in pages.columns if c not in ("html", "text")]
     df = pages
     if num_partitions:
         df = df.repartition(num_partitions, "url")
-    return df.select(*passthrough, html_to_text(F.col("html")).alias("text"))
+    text = (
+        extract_text_native(F.col("html"))
+        if engine == "native"
+        else html_to_text(F.col("html"))
+    )
+    return df.select(*passthrough, text.alias("text"))

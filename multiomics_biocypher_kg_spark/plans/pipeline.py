@@ -86,3 +86,29 @@ def build_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "triples": triples,
         "entity_nodes": ranked,
     }
+
+
+def run_staged(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, "DataFrame"]:
+    """The DAG as idempotent, resumable stage tables (north rule):
+    each stage = one parquet stage table + lineage row; re-running
+    skips completed stages; a crashed half-write converges via the
+    MERGE INTO emulation (see plans.lineage.StagedRunner)."""
+    from multiomics_biocypher_kg_spark.plans.lineage import StagedRunner
+
+    runner = StagedRunner(spark, workdir)
+    stages = build_graph(spark, sf_dir)
+    out: dict[str, DataFrame] = {}
+    out["docs"] = runner.run_stage("extract", lambda: stages["docs"], ["url"])
+    out["links"] = runner.run_stage(
+        "link", lambda: stages["links"], ["url", "pos"]
+    )
+    out["mapping"] = runner.run_stage(
+        "canonicalize", lambda: stages["mapping"], ["entity_id"]
+    )
+    out["triples"] = runner.run_stage(
+        "materialize", lambda: stages["triples"], ["edge_id"]
+    )
+    out["entity_nodes"] = runner.run_stage(
+        "enrich", lambda: stages["entity_nodes"], ["entity_id"]
+    )
+    return out

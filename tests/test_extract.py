@@ -53,3 +53,15 @@ def test_extract_null_html(spark):
     df = spark.createDataFrame([("u1", None)], "url string, html binary")
     out = extract(df).collect()
     assert out[0].text is None
+
+
+def test_native_equals_arrow_engine(spark):
+    from pyspark.sql import functions as F
+
+    pages = pages_from_documents(spark, SF_TINY)
+    nat = extract(pages, engine="native").select("doc_id", F.col("text").alias("t_nat"))
+    arr = extract(pages, engine="arrow").select("doc_id", F.col("text").alias("t_arr"))
+    bad = nat.join(arr, "doc_id").where(
+        (F.col("t_nat") != F.col("t_arr")) | F.col("t_nat").isNull()
+    ).count()
+    assert bad == 0
