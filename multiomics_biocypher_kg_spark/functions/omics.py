@@ -1,0 +1,177 @@
+"""The reference's omics differential-expression transform, whole.
+
+Re-expresses the core of OmicsAdapter
+(/root/reference/multiomics_kg/adapters/omics_adapter.py) as one
+config-driven DataFrame program:
+
+- P1  config-driven column mapping (name_col / logfc_col /
+      adjusted_p_value_col, :696-723)
+- P3  null/empty id filter with skip counting (:744-751)
+- P4  non-finite numeric filter (:759-787)
+- F6  asterisk-significance parsing ('1.1*' -> 1.1 + significant,
+      :770-787)
+- F4  linear -> log2 fold-change conversion (<=0 -> null, :76-92)
+- P5  the significance cascade: prefiltered -> asterisk ->
+      (|fc| >= fc_thr AND p <= p_thr) -> unknown (:595-632)
+- F7  expression_direction (:828-830)
+- W7  time_point_order assignment per experiment (:446-475)
+- A15 is_time_course = countDistinct(timepoint) > 1 (:356-372)
+- F20 deterministic edge ids (:843)
+
+The AnalysisConfig mirrors one paperconfig analysis block
+(data/.../paperconfig.yaml:110-201 shape, FIXTURES.md B1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AnalysisConfig:
+    analysis_id: str
+    experiment_id: str
+    name_col: str
+    logfc_col: str
+    adjusted_p_value_col: str | None = None
+    fold_change_type: str = "log2"  # 'log2' | 'linear'
+    prefiltered: bool = False
+    pvalue_asterisk_in_logfc: bool = False
+    fold_change_threshold: float = 1.0
+    pvalue_threshold: float = 0.05
+    time_point: str | None = None
+    time_point_hours: float | None = None
+    growth_phase: str | None = None
+
+
+def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
+    """One supp-table analysis -> typed expression rows.
+
+    -> (analysis_id, experiment_id, raw_id, log2_fold_change,
+        adjusted_p_value, significant, expression_direction,
+        time_point, time_point_hours, growth_phase)
+    """
+    if cfg.name_col not in df.columns or cfg.logfc_col not in df.columns:
+        # P2 missing-column guard: driver-side, skip the table
+        raise ValueError(
+            f"{cfg.analysis_id}: missing column "
+            f"{cfg.name_col if cfg.name_col not in df.columns else cfg.logfc_col}"
+        )
+    p_col = (
+        F.col(cfg.adjusted_p_value_col).cast("string")
+        if cfg.adjusted_p_value_col and cfg.adjusted_p_value_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    mapped = df.select(
+        F.col(cfg.name_col).cast("string").alias("raw_id"),
+        F.col(cfg.logfc_col).cast("string").alias("raw_fc"),
+        p_col.alias("raw_p"),
+    )
+    # P3: null/empty ids out
+    mapped = mapped.where(
+        F.col("raw_id").isNotNull() & (F.trim(F.col("raw_id")) != "")
+    )
+    # F6: asterisk parse (only when configured, like the reference)
+    has_ast = (
+        F.col("raw_fc").rlike(r"\*\s*$")
+        if cfg.pvalue_asterisk_in_logfc
+        else F.lit(False)
+    )
+    fc_num = F.expr(
+        r"try_cast(trim(regexp_replace(raw_fc, '\\*\\s*$', '')) AS double)"
+    )
+    p_num = F.expr("try_cast(raw_p AS double)")
+    parsed = mapped.select(
+        "raw_id",
+        has_ast.alias("has_asterisk"),
+        fc_num.alias("fc_num"),
+        p_num.alias("p_num"),
+    )
+    # P4: non-finite out (NaN / +-inf survive try_cast)
+    parsed = parsed.where(
+        F.col("fc_num").isNotNull()
+        & ~F.isnan("fc_num")
+        & ~F.col("fc_num").isin(float("inf"), float("-inf"))
+    )
+    # F4: linear -> log2 (non-positive -> dropped with a warning count
+    # in the reference; here: null then filtered)
+    log2fc = (
+        F.when(F.col("fc_num") > 0, F.log2("fc_num"))
+        if cfg.fold_change_type == "linear"
+        else F.col("fc_num")
+    )
+    conv = parsed.withColumn("log2_fold_change", log2fc).where(
+        F.col("log2_fold_change").isNotNull()
+    )
+    # P5: significance cascade (priority order pinned to the reference)
+    significant = (
+        F.when(F.lit(cfg.prefiltered), F.lit("significant"))
+        .when(F.col("has_asterisk"), F.lit("significant"))
+        .when(F.col("p_num").isNull(), F.lit("unknown"))
+        .when(
+            (F.abs(F.col("log2_fold_change")) >= cfg.fold_change_threshold)
+            & (F.col("p_num") <= cfg.pvalue_threshold),
+            F.lit("significant"),
+        )
+        .otherwise(F.lit("not_significant"))
+    )
+    return conv.select(
+        F.lit(cfg.analysis_id).alias("analysis_id"),
+        F.lit(cfg.experiment_id).alias("experiment_id"),
+        "raw_id",
+        "log2_fold_change",
+        F.col("p_num").alias("adjusted_p_value"),
+        significant.alias("significant"),
+        # F7: direction
+        F.when(F.col("log2_fold_change") > 0, F.lit("up"))
+        .otherwise(F.lit("down"))
+        .alias("expression_direction"),
+        F.lit(cfg.time_point).alias("time_point"),
+        F.lit(cfg.time_point_hours).cast("double").alias("time_point_hours"),
+        F.lit(cfg.growth_phase).alias("growth_phase"),
+    )
+
+
+def assign_time_point_order(analyses_meta: DataFrame) -> DataFrame:
+    """W7 (omics_adapter.py:446-475): per experiment, order analyses
+    by (hours NULLS LAST, analysis_id), enumerate from 1."""
+    w = Window.partitionBy("experiment_id").orderBy(
+        F.coalesce(F.col("time_point_hours"), F.lit(float("inf"))).asc(),
+        F.col("analysis_id").asc(),
+    )
+    return analyses_meta.withColumn("time_point_order", F.row_number().over(w))
+
+
+def is_time_course(analyses_meta: DataFrame) -> DataFrame:
+    """A15 (omics_adapter.py:356-372): string-enum boolean per
+    experiment ('true'|'false', reference convention)."""
+    return analyses_meta.groupBy("experiment_id").agg(
+        F.when(F.countDistinct("time_point") > 1, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("is_time_course")
+    )
+
+
+def expression_edges(rows: DataFrame, pub_id: str) -> DataFrame:
+    """F20 edge emission: deterministic ids
+    f'{pub}_{analysis}_{gene}' (omics_adapter.py:843-850)."""
+    return rows.select(
+        F.concat_ws(
+            "_", F.lit(pub_id), F.col("analysis_id"), F.col("raw_id")
+        ).alias("edge_id"),
+        F.lit(pub_id).alias("subj"),
+        F.lit("changes_expression_of").alias("pred"),
+        F.col("raw_id").alias("obj"),
+        F.struct(
+            "log2_fold_change",
+            "adjusted_p_value",
+            "significant",
+            "expression_direction",
+            "time_point",
+            "time_point_hours",
+            "growth_phase",
+        ).alias("props"),
+    )

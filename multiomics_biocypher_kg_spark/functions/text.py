@@ -140,9 +140,12 @@ def extract_text_native(html: Column) -> Column:
       engine; tests assert native == arrow on every test corpus.
     """
     s = html.cast("string")
-    s = F.regexp_replace(s, r"(?is)<script\b.*?</script>", "")
-    s = F.regexp_replace(s, r"(?is)<style\b.*?</style>", "")
-    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    # one fused pass for all three strip targets (regexp_replace
+    # allocates a full copy of the page per call — at 10 GB/s of
+    # pages the extra passes are GC-bound, not CPU-bound)
+    s = F.regexp_replace(
+        s, r"(?is)<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->", ""
+    )
     main = F.regexp_extract(s, r"(?is)<main\b[^>]*>(.*?)</main>", 1)
     body = F.regexp_extract(s, r"(?is)<body\b[^>]*>(.*)", 1)
     region = (

@@ -1,0 +1,93 @@
+"""Hard-error validation contracts (F9/F10).
+
+The reference's observations adapter raises on the first unknown
+boolean token / out-of-vocabulary category
+(/root/reference/multiomics_kg/adapters/observations_adapter.py:78-126,
+:435-461). Spark expressions cannot raise row-level errors cleanly,
+so the engine uses validate-then-fail (SURVEY.md §7.3 hard part #5):
+one aggregation pass counts violations and collects examples, then
+the driver raises with the evidence — same contract, one extra job,
+no partial output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class ValidationError(ValueError):
+    pass
+
+
+def _fail_if_any(df: DataFrame, bad: Column, what: str, show: int = 5) -> None:
+    sample = df.where(bad).limit(show).collect()
+    if sample:
+        n = df.where(bad).count()
+        raise ValidationError(f"{what}: {n} violating rows, e.g. {sample[:show]}")
+
+
+def map_boolean_tokens(
+    df: DataFrame,
+    col: str,
+    true_tokens: list[str],
+    false_tokens: list[str],
+    skip_tokens: list[str] = (),
+    blank_policy: str = "skip",  # 'skip' | 'false' | 'error'
+) -> DataFrame:
+    """F9: declared-token boolean mapping, hard error on unknowns.
+
+    Output column ``{col}_bool`` is the reference's string enum
+    'true'|'false' (or null for skipped rows).
+    """
+    c = F.trim(F.col(col))
+    is_blank = F.col(col).isNull() | (c == "")
+    known = (
+        c.isin(*true_tokens)
+        | c.isin(*false_tokens)
+        | (c.isin(*skip_tokens) if skip_tokens else F.lit(False))
+    )
+    bad = ~is_blank & ~known
+    _fail_if_any(df, bad, f"unknown boolean token in {col!r}")
+    if blank_policy == "error":
+        _fail_if_any(df, is_blank, f"blank value in {col!r}")
+    mapped = (
+        F.when(c.isin(*true_tokens), F.lit("true"))
+        .when(c.isin(*false_tokens), F.lit("false"))
+        .when(is_blank & F.lit(blank_policy == "false"), F.lit("false"))
+        .otherwise(F.lit(None))
+    )
+    return df.withColumn(f"{col}_bool", mapped)
+
+
+def enforce_categories(
+    df: DataFrame, col: str, allowed: list[str], allow_null: bool = True
+) -> DataFrame:
+    """F10: allowed-set enforcement — anti-join vs allowed values,
+    assert empty, return df unchanged (validation is a pass, not a
+    transform)."""
+    c = F.col(col)
+    bad = ~c.isin(*allowed)
+    if allow_null:
+        bad = c.isNotNull() & bad
+    _fail_if_any(df, bad, f"out-of-vocabulary category in {col!r}")
+    return df
+
+
+def parse_embedded_stats(df: DataFrame, col: str) -> DataFrame:
+    """A12 (metabolite_assay_adapter.py:151-203): parse embedded
+    '0.00054 (8.8e-05), n=2' cells into (mean, sd, n) — three
+    regexp_extracts + casts, no Python."""
+    num = r"([0-9.eE+\-]+)"
+    return df.select(
+        "*",
+        F.expr(
+            f"try_cast(regexp_extract({col}, '^\\\\s*{num}', 1) AS double)"
+        ).alias(f"{col}_mean"),
+        F.expr(
+            f"try_cast(regexp_extract({col}, '\\\\({num}\\\\)', 1) AS double)"
+        ).alias(f"{col}_sd"),
+        F.expr(
+            f"try_cast(regexp_extract({col}, 'n=([0-9]+)', 1) AS int)"
+        ).alias(f"{col}_n"),
+    )

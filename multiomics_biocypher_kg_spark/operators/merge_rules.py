@@ -1,0 +1,98 @@
+"""J8: declarative config-driven multi-source merge.
+
+Re-expresses the reference's AnnotationBuilder.build_merged
+(/root/reference/multiomics_kg/download/build_gene_annotations.py:446-864
+driven by /root/reference/config/gene_annotations_config.yaml:25-120):
+an anchor table left-joined with N sources, then per-field merge
+rules decide how candidate columns combine:
+
+    passthrough       first source that has the field
+    single            priority coalesce across sources
+    union             distinct token union across (array) sources
+    integer / float   coalesce + cast
+    concat            ' :: '-joined composition (gene_summary, F16)
+
+Each rule is one native expression; the whole merge is a chain of
+(broadcastable) left joins + one select — Catalyst prunes unused
+source columns per field automatically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SourceSpec:
+    name: str
+    df: DataFrame
+    join_on: str  # anchor column name == source column name
+    pivot_explode: str | None = None  # J9: explode this array col first
+    broadcast: bool = True
+
+
+@dataclass
+class FieldRule:
+    name: str
+    rule: str  # passthrough | single | union | integer | float | concat
+    sources: list[str] = field(default_factory=list)  # '<src>.<col>' priority order
+    sep: str = " :: "
+
+
+def _src_col(ref: str) -> str:
+    """'src.col' -> prefixed physical name; 'anchor.col' -> bare col."""
+    if ref.startswith("anchor."):
+        return ref.split(".", 1)[1]
+    return ref.replace(".", "__")
+
+
+def merge_sources(
+    anchor: DataFrame, sources: list[SourceSpec], rules: list[FieldRule]
+) -> DataFrame:
+    """anchor ⟕ source1 ⟕ source2 ... -> one row per anchor key with
+    rule-merged fields."""
+    out = anchor
+    for s in sources:
+        df = s.df
+        if s.pivot_explode:
+            df = df.withColumn(s.pivot_explode, F.explode(s.pivot_explode))
+        # prefix source columns to avoid collisions
+        renamed = df.select(
+            F.col(s.pivot_explode or s.join_on).alias(f"__k_{s.name}"),
+            *[
+                F.col(c).alias(f"{s.name}__{c}")
+                for c in df.columns
+                if c != (s.pivot_explode or s.join_on)
+            ],
+        ).dropDuplicates([f"__k_{s.name}"])
+        j = F.broadcast(renamed) if s.broadcast else renamed
+        out = out.join(j, out[s.join_on] == renamed[f"__k_{s.name}"], "left").drop(
+            f"__k_{s.name}"
+        )
+
+    cols = [out[c] for c in anchor.columns]
+    for r in rules:
+        refs = [F.col(_src_col(x)) for x in r.sources]
+        if r.rule in ("passthrough", "single"):
+            expr = F.coalesce(*refs)
+        elif r.rule == "integer":
+            expr = F.coalesce(*[c.cast("long") for c in refs])
+        elif r.rule == "float":
+            expr = F.coalesce(*[c.cast("double") for c in refs])
+        elif r.rule == "union":
+            arrs = [
+                F.coalesce(c, F.array().cast("array<string>")) for c in refs
+            ]
+            acc = arrs[0]
+            for a in arrs[1:]:
+                acc = F.array_union(acc, a)
+            expr = F.array_sort(F.array_distinct(acc))
+        elif r.rule == "concat":
+            expr = F.concat_ws(r.sep, *refs)
+        else:
+            raise ValueError(f"unknown merge rule {r.rule!r}")
+        cols.append(expr.alias(r.name))
+    return out.select(*cols)

@@ -1621,3 +1621,234 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 6).alias("byte_mean"),
         F.col("byte_mode").cast("int").alias("byte_mode"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reference-adapter section: the omics DE transform, declarative merge,
+# CURIE normalization — the reference's core adapter semantics,
+# oracle-checked end to end.
+# --------------------------------------------------------------------------
+
+OMICS_SYNTH_SQL = """
+  SELECT
+    CASE WHEN event_id % 17 = 0 THEN '' ELSE 'g' || CAST(event_id % 500 AS VARCHAR) END AS Synonym,
+    CASE WHEN event_id % 13 = 0 THEN 'NA'
+         WHEN event_id % 19 = 0 THEN 'Infinity'
+         ELSE CAST(event_id % 41 - 20 AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR)
+              || CASE WHEN event_id % 7 = 0 THEN '*' ELSE '' END
+    END AS log2fc,
+    CASE WHEN event_id % 11 = 0 THEN NULL
+         ELSE '0.0' || CAST(event_id % 100 AS VARCHAR) END AS qValue
+  FROM events
+"""
+
+
+def _omics_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    fc_core = F.concat(
+        (F.col("event_id") % 41 - 20).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 10).cast("string"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("*")).otherwise(F.lit("")),
+    )
+    return ev.select(
+        F.when(F.col("event_id") % 17 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("g"), (F.col("event_id") % 500).cast("string")))
+        .alias("Synonym"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("NA"))
+        .when(F.col("event_id") % 19 == 0, F.lit("Infinity"))
+        .otherwise(fc_core)
+        .alias("log2fc"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("0.0"), (F.col("event_id") % 100).cast("string")))
+        .alias("qValue"),
+    )
+
+
+@register(
+    "omics_de_transform",
+    oracle=f"""
+    WITH synth AS ({OMICS_SYNTH_SQL}),
+    mapped AS (
+      SELECT Synonym AS raw_id, log2fc AS raw_fc, qValue AS raw_p FROM synth
+      WHERE Synonym IS NOT NULL AND trim(Synonym) <> ''
+    ),
+    parsed AS (
+      SELECT raw_id,
+        regexp_matches(raw_fc, '\\*\\s*$') AS has_asterisk,
+        TRY_CAST(trim(regexp_replace(raw_fc, '\\*\\s*$', '')) AS DOUBLE) AS fc_num,
+        TRY_CAST(raw_p AS DOUBLE) AS p_num
+      FROM mapped
+    ),
+    fin AS (
+      SELECT * FROM parsed WHERE fc_num IS NOT NULL AND isfinite(fc_num)
+    )
+    SELECT 'a1' AS analysis_id, 'e1' AS experiment_id, raw_id,
+      fc_num AS log2_fold_change, p_num AS adjusted_p_value,
+      CASE WHEN has_asterisk THEN 'significant'
+           WHEN p_num IS NULL THEN 'unknown'
+           WHEN abs(fc_num) >= 1.0 AND p_num <= 0.05 THEN 'significant'
+           ELSE 'not_significant' END AS significant,
+      CASE WHEN fc_num > 0 THEN 'up' ELSE 'down' END AS expression_direction
+    FROM fin
+    """,
+)
+def omics_de_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core adapter (OmicsAdapter) end-to-end over a
+    synthesized supp table: config-driven mapping (P1), id filter
+    (P3), non-finite filter (P4), asterisk parse (F6), significance
+    cascade (P5), direction (F7) — via functions.omics."""
+    from multiomics_biocypher_kg_spark.functions.omics import (
+        AnalysisConfig,
+        transform_analysis,
+    )
+
+    cfg = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+        pvalue_asterisk_in_logfc=True,
+    )
+    out = transform_analysis(_omics_synth(spark, sf_dir), cfg)
+    return out.select(
+        "analysis_id",
+        "experiment_id",
+        "raw_id",
+        "log2_fold_change",
+        "adjusted_p_value",
+        "significant",
+        "expression_direction",
+    )
+
+
+@register(
+    "merge_multi_source",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS k, min(c_name) AS sample_customer,
+             string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+             count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+      SELECT s_nationkey AS k, min(s_name) AS sample_supplier, count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_nationkey, n.n_name,
+      coalesce(c.sample_customer, s.sample_supplier) AS representative,
+      coalesce(c.segs, '') AS segments,
+      coalesce(CAST(c.n_cust AS BIGINT), CAST(s.n_supp AS BIGINT)) AS member_count,
+      concat_ws(' :: ', n.n_name, c.sample_customer, s.sample_supplier) AS summary
+    FROM nation n LEFT JOIN cust c ON n.n_nationkey = c.k
+    LEFT JOIN supp s ON n.n_nationkey = s.k
+    """,
+)
+def merge_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: declarative config-driven multi-source merge (anchor +
+    two sources, single/passthrough/integer/concat rules) via
+    operators.merge_rules, over TPC-H dims."""
+    from multiomics_biocypher_kg_spark.operators.merge_rules import (
+        FieldRule,
+        SourceSpec,
+        merge_sources,
+    )
+
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(
+            F.min("c_name").alias("sample_customer"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segs"
+            ),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.min("s_name").alias("sample_supplier"), F.count(F.lit(1)).alias("n_supp"))
+    )
+    merged = merge_sources(
+        nation,
+        [
+            SourceSpec("cust", cust, "n_nationkey"),
+            SourceSpec("supp", supp, "n_nationkey"),
+        ],
+        [
+            FieldRule(
+                "representative",
+                "single",
+                ["cust.sample_customer", "supp.sample_supplier"],
+            ),
+            FieldRule("segments", "passthrough", ["cust.segs"]),
+            FieldRule("member_count", "integer", ["cust.n_cust", "supp.n_supp"]),
+            FieldRule(
+                "summary",
+                "concat",
+                ["anchor.n_name", "cust.sample_customer", "supp.sample_supplier"],
+            ),
+        ],
+    )
+    return merged.select(
+        "n_nationkey",
+        "n_name",
+        "representative",
+        F.coalesce("segments", F.lit("")).alias("segments"),
+        "member_count",
+        "summary",
+    )
+
+
+@register(
+    "curie_normalize",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'GO:' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'NCBIGene:' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'UniProtKB:' || CAST(doc_id AS VARCHAR)
+          ELSE 'My Weird DB:' || CAST(doc_id AS VARCHAR)
+        END AS curie,
+        'a|b''c ' || CAST(doc_id AS VARCHAR) AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+      (CASE string_split(curie, ':')[1]
+        WHEN 'GO' THEN 'go'
+        WHEN 'NCBIGene' THEN 'ncbigene'
+        WHEN 'UniProtKB' THEN 'uniprot'
+        ELSE replace(lower(string_split(curie, ':')[1]), ' ', '_')
+      END) || ':' || string_split(curie, ':')[2] AS curie_norm,
+      replace(replace(dirty, '|', ','), '''', '^') AS cleaned
+    FROM synth
+    """,
+)
+def curie_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: CURIE prefix normalization (the reference's 3M-call
+    hot spot as pure native expressions) + clean_text translate."""
+    from multiomics_biocypher_kg_spark.functions.curie import (
+        clean_text,
+        normalize_curie_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("GO:"), d))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("NCBIGene:"), d))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("UniProtKB:"), d))
+        .otherwise(F.concat(F.lit("My Weird DB:"), d))
+        .alias("curie"),
+        F.concat(F.lit("a|b'c "), d).alias("dirty"),
+    )
+    return synth.select(
+        "doc_id",
+        normalize_curie_col(F.col("curie")).alias("curie_norm"),
+        clean_text(F.col("dirty")).alias("cleaned"),
+    )

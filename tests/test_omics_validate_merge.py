@@ -1,0 +1,218 @@
+"""Reference-parity tests for the omics transform, hard-error
+validation contracts, declarative merge rules, and CURIE handling —
+mirrors the reference's own unit-test strategy (SURVEY.md §5.1:
+synthetic fixtures, exact emitted tuples)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.curie import (
+    clean_text,
+    make_curie,
+    normalize_curie_col,
+    normalize_prefix,
+)
+from multiomics_biocypher_kg_spark.functions.omics import (
+    AnalysisConfig,
+    assign_time_point_order,
+    expression_edges,
+    is_time_course,
+    transform_analysis,
+)
+from multiomics_biocypher_kg_spark.functions.validate import (
+    ValidationError,
+    enforce_categories,
+    map_boolean_tokens,
+    parse_embedded_stats,
+)
+from multiomics_biocypher_kg_spark.operators.merge_rules import (
+    FieldRule,
+    SourceSpec,
+    merge_sources,
+)
+
+DE_ROWS = [
+    # Synonym, log2fc, qValue  (FIXTURES.md B2 shape)
+    ("PMM0001", "2.5", "0.01"),     # significant
+    ("PMM0002", "0.5", "0.01"),     # |fc| < thr
+    ("PMM0003", "-3.0", "0.2"),     # p > thr
+    ("PMM0004", "1.1*", "0.5"),     # asterisk wins
+    ("PMM0005", "2.0", None),       # p missing -> unknown
+    ("", "2.0", "0.01"),            # blank id -> dropped
+    ("PMM0006", "NA", "0.01"),      # unparseable fc -> dropped
+    ("PMM0007", "inf", "0.01"),     # non-finite -> dropped
+]
+
+
+def _de(spark):
+    return spark.createDataFrame(
+        DE_ROWS, "Synonym string, log2fc string, qValue string"
+    )
+
+
+def test_omics_transform_cascade(spark):
+    cfg = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+        pvalue_asterisk_in_logfc=True,
+    )
+    rows = {r.raw_id: r for r in transform_analysis(_de(spark), cfg).collect()}
+    assert set(rows) == {"PMM0001", "PMM0002", "PMM0003", "PMM0004", "PMM0005"}
+    assert rows["PMM0001"].significant == "significant"
+    assert rows["PMM0001"].expression_direction == "up"
+    assert rows["PMM0002"].significant == "not_significant"
+    assert rows["PMM0003"].significant == "not_significant"
+    assert rows["PMM0003"].expression_direction == "down"
+    assert rows["PMM0004"].significant == "significant"  # F6 asterisk
+    assert rows["PMM0004"].log2_fold_change == 1.1
+    assert rows["PMM0005"].significant == "unknown"
+
+
+def test_omics_linear_conversion_and_prefiltered(spark):
+    df = spark.createDataFrame(
+        [("g1", "4.0", "0.9"), ("g2", "-2.0", "0.9"), ("g3", "0", "0.9")],
+        "Synonym string, fc string, p string",
+    )
+    cfg = AnalysisConfig(
+        analysis_id="a2",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="fc",
+        adjusted_p_value_col="p",
+        fold_change_type="linear",
+        prefiltered=True,
+    )
+    rows = {r.raw_id: r for r in transform_analysis(df, cfg).collect()}
+    # linear 4.0 -> log2 = 2.0; non-positive dropped (F4)
+    assert set(rows) == {"g1"}
+    assert math.isclose(rows["g1"].log2_fold_change, 2.0)
+    assert rows["g1"].significant == "significant"  # prefiltered wins
+
+
+def test_omics_missing_column_guard(spark):
+    cfg = AnalysisConfig(
+        analysis_id="a3", experiment_id="e1", name_col="nope", logfc_col="log2fc"
+    )
+    with pytest.raises(ValueError, match="missing column"):
+        transform_analysis(_de(spark), cfg)
+
+
+def test_time_point_order_and_time_course(spark):
+    meta = spark.createDataFrame(
+        [
+            ("a1", "e1", "4h", 4.0),
+            ("a2", "e1", "late", None),  # null hours sorts last (W7)
+            ("a3", "e1", "1h", 1.0),
+            ("b1", "e2", "t0", 0.0),
+        ],
+        "analysis_id string, experiment_id string, time_point string, time_point_hours double",
+    )
+    order = {
+        r.analysis_id: r.time_point_order
+        for r in assign_time_point_order(meta).collect()
+    }
+    assert order == {"a3": 1, "a1": 2, "a2": 3, "b1": 1}
+    tc = {r.experiment_id: r.is_time_course for r in is_time_course(meta).collect()}
+    assert tc == {"e1": "true", "e2": "false"}
+
+
+def test_expression_edges_deterministic_ids(spark):
+    cfg = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+        pvalue_asterisk_in_logfc=True,
+    )
+    edges = expression_edges(transform_analysis(_de(spark), cfg), "doi:10.1/x")
+    e = {r.obj: r for r in edges.collect()}
+    assert e["PMM0001"].edge_id == "doi:10.1/x_a1_PMM0001"
+    assert e["PMM0001"].props.significant == "significant"
+
+
+def test_boolean_tokens_hard_error(spark):
+    ok = spark.createDataFrame(
+        [("yes",), ("no",), ("",), (None,), ("nd",)], "v string"
+    )
+    out = map_boolean_tokens(ok, "v", ["yes"], ["no"], skip_tokens=["nd"])
+    vals = [r.v_bool for r in out.collect()]
+    assert vals.count("true") == 1 and vals.count("false") == 1
+    bad = spark.createDataFrame([("yes",), ("maybe",)], "v string")
+    with pytest.raises(ValidationError, match="unknown boolean token"):
+        map_boolean_tokens(bad, "v", ["yes"], ["no"])
+
+
+def test_categories_hard_error(spark):
+    ok = spark.createDataFrame([("red",), (None,)], "c string")
+    enforce_categories(ok, "c", ["red", "blue"])  # no raise
+    bad = spark.createDataFrame([("red",), ("green",)], "c string")
+    with pytest.raises(ValidationError, match="out-of-vocabulary"):
+        enforce_categories(bad, "c", ["red", "blue"])
+
+
+def test_embedded_stats_parse(spark):
+    df = spark.createDataFrame(
+        [("0.00054 (8.8e-05), n=2",), ("1.5",), ("bad",)], "cell string"
+    )
+    rows = parse_embedded_stats(df, "cell").collect()
+    r0 = [r for r in rows if r.cell.startswith("0.00054")][0]
+    assert math.isclose(r0.cell_mean, 0.00054)
+    assert math.isclose(r0.cell_sd, 8.8e-05)
+    assert r0.cell_n == 2
+    r1 = [r for r in rows if r.cell == "1.5"][0]
+    assert r1.cell_mean == 1.5 and r1.cell_sd is None and r1.cell_n is None
+
+
+def test_merge_rules(spark):
+    anchor = spark.createDataFrame(
+        [("g1",), ("g2",), ("g3",)], "locus_tag string"
+    )
+    eggnog = spark.createDataFrame(
+        [("g1", "dnaA", ["GO:1", "GO:2"], "7"), ("g2", None, ["GO:2"], None)],
+        "locus_tag string, gene_name string, go array<string>, ev string",
+    )
+    uniprot = spark.createDataFrame(
+        [(["g1", "g9"], "DnaA protein", ["GO:3"]), (["g3"], "thing", None)],
+        "refseq_ids array<string>, product string, go array<string>",
+    )
+    merged = merge_sources(
+        anchor,
+        [
+            SourceSpec("egg", eggnog, "locus_tag"),
+            SourceSpec("uni", uniprot, "locus_tag", pivot_explode="refseq_ids"),
+        ],
+        [
+            FieldRule("gene_name", "single", ["egg.gene_name", "uni.product"]),
+            FieldRule("go_terms", "union", ["egg.go", "uni.go"]),
+            FieldRule("evalue", "float", ["egg.ev"]),
+            FieldRule("summary", "concat", ["egg.gene_name", "uni.product"]),
+        ],
+    )
+    m = {r.locus_tag: r for r in merged.collect()}
+    assert m["g1"].gene_name == "dnaA"  # priority: eggnog first
+    assert m["g1"].go_terms == ["GO:1", "GO:2", "GO:3"]  # union, sorted
+    assert m["g1"].evalue == 7.0
+    assert m["g1"].summary == "dnaA :: DnaA protein"
+    assert m["g2"].gene_name is None and m["g2"].go_terms == ["GO:2"]
+    assert m["g3"].gene_name == "thing"  # J9 pivot re-key found it
+    assert m["g3"].go_terms == []
+
+
+def test_curie_and_clean_text(spark):
+    assert normalize_prefix("NCBIGene") == "ncbigene"
+    assert normalize_prefix("My Weird DB") == "my_weird_db"
+    df = spark.createDataFrame([("PMM0001",)], "x string")
+    assert df.select(make_curie("NCBIGene", F.col("x")).alias("c")).collect()[0].c == "ncbigene:PMM0001"
+    df2 = spark.createDataFrame([("GO:0005737",), ("foo bar:1",)], "c string")
+    got = [r.n for r in df2.select(normalize_curie_col(F.col("c")).alias("n")).collect()]
+    assert got == ["go:0005737", "foo_bar:1"]
+    df3 = spark.createDataFrame([("a|b'c",)], "t string")
+    assert df3.select(clean_text(F.col("t")).alias("o")).collect()[0].o == "a,b^c"
