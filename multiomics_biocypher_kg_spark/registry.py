@@ -1852,3 +1852,96 @@ def curie_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_curie_col(F.col("curie")).alias("curie_norm"),
         clean_text(F.col("dirty")).alias("cleaned"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew / distribution patterns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kg_host_rollup_salted",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+             ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+        lang, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT host, count(*) AS n_pages,
+      string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
+      CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM pages GROUP BY host
+    """,
+)
+def kg_host_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key rollup with explicit salting: the hot host holds
+    ~30% of the corpus (FIXTURES A1), so the per-host aggregation is
+    two-phase — partial agg per (host, salt=doc_id%16), final agg per
+    host. The partials are tiny, so the hot key's reduce work is
+    spread over 16 tasks before the single-key merge. (For plain
+    count/sum Spark's map-side combine already does this; the salted
+    shape is what collect_set/countDistinct-style aggs need, shown
+    here with the distinct-langs set.)"""
+    pages = pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    toks = F.size(F.split(F.col("text"), " "))
+    salted = (
+        pages.select(
+            host.alias("host"),
+            (F.col("doc_id") % 16).alias("salt"),
+            "lang",
+            toks.alias("n_toks"),
+        )
+        .groupBy("host", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.collect_set("lang").alias("pl"),
+            F.sum("n_toks").alias("pt"),
+        )
+    )
+    return salted.groupBy("host").agg(
+        F.sum("pn").alias("n_pages"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pl")))), "|"
+        ).alias("langs"),
+        F.sum("pt").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "rel_categorical_distribution",
+    oracle="""
+    WITH pre AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+      string_agg(o_orderstatus, '|' ORDER BY o_orderstatus) AS category_labels,
+      string_agg(CAST(cnt AS VARCHAR), '|' ORDER BY o_orderstatus) AS category_counts
+    FROM pre GROUP BY o_orderpriority
+    """,
+)
+def rel_categorical_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (post-import.cypher:366-373): per-group categorical
+    distribution as label-sorted parallel arrays."""
+    o = _read(spark, sf_dir, "orders")
+    pre = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        pre.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt"))).alias("arr")
+        )
+        .select(
+            "o_orderpriority",
+            F.array_join(
+                F.transform("arr", lambda x: x["o_orderstatus"]), "|"
+            ).alias("category_labels"),
+            F.array_join(
+                F.transform("arr", lambda x: x["cnt"].cast("string")), "|"
+            ).alias("category_counts"),
+        )
+    )

@@ -72,3 +72,63 @@ def run_events_batch_as_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + running value sum maintained in state
+    across micro-batches — the streaming twin of a cumulative
+    aggregation, and the pattern slot for custom session/state logic
+    the built-in operators can't express.
+
+    Output one row per (user, batch) with the post-batch totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def run_stateful_batch_as_stream(
+    spark: SparkSession, parquet_path: str, query_name: str = "stateful_out"
+) -> DataFrame:
+    """Drive the stateful operator over a parquet-backed stream."""
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_path)
+    )
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

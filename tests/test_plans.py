@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the plans we designed for are the plans
+Catalyst actually produces (broadcast linking, predicate pushdown,
+column pruning, codegen). Guards against regressions that would only
+show up at 100x scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.operators.extract import extract
+from multiomics_biocypher_kg_spark.operators.link import link
+from multiomics_biocypher_kg_spark.operators.mention import mentions_tokens
+from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+from multiomics_biocypher_kg_spark.sources.vocab import vocab_df
+from tests.conftest import SF_TINY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_link_path_is_all_broadcast_no_sort_merge(spark):
+    pages = pages_from_documents(spark, SF_TINY)
+    vocab = vocab_df(spark)
+    links = link(mentions_tokens(extract(pages), vocab), vocab)
+    plan = _plan(links)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "mention stream must never shuffle-join"
+
+
+def test_scan_filter_pushdown_and_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 100).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    # ReadSchema pruned to the two projected columns
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_market_share"](spark, SF_TINY))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
+
+
+def test_extract_native_stays_in_codegen(spark):
+    pages = pages_from_documents(spark, SF_TINY)
+    plan = _plan(extract(pages, engine="native").select("text"))
+    # '*(N)' prefixes mark WholeStageCodegen spans in executedPlan text
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "ArrowEvalPython" not in plan  # no Python in the native path
+
+
+def test_extract_arrow_engine_uses_arrow(spark):
+    pages = pages_from_documents(spark, SF_TINY)
+    plan = _plan(extract(pages, engine="arrow").select("text"))
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+
+def test_exact_percentile_not_approx(spark):
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_percentile_stats"](spark, SF_TINY))
+    assert "percentile" in plan and "approx_percentile" not in plan

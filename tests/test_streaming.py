@@ -58,3 +58,21 @@ def test_streaming_mentions_compose(spark):
         rows = spark.sql("SELECT * FROM t_stream_links").collect()
         got = {(r.token, r.entity_id) for r in rows}
         assert ("hash", "kw:hash") in got and ("sort", "kw:sort") in got
+
+
+def test_stateful_user_counts(spark):
+    from multiomics_biocypher_kg_spark.streaming.events import (
+        run_stateful_batch_as_stream,
+    )
+
+    path = f"{SF_TINY}/events.parquet"
+    out = run_stateful_batch_as_stream(spark, path, "t_stateful").collect()
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out}
+    batch = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    )
+    expect = {r.user_id: (r.n, r.s) for r in batch}
+    assert got == expect
