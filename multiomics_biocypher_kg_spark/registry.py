@@ -73,7 +73,7 @@ URL_SQL = (
 # tokenization with 0-based positions (mirrors posexplode(split(text,' ')))
 TOKENS_SQL = f"""
   SELECT doc_id, {URL_SQL} AS url, lang,
-         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
          unnest(string_split(text, ' ')) AS token
   FROM documents
 """
@@ -283,8 +283,8 @@ def kg_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT *,
-        row_number() OVER (PARTITION BY vocab_group
-                           ORDER BY mention_count DESC, entity_id ASC) AS rank_by_metric,
+        CAST(row_number() OVER (PARTITION BY vocab_group
+                           ORDER BY mention_count DESC, entity_id ASC) AS INTEGER) AS rank_by_metric,
         count(*) OVER (PARTITION BY vocab_group) AS n
       FROM grouped
     )
