@@ -54,7 +54,15 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # convergence probe: min-label propagation is monotone (labels only
+    # ever decrease), so the global count of (node, component) pairs
+    # that differ from the previous round is checkable with a cheap
+    # aggregate on the NEW labels joined to the old — but the join is
+    # itself a job. Probing every other round halves the action count;
+    # the extra propagation round on an already-converged labeling is
+    # a no-op and costs less than the skipped probe.
+    prev = labels
+    for it in range(max_iter):
         neighbor = (
             und.join(labels, und.b == labels.node)
             .select(und.a.alias("node"), "component")
@@ -66,15 +74,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
-            break
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if changed == 0:
+                break
+            prev = labels
     return labels
 
 

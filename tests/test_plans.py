@@ -63,3 +63,31 @@ def test_exact_percentile_not_approx(spark):
 
     plan = _plan(QUERIES["rel_percentile_stats"](spark, SF_TINY))
     assert "percentile" in plan and "approx_percentile" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing demo (scale pattern): pre-bucket both sides of a
+    repeated join key -> the join plan has no shuffle exchange on
+    either side. This is the 100 TB recipe for repeatedly-joined
+    tables (orders x lineitem on orderkey)."""
+    o = spark.read.parquet(f"{SF_TINY}/orders.parquet")
+    li = spark.read.parquet(f"{SF_TINY}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
