@@ -12,8 +12,8 @@ Scale design (the point of each variant):
   run on candidate pairs only at scale.
 - minhash-LSH: the scale path. Signature cost is linear; the only
   shuffle is the band-bucket groupBy; candidate pairs are then
-  verified with true Jaccard. Band/row choice (4x4) targets ~0.5+
-  similarity recall.
+  verified with true Jaccard. Band/row choice (8 bands x 2 rows)
+  targets ~0.9 recall at Jaccard 0.5.
 - simhash: 60-bit fingerprints; hamming<=k pairs. At scale, pair
   generation goes through band-of-bits buckets (same LSH idea);
   locally the verifier joins all pairs.
@@ -128,15 +128,25 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(id, i, minhash) for each of the N_HASHES affine functions.
 
     One explode by hash index (N_HASHES rows per shingle), min-agg per
-    (id, i) — partial aggregation collapses it map-side.
+    (id, i) — partial aggregation collapses it map-side. The hash
+    family is a LITERAL array (no broadcast build job, no join in
+    the plan at all).
     """
-    spark = sh.sparkSession
-    coeffs = spark.createDataFrame(MINHASH_COEFFS, "i int, a long, b long")
+    coeff_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for i, a, b in MINHASH_COEFFS
+        ]
+    )
     hashed = sh.select("id", (md5_long(F.col("shingle")) % R).alias("x"))
     return (
-        hashed.crossJoin(F.broadcast(coeffs))
-        .groupBy("id", "i")
-        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % R).alias("mh"))
+        hashed.select("id", "x", F.explode(coeff_arr).alias("c"))
+        .groupBy("id", F.col("c.i").alias("i"))
+        .agg(F.min((F.col("c.a") * F.col("x") + F.col("c.b")) % R).alias("mh"))
     )
 
 
@@ -180,10 +190,9 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
 
     bit_j(doc) = 1 iff sum over tokens(count * (bit_j(H(token))*2-1)) > 0.
     Explodes (token x bit) — linear in corpus size * bits, all
-    map-side combined before the (id, bit) shuffle.
+    map-side combined before the (id, bit) shuffle. The bit index is
+    a literal sequence explode (no broadcast join in the plan).
     """
-    spark = docs.sparkSession
-    bit_idx = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
@@ -192,7 +201,12 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
         "h", md5_long(F.col("token"))
     )
     per_bit = (
-        tok_h.crossJoin(F.broadcast(bit_idx))
+        tok_h.select(
+            "id",
+            "w",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
         .groupBy("id", "bit")
         .agg(
             F.sum(
@@ -211,9 +225,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
 
 
 def simhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming distance <= k. Local verifier joins all
-    pairs; the scale path buckets on bit-bands first (any pair with
-    hamming<=3 shares at least one of 4 15-bit bands exactly)."""
+    """All-pairs hamming<=k VERIFIER (quadratic — test fixtures only).
+
+    The registered / scale path is :func:`simhash_banded_pairs`,
+    which returns the identical pair set via band-bucket equi-joins.
+    """
     a = hashes.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = hashes.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     return (
@@ -222,4 +238,71 @@ def simhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_banded_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Hamming<=k pairs via bit-band bucketing — the scale path.
+
+    Split the ``bits``-bit fingerprint into ``n_bands`` equal bands
+    (4 x 15 for the 60-bit default). Pigeonhole: a pair with hamming
+    distance <= max_hamming < n_bands differs in at most max_hamming
+    bands, so at least one band matches EXACTLY. Equi-joining on
+    (band, band_bits) therefore has recall 1.0 — the residual exact
+    hamming filter only removes false positives, never true pairs.
+
+    Cost at 100 TB: n_bands rows per doc (linear explode), one
+    hash-partitioned equi-join on (band, band_bits); candidate
+    volume is the sum of squared bucket sizes — tiny unless the
+    corpus has giant exact-duplicate clusters, which exact dedup
+    removes upstream. No CartesianProduct anywhere in the plan.
+
+    -> (id_a, id_b, hamming), identical to :func:`simhash_pairs`.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"recall 1.0 needs n_bands > max_hamming (got {n_bands} <= {max_hamming})"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), bnd * width).bitwiseAND(
+                                F.lit(mask)
+                            )
+                        ).alias("bbits"),
+                    )
+                    for bnd in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bbits").alias("bbits"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "band", "bbits"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "band", "bbits"
+    )
+    return (
+        a.join(b, ["band", "bbits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -119,24 +119,7 @@ def lsh_bucketed_topk(
     blowup, hash-partitioned by bucket, no skew beyond data skew
     (AQE splits hot buckets).
     """
-    v = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nv", _norm(F.col("v")))
-    tables = v.select(
-        "id",
-        "v",
-        "nv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), lsh_bucket(F.col("v"), t).alias("b")
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "v", "nv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    tables = _lsh_tables(vectors, id_col, vec_col, n_tables, N_PLANES)
     a = tables.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq"), "t", "b"
     )
@@ -158,6 +141,81 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lsh_tables(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int,
+) -> DataFrame:
+    """(id, v, nv, t, b): each vector exploded into its n_tables
+    (table, sign-LSH bucket) assignments — the linear-cost discovery
+    index shared by ANN top-k and near-dup pair generation."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
+    return v.select(
+        "id",
+        "v",
+        "nv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col("v"), t, n_planes).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "nv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH candidate discovery + exact
+    cosine verification on candidates only — the scale path (mirrors
+    the MinHash-LSH pattern in operators.dedup).
+
+    Candidates = pairs sharing a (table, bucket) cell in any of
+    n_tables independent p-plane tables; expected recall for
+    same-side probability s = 1-(1-s^p)^T. The cosine is then exact,
+    so precision vs brute force is 1.0 by construction. At 100 TB the
+    (t, b) equi-join replaces the quadratic crossJoin: per-table
+    candidate volume shrinks ~2^p x, AQE splits hot buckets.
+
+    -> (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    tables = _lsh_tables(vectors, id_col, vec_col, n_tables, n_planes)
+    a = tables.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"), "t", "b"
+    )
+    b = tables.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "t", "b"
+    )
+    cands = (
+        a.join(b, ["t", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "na", "id_b", "vb", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

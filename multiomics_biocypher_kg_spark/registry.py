@@ -864,24 +864,41 @@ def ev_replicate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_majority_vote",
     oracle="""
-    WITH per AS (
-      SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type
+    WITH votes AS (
+      SELECT user_id,
+        CASE WHEN event_id % 3 <> 0 THEN 'hot' ELSE event_type END AS vote
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, vote, count(*) AS cnt FROM votes GROUP BY user_id, vote
     ),
     tot AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total FROM per GROUP BY user_id)
-    SELECT p.user_id, p.event_type, p.cnt, t.total
+    SELECT p.user_id, p.vote, p.cnt, t.total
     FROM per p JOIN tot t ON p.user_id = t.user_id
     WHERE p.cnt * 2 > t.total
     """,
 )
 def ev_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: strict >50% majority vote (ortholog_group_adapter.py:67-81)."""
+    """A10: strict >50% majority vote (ortholog_group_adapter.py:67-81).
+
+    The raw events fixture has no >50% type per user, which made the
+    oracle comparison vacuous (0 rows both sides); a deterministic
+    skewed vote column ('hot' for 2/3 of events) makes the majority
+    predicate fire so the check compares real rows.
+    """
     ev = _read(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    votes = ev.select(
+        "user_id",
+        F.when(F.col("event_id") % 3 != 0, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("vote"),
+    )
+    per = votes.groupBy("user_id", "vote").agg(F.count(F.lit(1)).alias("cnt"))
     tot = per.groupBy("user_id").agg(F.sum("cnt").cast("long").alias("total"))
     return (
         per.join(tot, "user_id")
         .where(F.col("cnt") * 2 > F.col("total"))
-        .select("user_id", "event_type", "cnt", "total")
+        .select("user_id", "vote", "cnt", "total")
     )
 
 
@@ -1266,7 +1283,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 hashes) + LSH (4 bands x 4 rows) candidate pairs,
+    """MinHash (16 hashes) + LSH (8 bands x 2 rows) candidate pairs,
     verified with exact Jaccard >= 0.5 — the scale path: linear
     signature cost, bucket-join discovery, exact verify on the
     (tiny) candidate set only."""
@@ -1302,12 +1319,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-60 near-dup pairs (hamming <= 3). Local all-pairs
-    verifier; at scale pairs come from 15-bit band buckets (any
-    hamming<=3 pair shares one of 4 bands exactly)."""
+    """SimHash-60 near-dup pairs (hamming <= 3) via 4x15-bit band
+    bucketing (recall 1.0 by pigeonhole for hamming<=3, so the
+    all-pairs DuckDB oracle matches exactly). The plan is equi-join
+    only — no CartesianProduct (asserted in tests/test_plans.py)."""
     corpus = _dedup_corpus(spark, sf_dir)
     hashes = dd.simhash64(corpus)
-    return dd.simhash_pairs(hashes, 3).select(
+    return dd.simhash_banded_pairs(hashes, 3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -1540,34 +1558,59 @@ def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb).select("label", "n_vectors", "centroid_norm")
 
 
+# sign-LSH candidate generation rendered in SQL — the EXACT DuckDB
+# mirror of simsearch._plane_sign / lsh_bucket (dim is 1-based in
+# generate_subscripts, hence dim - 1). Requires `exploded` from
+# _pair_cosine_sql in the same WITH chain.
+def _lsh_cands_sql(n_tables: int, n_planes: int) -> str:
+    return f"""
+    lsh_proj AS (
+      SELECT e.vec_id, t.t, p.p,
+        sum(e.x * CASE WHEN (((t.t * 131 + p.p) * 2654435761
+                              + (e.dim - 1) * 40503) % 97) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS proj
+      FROM exploded e
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) t
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
+      GROUP BY e.vec_id, t.t, p.p
+    ),
+    lsh_buckets AS (
+      SELECT vec_id, t,
+        sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS b
+      FROM lsh_proj GROUP BY vec_id, t
+    ),
+    lsh_cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM lsh_buckets a
+      JOIN lsh_buckets b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id
+    )
+    """
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH {_pair_cosine_sql("q.vec_id < b.vec_id")}
-    SELECT query_id AS id_a, neighbor_id AS id_b, cosine
-    FROM cos WHERE cosine >= 0.35
+    WITH {_pair_cosine_sql("q.vec_id < b.vec_id")},
+    {_lsh_cands_sql(8, 4)}
+    SELECT c.query_id AS id_a, c.neighbor_id AS id_b, c.cosine
+    FROM cos c JOIN lsh_cands l ON c.query_id = l.id_a AND c.neighbor_id = l.id_b
+    WHERE c.cosine >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.35). Brute-force
-    verifier; sign-LSH bucketing (simsearch.lsh_bucketed_topk) is
-    the discovery path at scale."""
-    from multiomics_biocypher_kg_spark.operators.simsearch import _dot, _norm
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-        )
-        .where(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", "cosine")
+    """Embedding near-dup pairs (cosine >= 0.35) via sign-LSH
+    candidate discovery (8 tables x 4 planes) + exact cosine verify
+    on candidates only — mirrors the MinHash-LSH pattern; the oracle
+    renders the identical hyperplane formula in SQL, so the LSH
+    bucketing itself is correctness-gated. Equi-join plan, no
+    CartesianProduct (asserted in tests/test_plans.py); recall vs
+    brute force is measured in tests/test_dedup_simsearch.py."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        embedding_neardup_pairs,
     )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, 0.35, n_tables=8, n_planes=4)
 
 
 # --------------------------------------------------------------------------

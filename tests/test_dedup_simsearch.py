@@ -55,6 +55,78 @@ def test_simhash_exact_copies_distance_zero(spark):
     assert {(d, d + 2000000) for d in docs if d % 5 == 0} <= found
 
 
+def test_simhash_banded_equals_allpairs(spark):
+    """Pigeonhole exactness: 4x15-bit band bucketing returns the
+    IDENTICAL hamming<=3 pair set as the all-pairs verifier."""
+    corpus = _dedup_corpus(spark, SF_TINY)
+    hashes = dd.simhash64(corpus).cache()
+    try:
+        allp = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dd.simhash_pairs(hashes, 3).collect()
+        }
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dd.simhash_banded_pairs(hashes, 3).collect()
+        }
+    finally:
+        hashes.unpersist()
+    assert len(allp) > 0
+    assert banded == allp
+
+
+def test_simhash_banded_rejects_insufficient_bands(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.simhash_banded_pairs(
+            spark.createDataFrame([(1, 0)], "id long, simhash long"),
+            max_hamming=4,
+            n_bands=4,
+        )
+
+
+def test_embedding_neardup_precision_one_recall_high(spark):
+    """Sign-LSH near-dup: every returned pair is a true >=threshold
+    pair (precision 1.0 — cosine is exact on candidates), and recall
+    vs the brute-force truth set is high on the fixture."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        _dot,
+        _norm,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+        .collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(emb, 0.35).collect()
+    }
+    assert len(truth) > 0
+    # precision 1.0: exact-verified candidates are a subset of truth
+    assert set(lsh) <= set(truth)
+    for pair, cos in lsh.items():
+        assert abs(truth[pair] - cos) < 1e-9
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.5, f"sign-LSH recall too low: {recall:.2f}"
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
     exact = cosine_topk(emb, k=3).collect()

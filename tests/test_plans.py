@@ -65,6 +65,18 @@ def test_exact_percentile_not_approx(spark):
     assert "percentile" in plan and "approx_percentile" not in plan
 
 
+def test_neardup_plans_have_no_cartesian(spark):
+    """The three registered near-dup queries must plan as equi-joins
+    (LSH/band bucketing) — a CartesianProduct or
+    BroadcastNestedLoopJoin here is the O(n^2) scale-killer."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    for q in ("dedup_simhash", "dedup_embedding_cosine", "dedup_minhash_lsh"):
+        plan = _plan(QUERIES[q](spark, SF_TINY))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing demo (scale pattern): pre-bucket both sides of a
     repeated join key -> the join plan has no shuffle exchange on
