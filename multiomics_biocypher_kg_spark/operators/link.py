@@ -45,6 +45,38 @@ def heuristic_normalize(c):
     return F.regexp_replace(F.regexp_replace(c, r"[*+]+$", ""), r"\.\d+$", "")
 
 
+def expand_candidates(
+    df: DataFrame, value_col: str = "raw_value", id_type_col: str = "id_type"
+) -> DataFrame:
+    """J4/J5 candidate generation feeding the link cascade: each raw
+    cell expands to ordered typed candidates (resolve_row's
+    _candidate_values, gene_id_utils.py:525-539 — defline columns use
+    typed extraction, everything else expand_list + heuristics).
+
+    -> input columns + (cand_rank starting at 1, token, token_id_type).
+    Rows whose cell yields no candidates are dropped (reference:
+    empty candidate list is a resolution no-op).
+
+    Scale: pure per-row explode (no shuffle); downstream link() joins
+    stay broadcast. Resolution keeps the FIRST resolving candidate
+    per row via cand_rank ordering.
+    """
+    from multiomics_biocypher_kg_spark.functions.candidates import (
+        candidate_tokens_col,
+    )
+
+    toks = candidate_tokens_col(F.col(value_col), F.col(id_type_col))
+    keep = df.columns
+    return df.select(
+        *keep, F.posexplode(toks).alias("pos", "cand")
+    ).select(
+        *keep,
+        (F.col("pos") + 1).alias("cand_rank"),
+        F.col("cand.token").alias("token"),
+        F.col("cand.id_type").alias("token_id_type"),
+    )
+
+
 def _lookup(vocab: DataFrame, tier: int, lowered: bool) -> DataFrame:
     """surface -> (entity of the single mapping, #distinct entities)."""
     key = F.lower("surface") if lowered else F.col("surface")

@@ -226,6 +226,175 @@ def kg_link_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolution_histogram(p["links"])
 
 
+# J4/J5 candidate generation oracle: synthesizes every messy-ID shape
+# the reference's resolution tests exercise (comma/semicolon lists,
+# parenthesised composites, footnote asterisks, unversioned
+# accessions, NCBI gi|...|ref|ACC| deflines, UniProt sp|ACC|ENTRY
+# deflines, UniProt annotation strings with GN=) and mirrors
+# functions/candidates.py in DuckDB SQL. Tokens join as token~type.
+KG_CANDIDATES_SQL = r"""
+    WITH synth AS (
+      SELECT p_partkey AS row_id,
+        CASE p_partkey % 8
+          WHEN 0 THEN 'PMM0' || p_partkey
+          WHEN 1 THEN 'PMM' || p_partkey || ', PMN' || p_partkey || '; dnaA'
+          WHEN 2 THEN 'PMED4_0' || p_partkey || ' (PMM0' || p_partkey || ')'
+          WHEN 3 THEN 'ABC' || (p_partkey + 10000) || '*'
+          WHEN 4 THEN 'gi|' || p_partkey || '|ref|NP_' || (p_partkey + 890000)
+                   || '.1| serine protease; gi|' || p_partkey || '|gb|CAE'
+                   || (p_partkey + 18000) || '.1| possible protease'
+          WHEN 5 THEN 'sp|Q3' || (p_partkey + 1000) || '|RL' || p_partkey
+                   || '_PROM9 C-phycocyanin alpha chain'
+          WHEN 6 THEN 'Q' || (p_partkey + 31000)
+                   || '_PROM9 possible porin GN=somA' || p_partkey
+          ELSE 'ABC' || (p_partkey + 20000)
+        END AS raw_value,
+        CASE p_partkey % 8
+          WHEN 4 THEN 'ncbi_protein_defline'
+          WHEN 5 THEN 'uniprot_defline'
+          WHEN 6 THEN 'uniprot_annotation_string'
+          ELSE 'other' END AS id_type
+      FROM part
+    ),
+    other_base AS (
+      SELECT row_id,
+        list_concat(list_concat(
+          [trim(raw_value)],
+          CASE WHEN regexp_matches(trim(raw_value), '[,;]')
+               THEN list_filter(
+                 list_transform(string_split_regex(trim(raw_value), '[,;]'),
+                                p -> trim(p)),
+                 p -> p <> '')
+               ELSE []::VARCHAR[] END),
+          CASE WHEN contains(trim(raw_value), '(') OR contains(trim(raw_value), ' ')
+               THEN regexp_extract_all(trim(raw_value), '[\w.*:_-]+')
+               ELSE []::VARCHAR[] END
+        ) AS lst
+      FROM synth WHERE id_type = 'other'
+    ),
+    other_dedup AS (
+      SELECT row_id, list_filter(lst, (x, i) -> list_position(lst, x) = i) AS base
+      FROM other_base
+    ),
+    other_heur AS (
+      SELECT row_id, list_concat(base,
+        flatten(list_transform(base, t ->
+          list_concat(
+            CASE WHEN trim(regexp_replace(t, '[*+]+$', '')) <> t
+                  AND trim(regexp_replace(t, '[*+]+$', '')) <> ''
+                 THEN [trim(regexp_replace(t, '[*+]+$', ''))]
+                 ELSE []::VARCHAR[] END,
+            CASE WHEN NOT contains(t, '.')
+                  AND regexp_matches(t, '^[A-Z]{3}[0-9]{5,}$')
+                 THEN [t || '.1'] ELSE []::VARCHAR[] END
+          )))) AS lst
+      FROM other_dedup
+    ),
+    other_final AS (
+      SELECT row_id,
+        list_transform(list_filter(lst, (x, i) -> list_position(lst, x) = i),
+                       t -> t || '~other') AS toks
+      FROM other_heur
+    ),
+    ncbi AS (
+      SELECT row_id, list_transform(
+        regexp_extract_all(raw_value,
+          'gi\|\d+\|(?:ref|gb|emb|dbj|sp|tpg|tpe|tpd|prf|pir|pdb)\|(\S+?)\|', 1),
+        t -> t || '~protein_id_refseq') AS toks
+      FROM synth WHERE id_type = 'ncbi_protein_defline'
+    ),
+    up AS (
+      SELECT row_id, flatten(list_transform(
+        regexp_extract_all(raw_value, '\b(?:sp|tr)\|([A-Z0-9]+)\|(\S+)', 1),
+        (a, i) -> [a || '~uniprot_accession',
+                   regexp_extract_all(raw_value,
+                     '\b(?:sp|tr)\|([A-Z0-9]+)\|(\S+)', 2)[i]
+                   || '~uniprot_entry_name'])) AS toks
+      FROM synth WHERE id_type = 'uniprot_defline'
+    ),
+    annot AS (
+      SELECT row_id, list_concat(
+        CASE WHEN regexp_extract(trim(raw_value), '^([A-Z0-9]+_[A-Z0-9]+)\b', 1) <> ''
+             THEN [regexp_extract(trim(raw_value), '^([A-Z0-9]+_[A-Z0-9]+)\b', 1)
+                   || '~uniprot_entry_name']
+             ELSE []::VARCHAR[] END,
+        CASE WHEN regexp_extract(raw_value, 'GN=(\S+)', 1) <> ''
+             THEN [regexp_extract(raw_value, 'GN=(\S+)', 1) || '~gene_name']
+             ELSE []::VARCHAR[] END) AS toks
+      FROM synth WHERE id_type = 'uniprot_annotation_string'
+    ),
+    unioned AS (
+      SELECT * FROM other_final UNION ALL SELECT * FROM ncbi
+      UNION ALL SELECT * FROM up UNION ALL SELECT * FROM annot
+    )
+    SELECT row_id, CAST(len(toks) AS INTEGER) AS n_candidates,
+           array_to_string(toks, ';;') AS candidates
+    FROM unioned
+"""
+
+
+@register("kg_candidates", oracle=KG_CANDIDATES_SQL)
+def kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J5: full candidate generation — expand_list (comma/
+    semicolon/parens splitting) + heuristic variants + typed defline
+    extraction (NCBI gi|..|ref|ACC|, UniProt sp|ACC|ENTRY, UniProt
+    annotation ENTRY_ORG/GN=) — over synthesized messy-ID cells
+    mirroring gene_id_utils.py:327-456. The oracle re-renders every
+    extractor in DuckDB SQL, so candidate ORDER (resolution priority)
+    and typing are both gated."""
+    from multiomics_biocypher_kg_spark.functions.candidates import (
+        candidate_tokens_col,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+
+    def s(*parts):
+        return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
+
+    raw = (
+        F.when(k % 8 == 0, s("PMM0", ks))
+        .when(k % 8 == 1, s("PMM", ks, ", PMN", ks, "; dnaA"))
+        .when(k % 8 == 2, s("PMED4_0", ks, " (PMM0", ks, ")"))
+        .when(k % 8 == 3, s("ABC", (k + 10000).cast("string"), "*"))
+        .when(
+            k % 8 == 4,
+            s(
+                "gi|", ks, "|ref|NP_", (k + 890000).cast("string"),
+                ".1| serine protease; gi|", ks, "|gb|CAE",
+                (k + 18000).cast("string"), ".1| possible protease",
+            ),
+        )
+        .when(
+            k % 8 == 5,
+            s("sp|Q3", (k + 1000).cast("string"), "|RL", ks,
+              "_PROM9 C-phycocyanin alpha chain"),
+        )
+        .when(
+            k % 8 == 6,
+            s("Q", (k + 31000).cast("string"), "_PROM9 possible porin GN=somA", ks),
+        )
+        .otherwise(s("ABC", (k + 20000).cast("string")))
+    )
+    id_type = (
+        F.when(k % 8 == 4, F.lit("ncbi_protein_defline"))
+        .when(k % 8 == 5, F.lit("uniprot_defline"))
+        .when(k % 8 == 6, F.lit("uniprot_annotation_string"))
+        .otherwise(F.lit("other"))
+    )
+    df = part.select(k.alias("row_id"), raw.alias("raw_value"), id_type.alias("id_type"))
+    toks = candidate_tokens_col(F.col("raw_value"), F.col("id_type"))
+    return df.select(
+        "row_id",
+        F.size(toks).cast("int").alias("n_candidates"),
+        F.array_join(
+            F.transform(toks, lambda t: F.concat_ws("~", t["token"], t["id_type"])),
+            ";;",
+        ).alias("candidates"),
+    )
+
+
 @register("kg_components", oracle=COMPONENTS_SQL)
 def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sameas = sameas_from_documents(spark, sf_dir)
