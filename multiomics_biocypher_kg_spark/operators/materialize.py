@@ -71,24 +71,105 @@ def referential_filter(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return out.join(ids, edges.obj == ids._nid, "leftsemi")
 
 
+def accrete_evidence(arms: list[tuple[str, DataFrame]], keys: list[str]) -> DataFrame:
+    """One-shot batch equivalent of folding ``merge_into(...,
+    accrete=['evidence_sources'])`` over evidence arms IN ORDER
+    (post-import.cypher:1052-1094's catalysis/transport/measured
+    MERGE arms): per key, evidence_sources lists each contributing
+    arm once, ordered by the first arm that contributed — exactly
+    what sequential array_union accretion produces.
+
+    Scale: distinct per arm (map-side combine) + one (keys, source)
+    shuffle + one keys shuffle — no iterative passes over the edge
+    table. The fold-vs-one-shot equivalence is pytest-gated.
+    """
+    tagged = None
+    for i, (source, df) in enumerate(arms):
+        t = (
+            df.select(*keys)
+            .distinct()
+            .withColumn("source", F.lit(source))
+            .withColumn("arm", F.lit(i))
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per = tagged.groupBy(*keys, "source").agg(F.min("arm").alias("first_arm"))
+    return per.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("first_arm", "source"))),
+            lambda s: s["source"],
+        ).alias("evidence_sources")
+    )
+
+
 def merge_into(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     keys: list[str],
+    accrete: list[str] | None = None,
 ) -> None:
     """Idempotent upsert into a parquet stage table (MERGE INTO
     emulation; on Iceberg this is a real ``MERGE INTO t USING u ON
-    keys WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *``).
+    keys WHEN MATCHED ... WHEN NOT MATCHED INSERT *``).
 
-    Re-running with the same updates is a no-op in content terms —
-    the resume primitive of the north rule.
+    WHEN-MATCHED rules (G7/U5, post-import.cypher:1052-1094):
+    columns listed in ``accrete`` are ARRAY columns that accumulate
+    via array_union(existing, update) — evidence accretion, matching
+    the reference's ``ON MATCH SET r.evidence_sources = CASE WHEN x
+    IN r.evidence_sources THEN ... ELSE ... + x END``; every other
+    update column overwrites. Re-running with the same updates is a
+    no-op in content terms — the resume primitive of the north rule.
+
+    Scale: one shuffle join keyed by ``keys`` per merge (Iceberg
+    MERGE does the same); the atomic swap is a metadata commit there.
     """
+    accrete = accrete or []
     updates = updates.dropDuplicates(keys)
     if os.path.isdir(target_path):
         target = spark.read.parquet(target_path)
-        kept = target.join(updates.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(updates, allowMissingColumns=True)
+        if not accrete:
+            kept = target.join(updates.select(*keys), keys, "left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            upd_cols = [c for c in updates.columns if c not in keys]
+            u = updates.select(
+                *keys,
+                F.lit(True).alias("_u_present"),
+                *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+            )
+            j = target.withColumn("_t_present", F.lit(True)).join(
+                u, keys, "full_outer"
+            )
+            matched = F.col("_t_present").isNotNull() & F.col(
+                "_u_present"
+            ).isNotNull()
+            out_cols = list(keys)
+            all_vals = [c for c in target.columns if c not in keys]
+            for c in upd_cols:
+                if c not in all_vals:
+                    all_vals.append(c)
+            for c in all_vals:
+                t_val = F.col(c) if c in target.columns else F.lit(None)
+                u_val = F.col(f"_u_{c}") if c in upd_cols else F.lit(None)
+                if c in accrete:
+                    # null-safe union without empty-array literals (keeps
+                    # element-type inference intact for any array type)
+                    union_val = (
+                        F.when(t_val.isNull(), u_val)
+                        .when(u_val.isNull(), t_val)
+                        .otherwise(F.array_union(t_val, u_val))
+                    )
+                    merged_val = (
+                        F.when(matched, union_val)
+                        .when(F.col("_u_present").isNotNull(), u_val)
+                        .otherwise(t_val)
+                    )
+                else:
+                    merged_val = F.when(
+                        F.col("_u_present").isNotNull(), u_val
+                    ).otherwise(t_val)
+                out_cols.append(merged_val.alias(c))
+            merged = j.select(*out_cols)
     else:
         merged = updates
     tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"

@@ -1072,6 +1072,47 @@ def ev_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_evidence_accretion",
+    oracle="""
+    WITH arms AS (
+      SELECT DISTINCT user_id, 'metabolism' AS source, 0 AS arm
+      FROM events WHERE value > 10
+      UNION ALL
+      SELECT DISTINCT user_id, 'transport', 1 FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT DISTINCT user_id, 'measured', 2 FROM events WHERE event_id % 2 = 0
+    ),
+    per AS (SELECT user_id, source, min(arm) AS first_arm
+            FROM arms GROUP BY user_id, source)
+    SELECT user_id, string_agg(source, '|' ORDER BY first_arm) AS evidence_sources,
+           CAST(count(*) AS INTEGER) AS n_sources
+    FROM per GROUP BY user_id
+    """,
+)
+def kg_evidence_accretion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/U5: multi-arm evidence accretion
+    (post-import.cypher:1052-1094,1271-1288) — three MERGE arms
+    (metabolism/transport/measured analogs) accrete evidence_sources
+    per entity in arm order, each source recorded once. One-shot
+    batch form; the incremental merge_into(accrete=...) fold is
+    asserted equal in tests/test_materialize_lineage.py."""
+    from multiomics_biocypher_kg_spark.operators.materialize import accrete_evidence
+
+    ev = _read(spark, sf_dir, "events")
+    arms = [
+        ("metabolism", ev.where(F.col("value") > 10).select("user_id")),
+        ("transport", ev.where(F.col("event_type") == "click").select("user_id")),
+        ("measured", ev.where(F.col("event_id") % 2 == 0).select("user_id")),
+    ]
+    acc = accrete_evidence(arms, ["user_id"])
+    return acc.select(
+        "user_id",
+        F.array_join("evidence_sources", "|").alias("evidence_sources"),
+        F.size("evidence_sources").cast("int").alias("n_sources"),
+    )
+
+
+@register(
     "ev_timepoint_order",
     oracle="""
     SELECT event_id, user_id,
