@@ -40,8 +40,8 @@ class AnalysisConfig:
     fold_change_type: str = "log2"  # 'log2' | 'linear'
     prefiltered: bool = False
     pvalue_asterisk_in_logfc: bool = False
-    fold_change_threshold: float = 1.0
-    pvalue_threshold: float = 0.05
+    fold_change_threshold: float | None = 1.0
+    pvalue_threshold: float | None = 0.05
     time_point: str | None = None
     time_point_hours: float | None = None
     growth_phase: str | None = None
@@ -106,18 +106,37 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
     conv = parsed.withColumn("log2_fold_change", log2fc).where(
         F.col("log2_fold_change").isNotNull()
     )
-    # P5: significance cascade (priority order pinned to the reference)
-    significant = (
-        F.when(F.lit(cfg.prefiltered), F.lit("significant"))
-        .when(F.col("has_asterisk"), F.lit("significant"))
-        .when(F.col("p_num").isNull(), F.lit("unknown"))
-        .when(
-            (F.abs(F.col("log2_fold_change")) >= cfg.fold_change_threshold)
-            & (F.col("p_num") <= cfg.pvalue_threshold),
-            F.lit("significant"),
+    # P5: significance cascade, pinned EXACTLY to _check_significance
+    # (omics_adapter.py:595-632):
+    #   1. prefiltered -> 'significant' for every row
+    #   2. pvalue_asterisk_in_logfc configured -> asterisk alone
+    #      decides ('significant' / 'not significant'), NO threshold
+    #      fall-through
+    #   3. both thresholds None -> 'unknown'
+    #   4. AND of only the checks whose threshold AND value are both
+    #      present (a missing value skips its check, never falsifies)
+    if cfg.prefiltered:
+        significant = F.lit("significant")
+    elif cfg.pvalue_asterisk_in_logfc:
+        significant = F.when(
+            F.col("has_asterisk"), F.lit("significant")
+        ).otherwise(F.lit("not significant"))
+    elif cfg.fold_change_threshold is None and cfg.pvalue_threshold is None:
+        significant = F.lit("unknown")
+    else:
+        sig = F.lit(True)
+        if cfg.fold_change_threshold is not None:
+            sig = sig & (
+                F.col("log2_fold_change").isNull()
+                | (F.abs(F.col("log2_fold_change")) >= cfg.fold_change_threshold)
+            )
+        if cfg.pvalue_threshold is not None:
+            sig = sig & (
+                F.col("p_num").isNull() | (F.col("p_num") <= cfg.pvalue_threshold)
+            )
+        significant = F.when(sig, F.lit("significant")).otherwise(
+            F.lit("not significant")
         )
-        .otherwise(F.lit("not_significant"))
-    )
     return conv.select(
         F.lit(cfg.analysis_id).alias("analysis_id"),
         F.lit(cfg.experiment_id).alias("experiment_id"),
@@ -135,9 +154,48 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
     )
 
 
-def assign_time_point_order(analyses_meta: DataFrame) -> DataFrame:
+def parse_timepoint_hours(c):
+    """F3 (paperconfig_utils.py:185-213): timepoint label -> hours.
+
+    '4h'/'0.5h'/'-12h' -> as-is; 'day 18'/'Day 2' -> *24;
+    '50h (P added)'/'0.5h post-inoculation' -> leading hours;
+    '1h extended darkness (36h)' -> the absolute (36h) capture;
+    'R (rescue: ...)'/'days 60+89'/empty -> null.
+    Pure nested when/regexp_extract — stays in codegen.
+    """
+    tp = F.trim(c)
+    low = F.lower(tp)
+    ext = F.regexp_extract(tp, r"\((\d+(?:\.\d+)?)h\)", 1)
+    day = F.regexp_extract(tp, r"^[Dd]ay\s+(\d+(?:\.\d+)?)", 1)
+    hrs = F.regexp_extract(tp, r"^(-?\d+(?:\.\d+)?)\s*h", 1)
+    null = F.lit(None).cast("double")
+    return (
+        F.when(c.isNull() | (tp == ""), null)
+        .when(low.startswith("days ") & tp.contains("+"), null)
+        .when(tp.startswith("R ") | (tp == "R"), null)
+        .when(
+            tp.contains("extended darkness") & tp.contains("("),
+            F.when(ext != "", ext.cast("double")).otherwise(null),
+        )
+        .when(
+            low.startswith("day "),
+            F.when(day != "", day.cast("double") * 24).otherwise(null),
+        )
+        .otherwise(F.when(hrs != "", hrs.cast("double")).otherwise(null))
+    )
+
+
+def assign_time_point_order(analyses_meta: DataFrame, label_col: str | None = None) -> DataFrame:
     """W7 (omics_adapter.py:446-475): per experiment, order analyses
-    by (hours NULLS LAST, analysis_id), enumerate from 1."""
+    by (hours NULLS LAST, analysis_id), enumerate from 1.
+
+    With ``label_col``, hours are parsed from the raw timepoint label
+    via :func:`parse_timepoint_hours` (F3) first — the reference's
+    normalize-then-order path."""
+    if label_col is not None:
+        analyses_meta = analyses_meta.withColumn(
+            "time_point_hours", parse_timepoint_hours(F.col(label_col))
+        )
     w = Window.partitionBy("experiment_id").orderBy(
         F.coalesce(F.col("time_point_hours"), F.lit(float("inf"))).asc(),
         F.col("analysis_id").asc(),

@@ -1146,7 +1146,9 @@ def ev_timepoint_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN event_id % 11 = 0 THEN NULL
              ELSE '0.0' || CAST(event_id % 100 AS VARCHAR) END AS p_str,
         CASE WHEN user_id % 2 = 0 THEN 'linear' ELSE 'log2' END AS fold_change_type,
-        (user_id % 5 = 0) AS prefiltered
+        (user_id % 5 = 0) AS prefiltered,
+        (user_id % 3 = 0) AS ast_mode,
+        (user_id % 7 = 0) AS no_thresholds
       FROM events
     ),
     parsed AS (
@@ -1167,11 +1169,12 @@ def ev_timepoint_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN log2_fc IS NULL THEN NULL
            WHEN log2_fc > 0 THEN 'up' ELSE 'down' END AS expression_direction,
       CASE WHEN prefiltered THEN 'significant'
-           WHEN has_asterisk THEN 'significant'
-           WHEN log2_fc IS NULL THEN 'unknown'
-           WHEN adjusted_p IS NULL THEN 'unknown'
-           WHEN abs(log2_fc) >= 1 AND adjusted_p <= 0.05 THEN 'significant'
-           ELSE 'not_significant' END AS significant
+           WHEN ast_mode THEN
+             CASE WHEN has_asterisk THEN 'significant' ELSE 'not significant' END
+           WHEN no_thresholds THEN 'unknown'
+           WHEN (log2_fc IS NULL OR abs(log2_fc) >= 1.0)
+            AND (adjusted_p IS NULL OR adjusted_p <= 0.05) THEN 'significant'
+           ELSE 'not significant' END AS significant
     FROM conv
     """,
 )
@@ -1202,6 +1205,8 @@ def ev_sig_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("log2"))
         .alias("fold_change_type"),
         (F.col("user_id") % 5 == 0).alias("prefiltered"),
+        (F.col("user_id") % 3 == 0).alias("ast_mode"),
+        (F.col("user_id") % 7 == 0).alias("no_thresholds"),
     )
     parsed = synth.select(
         "*",
@@ -1227,14 +1232,19 @@ def ev_sig_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("down"))
         .alias("expression_direction"),
         F.when(F.col("prefiltered"), F.lit("significant"))
-        .when(F.col("has_asterisk"), F.lit("significant"))
-        .when(F.col("log2_fc").isNull(), F.lit("unknown"))
-        .when(F.col("adjusted_p").isNull(), F.lit("unknown"))
         .when(
-            (F.abs(F.col("log2_fc")) >= 1) & (F.col("adjusted_p") <= 0.05),
+            F.col("ast_mode"),
+            F.when(F.col("has_asterisk"), F.lit("significant")).otherwise(
+                F.lit("not significant")
+            ),
+        )
+        .when(F.col("no_thresholds"), F.lit("unknown"))
+        .when(
+            (F.col("log2_fc").isNull() | (F.abs(F.col("log2_fc")) >= 1.0))
+            & (F.col("adjusted_p").isNull() | (F.col("adjusted_p") <= 0.05)),
             F.lit("significant"),
         )
-        .otherwise(F.lit("not_significant"))
+        .otherwise(F.lit("not significant"))
         .alias("significant"),
     )
 
@@ -1919,6 +1929,91 @@ def _omics_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "omics_timepoint_hours",
+    oracle="""
+    WITH synth AS (
+      SELECT event_id, user_id,
+        CASE event_id % 12
+          WHEN 0 THEN '4h'
+          WHEN 1 THEN '0.5h'
+          WHEN 2 THEN '-12h'
+          WHEN 3 THEN 'day 18'
+          WHEN 4 THEN 'Day 2'
+          WHEN 5 THEN '50h (P added)'
+          WHEN 6 THEN '0.5h post-inoculation'
+          WHEN 7 THEN '1h extended darkness (36h)'
+          WHEN 8 THEN 'R (rescue: nutrient stress)'
+          WHEN 9 THEN 'days 60+89'
+          WHEN 10 THEN ''
+          ELSE CAST(event_id % 9 AS VARCHAR) || 'h'
+        END AS label
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_id, user_id, label,
+        CASE
+          WHEN label IS NULL OR trim(label) = '' THEN NULL
+          WHEN lower(trim(label)) LIKE 'days %' AND contains(trim(label), '+') THEN NULL
+          WHEN trim(label) LIKE 'R %' OR trim(label) = 'R' THEN NULL
+          WHEN contains(trim(label), 'extended darkness') AND contains(trim(label), '(') THEN
+            CASE WHEN regexp_extract(trim(label), '\\((\\d+(?:\\.\\d+)?)h\\)', 1) <> ''
+                 THEN CAST(regexp_extract(trim(label), '\\((\\d+(?:\\.\\d+)?)h\\)', 1) AS DOUBLE) END
+          WHEN lower(trim(label)) LIKE 'day %' THEN
+            CASE WHEN regexp_extract(trim(label), '^[Dd]ay\\s+(\\d+(?:\\.\\d+)?)', 1) <> ''
+                 THEN CAST(regexp_extract(trim(label), '^[Dd]ay\\s+(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) * 24 END
+          ELSE
+            CASE WHEN regexp_extract(trim(label), '^(-?\\d+(?:\\.\\d+)?)\\s*h', 1) <> ''
+                 THEN CAST(regexp_extract(trim(label), '^(-?\\d+(?:\\.\\d+)?)\\s*h', 1) AS DOUBLE) END
+        END AS time_point_hours
+      FROM synth
+    )
+    SELECT event_id AS analysis_id, user_id AS experiment_id, label,
+      time_point_hours,
+      CAST(row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY coalesce(time_point_hours, 'infinity'::DOUBLE), event_id
+      ) AS INTEGER) AS time_point_order
+    FROM parsed
+    """,
+)
+def omics_timepoint_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + W7 (paperconfig_utils.py:185-213, omics_adapter.py:446-475):
+    parse every reference timepoint-label shape to hours, then assign
+    per-experiment time_point_order by (hours NULLS LAST, id). Labels
+    synthesized to cover all branches incl. the unparseable ones."""
+    from multiomics_biocypher_kg_spark.functions.omics import assign_time_point_order
+
+    ev = _read(spark, sf_dir, "events")
+    m = F.col("event_id") % 12
+    label = (
+        F.when(m == 0, F.lit("4h"))
+        .when(m == 1, F.lit("0.5h"))
+        .when(m == 2, F.lit("-12h"))
+        .when(m == 3, F.lit("day 18"))
+        .when(m == 4, F.lit("Day 2"))
+        .when(m == 5, F.lit("50h (P added)"))
+        .when(m == 6, F.lit("0.5h post-inoculation"))
+        .when(m == 7, F.lit("1h extended darkness (36h)"))
+        .when(m == 8, F.lit("R (rescue: nutrient stress)"))
+        .when(m == 9, F.lit("days 60+89"))
+        .when(m == 10, F.lit(""))
+        .otherwise(F.concat((F.col("event_id") % 9).cast("string"), F.lit("h")))
+    )
+    synth = ev.select(
+        F.col("event_id").alias("analysis_id"),
+        F.col("user_id").alias("experiment_id"),
+        label.alias("label"),
+    )
+    return assign_time_point_order(synth, label_col="label").select(
+        "analysis_id",
+        "experiment_id",
+        "label",
+        "time_point_hours",
+        "time_point_order",
+    )
+
+
+@register(
     "omics_de_transform",
     oracle=f"""
     WITH synth AS ({OMICS_SYNTH_SQL}),
@@ -1939,9 +2034,7 @@ def _omics_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'a1' AS analysis_id, 'e1' AS experiment_id, raw_id,
       fc_num AS log2_fold_change, p_num AS adjusted_p_value,
       CASE WHEN has_asterisk THEN 'significant'
-           WHEN p_num IS NULL THEN 'unknown'
-           WHEN abs(fc_num) >= 1.0 AND p_num <= 0.05 THEN 'significant'
-           ELSE 'not_significant' END AS significant,
+           ELSE 'not significant' END AS significant,
       CASE WHEN fc_num > 0 THEN 'up' ELSE 'down' END AS expression_direction
     FROM fin
     """,

@@ -54,7 +54,10 @@ def _de(spark):
     )
 
 
-def test_omics_transform_cascade(spark):
+def test_omics_transform_cascade_asterisk_mode(spark):
+    """pvalue_asterisk_in_logfc: the asterisk ALONE decides — rows
+    without one are 'not significant', no threshold fall-through
+    (_check_significance, omics_adapter.py:617-618)."""
     cfg = AnalysisConfig(
         analysis_id="a1",
         experiment_id="e1",
@@ -65,14 +68,73 @@ def test_omics_transform_cascade(spark):
     )
     rows = {r.raw_id: r for r in transform_analysis(_de(spark), cfg).collect()}
     assert set(rows) == {"PMM0001", "PMM0002", "PMM0003", "PMM0004", "PMM0005"}
-    assert rows["PMM0001"].significant == "significant"
+    assert rows["PMM0001"].significant == "not significant"  # no asterisk
     assert rows["PMM0001"].expression_direction == "up"
-    assert rows["PMM0002"].significant == "not_significant"
-    assert rows["PMM0003"].significant == "not_significant"
     assert rows["PMM0003"].expression_direction == "down"
     assert rows["PMM0004"].significant == "significant"  # F6 asterisk
     assert rows["PMM0004"].log2_fold_change == 1.1
-    assert rows["PMM0005"].significant == "unknown"
+    assert rows["PMM0005"].significant == "not significant"
+
+
+def test_omics_transform_cascade_threshold_mode(spark):
+    """Threshold mode: AND of the checks whose threshold and value
+    are both present — a null p-value SKIPS the p check rather than
+    yielding 'unknown' (omics_adapter.py:620-632)."""
+    cfg = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+    )
+    rows = {r.raw_id: r for r in transform_analysis(_de(spark), cfg).collect()}
+    assert rows["PMM0001"].significant == "significant"
+    assert rows["PMM0002"].significant == "not significant"  # |fc| < thr
+    assert rows["PMM0003"].significant == "not significant"  # p > thr
+    assert rows["PMM0004"].significant == "not significant"  # p 0.5 > thr
+    assert rows["PMM0005"].significant == "significant"  # p missing: fc alone
+
+
+def test_omics_transform_cascade_no_thresholds_unknown(spark):
+    cfg = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+        fold_change_threshold=None,
+        pvalue_threshold=None,
+    )
+    rows = {r.raw_id: r for r in transform_analysis(_de(spark), cfg).collect()}
+    assert {r.significant for r in rows.values()} == {"unknown"}
+
+
+def test_parse_timepoint_hours_reference_examples(spark):
+    """F3: every example from parse_timepoint_hours' docstring
+    (paperconfig_utils.py:185-213)."""
+    from multiomics_biocypher_kg_spark.functions.omics import parse_timepoint_hours
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("4h", 4.0),
+        ("0.5h", 0.5),
+        ("-12h", -12.0),
+        ("day 18", 432.0),
+        ("Day 2", 48.0),
+        ("50h (P added)", 50.0),
+        ("0.5h post-inoculation", 0.5),
+        ("1h extended darkness (36h)", 36.0),
+        ("R (rescue: ...)", None),
+        ("R", None),
+        ("days 60+89", None),
+        ("", None),
+        (None, None),
+        ("no numbers", None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, tp string")
+    out = {r.i: r.h for r in df.select("i", parse_timepoint_hours(F.col("tp")).alias("h")).collect()}
+    for i, (label, want) in enumerate(cases):
+        assert out[i] == want, (label, out[i], want)
 
 
 def test_omics_linear_conversion_and_prefiltered(spark):
@@ -135,7 +197,9 @@ def test_expression_edges_deterministic_ids(spark):
     edges = expression_edges(transform_analysis(_de(spark), cfg), "doi:10.1/x")
     e = {r.obj: r for r in edges.collect()}
     assert e["PMM0001"].edge_id == "doi:10.1/x_a1_PMM0001"
-    assert e["PMM0001"].props.significant == "significant"
+    # asterisk mode: only the asterisked row is significant
+    assert e["PMM0004"].props.significant == "significant"
+    assert e["PMM0001"].props.significant == "not significant"
 
 
 def test_boolean_tokens_hard_error(spark):
