@@ -30,22 +30,37 @@ def csv_with_dialect(
 ) -> DataFrame:
     """S1 (omics_adapter.py:677-684): CSV with per-table dialect.
 
-    skiprows is implemented by filtering on a per-file line index
-    (monotonically increasing within partition order of spark.read.text)
-    before parsing — the distributed analog of pandas skiprows.
+    skiprows (the pandas analog) drops the first N lines of EACH
+    file via a window partitioned by input_file_name — parallel
+    across files, no global single-partition sort, and the parse is
+    native ``from_csv`` (all-string schema derived from the header) —
+    zero Python round-trips on the line stream.
     """
     if skiprows:
-        lines = spark.read.text(path)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        lines = (
-            lines.withColumn("_i", F.row_number().over(w))
-            .where(F.col("_i") > skiprows)
-            .drop("_i")
+        lines = spark.read.text(path).select(
+            "value",
+            F.input_file_name().alias("_f"),
+            F.monotonically_increasing_id().alias("_i"),
         )
-        reader = spark.read.option("sep", sep).option("header", str(header).lower())
+        w = Window.partitionBy("_f").orderBy("_i")
+        body = lines.withColumn("_r", F.row_number().over(w)).where(
+            F.col("_r") > skiprows
+        )
         if comment:
-            reader = reader.option("comment", comment)
-        return reader.csv(lines.rdd.map(lambda r: r.value))
+            body = body.where(~F.col("value").startswith(comment))
+        if not header:
+            raise ValueError("skiprows without header is not supported")
+        first = (
+            body.orderBy("_f", "_r").select("value").limit(1).collect()
+        )
+        if not first:
+            return spark.createDataFrame([], "value string")
+        cols = [c.strip() for c in first[0].value.split(sep)]
+        ddl = ", ".join(f"`{c}` string" for c in cols)
+        data = body.where(F.col("_r") > skiprows + 1)
+        return data.select(
+            F.from_csv(F.col("value"), ddl, {"sep": sep}).alias("row")
+        ).select("row.*")
     reader = (
         spark.read.option("sep", sep)
         .option("header", str(header).lower())
@@ -116,56 +131,40 @@ def gff3(spark: SparkSession, path: str) -> DataFrame:
 
 def fasta(spark: SparkSession, path: str) -> DataFrame:
     """S6 (cyanorak_ncbi_adapter.py:94-119): FASTA -> (accession,
-    description, sequence). Records are grouped by a running count of
-    deflines (native window, no Python)."""
-    lines = spark.read.text(path).withColumn(
-        "_i", F.monotonically_increasing_id()
-    )
-    w = Window.orderBy("_i").rowsBetween(Window.unboundedPreceding, 0)
-    grouped = lines.withColumn(
-        "rec", F.sum(F.when(F.col("value").startswith(">"), 1).otherwise(0)).over(w)
-    )
-    return (
-        grouped.groupBy("rec")
-        .agg(
-            F.min(F.when(F.col("value").startswith(">"), F.col("value"))).alias(
-                "defline"
-            ),
-            F.concat_ws(
-                "",
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            ~F.col("value").startswith(">"),
-                            F.struct("_i", "value"),
-                        )
-                    )
-                ).getField("value"),
-            ).alias("sequence"),
-        )
-        .where(F.col("defline").isNotNull())
-        .select(
-            F.regexp_extract("defline", r"^>(\S+)", 1).alias("accession"),
-            F.regexp_extract("defline", r"^>\S+\s*(.*)$", 1).alias("description"),
-            "sequence",
-        )
+    description, sequence).
+
+    Scale path: ``lineSep='>'`` makes each FASTA record ONE text row
+    (Hadoop's record reader splits on the delimiter, so even a single
+    multi-GB file reads in parallel splits) — no global window, no
+    running-count shuffle, no Python. Per record: first line is the
+    defline, the rest joins into the sequence. Assumes '>' appears
+    only as the record delimiter (standard FASTA)."""
+    recs = spark.read.option("lineSep", ">").text(path)
+    recs = recs.where(F.trim(F.col("value")) != "")
+    lines = F.split(F.regexp_replace(F.col("value"), "\r", ""), "\n")
+    defline = lines.getItem(0)
+    seq = F.array_join(F.slice(lines, 2, 2147483646), "")
+    return recs.select(
+        F.regexp_extract(defline, r"^(\S+)", 1).alias("accession"),
+        F.regexp_extract(defline, r"^\S+\s*(.*)$", 1).alias("description"),
+        seq.alias("sequence"),
     )
 
 
-def keyed_json(spark: SparkSession, path: str, key_name: str = "key") -> DataFrame:
+def keyed_json(
+    spark: SparkSession,
+    path: str,
+    key_name: str = "key",
+    value_schema: str = "map<string,string>",
+) -> DataFrame:
     """S8 (cyanorak_ncbi_adapter.py:265-273): {key -> row-dict} JSON
-    -> one row per key. Reads the object with each key as a column,
-    then unpivots via stack of struct columns."""
-    df = spark.read.option("multiLine", "true").json(path)
-    cols = df.columns
-    stacked = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias(key_name), F.col(c).alias("value"))
-                    for c in cols
-                ]
-            )
-        ).alias("kv")
-    )
-    return stacked.select(f"kv.{key_name}", "kv.value.*")
+    -> one row per key, via ``from_json`` into a MapType + explode.
+
+    A 20K-key mapping JSON (reference scale, gene_id_utils.py:275)
+    stays ONE map value per document — never 20K planner columns.
+    ``value_schema`` is the DDL type of each entry's value (default:
+    string map; pass e.g. 'struct<name:string,ec:array<string>>' for
+    typed access)."""
+    raw = spark.read.text(path, wholetext=True)
+    m = F.from_json(F.col("value"), f"map<string,{value_schema}>")
+    return raw.select(F.explode(m).alias(key_name, "value"))

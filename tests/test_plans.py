@@ -65,6 +65,20 @@ def test_exact_percentile_not_approx(spark):
     assert "percentile" in plan and "approx_percentile" not in plan
 
 
+def test_fasta_reader_no_global_sort_or_python(spark, tmp_path):
+    """S6 scale guard: the lineSep-record FASTA reader must not plan
+    a Window/global Sort (the old single-partition bottleneck) nor
+    any Python eval node."""
+    from multiomics_biocypher_kg_spark.sources.readers import fasta
+
+    fa = tmp_path / "t.faa"
+    fa.write_text(">A1 d\nMK\n>A2\nVV\n")
+    plan = _plan(fasta(spark, str(fa)))
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # record-split scan, wholly map-side
+    assert "EvalPython" not in plan
+
+
 def test_neardup_plans_have_no_cartesian(spark):
     """The three registered near-dup queries must plan as equi-joins
     (LSH/band bucketing) — a CartesianProduct or

@@ -104,6 +104,27 @@ def test_readers_csv_dialect_and_fasta(spark, tmp_path):
     assert gr.attrs["ID"] == "g1" and gr.attrs["Name"] == "dna-A"
 
 
+def test_keyed_json_maptype_explode(spark, tmp_path):
+    """S8: a keyed JSON document parses as ONE MapType value and
+    explodes to rows — never one planner column per key."""
+    from multiomics_biocypher_kg_spark.sources.readers import keyed_json
+
+    p = tmp_path / "m.json"
+    p.write_text(
+        '{"PMM0001": {"name": "dnaA", "ec": "2.7.7.7"},'
+        ' "PMM0002": {"name": "dnaN", "ec": "2.7.7.7"}}'
+    )
+    df = keyed_json(spark, str(p))
+    assert df.columns == ["key", "value"]
+    rows = {r.key: r.value for r in df.collect()}
+    assert rows["PMM0001"]["name"] == "dnaA"
+    assert len(rows) == 2
+    typed = keyed_json(
+        spark, str(p), value_schema="struct<name:string,ec:string>"
+    )
+    assert {r.value.name for r in typed.collect()} == {"dnaA", "dnaN"}
+
+
 def test_staged_resume_idempotent(spark, tmp_path):
     from multiomics_biocypher_kg_spark.plans.lineage import StagedRunner
 
