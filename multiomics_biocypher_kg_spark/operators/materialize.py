@@ -71,6 +71,52 @@ def referential_filter(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     return out.join(ids, edges.obj == ids._nid, "leftsemi")
 
 
+def referential_remap(
+    edges: DataFrame,
+    nodes: DataFrame,
+    aliases: DataFrame,
+    target_col: str = "obj",
+) -> DataFrame:
+    """J11 (tcdb_adapter.py:204-238): referential filter with alias
+    remap — an edge whose target is a kept node passes ('kept'); an
+    unknown target remaps through the seed-alias map to its nearest
+    curated ancestor when THAT anchor is kept ('remapped'); otherwise
+    the edge drops ('dropped', retained in the output with a status
+    so callers can count, as the reference logs).
+
+    nodes: (id), aliases: (orig, anchor). Both are curated dims —
+    broadcast; the edge stream is never shuffled.
+
+    -> edges with ``target_col`` rewritten (null when dropped) +
+    ``remap_status``.
+    """
+    ids = F.broadcast(nodes.select(F.col("id").alias("_nid")).distinct())
+    al = F.broadcast(
+        aliases.groupBy(F.col("orig").alias("_orig")).agg(
+            F.min("anchor").alias("_anchor")
+        )
+    )
+    anchor_ids = F.broadcast(nodes.select(F.col("id").alias("_anid")).distinct())
+    t = F.col(target_col)
+    j = (
+        edges.join(ids, t == F.col("_nid"), "left")
+        .join(al, t == F.col("_orig"), "left")
+        .join(anchor_ids, F.col("_anchor") == F.col("_anid"), "left")
+    )
+    status = (
+        F.when(F.col("_nid").isNotNull(), F.lit("kept"))
+        .when(F.col("_anid").isNotNull(), F.lit("remapped"))
+        .otherwise(F.lit("dropped"))
+    )
+    new_target = F.when(F.col("_nid").isNotNull(), t).when(
+        F.col("_anid").isNotNull(), F.col("_anchor")
+    )
+    keep = [c for c in edges.columns if c != target_col]
+    return j.select(
+        *keep, new_target.alias(target_col), status.alias("remap_status")
+    )
+
+
 def accrete_evidence(arms: list[tuple[str, DataFrame]], keys: list[str]) -> DataFrame:
     """One-shot batch equivalent of folding ``merge_into(...,
     accrete=['evidence_sources'])`` over evidence arms IN ORDER

@@ -40,12 +40,28 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_full_corpus_queries: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     -> (query_id, neighbor_id, cosine, rank); ties broken by
     neighbor id. Self-matches excluded.
+
+    CONTRACT: the query side is BROADCAST — ``query_ids`` must be a
+    broadcast-safe subset. ``query_ids=None`` would ship the entire
+    corpus to every task (OOM at real scale), so it raises unless
+    ``allow_full_corpus_queries=True`` is passed explicitly (test
+    fixtures); the all-vectors case belongs to
+    :func:`lsh_bucketed_topk`, whose bucket equi-join needs no
+    broadcast at all.
     """
+    if query_ids is None and not allow_full_corpus_queries:
+        raise ValueError(
+            "cosine_topk broadcasts the query side: pass query_ids (a "
+            "broadcast-safe subset) or use lsh_bucketed_topk for "
+            "all-vectors top-k; allow_full_corpus_queries=True overrides "
+            "for small fixtures only"
+        )
     base = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -225,9 +241,20 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    query_ids: DataFrame | None = None,
+    allow_full_corpus_queries: bool = False,
 ) -> DataFrame:
-    """k-NN majority-vote label per vector (tie -> smaller label)."""
-    topk = cosine_topk(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    """k-NN majority-vote label per vector (tie -> smaller label).
+    Inherits cosine_topk's broadcast contract: pass ``query_ids``
+    (broadcast-safe) or opt in explicitly for fixtures."""
+    topk = cosine_topk(
+        vectors,
+        query_ids=query_ids,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        allow_full_corpus_queries=allow_full_corpus_queries,
+    )
     labeled = topk.join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")

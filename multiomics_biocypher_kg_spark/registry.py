@@ -1072,6 +1072,192 @@ def ev_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_alias_remap",
+    oracle="""
+    WITH nodes AS (
+      SELECT DISTINCT 'n' || CAST(p_partkey % 37 AS VARCHAR) AS id
+      FROM part WHERE p_partkey % 3 <> 0
+    ),
+    aliases AS (
+      SELECT 'a' || CAST(p_partkey % 53 AS VARCHAR) AS orig,
+             min('n' || CAST(p_partkey % 37 AS VARCHAR)) AS anchor
+      FROM part WHERE p_partkey % 5 = 0
+      GROUP BY 'a' || CAST(p_partkey % 53 AS VARCHAR)
+    ),
+    edges AS (
+      SELECT 'g' || CAST(l_orderkey AS VARCHAR) || '_'
+               || CAST(l_linenumber AS VARCHAR) AS subj,
+        CASE WHEN l_partkey % 2 = 0 THEN 'n' || CAST(l_partkey % 37 AS VARCHAR)
+             ELSE 'a' || CAST(l_partkey % 53 AS VARCHAR) END AS obj
+      FROM lineitem
+    )
+    SELECT e.subj,
+      CASE WHEN n.id IS NOT NULL THEN e.obj
+           WHEN n2.id IS NOT NULL THEN a.anchor END AS obj,
+      CASE WHEN n.id IS NOT NULL THEN 'kept'
+           WHEN n2.id IS NOT NULL THEN 'remapped'
+           ELSE 'dropped' END AS remap_status
+    FROM edges e
+    LEFT JOIN nodes n ON e.obj = n.id
+    LEFT JOIN aliases a ON e.obj = a.orig
+    LEFT JOIN nodes n2 ON a.anchor = n2.id
+    """,
+)
+def kg_alias_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (tcdb_adapter.py:204-238): edges to retired ids re-anchor
+    onto the nearest curated ancestor via the seed-alias broadcast
+    map; unknown-and-unaliased targets drop (status retained). All
+    dims broadcast — the edge stream never shuffles."""
+    from multiomics_biocypher_kg_spark.operators.materialize import referential_remap
+
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    nodes = (
+        part.where(F.col("p_partkey") % 3 != 0)
+        .select(F.concat(F.lit("n"), (F.col("p_partkey") % 37).cast("string")).alias("id"))
+        .distinct()
+    )
+    aliases = part.where(F.col("p_partkey") % 5 == 0).select(
+        F.concat(F.lit("a"), (F.col("p_partkey") % 53).cast("string")).alias("orig"),
+        F.concat(F.lit("n"), (F.col("p_partkey") % 37).cast("string")).alias("anchor"),
+    )
+    edges = li.select(
+        F.concat(
+            F.lit("g"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("subj"),
+        F.when(
+            F.col("l_partkey") % 2 == 0,
+            F.concat(F.lit("n"), (F.col("l_partkey") % 37).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("a"), (F.col("l_partkey") % 53).cast("string"))
+        )
+        .alias("obj"),
+    )
+    return referential_remap(edges, nodes, aliases)
+
+
+@register(
+    "rel_arraycontains_rollup",
+    oracle="""
+    WITH pubs AS (
+      SELECT doc_id,
+        ['org' || CAST(doc_id % 7 AS VARCHAR),
+         'org' || CAST(doc_id % 11 AS VARCHAR)] AS organisms,
+        ['t' || CAST(doc_id % 3 AS VARCHAR)] AS treatment_types
+      FROM documents
+    ),
+    orgs AS (
+      SELECT DISTINCT 'org' || CAST(doc_id % 11 AS VARCHAR) AS preferred_name
+      FROM documents
+    ),
+    matched AS (
+      SELECT o.preferred_name, p.doc_id, p.treatment_types
+      FROM orgs o JOIN pubs p ON list_contains(p.organisms, o.preferred_name)
+    ),
+    exploded AS (
+      SELECT preferred_name, doc_id, unnest(treatment_types) AS tt FROM matched
+    )
+    SELECT preferred_name,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS publication_count,
+      string_agg(DISTINCT tt, '|' ORDER BY tt) AS treatment_types
+    FROM exploded GROUP BY preferred_name
+    """,
+)
+def rel_arraycontains_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (post-import.cypher:294-309): the ANY(org IN p.organisms)
+    membership 'soft join' — expressed at scale as explode + equi-join
+    (never a per-row array scan against every organism), then the
+    per-organism publication_count + deduped union of array props."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pubs = docs.select(
+        "doc_id",
+        F.array(
+            F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("org"), (F.col("doc_id") % 11).cast("string")),
+        ).alias("organisms"),
+        F.array(
+            F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string"))
+        ).alias("treatment_types"),
+    )
+    orgs = docs.select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 11).cast("string")).alias(
+            "preferred_name"
+        )
+    ).distinct()
+    matched = (
+        pubs.select(
+            "doc_id", "treatment_types", F.explode("organisms").alias("org")
+        )
+        .join(F.broadcast(orgs), F.col("org") == F.col("preferred_name"))
+    )
+    exploded = matched.select(
+        "preferred_name", "doc_id", F.explode("treatment_types").alias("tt")
+    )
+    return exploded.groupBy("preferred_name").agg(
+        F.countDistinct("doc_id").alias("publication_count"),
+        F.array_join(F.array_sort(F.collect_set("tt")), "|").alias(
+            "treatment_types"
+        ),
+    )
+
+
+@register(
+    "rel_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+      round(min(value), 6) AS value_min,
+      round(max(value), 6) AS value_max,
+      round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                THEN value END), 6) AS value_q1,
+      round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                THEN value END), 6) AS value_median,
+      round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                THEN value END), 6) AS value_q3
+    FROM ranked GROUP BY event_type
+    """,
+)
+def rel_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 discrete variant (post-import.cypher:1203-1214): Neo4j
+    percentileDisc nearest-rank (value AT index ceil(p*n), never
+    interpolated) for q1/median/q3 + min/max per assay group —
+    row_number window + conditional agg, identical rank convention
+    on both engines."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def disc(p):
+        idx = F.greatest(F.lit(1), F.ceil(p * F.col("n")).cast("long"))
+        return F.max(F.when(F.col("rn") == idx, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.round(disc(0.25), 6).alias("value_q1"),
+        F.round(disc(0.5), 6).alias("value_median"),
+        F.round(disc(0.75), 6).alias("value_q3"),
+    )
+
+
+@register(
     "kg_evidence_accretion",
     oracle="""
     WITH arms AS (

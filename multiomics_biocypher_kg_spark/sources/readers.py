@@ -151,6 +151,74 @@ def fasta(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def genbank_cds(spark: SparkSession, path: str) -> DataFrame:
+    """S7 (build_gene_mapping.py:127-185): GenBank flat-file scan ->
+    one row per CDS feature with the qualifiers the reference reads:
+
+    -> (record_id, locus_tags array<string>, ec_numbers array<string>,
+        cyanorak_id string|null)
+
+    Native record parsing, no Biopython: records split on the '//'
+    terminator (splittable read — a multi-GB GBFF parallelizes),
+    CDS feature blocks via multiline regex (feature header at 5-space
+    indent, qualifier lines at 21), wrapped qualifier values unwrapped
+    before extraction. The 'cyanorak ORF Id:' note handling mirrors
+    _get_cyanorak_id (first matching note, prefix stripped).
+    Assumes '//' appears only as the record terminator.
+    """
+    recs = spark.read.option("lineSep", "//").text(path)
+    recs = recs.where(F.col("value").rlike(r"(?m)^LOCUS\s"))
+    record_id = F.regexp_extract(F.col("value"), r"(?m)^LOCUS\s+(\S+)", 1)
+    blocks = F.regexp_extract_all(
+        F.col("value"), F.lit(r"(?m)^ {5}CDS\b.*(?:\n {21}.*)*"), 0
+    )
+    per_cds = recs.select(
+        record_id.alias("record_id"), F.explode(blocks).alias("block")
+    )
+    # join 21-space continuation lines that do NOT start a new
+    # /qualifier back onto the previous line (wrapped values)
+    unwrapped = F.regexp_replace(F.col("block"), r"\n {21}(?!/)", " ")
+    notes = F.regexp_extract_all(unwrapped, F.lit(r'/note="([^"]*)"'), 1)
+    cyan_notes = F.filter(notes, lambda n: n.startswith("cyanorak ORF Id:"))
+    cyanorak_id = F.when(
+        F.size(cyan_notes) > 0,
+        F.trim(F.replace(cyan_notes.getItem(0), F.lit("cyanorak ORF Id:"), F.lit(""))),
+    )
+    return per_cds.select(
+        "record_id",
+        F.regexp_extract_all(unwrapped, F.lit(r'/locus_tag="([^"]+)"'), 1).alias(
+            "locus_tags"
+        ),
+        F.regexp_extract_all(unwrapped, F.lit(r'/EC_number="([^"]+)"'), 1).alias(
+            "ec_numbers"
+        ),
+        cyanorak_id.alias("cyanorak_id"),
+    )
+
+
+def genbank_ec_by_locus(cds: DataFrame) -> DataFrame:
+    """_get_ec_numbers_from_gbff (build_gene_mapping.py:142-165):
+    locus_tag -> all EC numbers across its CDS features."""
+    return (
+        cds.where(F.size("ec_numbers") > 0)
+        .select(F.explode("locus_tags").alias("locus_tag"), "ec_numbers")
+        .groupBy("locus_tag")
+        .agg(F.flatten(F.collect_list("ec_numbers")).alias("ec_numbers"))
+    )
+
+
+def genbank_cyanorak_map(cds: DataFrame) -> DataFrame:
+    """_get_cyanorak_id_map_from_gbk (build_gene_mapping.py:127-139):
+    cyanorak_id -> locus_tag (last locus_tag wins in the reference's
+    dict insertion; here: max for determinism)."""
+    return (
+        cds.where(F.col("cyanorak_id").isNotNull())
+        .select("cyanorak_id", F.explode("locus_tags").alias("locus_tag"))
+        .groupBy("cyanorak_id")
+        .agg(F.max("locus_tag").alias("locus_tag"))
+    )
+
+
 def keyed_json(
     spark: SparkSession,
     path: str,

@@ -127,9 +127,17 @@ def test_embedding_neardup_precision_one_recall_high(spark):
     assert recall >= 0.5, f"sign-LSH recall too low: {recall:.2f}"
 
 
+def test_cosine_topk_guards_full_corpus_broadcast(spark):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    with pytest.raises(ValueError, match="broadcast"):
+        cosine_topk(emb, k=3)
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
-    exact = cosine_topk(emb, k=3).collect()
+    exact = cosine_topk(emb, k=3, allow_full_corpus_queries=True).collect()
     approx = lsh_bucketed_topk(emb, k=3).collect()
     exact_top1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
     approx_map = {(r.query_id, r.neighbor_id) for r in approx}

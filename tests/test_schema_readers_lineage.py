@@ -104,6 +104,60 @@ def test_readers_csv_dialect_and_fasta(spark, tmp_path):
     assert gr.attrs["ID"] == "g1" and gr.attrs["Name"] == "dna-A"
 
 
+GBK_FIXTURE = """LOCUS       NC_000001            1000 bp    DNA     circular CON 01-JAN-2020
+DEFINITION  Test genome.
+FEATURES             Location/Qualifiers
+     source          1..1000
+                     /organism="Test"
+     gene            1..300
+                     /locus_tag="PMM0001"
+     CDS             1..300
+                     /locus_tag="PMM0001"
+                     /EC_number="2.7.7.7"
+                     /EC_number="1.1.1.1"
+                     /note="cyanorak ORF Id: CK_00000001"
+                     /product="DNA polymerase with a very long name that
+                     wraps onto the next line"
+     CDS             complement(400..600)
+                     /locus_tag="PMM0002"
+                     /note="plain annotation"
+ORIGIN
+        1 aaaaaaaaaa
+//
+LOCUS       NC_000002             500 bp    DNA     linear   CON 01-JAN-2020
+FEATURES             Location/Qualifiers
+     CDS             1..100
+                     /locus_tag="PMN0001"
+                     /EC_number="3.1.1.1"
+//
+"""
+
+
+def test_genbank_cds_scan(spark, tmp_path):
+    from multiomics_biocypher_kg_spark.sources.readers import (
+        genbank_cds,
+        genbank_cyanorak_map,
+        genbank_ec_by_locus,
+    )
+
+    p = tmp_path / "g.gbff"
+    p.write_text(GBK_FIXTURE)
+    cds = genbank_cds(spark, str(p))
+    rows = {r.locus_tags[0]: r for r in cds.collect()}
+    assert set(rows) == {"PMM0001", "PMM0002", "PMN0001"}
+    assert rows["PMM0001"].record_id == "NC_000001"
+    assert list(rows["PMM0001"].ec_numbers) == ["2.7.7.7", "1.1.1.1"]
+    assert rows["PMM0001"].cyanorak_id == "CK_00000001"
+    assert rows["PMM0002"].cyanorak_id is None  # non-matching note
+    assert rows["PMN0001"].record_id == "NC_000002"
+
+    ec = {r.locus_tag: list(r.ec_numbers) for r in genbank_ec_by_locus(cds).collect()}
+    assert ec == {"PMM0001": ["2.7.7.7", "1.1.1.1"], "PMN0001": ["3.1.1.1"]}
+
+    cmap = {r.cyanorak_id: r.locus_tag for r in genbank_cyanorak_map(cds).collect()}
+    assert cmap == {"CK_00000001": "PMM0001"}
+
+
 def test_keyed_json_maptype_explode(spark, tmp_path):
     """S8: a keyed JSON document parses as ONE MapType value and
     explodes to rows — never one planner column per key."""
