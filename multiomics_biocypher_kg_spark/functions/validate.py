@@ -21,10 +21,23 @@ class ValidationError(ValueError):
 
 
 def _fail_if_any(df: DataFrame, bad: Column, what: str, show: int = 5) -> None:
-    sample = df.where(bad).limit(show).collect()
-    if sample:
-        n = df.where(bad).count()
-        raise ValidationError(f"{what}: {n} violating rows, e.g. {sample[:show]}")
+    """ONE aggregation pass: violation count + first examples
+    together (slice of a sorted collect over the violating rows
+    only; violating sets are tiny by contract)."""
+    row = (
+        df.where(bad)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.collect_list(F.to_json(F.struct(*df.columns))), 1, show
+            ).alias("examples"),
+        )
+        .collect()[0]
+    )
+    if row.n:
+        raise ValidationError(
+            f"{what}: {row.n} violating rows, e.g. {list(row.examples)}"
+        )
 
 
 def map_boolean_tokens(

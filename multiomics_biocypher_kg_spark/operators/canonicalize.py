@@ -31,16 +31,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt(df: DataFrame, mode: str) -> DataFrame:
+    """Lineage truncation per round. 'local' = executor-local blocks
+    (fast; a lost executor kills the run — fine single-node / retried
+    jobs). 'reliable' = HDFS/DFS checkpoint (caller must
+    ``spark.sparkContext.setCheckpointDir`` to durable storage) —
+    the 1000-executor setting, where executor loss is routine."""
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint: str = "local",
+    shortcut: bool = True,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
     String or numeric ids; component is the minimum id in the
     component under the natural ordering of the id type.
+
+    Each round: min over neighbor labels (one keyed shuffle,
+    map-side combined), then — with ``shortcut`` — one pointer-jump
+    (component := component-of-component), which doubles effective
+    propagation distance: O(log diameter) rounds on chainy graphs
+    instead of O(diameter), at one extra self-join per round. For
+    the shallow same-as graphs of the reference both converge in
+    2-3 rounds; the shortcut is what survives a web-scale crawl
+    graph with long URL chains.
+
+    Raises RuntimeError if max_iter rounds exhaust without
+    convergence — unconverged labels would silently split components.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -48,11 +75,11 @@ def connected_components(
         .distinct()
     )
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
+    labels = _ckpt(
         und.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        checkpoint,
     )
     # convergence probe: min-label propagation is monotone (labels only
     # ever decrease), so the global count of (node, component) pairs
@@ -62,6 +89,7 @@ def connected_components(
     # the extra propagation round on an already-converged labeling is
     # a no-op and costs less than the skipped probe.
     prev = labels
+    changed = None
     for it in range(max_iter):
         neighbor = (
             und.join(labels, und.b == labels.node)
@@ -72,9 +100,20 @@ def connected_components(
             .union(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        if shortcut:
+            l2 = new_labels.select(
+                F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+            )
+            new_labels = new_labels.join(
+                l2, new_labels.component == l2.c_node, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("c_comp", "component")
+                ).alias("component"),
+            )
+        labels = _ckpt(new_labels, checkpoint)
         if it % 2 == 1 or it == max_iter - 1:
             changed = (
                 labels.alias("n")
@@ -85,6 +124,11 @@ def connected_components(
             if changed == 0:
                 break
             prev = labels
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 

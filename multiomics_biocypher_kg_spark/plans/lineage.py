@@ -29,13 +29,20 @@ from pyspark.sql import functions as F
 from multiomics_biocypher_kg_spark.operators.materialize import merge_into
 
 
-def content_checksum(df: DataFrame) -> int:
-    """Order-insensitive 63-bit content checksum: sum of per-row
-    xxhash64 over all columns, mod 2^63 (pure aggregation — one job,
-    no data to the driver)."""
+def content_checksum(df: DataFrame) -> tuple[int, int]:
+    """Order-insensitive content checksum + row count in ONE job:
+    sum of pmod(xxhash64(all columns), 2^31) reduced pmod 2^63 —
+    unsigned at every step, so the value is stable across engines
+    and re-partitionings (pure aggregation, no data to the driver).
+
+    -> (checksum, n_rows)
+    """
     row = (
         df.select(F.xxhash64(*df.columns).alias("h"))
-        .agg(F.sum(F.col("h") % F.lit(2**31)).alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.pmod(F.col("h"), F.lit(2**31))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()[0]
     )
     return int((row.s or 0) % (2**63)), int(row.n)
@@ -48,7 +55,10 @@ def lineage_rows(df: DataFrame, stage: str) -> DataFrame:
         df.withColumn("_pid", F.spark_partition_id())
         .withColumn("_h", F.xxhash64(*[c for c in df.columns]))
         .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("_h") % F.lit(2**31)).alias("checksum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.pmod(F.col("_h"), F.lit(2**31))).alias("checksum"),
+        )
         .select(
             F.lit(stage).alias("stage"),
             F.col("_pid").alias("partition_id"),
@@ -75,8 +85,17 @@ class StagedRunner:
         return os.path.join(d, "data"), os.path.join(d, "lineage.json")
 
     def is_complete(self, stage: str) -> bool:
+        """A stage is complete only when its data AND lineage exist
+        AND the recorded checksum matches a recompute over the stage
+        table — a half-written or tampered table re-runs instead of
+        resuming (the 'checksum-matching stage table is a no-op'
+        contract). Costs one aggregation job per resumed stage."""
         data, lin = self._paths(stage)
-        return os.path.isdir(data) and os.path.isfile(lin)
+        if not (os.path.isdir(data) and os.path.isfile(lin)):
+            return False
+        recorded = self.lineage(stage)
+        checksum, n = content_checksum(self.spark.read.parquet(data))
+        return checksum == recorded.get("checksum") and n == recorded.get("n_rows")
 
     def run_stage(
         self,

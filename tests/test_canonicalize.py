@@ -25,6 +25,30 @@ def test_components_chain_star_isolated(spark):
     assert comp["q"] == comp["q2"] == "q"
 
 
+def test_components_long_chain_shortcut_converges(spark):
+    """A 120-node chain has diameter >> max_iter=25: plain min-label
+    propagation cannot converge, but the pointer-jump shortcut
+    reaches the fixed point in O(log diameter) rounds."""
+    import pytest
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=25).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+    # without the shortcut the same budget must raise, not return
+    # silently-split components
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=10, shortcut=False)
+
+
 def test_components_on_driver_sameas(spark):
     sameas = sameas_from_documents(spark, SF_TINY)
     comp = connected_components(sameas, src="id_a", dst="id_b")
