@@ -127,6 +127,24 @@ def uniprot_annotation_tokens(c: Column) -> Column:
     ).otherwise(F.concat(entry_arr, gn_arr))
 
 
+def uniprot_entry_candidates(c: Column) -> Column:
+    """F12 (gene_id_graph.py:70-86, normalize_id): uniprot_entry_name
+    candidates — raw form first, then the _ORGANISM-suffix-stripped
+    form ('DNAA_PROM0' -> ['DNAA_PROM0', 'DNAA']). Empty/'nan' -> [].
+    """
+    raw = F.trim(c)
+    stripped = F.regexp_extract(raw, r"^(.+)_[^_]*$", 1)
+    base = F.when(
+        (stripped != "") & (stripped != raw), F.array(raw, stripped)
+    ).otherwise(F.array(raw))
+    empty = F.array().cast("array<struct<token:string,id_type:string>>")
+    return F.when(
+        c.isNull() | (raw == "") | (F.lower(raw) == "nan"), empty
+    ).otherwise(
+        F.transform(base, lambda t: _token_struct(t, "uniprot_entry_name"))
+    )
+
+
 def other_candidates(c: Column) -> Column:
     """'other' id_type path: expand_list + per-candidate heuristic
     variants (resolve_row pass 1 + pass 2), ordered distinct, typed
@@ -145,6 +163,7 @@ def candidate_tokens_col(value: Column, id_type: Column) -> Column:
         F.when(id_type == "ncbi_protein_defline", ncbi_defline_tokens(value))
         .when(id_type == "uniprot_defline", uniprot_defline_tokens(value))
         .when(id_type == "uniprot_annotation_string", uniprot_annotation_tokens(value))
+        .when(id_type == "uniprot_entry_name", uniprot_entry_candidates(value))
         .otherwise(other_candidates(value))
     )
 
@@ -161,4 +180,6 @@ def typed_candidates(c: Column, id_type: str) -> Column:
         return uniprot_defline_tokens(c)
     if id_type == "uniprot_annotation_string":
         return uniprot_annotation_tokens(c)
+    if id_type == "uniprot_entry_name":
+        return uniprot_entry_candidates(c)
     return other_candidates(c)

@@ -203,6 +203,55 @@ def assign_time_point_order(analyses_meta: DataFrame, label_col: str | None = No
     return analyses_meta.withColumn("time_point_order", F.row_number().over(w))
 
 
+def fc_range_check(
+    rows: DataFrame,
+    analysis_col: str = "analysis_id",
+    fc_col: str = "log2_fold_change",
+    type_col: str = "fold_change_type",
+    scope_col: str | None = None,
+) -> DataFrame:
+    """F5 (_validate_fc_range, omics_adapter.py:95-133): per-analysis
+    fold-change range sanity — the reference's logger.warning
+    heuristics materialized as data:
+
+    - 'linear_negative_fc': declared linear but negative values exist
+      (invalid — probably log2),
+    - 'log2_maybe_linear': declared log2 (or undeclared) but every
+      value > 1.0 (probably linear), unless table_scope is
+      'significant_only' (upregulated-only tables are exempt),
+    - 'ok' otherwise.
+
+    -> (analysis, fold_change_type, n, n_negative, fc_min, fc_max,
+        fc_range_warning). One groupBy — map-side combined.
+    """
+    group = [analysis_col, type_col] + ([scope_col] if scope_col else [])
+    agg = rows.groupBy(*group).agg(
+        F.count(fc_col).alias("n"),
+        F.sum(F.when(F.col(fc_col) < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.round(F.min(fc_col), 6).alias("fc_min"),
+        F.round(F.max(fc_col), 6).alias("fc_max"),
+    )
+    fc_type = F.coalesce(F.col(type_col), F.lit("log2"))
+    scope = F.col(scope_col) if scope_col else F.lit(None).cast("string")
+    warning = (
+        F.when(
+            (fc_type == "linear") & (F.col("n_negative") > 0),
+            F.lit("linear_negative_fc"),
+        )
+        .when(
+            (fc_type == "log2")
+            & (F.col("n_negative") == 0)
+            & (F.col("fc_min") > 1.0)
+            & ~scope.eqNullSafe("significant_only"),
+            F.lit("log2_maybe_linear"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return agg.withColumn("fc_range_warning", warning)
+
+
 def is_time_course(analyses_meta: DataFrame) -> DataFrame:
     """A15 (omics_adapter.py:356-372): string-enum boolean per
     experiment ('true'|'false', reference convention)."""

@@ -174,3 +174,45 @@ def min_levels(edges: DataFrame, roots: DataFrame, max_depth: int = 12) -> DataF
         levels = levels.union(step).localCheckpoint(eager=True)
         frontier = step
     return levels.groupBy("node").agg(F.min("level").alias("level"))
+
+
+# post-import.cypher:536-556 — direct-id uninformative flags (root GO
+# terms, COG S, generic Cyanorak/TIGR roles). DUF/UPF, COG R, BRITE,
+# EC numbers intentionally stay UN-flagged (reference's guiding
+# principle: flag only terms with no class signal at all).
+UNINFORMATIVE_IDS = [
+    "go:0008150",
+    "go:0003674",
+    "go:0005575",
+    "cog.category:S",
+    "cyanorak.role:R",
+    "cyanorak.role:R.1",
+    "cyanorak.role:R.2",
+    "cyanorak.role:R.4",
+    "cyanorak.role:R.5",
+    "tigr.role:156",
+    "tigr.role:704",
+    "tigr.role:856",
+    "tigr.role:185",
+    "tigr.role:157",
+]
+# pattern flag for KEGG uncharacterized-protein KOs (:556-559)
+KEGG_UNINFORMATIVE_RE = r"^K\d+;\s+uncharacterized protein\b.*"
+
+
+def flag_uninformative(
+    terms: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    extra_ids: list[str] | None = None,
+) -> DataFrame:
+    """F18 (post-import.cypher:536-559): is_uninformative='true' for
+    the curated direct-id list plus the KEGG uncharacterized-protein
+    name pattern; 'false' otherwise. Pure per-row expression — the
+    id list is a literal IN, no join."""
+    ids = UNINFORMATIVE_IDS + list(extra_ids or [])
+    flag = F.when(
+        F.col(id_col).isin(ids) | F.col(name_col).rlike(KEGG_UNINFORMATIVE_RE),
+        F.lit("true"),
+    ).otherwise(F.lit("false"))
+    return terms.withColumn("is_uninformative", flag)

@@ -96,3 +96,30 @@ def merge_sources(
             raise ValueError(f"unknown merge rule {r.rule!r}")
         cols.append(expr.alias(r.name))
     return out.select(*cols)
+
+
+def merge_gene_cds(gff: DataFrame, attrs_col: str = "attrs") -> DataFrame:
+    """J7 (ncbi_merge_cds_and_gene_entries,
+    build_gene_mapping.py:81-110): self-merge of a GFF3 scan — gene
+    rows join CDS rows on gene.attrs['ID'] == cds.attrs['Parent'],
+    every column suffixed _gene/_cds (pandas merge suffixes), plus
+    the reference's locus_tag hygiene: URL-decode the gene
+    locus_tag ('PMT0003%2CPMT_0003' -> 'PMT0003,PMT_0003') and keep
+    the full decoded string as old_locus_tags.
+
+    One equi-join keyed by the attribute value; both sides come from
+    the same scan (Catalyst reuses the exchange under AQE).
+    """
+    gene = gff.where(F.col("type") == "gene").select(
+        *[F.col(c).alias(f"{c}_gene") for c in gff.columns]
+    )
+    cds = gff.where(F.col("type") == "CDS").select(
+        *[F.col(c).alias(f"{c}_cds") for c in gff.columns]
+    )
+    j = gene.join(
+        cds,
+        F.col(f"{attrs_col}_gene").getItem("ID")
+        == F.col(f"{attrs_col}_cds").getItem("Parent"),
+    )
+    lt = F.url_decode(F.col(f"{attrs_col}_gene").getItem("locus_tag"))
+    return j.withColumn("locus_tag", lt).withColumn("old_locus_tags", lt)

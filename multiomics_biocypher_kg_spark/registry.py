@@ -235,7 +235,7 @@ def kg_link_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 KG_CANDIDATES_SQL = r"""
     WITH synth AS (
       SELECT p_partkey AS row_id,
-        CASE p_partkey % 8
+        CASE p_partkey % 9
           WHEN 0 THEN 'PMM0' || p_partkey
           WHEN 1 THEN 'PMM' || p_partkey || ', PMN' || p_partkey || '; dnaA'
           WHEN 2 THEN 'PMED4_0' || p_partkey || ' (PMM0' || p_partkey || ')'
@@ -247,12 +247,14 @@ KG_CANDIDATES_SQL = r"""
                    || '_PROM9 C-phycocyanin alpha chain'
           WHEN 6 THEN 'Q' || (p_partkey + 31000)
                    || '_PROM9 possible porin GN=somA' || p_partkey
+          WHEN 8 THEN 'DNAA' || p_partkey || '_PROM9'
           ELSE 'ABC' || (p_partkey + 20000)
         END AS raw_value,
-        CASE p_partkey % 8
+        CASE p_partkey % 9
           WHEN 4 THEN 'ncbi_protein_defline'
           WHEN 5 THEN 'uniprot_defline'
           WHEN 6 THEN 'uniprot_annotation_string'
+          WHEN 8 THEN 'uniprot_entry_name'
           ELSE 'other' END AS id_type
       FROM part
     ),
@@ -323,9 +325,20 @@ KG_CANDIDATES_SQL = r"""
              ELSE []::VARCHAR[] END) AS toks
       FROM synth WHERE id_type = 'uniprot_annotation_string'
     ),
+    upname AS (
+      SELECT row_id,
+        list_transform(
+          CASE WHEN regexp_extract(trim(raw_value), '^(.+)_[^_]*$', 1) <> ''
+                AND regexp_extract(trim(raw_value), '^(.+)_[^_]*$', 1) <> trim(raw_value)
+               THEN [trim(raw_value), regexp_extract(trim(raw_value), '^(.+)_[^_]*$', 1)]
+               ELSE [trim(raw_value)] END,
+          t -> t || '~uniprot_entry_name') AS toks
+      FROM synth WHERE id_type = 'uniprot_entry_name'
+    ),
     unioned AS (
       SELECT * FROM other_final UNION ALL SELECT * FROM ncbi
       UNION ALL SELECT * FROM up UNION ALL SELECT * FROM annot
+      UNION ALL SELECT * FROM upname
     )
     SELECT row_id, CAST(len(toks) AS INTEGER) AS n_candidates,
            array_to_string(toks, ';;') AS candidates
@@ -354,12 +367,12 @@ def kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
 
     raw = (
-        F.when(k % 8 == 0, s("PMM0", ks))
-        .when(k % 8 == 1, s("PMM", ks, ", PMN", ks, "; dnaA"))
-        .when(k % 8 == 2, s("PMED4_0", ks, " (PMM0", ks, ")"))
-        .when(k % 8 == 3, s("ABC", (k + 10000).cast("string"), "*"))
+        F.when(k % 9 == 0, s("PMM0", ks))
+        .when(k % 9 == 1, s("PMM", ks, ", PMN", ks, "; dnaA"))
+        .when(k % 9 == 2, s("PMED4_0", ks, " (PMM0", ks, ")"))
+        .when(k % 9 == 3, s("ABC", (k + 10000).cast("string"), "*"))
         .when(
-            k % 8 == 4,
+            k % 9 == 4,
             s(
                 "gi|", ks, "|ref|NP_", (k + 890000).cast("string"),
                 ".1| serine protease; gi|", ks, "|gb|CAE",
@@ -367,20 +380,22 @@ def kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
-            k % 8 == 5,
+            k % 9 == 5,
             s("sp|Q3", (k + 1000).cast("string"), "|RL", ks,
               "_PROM9 C-phycocyanin alpha chain"),
         )
         .when(
-            k % 8 == 6,
+            k % 9 == 6,
             s("Q", (k + 31000).cast("string"), "_PROM9 possible porin GN=somA", ks),
         )
+        .when(k % 9 == 8, s("DNAA", ks, "_PROM9"))
         .otherwise(s("ABC", (k + 20000).cast("string")))
     )
     id_type = (
-        F.when(k % 8 == 4, F.lit("ncbi_protein_defline"))
-        .when(k % 8 == 5, F.lit("uniprot_defline"))
-        .when(k % 8 == 6, F.lit("uniprot_annotation_string"))
+        F.when(k % 9 == 4, F.lit("ncbi_protein_defline"))
+        .when(k % 9 == 5, F.lit("uniprot_defline"))
+        .when(k % 9 == 6, F.lit("uniprot_annotation_string"))
+        .when(k % 9 == 8, F.lit("uniprot_entry_name"))
         .otherwise(F.lit("other"))
     )
     df = part.select(k.alias("row_id"), raw.alias("raw_value"), id_type.alias("id_type"))
@@ -1296,6 +1311,219 @@ def kg_evidence_accretion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("evidence_sources", "|").alias("evidence_sources"),
         F.size("evidence_sources").cast("int").alias("n_sources"),
     )
+
+
+@register(
+    "kg_gene_cds_merge",
+    oracle="""
+    WITH gene AS (
+      SELECT p_partkey AS k, 'gene' || CAST(p_partkey AS VARCHAR) AS id,
+        'PMM' || CAST(p_partkey AS VARCHAR) || '%2CPMM_'
+          || CAST(p_partkey AS VARCHAR) AS locus_tag_enc
+      FROM part
+    ),
+    cds AS (
+      SELECT 'gene' || CAST(p_partkey AS VARCHAR) AS parent,
+        'NP_' || CAST(p_partkey AS VARCHAR) || '.1' AS protein_id
+      FROM part WHERE p_partkey % 2 = 0
+    )
+    SELECT g.k AS row_id,
+      replace(g.locus_tag_enc, '%2C', ',') AS old_locus_tags,
+      c.protein_id
+    FROM gene g JOIN cds c ON g.id = c.parent
+    """,
+)
+def kg_gene_cds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (build_gene_mapping.py:81-110): gene+CDS self-merge on
+    ID==Parent over a synthesized GFF-shaped table (attrs maps, the
+    real operator), incl. URL-decoded multi-valued locus_tag."""
+    from multiomics_biocypher_kg_spark.operators.merge_rules import merge_gene_cds
+
+    part = _read(spark, sf_dir, "part")
+    ks = F.col("p_partkey").cast("string")
+    gene = part.select(
+        F.lit("gene").alias("type"),
+        F.col("p_partkey").alias("k"),
+        F.create_map(
+            F.lit("ID"), F.concat(F.lit("gene"), ks),
+            F.lit("locus_tag"), F.concat(F.lit("PMM"), ks, F.lit("%2CPMM_"), ks),
+        ).alias("attrs"),
+    )
+    cds = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.lit("CDS").alias("type"),
+        F.col("p_partkey").alias("k"),
+        F.create_map(
+            F.lit("Parent"), F.concat(F.lit("gene"), ks),
+            F.lit("protein_id"), F.concat(F.lit("NP_"), ks, F.lit(".1")),
+        ).alias("attrs"),
+    )
+    merged = merge_gene_cds(gene.unionByName(cds))
+    return merged.select(
+        F.col("k_gene").alias("row_id"),
+        "old_locus_tags",
+        F.col("attrs_cds").getItem("protein_id").alias("protein_id"),
+    )
+
+
+@register(
+    "omics_fc_range_check",
+    oracle="""
+    WITH rows_ AS (
+      SELECT 'a' || CAST(user_id % 6 AS VARCHAR) AS analysis_id,
+        CASE WHEN user_id % 6 IN (0, 1) THEN 'linear'
+             WHEN user_id % 6 IN (2, 3) THEN 'log2' END AS fold_change_type,
+        CASE WHEN user_id % 6 IN (1, 3, 5)
+             THEN CAST(event_id % 37 AS DOUBLE) / 10 + 1.1
+             ELSE CAST(event_id % 41 - 20 AS DOUBLE) / 10 END AS fc
+      FROM events
+    ),
+    agg AS (
+      SELECT analysis_id, fold_change_type,
+        count(fc) AS n,
+        CAST(sum(CASE WHEN fc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        round(min(fc), 6) AS fc_min, round(max(fc), 6) AS fc_max
+      FROM rows_ GROUP BY analysis_id, fold_change_type
+    )
+    SELECT *,
+      CASE WHEN coalesce(fold_change_type, 'log2') = 'linear' AND n_negative > 0
+           THEN 'linear_negative_fc'
+           WHEN coalesce(fold_change_type, 'log2') = 'log2' AND n_negative = 0
+                AND fc_min > 1.0
+           THEN 'log2_maybe_linear'
+           ELSE 'ok' END AS fc_range_warning
+    FROM agg
+    """,
+)
+def omics_fc_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (_validate_fc_range, omics_adapter.py:95-133): per-analysis
+    FC-range sanity metrics + warning enum over six synthesized
+    analyses covering linear-with-negatives, log2-all->1, and
+    undeclared-type branches."""
+    from multiomics_biocypher_kg_spark.functions.omics import fc_range_check
+
+    ev = _read(spark, sf_dir, "events")
+    m = F.col("user_id") % 6
+    rows = ev.select(
+        F.concat(F.lit("a"), m.cast("string")).alias("analysis_id"),
+        F.when(m.isin(0, 1), F.lit("linear"))
+        .when(m.isin(2, 3), F.lit("log2"))
+        .alias("fold_change_type"),
+        F.when(
+            m.isin(1, 3, 5), (F.col("event_id") % 37).cast("double") / 10 + 1.1
+        )
+        .otherwise((F.col("event_id") % 41 - 20).cast("double") / 10)
+        .alias("log2_fold_change"),
+    )
+    return fc_range_check(rows)
+
+
+@register(
+    "omics_formula_elements",
+    oracle="""
+    WITH synth AS (
+      SELECT p_partkey AS row_id,
+        CASE p_partkey % 6
+          WHEN 0 THEN 'C6H12O6'
+          WHEN 1 THEN 'H2O'
+          WHEN 2 THEN 'C' || CAST(p_partkey % 20 + 1 AS VARCHAR) || 'H'
+                   || CAST(p_partkey % 30 + 2 AS VARCHAR) || 'NO4PS'
+          WHEN 3 THEN '(CH3)2SO'
+          WHEN 4 THEN 'not a formula!'
+          ELSE ''
+        END AS formula
+      FROM part
+    )
+    SELECT row_id, formula,
+      CASE WHEN formula = '' OR formula IS NULL
+             OR NOT regexp_matches(formula, '^([A-Z][a-z]?[0-9]*|\\(|\\)[0-9]*|\\.[0-9]*)+$')
+           THEN ''
+           ELSE array_to_string(list_sort(list_distinct(
+             regexp_extract_all(formula, '([A-Z][a-z]?)[0-9]*', 1))), '|')
+      END AS elements
+    FROM synth
+    """,
+)
+def omics_formula_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 (_parse_elements, metabolism_adapter.py:40-53): sorted
+    unique element symbols from Hill-notation formulas, empty on
+    malformed/empty input (never raises)."""
+    from multiomics_biocypher_kg_spark.functions.chem import formula_elements
+
+    part = _read(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 6
+    formula = (
+        F.when(m == 0, F.lit("C6H12O6"))
+        .when(m == 1, F.lit("H2O"))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("C"), (F.col("p_partkey") % 20 + 1).cast("string"),
+                F.lit("H"), (F.col("p_partkey") % 30 + 2).cast("string"),
+                F.lit("NO4PS"),
+            ),
+        )
+        .when(m == 3, F.lit("(CH3)2SO"))
+        .when(m == 4, F.lit("not a formula!"))
+        .otherwise(F.lit(""))
+    )
+    return _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("row_id"),
+        formula.alias("formula"),
+        F.array_join(formula_elements(formula), "|").alias("elements"),
+    )
+
+
+@register(
+    "onto_uninformative_flag",
+    oracle="""
+    WITH terms AS (
+      SELECT p_partkey AS row_id,
+        CASE p_partkey % 5
+          WHEN 0 THEN 'go:0008150'
+          WHEN 1 THEN 'cog.category:S'
+          WHEN 2 THEN 'go:' || CAST(1000000 + p_partkey AS VARCHAR)
+          ELSE 'kegg:K' || CAST(p_partkey AS VARCHAR)
+        END AS id,
+        CASE p_partkey % 5
+          WHEN 3 THEN 'K' || CAST(p_partkey AS VARCHAR)
+                   || '; uncharacterized protein'
+          WHEN 4 THEN 'K' || CAST(p_partkey AS VARCHAR) || '; DNA polymerase'
+          ELSE 'some term'
+        END AS name
+      FROM part
+    )
+    SELECT row_id, id, name,
+      CASE WHEN id IN ('go:0008150','go:0003674','go:0005575','cog.category:S',
+                       'cyanorak.role:R','cyanorak.role:R.1','cyanorak.role:R.2',
+                       'cyanorak.role:R.4','cyanorak.role:R.5','tigr.role:156',
+                       'tigr.role:704','tigr.role:856','tigr.role:185','tigr.role:157')
+             OR regexp_matches(name, '^K\\d+;\\s+uncharacterized protein\\b')
+           THEN 'true' ELSE 'false' END AS is_uninformative
+    FROM terms
+    """,
+)
+def onto_uninformative_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 (post-import.cypher:536-559): uninformative-term flagging —
+    curated direct-id list + KEGG uncharacterized-protein name
+    pattern."""
+    from multiomics_biocypher_kg_spark.operators.enrich import flag_uninformative
+
+    part = _read(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 5
+    ks = F.col("p_partkey").cast("string")
+    terms = part.select(
+        F.col("p_partkey").alias("row_id"),
+        F.when(m == 0, F.lit("go:0008150"))
+        .when(m == 1, F.lit("cog.category:S"))
+        .when(m == 2, F.concat(F.lit("go:"), (F.col("p_partkey") + 1000000).cast("string")))
+        .otherwise(F.concat(F.lit("kegg:K"), ks))
+        .alias("id"),
+        F.when(m == 3, F.concat(F.lit("K"), ks, F.lit("; uncharacterized protein")))
+        .when(m == 4, F.concat(F.lit("K"), ks, F.lit("; DNA polymerase")))
+        .otherwise(F.lit("some term"))
+        .alias("name"),
+    )
+    return flag_uninformative(terms)
 
 
 @register(

@@ -92,6 +92,37 @@ def test_uniprot_annotation_tokens(spark):
     assert out[2] == []
 
 
+def test_uniprot_entry_candidates_suffix_strip(spark):
+    """F12: 'DNAA_PROM0' -> [DNAA_PROM0, DNAA] (gene_id_graph.py:70-86)."""
+    out = _eval(
+        spark,
+        cg.uniprot_entry_candidates,
+        ["DNAA_PROM0", "DNAA", "_PROM0", "", "nan"],
+    )
+    assert [(t.token, t.id_type) for t in out[0]] == [
+        ("DNAA_PROM0", "uniprot_entry_name"),
+        ("DNAA", "uniprot_entry_name"),
+    ]
+    assert [t.token for t in out[1]] == ["DNAA"]  # no '_' to strip
+    assert [t.token for t in out[2]] == ["_PROM0"]  # idx 0: no strip
+    assert out[3] == [] and out[4] == []
+
+
+def test_formula_elements(spark):
+    from multiomics_biocypher_kg_spark.functions.chem import formula_elements
+
+    out = _eval(
+        spark,
+        formula_elements,
+        ["C6H12O6", "H2O", "(CH3)2SO", "CuSO4.5H2O", "garbage!", "", None],
+    )
+    assert out[0] == ["C", "H", "O"]
+    assert out[1] == ["H", "O"]
+    assert out[2] == ["C", "H", "O", "S"]
+    assert out[3] == ["Cu", "H", "O", "S"]
+    assert out[4] == [] and out[5] == [] and out[6] == []
+
+
 def test_expand_candidates_feeds_link_first_hit_wins(spark):
     """Integration: a messy multi-valued cell resolves via its FIRST
     resolving candidate (cand_rank order), matching resolve_row's
