@@ -45,6 +45,10 @@ class AnalysisConfig:
     time_point: str | None = None
     time_point_hours: float | None = None
     growth_phase: str | None = None
+    # P6 (omics_adapter.py:823-825): emit only significant rows
+    significant_only: bool = False
+    # P7 (omics_adapter.py:198-200,738): test-mode row cap per analysis
+    test_mode_limit: int | None = None
 
 
 def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
@@ -137,7 +141,7 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
         significant = F.when(sig, F.lit("significant")).otherwise(
             F.lit("not significant")
         )
-    return conv.select(
+    out = conv.select(
         F.lit(cfg.analysis_id).alias("analysis_id"),
         F.lit(cfg.experiment_id).alias("experiment_id"),
         "raw_id",
@@ -152,6 +156,11 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
         F.lit(cfg.time_point_hours).cast("double").alias("time_point_hours"),
         F.lit(cfg.growth_phase).alias("growth_phase"),
     )
+    if cfg.significant_only:  # P6
+        out = out.where(F.col("significant") == "significant")
+    if cfg.test_mode_limit:  # P7
+        out = out.limit(cfg.test_mode_limit)
+    return out
 
 
 def parse_timepoint_hours(c):
@@ -201,6 +210,88 @@ def assign_time_point_order(analyses_meta: DataFrame, label_col: str | None = No
         F.col("analysis_id").asc(),
     )
     return analyses_meta.withColumn("time_point_order", F.row_number().over(w))
+
+
+def aggregate_replicates_wide(
+    df: DataFrame,
+    key_cols: list[str],
+    replicate_cols: list[str],
+    null_values: list[str] = ("ND", "nd"),
+    missing_values: list[str] = ("", "NA"),
+) -> DataFrame:
+    """A11 wide form (_aggregate_replicates,
+    metabolite_assay_adapter.py:106-148): wide replicate columns ->
+    (mean, sd, n_replicates, n_non_zero, replicate_values,
+    detection_status).
+
+    Cell rules (pinned to the reference): missing_values (and
+    unparseable cells) are EXCLUDED; null_values parse as 0.0
+    (not-detected but counted); everything else coerces to float.
+    n==0 -> (0.0, 0.0, 0, 0, [], 'not_detected'); sd is 0.0 below 2
+    replicates; detected iff every replicate is non-zero, sporadic
+    when mixed.
+
+    Plan: unpivot via a literal array explode (no stack string, no
+    shuffle) then ONE groupBy over the keys — map-side combined.
+    Rows whose every cell is missing stay present with defaults.
+    """
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rep_idx"),
+                F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))).alias("s"),
+            )
+            for i, c in enumerate(replicate_cols)
+        ]
+    )
+    long = df.select(*key_cols, F.explode(reps).alias("r")).select(
+        *key_cols, F.col("r.rep_idx").alias("rep_idx"), F.col("r.s").alias("s")
+    )
+    null_arr = [str(v) for v in null_values]
+    miss_arr = [str(v) for v in missing_values]
+    parsed = long.withColumn(
+        "v",
+        F.when(F.col("s").isin(miss_arr), F.lit(None).cast("double"))
+        .when(F.col("s").isin(null_arr), F.lit(0.0))
+        .otherwise(F.expr("try_cast(s AS double)")),
+    ).where(F.col("v").isNotNull() & ~F.isnan("v"))
+    agg = parsed.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_replicates"),
+        F.sum(F.when(F.col("v") != 0.0, 1).otherwise(0)).cast("int").alias("n_non_zero"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(
+            F.when(F.count(F.lit(1)) >= 2, F.stddev_samp("v")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("sd"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rep_idx", "v"))),
+            lambda st: st["v"],
+        ).alias("replicate_values"),
+    )
+    detection = (
+        F.when(F.col("n_non_zero") == 0, F.lit("not_detected"))
+        .when(F.col("n_non_zero") == F.col("n_replicates"), F.lit("detected"))
+        .otherwise(F.lit("sporadic"))
+    )
+    agg = agg.withColumn("detection_status", detection)
+    # keep all-missing keys with the reference's zero-row defaults
+    keys = df.select(*key_cols).distinct()
+    return (
+        keys.join(agg, key_cols, "left")
+        .select(
+            *key_cols,
+            F.coalesce("n_replicates", F.lit(0)).alias("n_replicates"),
+            F.coalesce("n_non_zero", F.lit(0)).alias("n_non_zero"),
+            F.coalesce("mean", F.lit(0.0)).alias("mean"),
+            F.coalesce("sd", F.lit(0.0)).alias("sd"),
+            F.coalesce(
+                "replicate_values", F.array().cast("array<double>")
+            ).alias("replicate_values"),
+            F.coalesce("detection_status", F.lit("not_detected")).alias(
+                "detection_status"
+            ),
+        )
+    )
 
 
 def fc_range_check(
@@ -282,3 +373,53 @@ def expression_edges(rows: DataFrame, pub_id: str) -> DataFrame:
             "growth_phase",
         ).alias("props"),
     )
+
+
+# ── P9: table-type dispatch (omics_adapter.py:524-527,
+#    paperconfig_utils.py:80-115) ──────────────────────────────────
+
+
+def id_translation_table(df: DataFrame, from_col: str, to_col: str) -> DataFrame:
+    """'id_translation' tables: distinct (from_id, to_id) pairs,
+    blanks dropped on both sides."""
+    f, t = F.trim(F.col(from_col)), F.trim(F.col(to_col))
+    return (
+        df.select(f.alias("from_id"), t.alias("to_id"))
+        .where((F.col("from_id") != "") & (F.col("to_id") != ""))
+        .where(F.col("from_id").isNotNull() & F.col("to_id").isNotNull())
+        .distinct()
+    )
+
+
+def gene_clusters_table(df: DataFrame, cluster_col: str, members_col: str) -> DataFrame:
+    """'gene_clusters' tables: multi-valued member cells explode to
+    (cluster_id, gene_id) membership rows."""
+    members = F.filter(
+        F.transform(
+            F.split(F.col(members_col), r"[,;\s]+"), lambda m: F.trim(m)
+        ),
+        lambda m: m != "",
+    )
+    return df.select(
+        F.col(cluster_col).alias("cluster_id"), F.explode(members).alias("gene_id")
+    )
+
+
+def transform_table(df: DataFrame, table_type: str, **kwargs) -> DataFrame:
+    """P9: route a supp table to its per-type pipeline — the
+    reference's adapter dispatch, with the same hard error on an
+    unknown type. kwargs are forwarded (cfg=AnalysisConfig for 'csv',
+    column names for the others)."""
+    transforms = {
+        "csv": lambda d, cfg: transform_analysis(d, cfg),
+        "derived_metrics_table": lambda d, cfg: transform_analysis(d, cfg),
+        "metabolite_assays_table": aggregate_replicates_wide,
+        "id_translation": id_translation_table,
+        "gene_clusters": gene_clusters_table,
+    }
+    if table_type not in transforms:
+        raise ValueError(
+            f"unknown table_type {table_type!r}; expected one of "
+            f"{sorted(transforms)}"
+        )
+    return transforms[table_type](df, **kwargs)

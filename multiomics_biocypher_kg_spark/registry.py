@@ -2428,6 +2428,219 @@ def omics_timepoint_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "omics_replicate_wide",
+    oracle="""
+    WITH synth AS (
+      SELECT event_id AS k,
+        CASE event_id % 7 WHEN 0 THEN 'NA' WHEN 1 THEN 'ND'
+          ELSE CAST(event_id % 23 AS VARCHAR) END AS rep1,
+        CASE event_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'bad!'
+          ELSE CAST(event_id % 19 AS VARCHAR) || '.5' END AS rep2,
+        CASE event_id % 3 WHEN 0 THEN 'NA' WHEN 1 THEN '0'
+          ELSE CAST(event_id % 11 AS VARCHAR) END AS rep3
+      FROM events
+    ),
+    long AS (
+      SELECT k, 1 AS rep_idx, trim(coalesce(rep1, '')) AS s FROM synth
+      UNION ALL SELECT k, 2, trim(coalesce(rep2, '')) FROM synth
+      UNION ALL SELECT k, 3, trim(coalesce(rep3, '')) FROM synth
+    ),
+    parsed AS (
+      SELECT k, rep_idx,
+        CASE WHEN s IN ('', 'NA') THEN NULL
+             WHEN s IN ('ND', 'nd') THEN 0.0
+             ELSE TRY_CAST(s AS DOUBLE) END AS v
+      FROM long
+    ),
+    ok AS (SELECT * FROM parsed WHERE v IS NOT NULL AND NOT isnan(v)),
+    agg AS (
+      SELECT k,
+        CAST(count(*) AS INTEGER) AS n_replicates,
+        CAST(sum(CASE WHEN v <> 0.0 THEN 1 ELSE 0 END) AS INTEGER) AS n_non_zero,
+        round(avg(v), 6) AS mean,
+        round(CASE WHEN count(*) >= 2 THEN stddev_samp(v) ELSE 0.0 END, 6) AS sd,
+        string_agg(CAST(v AS VARCHAR), '|' ORDER BY rep_idx) AS replicate_values
+      FROM ok GROUP BY k
+    )
+    SELECT s.k AS row_id,
+      coalesce(n_replicates, 0) AS n_replicates,
+      coalesce(n_non_zero, 0) AS n_non_zero,
+      coalesce(mean, 0.0) AS mean,
+      coalesce(sd, 0.0) AS sd,
+      coalesce(replicate_values, '') AS replicate_values,
+      CASE WHEN coalesce(n_non_zero, 0) = 0 THEN 'not_detected'
+           WHEN n_non_zero = n_replicates THEN 'detected'
+           ELSE 'sporadic' END AS detection_status
+    FROM (SELECT DISTINCT k FROM synth) s LEFT JOIN agg USING (k)
+    """,
+)
+def omics_replicate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 wide form (_aggregate_replicates,
+    metabolite_assay_adapter.py:106-148): wide replicate columns with
+    missing/'ND'-null/unparseable cells -> mean, sample sd, counts,
+    ordered replicate list, detection status; all-missing keys keep
+    the reference's zero-row defaults."""
+    from multiomics_biocypher_kg_spark.functions.omics import (
+        aggregate_replicates_wide,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    e = F.col("event_id")
+    synth = ev.select(
+        e.alias("row_id"),
+        F.when(e % 7 == 0, F.lit("NA"))
+        .when(e % 7 == 1, F.lit("ND"))
+        .otherwise((e % 23).cast("string"))
+        .alias("rep1"),
+        F.when(e % 5 == 0, F.lit(""))
+        .when(e % 5 == 1, F.lit("bad!"))
+        .otherwise(F.concat((e % 19).cast("string"), F.lit(".5")))
+        .alias("rep2"),
+        F.when(e % 3 == 0, F.lit("NA"))
+        .when(e % 3 == 1, F.lit("0"))
+        .otherwise((e % 11).cast("string"))
+        .alias("rep3"),
+    )
+    out = aggregate_replicates_wide(
+        synth,
+        key_cols=["row_id"],
+        replicate_cols=["rep1", "rep2", "rep3"],
+        null_values=["ND", "nd"],
+        missing_values=["", "NA"],
+    )
+    return out.select(
+        "row_id",
+        "n_replicates",
+        "n_non_zero",
+        "mean",
+        "sd",
+        F.array_join(
+            F.transform(F.col("replicate_values"), lambda v: v.cast("string")), "|"
+        ).alias("replicate_values"),
+        "detection_status",
+    )
+
+
+ANNOT_BUCKETS = [
+    "go", "kegg", "pfam", "ec", "reaction", "transporter", "cazy", "role_edge"
+]
+
+
+@register(
+    "onto_annotation_quality",
+    oracle="""
+    WITH genes AS (
+      SELECT DISTINCT 'g' || CAST(p_partkey % 300 AS VARCHAR) AS gene,
+        (p_partkey % 300) % 4 = 0 AS has_role
+      FROM part
+    ),
+    edges AS (
+      SELECT 'g' || CAST(user_id AS VARCHAR) AS gene,
+        CASE event_id % 11
+          WHEN 0 THEN 'go' WHEN 1 THEN 'kegg' WHEN 2 THEN 'pfam'
+          WHEN 3 THEN 'ec' WHEN 4 THEN 'reaction' WHEN 5 THEN 'transporter'
+          WHEN 6 THEN 'cazy' WHEN 7 THEN 'role_edge'
+          ELSE 'catch_all' END AS bucket
+      FROM events WHERE event_id % 97 < 8
+    ),
+    flags AS (
+      SELECT gene,
+        max(CASE WHEN bucket = 'go' THEN 1 ELSE 0 END) AS has_go,
+        max(CASE WHEN bucket = 'kegg' THEN 1 ELSE 0 END) AS has_kegg,
+        max(CASE WHEN bucket = 'pfam' THEN 1 ELSE 0 END) AS has_pfam,
+        max(CASE WHEN bucket = 'ec' THEN 1 ELSE 0 END) AS has_ec,
+        max(CASE WHEN bucket = 'reaction' THEN 1 ELSE 0 END) AS has_reaction,
+        max(CASE WHEN bucket = 'transporter' THEN 1 ELSE 0 END) AS has_transporter,
+        max(CASE WHEN bucket = 'cazy' THEN 1 ELSE 0 END) AS has_cazy,
+        max(CASE WHEN bucket = 'role_edge' THEN 1 ELSE 0 END) AS has_role_edge,
+        1 AS has_any_edge
+      FROM edges GROUP BY gene
+    ),
+    scored AS (
+      SELECT g.gene,
+        coalesce(f.has_go, 0) + coalesce(f.has_kegg, 0) + coalesce(f.has_pfam, 0)
+          + coalesce(f.has_ec, 0) + coalesce(f.has_reaction, 0)
+          + coalesce(f.has_transporter, 0) + coalesce(f.has_cazy, 0)
+          + coalesce(f.has_role_edge, 0)
+          + CASE WHEN g.has_role THEN 1 ELSE 0 END AS informative_count,
+        coalesce(f.has_any_edge, 0) = 1 AS has_any_edge
+      FROM genes g LEFT JOIN flags f USING (gene)
+    )
+    SELECT gene, CAST(informative_count AS INTEGER) AS informative_count,
+      CASE WHEN informative_count >= 2 THEN 'informative_multi'
+           WHEN informative_count = 1 THEN 'informative_single'
+           WHEN has_any_edge THEN 'catch_all_only'
+           ELSE 'no_evidence' END AS annotation_state,
+      CAST(CASE WHEN informative_count >= 2 THEN 3
+           WHEN informative_count = 1 THEN 2
+           WHEN has_any_edge THEN 1
+           ELSE 0 END AS INTEGER) AS annotation_quality
+    FROM scored
+    """,
+)
+def onto_annotation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (post-import.cypher:572-613): per-gene source-bucket
+    existence flags (the Cypher EXISTS semi-joins) as ONE groupBy
+    with max(when) per bucket — never 8 separate semi-join passes —
+    feeding informative_count -> annotation_state / quality."""
+    part = _read(spark, sf_dir, "part")
+    ev = _read(spark, sf_dir, "events")
+    genes = part.select(
+        F.concat(F.lit("g"), (F.col("p_partkey") % 300).cast("string")).alias("gene"),
+        ((F.col("p_partkey") % 300) % 4 == 0).alias("has_role"),
+    ).distinct()
+    b = F.col("event_id") % 11
+    bucket = (
+        F.when(b == 0, F.lit("go"))
+        .when(b == 1, F.lit("kegg"))
+        .when(b == 2, F.lit("pfam"))
+        .when(b == 3, F.lit("ec"))
+        .when(b == 4, F.lit("reaction"))
+        .when(b == 5, F.lit("transporter"))
+        .when(b == 6, F.lit("cazy"))
+        .when(b == 7, F.lit("role_edge"))
+        .otherwise(F.lit("catch_all"))
+    )
+    edges = ev.where(F.col("event_id") % 97 < 8).select(
+        F.concat(F.lit("g"), F.col("user_id").cast("string")).alias("gene"),
+        bucket.alias("bucket"),
+    )
+    flags = edges.groupBy("gene").agg(
+        *[
+            F.max(F.when(F.col("bucket") == bk, 1).otherwise(0)).alias(f"has_{bk}")
+            for bk in ANNOT_BUCKETS
+        ],
+        F.lit(1).alias("has_any_edge"),
+    )
+    scored = genes.join(flags, "gene", "left").select(
+        "gene",
+        (
+            sum(
+                [F.coalesce(F.col(f"has_{bk}"), F.lit(0)) for bk in ANNOT_BUCKETS],
+                F.lit(0),
+            )
+            + F.when(F.col("has_role"), 1).otherwise(0)
+        ).alias("informative_count"),
+        (F.coalesce(F.col("has_any_edge"), F.lit(0)) == 1).alias("has_any_edge"),
+    )
+    return scored.select(
+        "gene",
+        F.col("informative_count").cast("int").alias("informative_count"),
+        F.when(F.col("informative_count") >= 2, F.lit("informative_multi"))
+        .when(F.col("informative_count") == 1, F.lit("informative_single"))
+        .when(F.col("has_any_edge"), F.lit("catch_all_only"))
+        .otherwise(F.lit("no_evidence"))
+        .alias("annotation_state"),
+        F.when(F.col("informative_count") >= 2, F.lit(3))
+        .when(F.col("informative_count") == 1, F.lit(2))
+        .when(F.col("has_any_edge"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("annotation_quality"),
+    )
+
+
+@register(
     "omics_de_transform",
     oracle=f"""
     WITH synth AS ({OMICS_SYNTH_SQL}),

@@ -109,6 +109,52 @@ def test_omics_transform_cascade_no_thresholds_unknown(spark):
     assert {r.significant for r in rows.values()} == {"unknown"}
 
 
+def test_significant_only_and_test_mode_limit(spark):
+    """P6/P7: config-driven significant-only filter + test-mode cap."""
+    cfg = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+        significant_only=True,
+    )
+    rows = transform_analysis(_de(spark), cfg).collect()
+    assert {r.significant for r in rows} == {"significant"}
+    assert {r.raw_id for r in rows} == {"PMM0001", "PMM0005"}
+    capped = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        test_mode_limit=2,
+    )
+    assert transform_analysis(_de(spark), capped).count() == 2
+
+
+def test_table_type_dispatch(spark):
+    """P9: per-type routing with hard error on unknown types."""
+    import pytest
+    from multiomics_biocypher_kg_spark.functions.omics import transform_table
+
+    clusters = spark.createDataFrame(
+        [("c1", "g1, g2; g3"), ("c2", "g4")], "cluster string, members string"
+    )
+    out = transform_table(
+        clusters, "gene_clusters", cluster_col="cluster", members_col="members"
+    )
+    assert {(r.cluster_id, r.gene_id) for r in out.collect()} == {
+        ("c1", "g1"), ("c1", "g2"), ("c1", "g3"), ("c2", "g4"),
+    }
+    ids = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("", "y"), ("b", None)], "f string, t string"
+    )
+    tr = transform_table(ids, "id_translation", from_col="f", to_col="t")
+    assert {(r.from_id, r.to_id) for r in tr.collect()} == {("a", "x")}
+    with pytest.raises(ValueError, match="unknown table_type"):
+        transform_table(ids, "nope")
+
+
 def test_parse_timepoint_hours_reference_examples(spark):
     """F3: every example from parse_timepoint_hours' docstring
     (paperconfig_utils.py:185-213)."""
