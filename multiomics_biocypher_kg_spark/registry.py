@@ -2641,6 +2641,147 @@ def onto_annotation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "omics_expression_status",
+    oracle="""
+    SELECT event_id,
+      CASE WHEN event_id % 3 = 0 THEN 'significant' ELSE 'not significant' END
+        AS significant,
+      CASE WHEN event_id % 2 = 0 THEN 'up' ELSE 'down' END AS expression_direction,
+      CASE WHEN event_id % 3 = 0 AND event_id % 2 = 0 THEN 'significant_up'
+           WHEN event_id % 3 = 0 AND event_id % 2 <> 0 THEN 'significant_down'
+           ELSE 'not_significant' END AS expression_status
+    FROM events
+    """,
+)
+def omics_expression_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (post-import.cypher:207-212): expression_status composition
+    from (significant, expression_direction)."""
+    ev = _read(spark, sf_dir, "events")
+    sig = F.when(F.col("event_id") % 3 == 0, F.lit("significant")).otherwise(
+        F.lit("not significant")
+    )
+    direction = F.when(F.col("event_id") % 2 == 0, F.lit("up")).otherwise(
+        F.lit("down")
+    )
+    df = ev.select(
+        "event_id", sig.alias("significant"), direction.alias("expression_direction")
+    )
+    status = (
+        F.when(
+            (F.col("significant") == "significant")
+            & (F.col("expression_direction") == "up"),
+            F.lit("significant_up"),
+        )
+        .when(
+            (F.col("significant") == "significant")
+            & (F.col("expression_direction") == "down"),
+            F.lit("significant_down"),
+        )
+        .otherwise(F.lit("not_significant"))
+    )
+    return df.withColumn("expression_status", status)
+
+
+@register(
+    "rel_dm_search_text",
+    oracle="""
+    WITH dms AS (
+      SELECT 'p' || CAST(user_id AS VARCHAR) AS pub,
+        'metric_' || CAST(event_id % 13 AS VARCHAR) AS name,
+        'type_' || CAST(event_id % 5 AS VARCHAR) AS metric_type,
+        CASE WHEN event_id % 4 = 0 THEN NULL
+             ELSE 'desc' || CAST(event_id % 6 AS VARCHAR) END AS field_description
+      FROM events
+    )
+    SELECT pub,
+      trim(
+        coalesce(string_agg(DISTINCT name, ' ' ORDER BY name), '') || ' '
+        || replace(coalesce(string_agg(DISTINCT metric_type, ' ' ORDER BY metric_type), ''), '_', ' ')
+        || ' '
+        || coalesce(string_agg(DISTINCT field_description, ' ' ORDER BY field_description), '')
+      ) AS derived_metric_search_text
+    FROM dms GROUP BY pub
+    """,
+)
+def rel_dm_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 (post-import.cypher:429-442,514-526): per-publication
+    derived-metric fulltext aggregation — distinct names + metric
+    types (underscore -> space) + field descriptions, null descs
+    skipped; token order pinned sorted (the reference's collect order
+    is engine-arbitrary)."""
+    ev = _read(spark, sf_dir, "events")
+    dms = ev.select(
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("pub"),
+        F.concat(F.lit("metric_"), (F.col("event_id") % 13).cast("string")).alias(
+            "name"
+        ),
+        F.concat(F.lit("type_"), (F.col("event_id") % 5).cast("string")).alias(
+            "metric_type"
+        ),
+        F.when(
+            F.col("event_id") % 4 != 0,
+            F.concat(F.lit("desc"), (F.col("event_id") % 6).cast("string")),
+        ).alias("field_description"),
+    )
+    agg = dms.groupBy("pub").agg(
+        F.array_join(F.array_sort(F.collect_set("name")), " ").alias("names"),
+        F.regexp_replace(
+            F.array_join(F.array_sort(F.collect_set("metric_type")), " "), "_", " "
+        ).alias("types"),
+        F.array_join(F.array_sort(F.collect_set("field_description")), " ").alias(
+            "descs"
+        ),
+    )
+    return agg.select(
+        "pub",
+        F.trim(
+            F.concat(
+                F.col("names"), F.lit(" "), F.col("types"), F.lit(" "), F.col("descs")
+            )
+        ).alias("derived_metric_search_text"),
+    )
+
+
+@register(
+    "onto_level_kind",
+    oracle="""
+    SELECT p_partkey AS row_id, id,
+      CAST(len(string_split(id, '.')) - 1 AS INTEGER) AS level,
+      ['tc_class','tc_subclass','tc_family','tc_subfamily','tc_specificity']
+        [len(string_split(id, '.'))] AS level_kind
+    FROM (
+      SELECT p_partkey,
+        array_to_string(list_slice(['1','A','12','3','1'], 1, p_partkey % 5 + 1), '.')
+          AS id
+      FROM part
+    )
+    """,
+)
+def onto_level_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 (tcdb_adapter.py:163-165, brite_adapter.py:171-173):
+    level = path depth from the dotted id, level_kind = depth-indexed
+    enum — pure arithmetic on split()."""
+    part = _read(spark, sf_dir, "part")
+    segs = F.array(F.lit("1"), F.lit("A"), F.lit("12"), F.lit("3"), F.lit("1"))
+    tc_id = F.array_join(F.slice(segs, 1, F.col("p_partkey") % 5 + 1), ".")
+    kinds = F.array(
+        F.lit("tc_class"),
+        F.lit("tc_subclass"),
+        F.lit("tc_family"),
+        F.lit("tc_subfamily"),
+        F.lit("tc_specificity"),
+    )
+    df = part.select(F.col("p_partkey").alias("row_id"), tc_id.alias("id"))
+    depth = F.size(F.split(F.col("id"), r"\.")) - 1
+    return df.select(
+        "row_id",
+        "id",
+        depth.cast("int").alias("level"),
+        F.element_at(kinds, depth + 1).alias("level_kind"),
+    )
+
+
+@register(
     "omics_de_transform",
     oracle=f"""
     WITH synth AS ({OMICS_SYNTH_SQL}),
