@@ -1594,7 +1594,8 @@ def ev_timepoint_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_sig_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/F4/F6/F7: the full significance cascade — prefiltered ->
-    asterisk -> threshold -> unknown (omics_adapter.py:595-632), with
+    asterisk-mode (decides alone) -> no-thresholds 'unknown' ->
+    present-checks-only AND (omics_adapter.py:595-632), with
     asterisk parsing (:770-787), linear->log2 conversion (:76-92) and
     expression direction (:828-830) — over strings synthesized
     deterministically from event ids (same on both engines)."""

@@ -30,8 +30,10 @@ def build_session(
     """Create (or get) a tuned SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
-    all cores). On a real cluster pass ``None`` and let spark-submit
-    own the master; every other setting here is cluster-safe.
+    all cores). Pass ``master="submit"`` under spark-submit: the
+    master / deploy mode / executor sizing then belong to the submit
+    command and this factory only layers the workload confs (all of
+    which are cluster-safe).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -42,9 +44,11 @@ def build_session(
         except ValueError:
             shuffle_partitions = 32
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
