@@ -95,24 +95,23 @@ def connected_components(
             und.join(labels, und.b == labels.node)
             .select(und.a.alias("node"), "component")
         )
-        new_labels = (
-            labels.select("node", "component")
-            .union(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
+        candidates = labels.select("node", "component").union(neighbor)
         if shortcut:
-            l2 = new_labels.select(
+            # pointer jump: component-of-component joins INTO the
+            # union feeding the min() agg (same fixed point; keeping
+            # the checkpoint directly after the agg also sidesteps a
+            # Spark 4 localCheckpoint-of-union attribute-rewrite bug)
+            l2 = labels.select(
                 F.col("node").alias("c_node"), F.col("component").alias("c_comp")
             )
-            new_labels = new_labels.join(
-                l2, new_labels.component == l2.c_node, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("c_comp", "component")
-                ).alias("component"),
+            jump = (
+                labels.join(l2, labels.component == l2.c_node)
+                .select("node", F.col("c_comp").alias("component"))
             )
+            candidates = candidates.union(jump)
+        new_labels = candidates.groupBy("node").agg(
+            F.min("component").alias("component")
+        )
         labels = _ckpt(new_labels, checkpoint)
         if it % 2 == 1 or it == max_iter - 1:
             changed = (
