@@ -75,19 +75,22 @@ def connected_components(
         .distinct()
     )
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # fused init = the first propagation round: label(v) = min(v, N(v))
+    # in the same agg that enumerates the nodes — saves one full
+    # checkpoint job vs initializing to the identity labeling.
     labels = _ckpt(
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node")),
+        und.groupBy(F.col("a").alias("node")).agg(
+            F.least(F.min("b"), F.col("a")).alias("component")
+        ),
         checkpoint,
     )
     # convergence probe: min-label propagation is monotone (labels only
     # ever decrease), so the global count of (node, component) pairs
     # that differ from the previous round is checkable with a cheap
-    # aggregate on the NEW labels joined to the old — but the join is
-    # itself a job. Probing every other round halves the action count;
-    # the extra propagation round on an already-converged labeling is
-    # a no-op and costs less than the skipped probe.
+    # aggregate on the NEW labels joined to the old. With the pointer
+    # jump, shallow graphs (the same-as case) converge in 1-2 rounds,
+    # so probing EVERY round ends the loop at the earliest fixed point
+    # — the probe is half a job, a full extra round is one.
     prev = labels
     changed = None
     for it in range(max_iter):
@@ -113,16 +116,15 @@ def connected_components(
             F.min("component").alias("component")
         )
         labels = _ckpt(new_labels, checkpoint)
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            if changed == 0:
-                break
-            prev = labels
+        changed = (
+            labels.alias("n")
+            .join(prev.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        if changed == 0:
+            break
+        prev = labels
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
