@@ -91,6 +91,37 @@ def test_neardup_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_alias_remap_all_broadcast(spark):
+    """J11: the node/alias dims broadcast; the edge stream never
+    shuffle-joins."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_alias_remap"](spark, SF_TINY))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_annotation_quality_single_flag_pass(spark):
+    """J13: the 8 existence flags compute in ONE aggregate over the
+    edge stream (max(when) per bucket), not 8 semi-join passes."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["onto_annotation_quality"](spark, SF_TINY))
+    # one partial+final agg pair for the flags, one join back to genes
+    assert plan.count("HashAggregate") <= 6
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_candidate_expansion_stays_in_codegen(spark):
+    """J4/J5: candidate generation is pure per-row expression work —
+    no Python eval, no shuffle before the explode."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_candidates"](spark, SF_TINY))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # map-only pipeline
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing demo (scale pattern): pre-bucket both sides of a
     repeated join key -> the join plan has no shuffle exchange on
