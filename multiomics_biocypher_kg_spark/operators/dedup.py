@@ -125,45 +125,47 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(id, i, minhash) for each of the N_HASHES affine functions.
+    """WIDE signatures: (id, mh0..mh{N-1}) — all N_HASHES mins in ONE
+    aggregation over the shingle stream.
 
-    One explode by hash index (N_HASHES rows per shingle), min-agg per
-    (id, i) — partial aggregation collapses it map-side. The hash
-    family is a LITERAL array (no broadcast build job, no join in
-    the plan at all).
+    One pass, one shuffle keyed by id, no row blowup: each shingle
+    row evaluates the 16 affine hashes as 16 agg expressions (all
+    map-side combined), instead of exploding 16x and re-grouping by
+    (id, i). The hash family is compile-time literal — no broadcast
+    build job, no join in the plan.
     """
-    coeff_arr = F.array(
+    hashed = sh.select("id", (md5_long(F.col("shingle")) % R).alias("x"))
+    return hashed.groupBy("id").agg(
         *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(a).cast("long").alias("a"),
-                F.lit(b).cast("long").alias("b"),
-            )
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % R).alias(f"mh{i}")
             for i, a, b in MINHASH_COEFFS
         ]
-    )
-    hashed = sh.select("id", (md5_long(F.col("shingle")) % R).alias("x"))
-    return (
-        hashed.select("id", "x", F.explode(coeff_arr).alias("c"))
-        .groupBy("id", F.col("c.i").alias("i"))
-        .agg(F.min((F.col("c.a") * F.col("x") + F.col("c.b")) % R).alias("mh"))
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band signatures -> bucket join -> distinct candidate pairs."""
-    banded = (
-        sigs.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
+    """Wide signatures -> per-band signature strings (pure column
+    concat, no extra shuffle — the frame is already one row per id)
+    -> bucket equi-join -> distinct candidate pairs."""
+    n_hashes = len(MINHASH_COEFFS)
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("sig")
+                *[
+                    F.col(f"mh{i}").cast("string")
+                    for i in range(
+                        band * ROWS_PER_BAND,
+                        min((band + 1) * ROWS_PER_BAND, n_hashes),
+                    )
+                ],
+            ).alias("sig"),
         )
+        for band in range(BANDS)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*bands)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "sig")
     b = banded.select(F.col("id").alias("id_b"), "band", "sig")
