@@ -218,6 +218,7 @@ def aggregate_replicates_wide(
     replicate_cols: list[str],
     null_values: list[str] = ("ND", "nd"),
     missing_values: list[str] = ("", "NA"),
+    drop_undetected: bool = False,
 ) -> DataFrame:
     """A11 wide form (_aggregate_replicates,
     metabolite_assay_adapter.py:106-148): wide replicate columns ->
@@ -229,7 +230,8 @@ def aggregate_replicates_wide(
     (not-detected but counted); everything else coerces to float.
     n==0 -> (0.0, 0.0, 0, 0, [], 'not_detected'); sd is 0.0 below 2
     replicates; detected iff every replicate is non-zero, sporadic
-    when mixed.
+    when mixed. ``drop_undetected`` (P10) removes not_detected rows
+    from the output, the reference's config switch.
 
     Plan: unpivot via a literal array explode (no stack string, no
     shuffle) then ONE groupBy over the keys — map-side combined.
@@ -276,7 +278,7 @@ def aggregate_replicates_wide(
     agg = agg.withColumn("detection_status", detection)
     # keep all-missing keys with the reference's zero-row defaults
     keys = df.select(*key_cols).distinct()
-    return (
+    out = (
         keys.join(agg, key_cols, "left")
         .select(
             *key_cols,
@@ -292,6 +294,9 @@ def aggregate_replicates_wide(
             ),
         )
     )
+    if drop_undetected:
+        out = out.where(F.col("detection_status") != "not_detected")
+    return out
 
 
 def fc_range_check(

@@ -132,6 +132,29 @@ def test_significant_only_and_test_mode_limit(spark):
     assert transform_analysis(_de(spark), capped).count() == 2
 
 
+def test_replicate_wide_drop_undetected(spark):
+    """P10: the drop_undetected config removes not_detected rows."""
+    from multiomics_biocypher_kg_spark.functions.omics import (
+        aggregate_replicates_wide,
+    )
+
+    df = spark.createDataFrame(
+        [("m1", "1.0", "2.0"), ("m2", "0", "ND"), ("m3", "NA", "")],
+        "metabolite string, r1 string, r2 string",
+    )
+    kept = aggregate_replicates_wide(
+        df, ["metabolite"], ["r1", "r2"], drop_undetected=True
+    )
+    assert {r.metabolite for r in kept.collect()} == {"m1"}
+    full = aggregate_replicates_wide(df, ["metabolite"], ["r1", "r2"])
+    statuses = {r.metabolite: r.detection_status for r in full.collect()}
+    assert statuses == {
+        "m1": "detected",
+        "m2": "not_detected",
+        "m3": "not_detected",
+    }
+
+
 def test_table_type_dispatch(spark):
     """P9: per-type routing with hard error on unknown types."""
     import pytest
