@@ -30,7 +30,13 @@ HOT_HOST = "hot.example.com"
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet -> pages DataFrame (input_hint shape + doc_id)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pages_from_documents_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def pages_from_documents_df(docs: DataFrame) -> DataFrame:
+    """The pure transform half — composes with readStream unchanged
+    (streaming/ingest.py feeds a streaming documents frame through
+    it)."""
     host = F.when(F.col("doc_id") % 10 < 3, F.lit(HOT_HOST)).otherwise(
         F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org"))
     )
