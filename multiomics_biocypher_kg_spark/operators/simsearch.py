@@ -303,3 +303,127 @@ def label_centroids(
         )
         .select("label", "n_vectors", "centroid_norm")
     )
+
+
+# ── IVF (inverted-file) ANN ──────────────────────────────────────────
+
+
+def _sq_dist_lit(vec_col, centroid: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_assign(v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid list id (ties -> smallest list id). Centroids
+    are literal arrays — tiny (n_lists x dim), compiled into the
+    expression; the vector table is scanned once, no join."""
+    dist_arr = F.array(*[_sq_dist_lit(F.col("v"), c) for c in cents])
+    best = F.array_position(dist_arr, F.array_min(dist_arr))
+    return v.withColumn("list_id", (best - 1).cast("int"))
+
+
+def ivf_index(
+    vectors: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF index: k-means with FIXED init (the n_lists
+    lowest-id vectors) and a FIXED iteration count — reproducible
+    across runs/engines, no RNG.
+
+    Returns (assignments(id, v, nv, list_id), centroids). Lloyd steps
+    are two scans per iteration: assign (literal-centroid argmin,
+    map-only) + per-dim mean (posexplode, map-side combined). The
+    centroid table is n_lists x dim floats — driver-size by
+    construction, shipped back as expression literals.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
+    cents = [list(r.v) for r in v.orderBy("id").limit(n_lists).collect()]
+    for _ in range(iters):
+        assigned = _ivf_assign(v, cents)
+        per_dim = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new = {}
+        for r in per_dim.collect():
+            new.setdefault(r.list_id, {})[r.pos] = r.m
+        cents = [
+            [new[i][p] for p in sorted(new[i])] if i in new else cents[i]
+            for i in range(n_lists)
+        ]
+    return _ivf_assign(v, cents), cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe nearest inverted lists per query,
+    exact cosine re-rank on candidates only.
+
+    At scale the corpus is partitioned (bucketed) by list_id, so a
+    query touches n_probe/n_lists of the data; probe selection is a
+    literal-centroid argsort per query (map-only) and candidates come
+    from an equi-join on list_id after exploding the probe set —
+    never an array_contains nested-loop join. Recall/cost dial:
+    n_probe (n_probe = n_lists degenerates to exact search).
+    """
+    assigned, cents = ivf_index(
+        vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    dist_structs = F.array(
+        *[
+            F.struct(
+                _sq_dist_lit(F.col("qv"), c).alias("d"), F.lit(i).alias("l")
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(
+        F.transform(F.array_sort(dist_structs), lambda s: s["l"]), 1, n_probe
+    )
+    q = (
+        assigned.select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
+        .withColumn("list_id", F.explode(probes))
+    )
+    cand = (
+        q.join(
+            assigned.select(
+                F.col("id").alias("neighbor_id"), "v", "nv", "list_id"
+            ),
+            "list_id",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2034,6 +2034,59 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_curation",
+    oracle=f"""
+    WITH corpus AS ({DEDUP_CORPUS_SQL}),
+    stats AS (
+      SELECT doc_id, text,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        round(
+          (CASE WHEN len(string_split(text,' ')) >= 20 THEN 1.0
+                ELSE len(string_split(text,' ')) / 20.0 END)
+          + (CASE WHEN length(text)::DOUBLE / len(string_split(text,' ')) BETWEEN 3 AND 10
+                  THEN 1.0 ELSE 0.0 END)
+          + (CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+               / len(string_split(text, ' '))) * 5, 6) AS quality_score
+      FROM corpus
+    ),
+    kept AS (
+      SELECT * FROM stats WHERE n_tokens >= 10 AND quality_score >= 1.5
+    ),
+    canon AS (
+      SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
+        CAST(count(*) AS BIGINT) AS n_copies
+      FROM kept GROUP BY md5(text)
+    )
+    SELECT c.doc_id, s.n_tokens, s.quality_score, c.n_copies
+    FROM canon c JOIN stats s ON c.doc_id = s.doc_id
+    """,
+)
+def text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass: quality gate
+    (length + chars/token + stopword-density score) -> exact dedup
+    keeping the lowest-id canonical doc with its duplicate count —
+    one quality scan + one content-hash shuffle over the corpus,
+    the minimal shape of a real corpus-curation job."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    t = F.col("text")
+    stats = corpus.select(
+        "doc_id",
+        "text",
+        ts.token_count(t).alias("n_tokens"),
+        F.round(ts.quality_score(t), 6).alias("quality_score"),
+    )
+    kept = stats.where((F.col("n_tokens") >= 10) & (F.col("quality_score") >= 1.5))
+    canon = kept.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return canon.join(stats.drop("text"), "doc_id").select(
+        "doc_id", "n_tokens", "quality_score", "n_copies"
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     WITH sh AS (
@@ -2220,6 +2273,22 @@ def _lsh_cands_sql(n_tables: int, n_planes: int) -> str:
       JOIN lsh_buckets b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id
     )
     """
+
+
+@register("ann_ivf_topk")  # iterative k-means index: rows-only driver check;
+# exactness-vs-bruteforce, determinism, and the n_probe=n_lists degenerate
+# case are pinned in tests/test_dedup_simsearch.py
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the brief's 'IVF variant as the scale path'):
+    deterministic k-means inverted lists (fixed lowest-id init, fixed
+    Lloyd iterations — no RNG), n_probe nearest lists per query,
+    exact cosine re-rank on probed candidates only. At scale the
+    corpus is bucketed by list_id so a query touches
+    n_probe/n_lists of the data."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=5, n_lists=8, n_probe=3)
 
 
 @register(

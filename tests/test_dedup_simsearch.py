@@ -153,6 +153,35 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF (fixed init, fixed Lloyd iterations): candidates come from
+    probed lists only; scores exact on overlap; recall beats chance;
+    two runs are bit-identical (no RNG anywhere)."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    exact = cosine_topk(emb, k=3, allow_full_corpus_queries=True).collect()
+    approx = ivf_topk(emb, k=3, n_lists=8, n_probe=3).collect()
+    exact_top1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    approx_map = {(r.query_id, r.neighbor_id) for r in approx}
+    hit = sum(1 for q, n in exact_top1.items() if (q, n) in approx_map)
+    assert hit / len(exact_top1) >= 0.3, hit / len(exact_top1)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    again = ivf_topk(emb, k=3, n_lists=8, n_probe=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+    # n_probe = n_lists degenerates to exact search
+    full = ivf_topk(emb, k=3, n_lists=4, n_probe=4).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == {
+        (r.query_id, r.neighbor_id) for r in exact
+    }
+
+
 def test_langid_discriminates_real_text(spark):
     rows = [
         (0, "the cat and the hat of a dog", "en"),
