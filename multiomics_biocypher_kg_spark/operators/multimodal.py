@@ -95,3 +95,85 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, kind string, width int, height int, payload binary"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes int"
+
+
+def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """mapInPandas image 'resize': non-image rows pass through
+    untouched metadata-wise; image payloads map through the stub
+    resampler (deterministic stride subsample to width*height bytes —
+    a real deployment swaps in PIL thumbnailing with the identical
+    batch contract). Output rows == input rows."""
+
+    n_out = width * height
+
+    def _stub_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        if len(payload) <= n_out:
+            return payload
+        step = len(payload) / n_out
+        return bytes(payload[int(i * step)] for i in range(n_out))
+
+    def run(batches):
+        # real codec init (PIL) would happen HERE, once per partition
+        for pdf in batches:
+            out = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image":
+                    out.append(_stub_resize(bytes(payload)))
+                else:
+                    out.append(bytes(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(list(pdf["doc_id"]), dtype="int64"),
+                    "kind": pd.Series(list(pdf["kind"]), dtype=object),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    # dtype=object keeps Arrow's binary conversion valid
+                    # even for an empty batch (a bare list would infer
+                    # float64 and fail the large_binary cast)
+                    "payload": pd.Series(out, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas video frame sampling: each video payload yields
+    ``n_frames`` equal byte slices as one row per 'frame' (the real
+    ffmpeg keyframe extractor slots into the same one-batch-in,
+    many-rows-out contract); non-video rows produce nothing.
+    Deterministic boundaries: frame i = payload[i*L//n : (i+1)*L//n].
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                b = bytes(payload)
+                ln = len(b)
+                for i in range(n_frames):
+                    fr = b[(i * ln) // n_frames : ((i + 1) * ln) // n_frames]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

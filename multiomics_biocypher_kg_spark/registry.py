@@ -2323,6 +2323,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, text, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_idx,
+        substr(text, ((i * L) // 4) + 1,
+               (((i + 1) * L) // 4) - ((i * L) // 4)) AS frame_text
+      FROM vids, (SELECT unnest(generate_series(0, 3)) AS i) f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_text,
+      CAST(strlen(frame_text) AS INTEGER) AS n_bytes
+    FROM frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling end-to-end: binary video payloads ->
+    mapInPandas one-row-per-frame slicing (the ffmpeg-keyframe slot);
+    the oracle recomputes the deterministic byte boundaries in SQL,
+    so the many-rows-out Arrow batch contract is correctness-gated."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_payloads,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = sample_frames(attach_payloads(docs), n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.decode("frame", "utf-8").alias("frame_text"),
+        "n_bytes",
+    )
+
+
+@register(
     "mm_decode_features",
     oracle="""
     WITH chars AS (

@@ -194,6 +194,30 @@ def test_langid_discriminates_real_text(spark):
     assert out == {0: "en", 1: "de", 2: "es", 3: "fr"}
 
 
+def test_multimodal_resize_and_frames(spark):
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_payloads,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 100), (1, "y" * 100), (2, "abcdefgh")],
+        "doc_id long, text string",
+    )  # kinds: 0=image, 1=audio, 2=video
+    media = attach_payloads(docs)
+    resized = {r.doc_id: r for r in resize_images(media, 4, 4).collect()}
+    assert len(bytes(resized[0].payload)) == 16  # image downsampled
+    assert len(bytes(resized[1].payload)) == 100  # audio passthrough
+    assert (resized[0].width, resized[0].height) == (4, 4)
+
+    frames = sample_frames(media, n_frames=4).collect()
+    assert {r.doc_id for r in frames} == {2}  # only the video
+    by_idx = {r.frame_idx: bytes(r.frame) for r in frames}
+    assert b"".join(by_idx[i] for i in range(4)) == b"abcdefgh"
+    assert all(r.n_bytes == 2 for r in frames)
+
+
 def test_multimodal_decode_stub(spark):
     from multiomics_biocypher_kg_spark.operators.multimodal import (
         attach_payloads,
