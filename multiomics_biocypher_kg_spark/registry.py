@@ -1893,10 +1893,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(dd.shingles(corpus), 0.5)
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS ({SHINGLES_SQL}),
+MINHASH_PAIRS_CTES = f"""
+    sh AS ({SHINGLES_SQL}),
     hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
     sigs AS (
       SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
@@ -1912,10 +1910,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
     ),
-    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5)
-    SELECT c.id_a, c.id_b, v.jaccard
-    FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
-    """,
+    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5),
+    pairs AS (
+      SELECT c.id_a, c.id_b, v.jaccard
+      FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"WITH {MINHASH_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 hashes) + LSH (8 bands x 2 rows) candidate pairs,
@@ -1923,6 +1928,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature cost, bucket-join discovery, exact verify on the
     (tiny) candidate set only."""
     return dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component AS canonical_id,
+      CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup deliverable: near-dup PAIRS (MinHash-LSH
+    discovery + exact verify) chain into connected components so
+    transitively-linked documents collapse to ONE canonical id (min
+    doc id) with cluster sizes — what a curation job actually writes
+    back. Composes the two scale paths end-to-end: banded candidate
+    generation + pointer-jump CC."""
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    pairs = dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
 
 
 @register(
