@@ -273,6 +273,10 @@ def simhash_banded_pairs(
         raise ValueError(
             f"recall 1.0 needs n_bands > max_hamming (got {n_bands} <= {max_hamming})"
         )
+    if bits % n_bands != 0:
+        # truncated division would leave the top bits outside every
+        # band, silently missing pairs that differ only there
+        raise ValueError(f"bits ({bits}) must divide evenly into {n_bands} bands")
     width = bits // n_bands
     mask = (1 << width) - 1
     banded = hashes.select(

@@ -347,6 +347,10 @@ def ivf_index(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nv", _norm(F.col("v")))
     cents = [list(r.v) for r in v.orderBy("id").limit(n_lists).collect()]
+    # a corpus smaller than n_lists yields fewer seed centroids
+    n_lists = len(cents)
+    if n_lists == 0:
+        raise ValueError("ivf_index: empty vector table")
     for _ in range(iters):
         assigned = _ivf_assign(v, cents)
         per_dim = (
