@@ -21,23 +21,19 @@ class ValidationError(ValueError):
 
 
 def _fail_if_any(df: DataFrame, bad: Column, what: str, show: int = 5) -> None:
-    """ONE aggregation pass: violation count + first examples
-    together (slice of a sorted collect over the violating rows
-    only; violating sets are tiny by contract)."""
-    row = (
-        df.where(bad)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.slice(
-                F.collect_list(F.to_json(F.struct(*df.columns))), 1, show
-            ).alias("examples"),
-        )
-        .collect()[0]
-    )
-    if row.n:
-        raise ValidationError(
-            f"{what}: {row.n} violating rows, e.g. {list(row.examples)}"
-        )
+    """ONE bounded job on the happy path (a plain count — no row
+    buffering, so a systematically-broken input with millions of
+    violations cannot OOM the validator); the example fetch is a
+    second, ``show``-bounded job taken only on the failure path."""
+    n = df.where(bad).count()
+    if n:
+        sample = [
+            r.j
+            for r in df.where(bad)
+            .select(F.to_json(F.struct(*df.columns)).alias("j"))
+            .head(show)
+        ]
+        raise ValidationError(f"{what}: {n} violating rows, e.g. {sample}")
 
 
 def map_boolean_tokens(

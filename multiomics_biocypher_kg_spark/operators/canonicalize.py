@@ -138,6 +138,7 @@ def canonical_mapping(
     anchors: DataFrame | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """sameas evidence -> (entity_id, canonical_id, is_conflict).
 
@@ -149,7 +150,9 @@ def canonical_mapping(
 
     ``anchors``: optional DataFrame(entity_id) of tier-1 anchor ids.
     """
-    comp = connected_components(sameas, src=id_a, dst=id_b).select(
+    comp = connected_components(
+        sameas, src=id_a, dst=id_b, checkpoint=checkpoint
+    ).select(
         F.col("node").alias("entity_id"), "component"
     )
     if anchors is None:

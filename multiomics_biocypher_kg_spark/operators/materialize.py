@@ -129,6 +129,8 @@ def accrete_evidence(arms: list[tuple[str, DataFrame]], keys: list[str]) -> Data
     shuffle + one keys shuffle — no iterative passes over the edge
     table. The fold-vs-one-shot equivalence is pytest-gated.
     """
+    if not arms:
+        raise ValueError("accrete_evidence: at least one evidence arm required")
     tagged = None
     for i, (source, df) in enumerate(arms):
         t = (

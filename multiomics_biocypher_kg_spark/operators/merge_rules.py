@@ -98,14 +98,21 @@ def merge_sources(
     return out.select(*cols)
 
 
-def merge_gene_cds(gff: DataFrame, attrs_col: str = "attrs") -> DataFrame:
+def merge_gene_cds(
+    gff: DataFrame, attrs_col: str = "attrs", decode_locus_tag: bool = False
+) -> DataFrame:
     """J7 (ncbi_merge_cds_and_gene_entries,
     build_gene_mapping.py:81-110): self-merge of a GFF3 scan — gene
     rows join CDS rows on gene.attrs['ID'] == cds.attrs['Parent'],
     every column suffixed _gene/_cds (pandas merge suffixes), plus
-    the reference's locus_tag hygiene: URL-decode the gene
-    locus_tag ('PMT0003%2CPMT_0003' -> 'PMT0003,PMT_0003') and keep
-    the full decoded string as old_locus_tags.
+    the reference's locus_tag hygiene: the (possibly multi-valued)
+    locus_tag is kept whole as old_locus_tags.
+
+    ``decode_locus_tag`` applies the reference's URL-decode
+    ('PMT0003%2CPMT_0003' -> 'PMT0003,PMT_0003') — pass True ONLY
+    for raw/encoded attrs; ``sources.readers.gff3`` already decodes
+    every attribute value, and decoding twice corrupts tags that
+    legitimately contain '%' or '+'.
 
     One equi-join keyed by the attribute value; both sides come from
     the same scan (Catalyst reuses the exchange under AQE).
@@ -121,5 +128,7 @@ def merge_gene_cds(gff: DataFrame, attrs_col: str = "attrs") -> DataFrame:
         F.col(f"{attrs_col}_gene").getItem("ID")
         == F.col(f"{attrs_col}_cds").getItem("Parent"),
     )
-    lt = F.url_decode(F.col(f"{attrs_col}_gene").getItem("locus_tag"))
+    lt = F.col(f"{attrs_col}_gene").getItem("locus_tag")
+    if decode_locus_tag:
+        lt = F.url_decode(lt)
     return j.withColumn("locus_tag", lt).withColumn("old_locus_tags", lt)

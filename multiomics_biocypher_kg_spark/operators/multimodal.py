@@ -121,18 +121,25 @@ def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFram
     def run(batches):
         # real codec init (PIL) would happen HERE, once per partition
         for pdf in batches:
-            out = []
+            out, widths, heights = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if kind == "image":
                     out.append(_stub_resize(bytes(payload)))
+                    widths.append(width)
+                    heights.append(height)
                 else:
+                    # passthrough rows keep NULL dimensions — stamping
+                    # the target size on an untouched payload would lie
+                    # to consumers sizing buffers from width*height
                     out.append(bytes(payload))
+                    widths.append(None)
+                    heights.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(list(pdf["doc_id"]), dtype="int64"),
                     "kind": pd.Series(list(pdf["kind"]), dtype=object),
-                    "width": pd.Series([width] * len(pdf), dtype="int32"),
-                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
                     # dtype=object keeps Arrow's binary conversion valid
                     # even for an empty batch (a bare list would infer
                     # float64 and fail the large_binary cast)

@@ -54,15 +54,22 @@ def sameas_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stars.union(bridges).where(F.col("id_a") != F.col("id_b"))
 
 
-def build_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Run the full DAG over the driver corpus; returns lazy stages."""
+def build_graph(
+    spark: SparkSession, sf_dir: str, cc_checkpoint: str = "local"
+) -> dict[str, DataFrame]:
+    """Run the full DAG over the driver corpus; returns lazy stages.
+
+    ``cc_checkpoint='reliable'`` makes the connected-components loop
+    checkpoint to the durable dir set via setCheckpointDir — the
+    multi-executor setting where a lost executor must not kill the
+    lineage-truncated run."""
     pages = pages_from_documents(spark, sf_dir)
     vocab = vocab_df(spark)
     docs = extract(pages)
     mentions = mentions_tokens(docs, vocab)
     links = link(mentions, vocab)
     sameas = sameas_from_documents(spark, sf_dir)
-    mapping = canonical_mapping(sameas)
+    mapping = canonical_mapping(sameas, checkpoint=cc_checkpoint)
 
     mention_triples = triples_from_links(links, subj_col="url")
     same_triples = sameas_triples(mapping)
@@ -88,7 +95,9 @@ def build_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
-def run_staged(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, "DataFrame"]:
+def run_staged(
+    spark: SparkSession, sf_dir: str, workdir: str, cc_checkpoint: str = "local"
+) -> dict[str, "DataFrame"]:
     """The DAG as idempotent, resumable stage tables (north rule):
     each stage = one parquet stage table + lineage row; re-running
     skips completed stages; a crashed half-write converges via the
@@ -96,7 +105,7 @@ def run_staged(spark: SparkSession, sf_dir: str, workdir: str) -> dict[str, "Dat
     from multiomics_biocypher_kg_spark.plans.lineage import StagedRunner
 
     runner = StagedRunner(spark, workdir)
-    stages = build_graph(spark, sf_dir)
+    stages = build_graph(spark, sf_dir, cc_checkpoint=cc_checkpoint)
     out: dict[str, DataFrame] = {}
     out["docs"] = runner.run_stage("extract", lambda: stages["docs"], ["url"])
     out["links"] = runner.run_stage(

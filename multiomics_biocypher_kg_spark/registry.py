@@ -1357,7 +1357,7 @@ def kg_gene_cds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("protein_id"), F.concat(F.lit("NP_"), ks, F.lit(".1")),
         ).alias("attrs"),
     )
-    merged = merge_gene_cds(gene.unionByName(cds))
+    merged = merge_gene_cds(gene.unionByName(cds), decode_locus_tag=True)
     return merged.select(
         F.col("k_gene").alias("row_id"),
         "old_locus_tags",
@@ -1466,7 +1466,7 @@ def omics_formula_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.lit("not a formula!"))
         .otherwise(F.lit(""))
     )
-    return _read(spark, sf_dir, "part").select(
+    return part.select(
         F.col("p_partkey").alias("row_id"),
         formula.alias("formula"),
         F.array_join(formula_elements(formula), "|").alias("elements"),

@@ -37,6 +37,8 @@ def csv_with_dialect(
     zero Python round-trips on the line stream.
     """
     if skiprows:
+        if not header:
+            raise ValueError("skiprows without header is not supported")
         lines = spark.read.text(path).select(
             "value",
             F.input_file_name().alias("_f"),
@@ -48,16 +50,18 @@ def csv_with_dialect(
         )
         if comment:
             body = body.where(~F.col("value").startswith(comment))
-        if not header:
-            raise ValueError("skiprows without header is not supported")
-        first = (
-            body.orderBy("_f", "_r").select("value").limit(1).collect()
-        )
+        # header = the first SURVIVING line per file (comment lines at
+        # or before the header position must not shift data rows into
+        # the header slot): re-number the filtered stream per file
+        body = body.withColumn("_r2", F.row_number().over(w))
+        first = body.where(F.col("_r2") == 1).select("value").limit(1).collect()
         if not first:
-            return spark.createDataFrame([], "value string")
+            raise ValueError(
+                f"{path}: no header line survives skiprows={skiprows}/comment filter"
+            )
         cols = [c.strip() for c in first[0].value.split(sep)]
         ddl = ", ".join(f"`{c}` string" for c in cols)
-        data = body.where(F.col("_r") > skiprows + 1)
+        data = body.where(F.col("_r2") > 1)
         return data.select(
             F.from_csv(F.col("value"), ddl, {"sep": sep}).alias("row")
         ).select("row.*")

@@ -63,9 +63,13 @@ def main(argv: list[str] | None = None) -> int:
         master=args.local_master or "submit",
         shuffle_partitions=args.shuffle_partitions,
     )
+    cc_checkpoint = "local"
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
-    stages = run_staged(spark, args.sf_dir, args.workdir)
+        cc_checkpoint = "reliable"
+    stages = run_staged(
+        spark, args.sf_dir, args.workdir, cc_checkpoint=cc_checkpoint
+    )
     summary = {name: df.count() for name, df in stages.items()}
     print(json.dumps({"status": "ok", "rows": summary}))
     spark.stop()

@@ -210,6 +210,8 @@ def test_multimodal_resize_and_frames(spark):
     assert len(bytes(resized[0].payload)) == 16  # image downsampled
     assert len(bytes(resized[1].payload)) == 100  # audio passthrough
     assert (resized[0].width, resized[0].height) == (4, 4)
+    # passthrough rows keep NULL dimensions (their payload is untouched)
+    assert resized[1].width is None and resized[1].height is None
 
     frames = sample_frames(media, n_frames=4).collect()
     assert {r.doc_id for r in frames} == {2}  # only the video

@@ -104,6 +104,26 @@ def test_readers_csv_dialect_and_fasta(spark, tmp_path):
     assert gr.attrs["ID"] == "g1" and gr.attrs["Name"] == "dna-A"
 
 
+def test_csv_dialect_comment_before_header(spark, tmp_path):
+    """A comment line at the header position must not shift a data
+    row into the header slot (header = first SURVIVING line)."""
+    from multiomics_biocypher_kg_spark.sources.readers import csv_with_dialect
+
+    p = tmp_path / "c.csv"
+    p.write_text("meta\n#note\ncolA,colB\n1,2\n")
+    df = csv_with_dialect(spark, str(p), skiprows=1, header=True, comment="#")
+    rows = df.collect()
+    assert df.columns == ["colA", "colB"]
+    assert [(r.colA, r.colB) for r in rows] == [("1", "2")]
+
+    empty = tmp_path / "e.csv"
+    empty.write_text("only\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="no header"):
+        csv_with_dialect(spark, str(empty), skiprows=5, header=True)
+
+
 GBK_FIXTURE = """LOCUS       NC_000001            1000 bp    DNA     circular CON 01-JAN-2020
 DEFINITION  Test genome.
 FEATURES             Location/Qualifiers
