@@ -145,18 +145,23 @@ def uniprot_entry_candidates(c: Column) -> Column:
     )
 
 
-def other_candidates(c: Column) -> Column:
-    """'other' id_type path: expand_list + per-candidate heuristic
-    variants (resolve_row pass 1 + pass 2), ordered distinct, typed
-    'other'."""
+def other_candidates(c: Column, include_heuristics: bool = True) -> Column:
+    """'other' id_type path: expand_list + (optionally) per-candidate
+    heuristic variants (resolve_row pass 1 + pass 2), ordered
+    distinct, typed 'other'. Pass ``include_heuristics=False`` when
+    the caller runs the reference's pass structure itself and must
+    keep pass-1 candidates separate from pass-2 variants."""
     base = expand_list(c)
-    with_heur = F.array_distinct(
-        F.concat(base, F.flatten(F.transform(base, heuristic_variants)))
-    )
-    return F.transform(with_heur, lambda t: _token_struct(t, "other"))
+    if include_heuristics:
+        base = F.array_distinct(
+            F.concat(base, F.flatten(F.transform(base, heuristic_variants)))
+        )
+    return F.transform(base, lambda t: _token_struct(t, "other"))
 
 
-def candidate_tokens_col(value: Column, id_type: Column) -> Column:
+def candidate_tokens_col(
+    value: Column, id_type: Column, include_heuristics: bool = True
+) -> Column:
     """Column-level dispatch on a per-row id_type column — the whole
     dispatch stays one CASE expression in codegen."""
     return (
@@ -164,7 +169,7 @@ def candidate_tokens_col(value: Column, id_type: Column) -> Column:
         .when(id_type == "uniprot_defline", uniprot_defline_tokens(value))
         .when(id_type == "uniprot_annotation_string", uniprot_annotation_tokens(value))
         .when(id_type == "uniprot_entry_name", uniprot_entry_candidates(value))
-        .otherwise(other_candidates(value))
+        .otherwise(other_candidates(value, include_heuristics))
     )
 
 

@@ -46,7 +46,10 @@ def heuristic_normalize(c):
 
 
 def expand_candidates(
-    df: DataFrame, value_col: str = "raw_value", id_type_col: str = "id_type"
+    df: DataFrame,
+    value_col: str = "raw_value",
+    id_type_col: str = "id_type",
+    include_heuristics: bool = True,
 ) -> DataFrame:
     """J4/J5 candidate generation feeding the link cascade: each raw
     cell expands to ordered typed candidates (resolve_row's
@@ -65,7 +68,9 @@ def expand_candidates(
         candidate_tokens_col,
     )
 
-    toks = candidate_tokens_col(F.col(value_col), F.col(id_type_col))
+    toks = candidate_tokens_col(
+        F.col(value_col), F.col(id_type_col), include_heuristics
+    )
     keep = df.columns
     return df.select(
         *keep, F.posexplode(toks).alias("pos", "cand")
@@ -154,6 +159,113 @@ def link(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
         *keep,
         entity.alias("entity_id"),
         method.alias("resolution_method"),
+    )
+
+
+def resolve_rows(
+    cells: DataFrame,
+    vocab: DataFrame,
+    value_col: str = "raw_value",
+    id_type_col: str = "id_type",
+) -> DataFrame:
+    """ROW-level resolution with the reference's exact pass structure
+    (resolve_row, gene_id_utils.py:478-622) — differential-tested
+    against the reference's own implementation in
+    tests/test_reference_parity.py:
+
+      pass 1  tier-1 exact over the expand_list/defline candidates
+      pass 1b tier-1 case-insensitive over the same candidates
+      pass 2  heuristic variants (footnote strip, '.1' version ADD)
+              -> tier-1 exact
+      pass 3  tier-2 exact, singletons only
+      pass 3b tier-2 case-insensitive, singletons only
+
+    First hit wins with (pass, candidate order, variant order)
+    priority — the reference iterates passes outermost, candidates
+    inner, which is exactly this lexicographic minimum.
+
+    vocab: (surface, tier, entity_id, ...); tier-1 surfaces must be
+    unambiguous (the reference's specific_lookup is a dict).
+    Non-key columns of ``cells`` are preserved; unresolvable rows
+    return entity_id NULL with resolution_method 'unresolved'.
+
+    Scale: per-row expression expansion + five BROADCAST joins —
+    the cell stream is never shuffled; one final min_by aggregation
+    keyed by the input row.
+    """
+    from multiomics_biocypher_kg_spark.functions.candidates import (
+        heuristic_variants,
+    )
+
+    keys = [c for c in cells.columns]
+    base = expand_candidates(
+        cells, value_col, id_type_col, include_heuristics=False
+    )
+    variants = base.select(
+        *keys,
+        "cand_rank",
+        F.posexplode(heuristic_variants(F.col("token"))).alias("var_rank", "token"),
+    )
+
+    def lut(tier: int, lowered: bool):
+        key = F.lower("surface") if lowered else F.col("surface")
+        return (
+            vocab.where((F.col("tier") == tier) & ~F.col("surface").contains(" "))
+            .groupBy(key.alias("k"))
+            .agg(
+                F.min("entity_id").alias("e"),
+                F.countDistinct("entity_id").alias("n"),
+            )
+            .where(F.col("n") == 1)
+            .select("k", "e")
+        )
+
+    t1 = lut(1, False)
+    t1ci = lut(1, True)
+    t2 = lut(2, False)
+    t2ci = lut(2, True)
+
+    def hits(cand_df, lookup, key_expr, prio: int, var_col=None):
+        j = cand_df.join(
+            F.broadcast(lookup), key_expr == F.col("k"), "inner"
+        )
+        return j.select(
+            *keys,
+            F.lit(prio).alias("prio"),
+            F.col("cand_rank"),
+            (F.col(var_col) if var_col else F.lit(0)).alias("var_rank"),
+            F.col("e").alias("entity_id"),
+        )
+
+    all_hits = (
+        hits(base, t1, F.col("token"), 1)
+        .unionByName(hits(base, t1ci, F.lower("token"), 2))
+        .unionByName(hits(variants, t1, F.col("token"), 3, var_col="var_rank"))
+        .unionByName(hits(base, t2, F.col("token"), 4))
+        .unionByName(hits(base, t2ci, F.lower("token"), 5))
+    )
+    best = all_hits.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(F.col("entity_id"), F.col("prio")),
+            F.struct("prio", "cand_rank", "var_rank"),
+        ).alias("b")
+    )
+    method = (
+        F.when(F.col("b.prio") == 1, F.lit("tier1_exact"))
+        .when(F.col("b.prio") == 2, F.lit("tier1_ci"))
+        .when(F.col("b.prio") == 3, F.lit("heuristic"))
+        .when(F.col("b.prio") == 4, F.lit("tier2_singleton"))
+        .otherwise(F.lit("tier2_ci"))
+    )
+    resolved = best.select(
+        *keys, F.col("b.entity_id").alias("entity_id"), method.alias("resolution_method")
+    )
+    return cells.join(resolved, keys, "left").select(
+        *keys,
+        "entity_id",
+        F.coalesce("resolution_method", F.lit("unresolved")).alias(
+            "resolution_method"
+        ),
     )
 
 
