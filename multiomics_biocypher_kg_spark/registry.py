@@ -410,6 +410,174 @@ def kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kg_resolve_rows",
+    oracle="""
+    WITH synth AS (
+      SELECT p_partkey AS row_id,
+        CASE p_partkey % 6
+          WHEN 0 THEN 'PMM0' || p_partkey
+          WHEN 1 THEN lower('PMM0' || (p_partkey - 1))
+          WHEN 2 THEN 'PMM0' || (p_partkey - 2) || '*'
+          WHEN 3 THEN 'ABC' || (p_partkey + 10000)
+          WHEN 4 THEN 'zzz, MLT' || p_partkey
+          ELSE 'unknown_' || p_partkey
+        END AS raw_value
+      FROM part
+    ),
+    v1 AS (
+      SELECT 'PMM0' || p_partkey AS surface, 'g' || p_partkey AS e
+      FROM part WHERE p_partkey % 6 = 0
+      UNION ALL
+      SELECT 'ABC' || (p_partkey + 10000) || '.1', 'p' || p_partkey
+      FROM part WHERE p_partkey % 6 = 3
+    ),
+    v2 AS (
+      SELECT 'MLT' || p_partkey AS surface, 'm' || p_partkey AS e
+      FROM part WHERE p_partkey % 6 = 4 AND p_partkey % 12 = 4
+      UNION ALL   -- ambiguous pair: two entities per surface
+      SELECT 'MLT' || p_partkey, 'm' || p_partkey FROM part
+      WHERE p_partkey % 6 = 4 AND p_partkey % 12 = 10
+      UNION ALL
+      SELECT 'MLT' || p_partkey, 'x' || p_partkey FROM part
+      WHERE p_partkey % 6 = 4 AND p_partkey % 12 = 10
+    ),
+    t2 AS (
+      SELECT surface AS k, min(e) AS e FROM v2
+      GROUP BY surface HAVING count(DISTINCT e) = 1
+    ),
+    base_raw AS (
+      SELECT row_id, raw_value,
+        list_concat(list_concat(
+          [trim(raw_value)],
+          CASE WHEN regexp_matches(trim(raw_value), '[,;]')
+               THEN list_filter(list_transform(
+                 string_split_regex(trim(raw_value), '[,;]'), p -> trim(p)),
+                 p -> p <> '')
+               ELSE []::VARCHAR[] END),
+          CASE WHEN contains(trim(raw_value), '(') OR contains(trim(raw_value), ' ')
+               THEN regexp_extract_all(trim(raw_value), '[\\w.*:_-]+')
+               ELSE []::VARCHAR[] END) AS lst
+      FROM synth
+    ),
+    base AS (
+      SELECT row_id, u.tok AS token, u.i AS cand_rank
+      FROM (
+        SELECT row_id, list_filter(lst, (x, i) -> list_position(lst, x) = i) AS l
+        FROM base_raw
+      ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) u
+    ),
+    variants AS (
+      SELECT row_id, cand_rank, u.tok AS token, u.i AS var_rank
+      FROM (
+        SELECT row_id, cand_rank,
+          list_concat(
+            CASE WHEN trim(regexp_replace(token, '[*+]+$', '')) <> token
+                  AND trim(regexp_replace(token, '[*+]+$', '')) <> ''
+                 THEN [trim(regexp_replace(token, '[*+]+$', ''))]
+                 ELSE []::VARCHAR[] END,
+            CASE WHEN NOT contains(token, '.')
+                  AND regexp_matches(token, '^[A-Z]{3}[0-9]{5,}$')
+                 THEN [token || '.1'] ELSE []::VARCHAR[] END) AS l
+        FROM base
+      ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) u
+    ),
+    hits AS (
+      SELECT b.row_id, 1 AS prio, b.cand_rank, 0 AS var_rank, v.e
+      FROM base b JOIN v1 v ON b.token = v.surface
+      UNION ALL
+      SELECT b.row_id, 2, b.cand_rank, 0, min(v.e)
+      FROM base b JOIN v1 v ON lower(b.token) = lower(v.surface)
+      GROUP BY b.row_id, b.cand_rank HAVING count(DISTINCT v.e) = 1
+      UNION ALL
+      SELECT h.row_id, 3, h.cand_rank, h.var_rank, v.e
+      FROM variants h JOIN v1 v ON h.token = v.surface
+      UNION ALL
+      SELECT b.row_id, 4, b.cand_rank, 0, t.e
+      FROM base b JOIN t2 t ON b.token = t.k
+      UNION ALL
+      SELECT b.row_id, 5, b.cand_rank, 0, min(t.e)
+      FROM base b JOIN t2 t ON lower(b.token) = lower(t.k)
+      GROUP BY b.row_id, b.cand_rank HAVING count(DISTINCT t.e) = 1
+    ),
+    ranked AS (
+      SELECT row_id, prio, e,
+        row_number() OVER (PARTITION BY row_id
+          ORDER BY prio, cand_rank, var_rank, e) AS rn
+      FROM hits
+    )
+    SELECT s.row_id, s.raw_value, r.e AS entity_id,
+      CASE r.prio WHEN 1 THEN 'tier1_exact' WHEN 2 THEN 'tier1_ci'
+           WHEN 3 THEN 'heuristic' WHEN 4 THEN 'tier2_singleton'
+           WHEN 5 THEN 'tier2_ci'
+           ELSE 'unresolved' END AS resolution_method
+    FROM synth s LEFT JOIN ranked r ON s.row_id = r.row_id AND r.rn = 1
+    """,
+)
+def kg_resolve_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level resolution (resolve_row's 5-pass structure) over
+    synthesized cells exercising exact / case-insensitive / footnote
+    strip / '.1' version-add / list-expansion + tier-2 singleton &
+    ambiguity / unresolved — the oracle mirrors every pass in SQL.
+    (The same operator is also differential-tested against the
+    reference's own resolve_row in tests/test_reference_parity.py.)"""
+    from multiomics_biocypher_kg_spark.operators.link import resolve_rows
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    raw = (
+        F.when(k % 6 == 0, F.concat(F.lit("PMM0"), ks))
+        .when(k % 6 == 1, F.lower(F.concat(F.lit("PMM0"), (k - 1).cast("string"))))
+        .when(k % 6 == 2, F.concat(F.lit("PMM0"), (k - 2).cast("string"), F.lit("*")))
+        .when(k % 6 == 3, F.concat(F.lit("ABC"), (k + 10000).cast("string")))
+        .when(k % 6 == 4, F.concat(F.lit("zzz, MLT"), ks))
+        .otherwise(F.concat(F.lit("unknown_"), ks))
+    )
+    cells = part.select(
+        k.alias("row_id"), raw.alias("raw_value"), F.lit("other").alias("id_type")
+    )
+    v1 = part.where(k % 6 == 0).select(
+        F.concat(F.lit("PMM0"), ks).alias("surface"),
+        F.lit("gene").alias("id_type"),
+        F.lit(1).alias("tier"),
+        F.concat(F.lit("g"), ks).alias("entity_id"),
+        F.lit("map").alias("vocab"),
+    )
+    v1b = part.where(k % 6 == 3).select(
+        F.concat(F.lit("ABC"), (k + 10000).cast("string"), F.lit(".1")).alias("surface"),
+        F.lit("protein").alias("id_type"),
+        F.lit(1).alias("tier"),
+        F.concat(F.lit("p"), ks).alias("entity_id"),
+        F.lit("map").alias("vocab"),
+    )
+    v2a = part.where((k % 6 == 4) & (k % 12 == 4)).select(
+        F.concat(F.lit("MLT"), ks).alias("surface"),
+        F.lit("gene").alias("id_type"),
+        F.lit(2).alias("tier"),
+        F.concat(F.lit("m"), ks).alias("entity_id"),
+        F.lit("map").alias("vocab"),
+    )
+    v2b = part.where((k % 6 == 4) & (k % 12 == 10)).select(
+        F.concat(F.lit("MLT"), ks).alias("surface"),
+        F.lit("gene").alias("id_type"),
+        F.lit(2).alias("tier"),
+        F.concat(F.lit("m"), ks).alias("entity_id"),
+        F.lit("map").alias("vocab"),
+    )
+    v2c = part.where((k % 6 == 4) & (k % 12 == 10)).select(
+        F.concat(F.lit("MLT"), ks).alias("surface"),
+        F.lit("gene").alias("id_type"),
+        F.lit(2).alias("tier"),
+        F.concat(F.lit("x"), ks).alias("entity_id"),
+        F.lit("map").alias("vocab"),
+    )
+    vocab = v1.unionByName(v1b).unionByName(v2a).unionByName(v2b).unionByName(v2c)
+    return resolve_rows(cells, vocab).select(
+        "row_id", "raw_value", "entity_id", "resolution_method"
+    )
+
+
 @register("kg_components", oracle=COMPONENTS_SQL)
 def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sameas = sameas_from_documents(spark, sf_dir)
