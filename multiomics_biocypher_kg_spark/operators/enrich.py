@@ -94,40 +94,46 @@ def ancestors_closure(
     max_depth: int = 8,
 ) -> DataFrame:
     """G2/G5: bounded-depth ancestor closure (node, ancestor, depth)
-    via iterative self-joins (reference trees are <=5 levels;
-    go_utils.py:207-237, post-import.cypher:840-911)."""
-    base = edges.select(
-        F.col(child).alias("node"),
-        F.col(parent).alias("ancestor"),
-        F.lit(1).alias("depth"),
-    ).distinct()
+    (reference trees are <=5 levels; go_utils.py:207-237,
+    post-import.cypher:840-911).
+
+    Min-plus SQUARING instead of a one-hop frontier loop: after k
+    rounds the closure covers every path of <= 2^k edges, so
+    ceil(log2(max_depth)) self-joins reach the bound — 3 rounds and
+    ZERO convergence probes for depth 8, vs 7 join+checkpoint+probe
+    rounds for the linear frontier. min(depth) over the union keeps
+    the shortest-path depth exactly (min-plus semiring squaring).
+    Each round re-aggregates, so the checkpoint lands on fresh
+    attribute ids (the Spark-4 AQE workaround documented earlier).
+    """
+    base = (
+        edges.select(
+            F.col(child).alias("node"),
+            F.col(parent).alias("ancestor"),
+            F.lit(1).alias("depth"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     closure = base
-    frontier = base
-    for _ in range(max_depth - 1):
+    rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
+    for _ in range(rounds):
         step = (
-            frontier.alias("f")
-            .join(base.alias("b"), F.col("f.ancestor") == F.col("b.node"))
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.ancestor") == F.col("b.node"))
+            .where(F.col("a.depth") + F.col("b.depth") <= max_depth)
             .select(
-                F.col("f.node").alias("node"),
+                F.col("a.node").alias("node"),
                 F.col("b.ancestor").alias("ancestor"),
-                (F.col("f.depth") + 1).alias("depth"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
             )
         )
-        # re-project through an aggregate to mint fresh attribute ids
-        # (localCheckpoint directly on the anti-joined plan trips
-        # attribute resolution under AQE in Spark 4)
-        step = (
-            step.join(closure, ["node", "ancestor"], "left_anti")
+        closure = (
+            closure.union(step)
             .groupBy("node", "ancestor")
             .agg(F.min("depth").alias("depth"))
             .localCheckpoint(eager=True)
         )
-        if step.isEmpty():
-            break
-        # no checkpoint on the accumulated union: every step is already
-        # a checkpoint leaf, so the plan stays linear in depth (<=8)
-        closure = closure.union(step)
-        frontier = step
     return closure
 
 
