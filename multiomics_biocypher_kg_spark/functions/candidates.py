@@ -160,17 +160,29 @@ def other_candidates(c: Column, include_heuristics: bool = True) -> Column:
 
 
 def candidate_tokens_col(
-    value: Column, id_type: Column, include_heuristics: bool = True
+    value: Column,
+    id_type: Column,
+    include_heuristics: bool = True,
+    entry_name_strip: bool = True,
 ) -> Column:
     """Column-level dispatch on a per-row id_type column — the whole
-    dispatch stays one CASE expression in codegen."""
-    return (
+    dispatch stays one CASE expression in codegen.
+
+    ``entry_name_strip`` routes id_type='uniprot_entry_name' through
+    the _ORGANISM-suffix-strip candidates (normalize_id,
+    gene_id_graph.py:70-86). resolve_row's _candidate_values has NO
+    such case (that normalizer belongs to the GeneIdGraph resolver),
+    so resolve_rows passes False to stay pass-exact."""
+    chain = (
         F.when(id_type == "ncbi_protein_defline", ncbi_defline_tokens(value))
         .when(id_type == "uniprot_defline", uniprot_defline_tokens(value))
         .when(id_type == "uniprot_annotation_string", uniprot_annotation_tokens(value))
-        .when(id_type == "uniprot_entry_name", uniprot_entry_candidates(value))
-        .otherwise(other_candidates(value, include_heuristics))
     )
+    if entry_name_strip:
+        chain = chain.when(
+            id_type == "uniprot_entry_name", uniprot_entry_candidates(value)
+        )
+    return chain.otherwise(other_candidates(value, include_heuristics))
 
 
 def typed_candidates(c: Column, id_type: str) -> Column:

@@ -50,6 +50,7 @@ def expand_candidates(
     value_col: str = "raw_value",
     id_type_col: str = "id_type",
     include_heuristics: bool = True,
+    entry_name_strip: bool = True,
 ) -> DataFrame:
     """J4/J5 candidate generation feeding the link cascade: each raw
     cell expands to ordered typed candidates (resolve_row's
@@ -69,7 +70,7 @@ def expand_candidates(
     )
 
     toks = candidate_tokens_col(
-        F.col(value_col), F.col(id_type_col), include_heuristics
+        F.col(value_col), F.col(id_type_col), include_heuristics, entry_name_strip
     )
     keep = df.columns
     return df.select(
@@ -186,8 +187,18 @@ def resolve_rows(
 
     vocab: (surface, tier, entity_id, ...); tier-1 surfaces must be
     unambiguous (the reference's specific_lookup is a dict).
-    Non-key columns of ``cells`` are preserved; unresolvable rows
-    return entity_id NULL with resolution_method 'unresolved'.
+    Non-key columns of ``cells`` are preserved (NULLs included — the
+    row re-association is null-safe); unresolvable rows return
+    entity_id NULL with resolution_method 'unresolved'.
+
+    CI semantics pinned to MappingData._build_ci_indexes
+    (gene_id_utils.py:237-254): a lowered key that IS an exact
+    surface of the same tier is skipped (the exact pass owns it).
+    Documented deviations from un-mirrorable reference behavior:
+    CI collisions across distinct entities are unresolvable here
+    (the reference keeps an arbitrary dict-insertion-order winner),
+    and duplicate targets in a tier-2 list collapse (the reference
+    counts len(['E1','E1'])==2 as ambiguous).
 
     Scale: per-row expression expansion + five BROADCAST joins —
     the cell stream is never shuffled; one final min_by aggregation
@@ -198,8 +209,16 @@ def resolve_rows(
     )
 
     keys = [c for c in cells.columns]
+    reserved = {
+        "entity_id", "resolution_method", "token", "token_id_type",
+        "cand_rank", "var_rank", "prio", "pos", "cand", "k", "e", "b",
+    }
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(f"resolve_rows: cells columns collide with internals: {sorted(clash)}")
     base = expand_candidates(
-        cells, value_col, id_type_col, include_heuristics=False
+        cells, value_col, id_type_col,
+        include_heuristics=False, entry_name_strip=False,
     )
     variants = base.select(
         *keys,
@@ -208,17 +227,15 @@ def resolve_rows(
     )
 
     def lut(tier: int, lowered: bool):
-        key = F.lower("surface") if lowered else F.col("surface")
-        return (
-            vocab.where((F.col("tier") == tier) & ~F.col("surface").contains(" "))
-            .groupBy(key.alias("k"))
-            .agg(
-                F.min("entity_id").alias("e"),
-                F.countDistinct("entity_id").alias("n"),
+        lk = _lookup(vocab, tier, lowered).where(F.col("n") == 1).select("k", "e")
+        if lowered:
+            # _build_ci_indexes: the CI index only holds lowered keys
+            # that are NOT exact surfaces of the same tier
+            exact = _lookup(vocab, tier, lowered=False).select(
+                F.col("k").alias("_xk")
             )
-            .where(F.col("n") == 1)
-            .select("k", "e")
-        )
+            lk = lk.join(exact, lk.k == exact._xk, "left_anti")
+        return lk
 
     t1 = lut(1, False)
     t1ci = lut(1, True)
@@ -260,10 +277,17 @@ def resolve_rows(
     resolved = best.select(
         *keys, F.col("b.entity_id").alias("entity_id"), method.alias("resolution_method")
     )
-    return cells.join(resolved, keys, "left").select(
-        *keys,
-        "entity_id",
-        F.coalesce("resolution_method", F.lit("unresolved")).alias(
+    # null-safe re-association: a NULL in any preserved column must
+    # still match its own resolution row (plain join equality drops it)
+    c, r = cells.alias("c"), resolved.alias("r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"c.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    return c.join(r, cond, "left").select(
+        *[F.col(f"c.{k}").alias(k) for k in keys],
+        F.col("r.entity_id").alias("entity_id"),
+        F.coalesce(F.col("r.resolution_method"), F.lit("unresolved")).alias(
             "resolution_method"
         ),
     )

@@ -442,9 +442,25 @@ def kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'MLT' || p_partkey, 'x' || p_partkey FROM part
       WHERE p_partkey % 6 = 4 AND p_partkey % 12 = 10
     ),
+    t1 AS (
+      SELECT surface AS k, min(e) AS e FROM v1
+      GROUP BY surface HAVING count(DISTINCT e) = 1
+    ),
+    t1ci AS (
+      SELECT c.k, c.e FROM (
+        SELECT lower(surface) AS k, min(e) AS e FROM v1
+        GROUP BY lower(surface) HAVING count(DISTINCT e) = 1
+      ) c LEFT JOIN t1 x ON c.k = x.k WHERE x.k IS NULL
+    ),
     t2 AS (
       SELECT surface AS k, min(e) AS e FROM v2
       GROUP BY surface HAVING count(DISTINCT e) = 1
+    ),
+    t2ci AS (
+      SELECT c.k, c.e FROM (
+        SELECT lower(surface) AS k, min(e) AS e FROM v2
+        GROUP BY lower(surface) HAVING count(DISTINCT e) = 1
+      ) c LEFT JOIN t2 x ON c.k = x.k WHERE x.k IS NULL
     ),
     base_raw AS (
       SELECT row_id, raw_value,
@@ -484,21 +500,19 @@ def kg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hits AS (
       SELECT b.row_id, 1 AS prio, b.cand_rank, 0 AS var_rank, v.e
-      FROM base b JOIN v1 v ON b.token = v.surface
+      FROM base b JOIN t1 v ON b.token = v.k
       UNION ALL
-      SELECT b.row_id, 2, b.cand_rank, 0, min(v.e)
-      FROM base b JOIN v1 v ON lower(b.token) = lower(v.surface)
-      GROUP BY b.row_id, b.cand_rank HAVING count(DISTINCT v.e) = 1
+      SELECT b.row_id, 2, b.cand_rank, 0, v.e
+      FROM base b JOIN t1ci v ON lower(b.token) = v.k
       UNION ALL
       SELECT h.row_id, 3, h.cand_rank, h.var_rank, v.e
-      FROM variants h JOIN v1 v ON h.token = v.surface
+      FROM variants h JOIN t1 v ON h.token = v.k
       UNION ALL
       SELECT b.row_id, 4, b.cand_rank, 0, t.e
       FROM base b JOIN t2 t ON b.token = t.k
       UNION ALL
-      SELECT b.row_id, 5, b.cand_rank, 0, min(t.e)
-      FROM base b JOIN t2 t ON lower(b.token) = lower(t.k)
-      GROUP BY b.row_id, b.cand_rank HAVING count(DISTINCT t.e) = 1
+      SELECT b.row_id, 5, b.cand_rank, 0, t.e
+      FROM base b JOIN t2ci t ON lower(b.token) = t.k
     ),
     ranked AS (
       SELECT row_id, prio, e,

@@ -39,9 +39,16 @@ MULTI = {
     "psbA": ["PMM0020"],
     "rbcL": ["PMM0030", "PMM0031"],
     "ftsZ": ["PMM0060"],
+    # all-lowercase surface: its lowered form IS an exact key, so the
+    # reference's CI index skips it (_build_ci_indexes) — 'LOWER2'
+    # must stay unresolved on both sides
+    "lower2": ["PMM0070"],
 }
 
-SURFACE_POOL = ["PMM0001", "dnaA", "GeneX", "psbA", "rbcL", "zzz", "PMM0077", "AAV95689"]
+SURFACE_POOL = [
+    "PMM0001", "dnaA", "GeneX", "psbA", "rbcL", "zzz", "PMM0077",
+    "AAV95689", "lower2",
+]
 
 
 def _mapping_data():
@@ -78,7 +85,7 @@ def _fuzz_cells():
             f"unknown ({s})",
             f"{s} {SURFACE_POOL[(i + 1) % len(SURFACE_POOL)]}",
         ]
-    cells += ["", "nan", "zzz", "ZZZ*", "PSBA", "FTSZ", "aav95689"]
+    cells += ["", "nan", "zzz", "ZZZ*", "PSBA", "FTSZ", "aav95689", "LOWER2", "Lower2"]
     return cells
 
 
@@ -146,6 +153,11 @@ def test_resolver_matches_reference_on_deflines(spark):
         ("sp|Q31L36|RL33_PROM9 ribosomal protein", "uniprot_defline"),
         ("RL33_PROM9 some product GN=dnaA", "uniprot_annotation_string"),
         ("no defline at all", "ncbi_protein_defline"),
+        # resolve_row has NO special case for uniprot_entry_name (the
+        # _ORGANISM strip belongs to the GeneIdGraph resolver): plain
+        # expand_list candidates only -> unresolved on both sides even
+        # though the stripped form 'dnaA' would hit tier 1
+        ("dnaA_PROM0", "uniprot_entry_name"),
     ]
     expected = []
     for val, idt in cases:
@@ -164,4 +176,17 @@ def test_resolver_matches_reference_on_deflines(spark):
     vocab = spark.createDataFrame(_vocab_rows(), VOCAB_SCHEMA)
     got = {r.row_id: r.entity_id for r in resolve_rows(cells_df, vocab).collect()}
     assert [got[i] for i in range(len(cases))] == expected
-    assert expected[0] == "PMM0099" and expected[3] is None
+    assert expected[0] == "PMM0099" and expected[3] is None and expected[4] is None
+
+
+def test_resolver_null_passthrough_column(spark):
+    """A NULL in a preserved column must not break row re-association
+    (null-safe join)."""
+    cells = spark.createDataFrame(
+        [(1, None, "PMM0001", "other"), (2, "note", "zzz", "other")],
+        "row_id long, note string, raw_value string, id_type string",
+    )
+    vocab = spark.createDataFrame(_vocab_rows(), VOCAB_SCHEMA)
+    got = {r.row_id: (r.entity_id, r.note) for r in resolve_rows(cells, vocab).collect()}
+    assert got[1] == ("PMM0001", None)
+    assert got[2] == (None, "note")
