@@ -117,6 +117,64 @@ def referential_remap(
     )
 
 
+def merge_into_sql_stmt(
+    table: str,
+    updates_view: str,
+    keys: list[str],
+    value_cols: list[str],
+    accrete: list[str] | None = None,
+) -> str:
+    """Render the REAL ``MERGE INTO`` statement equivalent to
+    :func:`merge_into`'s parquet emulation — the statement executed
+    verbatim on an Iceberg/Delta catalog table (this sandbox has no
+    catalog jars, so the emulation is the active path; the statement
+    itself is unit-pinned so the two stay in lockstep):
+
+      MERGE INTO t USING u ON <null-safe key equality>
+      WHEN MATCHED THEN UPDATE SET
+        accrete cols -> array_union(coalesce both sides)
+        other cols   -> overwrite
+      WHEN NOT MATCHED THEN INSERT *
+    """
+    accrete = accrete or []
+    on = " AND ".join(f"t.`{k}` <=> u.`{k}`" for k in keys)
+    sets = []
+    for c in value_cols:
+        if c in accrete:
+            sets.append(
+                f"t.`{c}` = array_union(coalesce(t.`{c}`, array()), "
+                f"coalesce(u.`{c}`, array()))"
+            )
+        else:
+            sets.append(f"t.`{c}` = u.`{c}`")
+    update = f" WHEN MATCHED THEN UPDATE SET {', '.join(sets)}" if sets else ""
+    return (
+        f"MERGE INTO {table} t USING {updates_view} u ON {on}"
+        f"{update} WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def merge_into_catalog(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    accrete: list[str] | None = None,
+) -> None:
+    """Run the real MERGE INTO against a catalog table (Iceberg/Delta)
+    — the deployment twin of :func:`merge_into`. On Iceberg the
+    statement is one atomic metadata commit; partition pruning on the
+    keys bounds the rewritten files."""
+    updates = updates.dropDuplicates(keys)
+    view = f"_merge_updates_{uuid.uuid4().hex[:8]}"
+    updates.createOrReplaceTempView(view)
+    try:
+        value_cols = [c for c in updates.columns if c not in keys]
+        spark.sql(merge_into_sql_stmt(table, view, keys, value_cols, accrete))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def accrete_evidence(arms: list[tuple[str, DataFrame]], keys: list[str]) -> DataFrame:
     """One-shot batch equivalent of folding ``merge_into(...,
     accrete=['evidence_sources'])`` over evidence arms IN ORDER

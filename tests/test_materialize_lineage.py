@@ -73,6 +73,32 @@ def test_merge_accretion_rerun_idempotent(spark, tmp_path):
     assert _read_map(spark, target) == {("o1", "m1"): ["metabolism"]}
 
 
+def test_merge_into_sql_stmt_renders_catalog_twin():
+    """The real MERGE INTO statement (Iceberg/Delta path) stays in
+    lockstep with the parquet emulation's semantics: null-safe key
+    match, array_union accretion, overwrite otherwise, INSERT *."""
+    from multiomics_biocypher_kg_spark.operators.materialize import (
+        merge_into_sql_stmt,
+    )
+
+    stmt = merge_into_sql_stmt(
+        "kg.edges",
+        "updates",
+        keys=["subj", "obj"],
+        value_cols=["evidence_sources", "assay_count"],
+        accrete=["evidence_sources"],
+    )
+    assert stmt == (
+        "MERGE INTO kg.edges t USING updates u "
+        "ON t.`subj` <=> u.`subj` AND t.`obj` <=> u.`obj` "
+        "WHEN MATCHED THEN UPDATE SET "
+        "t.`evidence_sources` = array_union(coalesce(t.`evidence_sources`, array()), "
+        "coalesce(u.`evidence_sources`, array())), "
+        "t.`assay_count` = u.`assay_count` "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def test_merge_overwrites_non_accrete_columns(spark, tmp_path):
     """Mirrors the measurement arm: evidence_sources accretes, the
     measured_* scalar props are SET (overwritten) with fresh values."""
