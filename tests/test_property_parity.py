@@ -98,6 +98,68 @@ def test_heuristic_variants_match_python_mirror(spark, batch):
     assert got == want, [(v, g, w) for v, g, w in zip(batch, got, want) if g != w][:3]
 
 
+def py_ncbi_defline(value: str) -> list[str]:
+    return re.findall(
+        r"gi\|\d+\|(?:ref|gb|emb|dbj|sp|tpg|tpe|tpd|prf|pir|pdb)\|(\S+?)\|", value
+    )
+
+
+deflines = st.one_of(
+    cells,
+    st.builds(
+        lambda gi, src, acc, desc: f"gi|{gi}|{src}|{acc}.1| {desc}",
+        st.integers(1, 10**9),
+        st.sampled_from(["ref", "gb", "emb", "sp", "pdb", "xx"]),
+        st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_", min_size=1, max_size=12),
+        cells,
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(deflines, min_size=1, max_size=40))
+def test_ncbi_defline_matches_python_mirror(spark, batch):
+    got = _spark_eval(spark, cg.ncbi_defline_tokens, batch)
+    got_tokens = [[t.token for t in row] for row in got]
+    want = [py_ncbi_defline(v) for v in batch]
+    assert got_tokens == want, [
+        (v, g, w) for v, g, w in zip(batch, got_tokens, want) if g != w
+    ][:3]
+
+
+def py_formula_elements(f: str | None) -> list[str]:
+    if not f or not re.match(r"^([A-Z][a-z]?\d*|\(|\)\d*|\.\d*)+$", f):
+        return []
+    return sorted(set(re.findall(r"([A-Z][a-z]?)\d*", f)))
+
+
+formulas = st.one_of(
+    cells,
+    st.builds(
+        lambda parts: "".join(parts),
+        st.lists(
+            st.builds(
+                lambda el, n: f"{el}{n if n > 1 else ''}",
+                st.sampled_from(["C", "H", "O", "N", "P", "S", "Cu", "Fe", "Na"]),
+                st.integers(1, 40),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(formulas, min_size=1, max_size=40))
+def test_formula_elements_matches_python_mirror(spark, batch):
+    from multiomics_biocypher_kg_spark.functions.chem import formula_elements
+
+    got = _spark_eval(spark, formula_elements, batch)
+    want = [py_formula_elements(v) for v in batch]
+    assert got == want, [(v, g, w) for v, g, w in zip(batch, got, want) if g != w][:3]
+
+
 timepoints = st.one_of(
     cells,
     st.builds(
