@@ -32,7 +32,7 @@ NCBI_DEFLINE_RE = r"gi\|\d+\|(?:ref|gb|emb|dbj|sp|tpg|tpe|tpd|prf|pir|pdb)\|(\S+
 UNIPROT_DEFLINE_RE = r"\b(?:sp|tr)\|([A-Z0-9]+)\|(\S+)"
 # gene_id_utils.py:361-367 — leading ENTRY_ORG token + GN= capture
 UNIPROT_ANNOT_ENTRY_RE = r"^([A-Z0-9]+_[A-Z0-9]+)\b"
-UNIPROT_ANNOT_GN_RE = r"GN=(\S+)"
+UNIPROT_ANNOT_GN_RE = r"\bGN=(\S+)"
 # word-like tokens inside parenthesised/spaced composites (expand_list)
 WORD_TOKEN_RE = r"[\w.*:_-]+"
 
