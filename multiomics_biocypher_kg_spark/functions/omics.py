@@ -78,16 +78,27 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
     mapped = mapped.where(
         F.col("raw_id").isNotNull() & (F.trim(F.col("raw_id")) != "")
     )
-    # F6: asterisk parse (only when configured, like the reference)
+    # F6: asterisk parse (only when configured, like the reference).
+    # The reference accepts leading OR trailing markers ('* 1.1',
+    # '1.1 *', '1.1*' — omics_adapter.py fc_str.startswith/endswith)
+    # and strips stars from both ends in every mode.
     has_ast = (
-        F.col("raw_fc").rlike(r"\*\s*$")
+        F.trim(F.col("raw_fc")).rlike(r"^\*|\*$")
         if cfg.pvalue_asterisk_in_logfc
         else F.lit(False)
     )
     fc_num = F.expr(
-        r"try_cast(trim(regexp_replace(raw_fc, '\\*\\s*$', '')) AS double)"
+        r"try_cast(trim(regexp_replace(trim(raw_fc), '^\\*+|\\*+$', '')) AS double)"
     )
-    p_num = F.expr("try_cast(raw_p AS double)")
+    # non-finite p-values are treated as absent (reference keeps pval
+    # None unless math.isfinite)
+    p_raw = F.expr("try_cast(raw_p AS double)")
+    p_num = F.when(
+        p_raw.isNotNull()
+        & ~F.isnan(p_raw)
+        & ~p_raw.isin(float("inf"), float("-inf")),
+        p_raw,
+    )
     parsed = mapped.select(
         "raw_id",
         has_ast.alias("has_asterisk"),
@@ -130,9 +141,13 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
     else:
         sig = F.lit(True)
         if cfg.fold_change_threshold is not None:
+            # the reference thresholds the RAW parsed value (fc_float,
+            # pre-log2-conversion — omics_adapter.py passes fc_float,
+            # not `converted`, to _check_significance); identical for
+            # log2-typed tables, different for linear ones
             sig = sig & (
-                F.col("log2_fold_change").isNull()
-                | (F.abs(F.col("log2_fold_change")) >= cfg.fold_change_threshold)
+                F.col("fc_num").isNull()
+                | (F.abs(F.col("fc_num")) >= cfg.fold_change_threshold)
             )
         if cfg.pvalue_threshold is not None:
             sig = sig & (
@@ -141,12 +156,22 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
         significant = F.when(sig, F.lit("significant")).otherwise(
             F.lit("not significant")
         )
+    # asterisk mode stores a placeholder p-value: the threshold when
+    # marked, 1.0 otherwise (omics_adapter.py 'use threshold as
+    # placeholder'); other modes store the finite parsed p
+    if cfg.pvalue_asterisk_in_logfc:
+        p_out = F.when(
+            F.col("has_asterisk"),
+            F.lit(float(cfg.pvalue_threshold or 0.05)),
+        ).otherwise(F.lit(1.0))
+    else:
+        p_out = F.col("p_num")
     out = conv.select(
         F.lit(cfg.analysis_id).alias("analysis_id"),
         F.lit(cfg.experiment_id).alias("experiment_id"),
         "raw_id",
         "log2_fold_change",
-        F.col("p_num").alias("adjusted_p_value"),
+        p_out.alias("adjusted_p_value"),
         significant.alias("significant"),
         # F7: direction
         F.when(F.col("log2_fold_change") > 0, F.lit("up"))
@@ -156,8 +181,10 @@ def transform_analysis(df: DataFrame, cfg: AnalysisConfig) -> DataFrame:
         F.lit(cfg.time_point_hours).cast("double").alias("time_point_hours"),
         F.lit(cfg.growth_phase).alias("growth_phase"),
     )
-    if cfg.significant_only:  # P6
-        out = out.where(F.col("significant") == "significant")
+    if cfg.significant_only:  # P6 — only 'not significant' rows are
+        # dropped; 'unknown' survives (omics_adapter.py:823-825 skips
+        # exactly `significant == 'not significant'`)
+        out = out.where(F.col("significant") != "not significant")
     if cfg.test_mode_limit:  # P7
         out = out.limit(cfg.test_mode_limit)
     return out

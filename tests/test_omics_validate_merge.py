@@ -349,3 +349,86 @@ def test_curie_and_clean_text(spark):
     assert got == ["go:0005737", "foo_bar:1"]
     df3 = spark.createDataFrame([("a|b'c",)], "t string")
     assert df3.select(clean_text(F.col("t")).alias("o")).collect()[0].o == "a,b^c"
+
+
+def test_omics_transform_reference_edge_semantics(spark):
+    """Round-3 parity pins (all mirroring omics_adapter.py exactly):
+    leading asterisks count and are stripped; asterisk mode stores a
+    placeholder adjusted_p_value (threshold / 1.0); non-finite
+    p-values are treated as absent; linear tables threshold the RAW
+    fold change, not its log2; significant_only keeps 'unknown'."""
+    df = spark.createDataFrame(
+        [
+            ("G1", "* 1.3", "0.9"),   # leading asterisk -> significant
+            ("G2", "1.3 *", None),    # trailing with space
+            ("G3", "1.3", "inf"),     # non-finite p
+        ],
+        "Synonym string, log2fc string, qValue string",
+    )
+    ast = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+        pvalue_asterisk_in_logfc=True,
+    )
+    rows = {r.raw_id: r for r in transform_analysis(df, ast).collect()}
+    assert rows["G1"].significant == "significant"
+    assert rows["G1"].log2_fold_change == 1.3
+    assert rows["G1"].adjusted_p_value == 0.05  # placeholder, not 0.9
+    assert rows["G2"].significant == "significant"
+    assert rows["G3"].significant == "not significant"
+    assert rows["G3"].adjusted_p_value == 1.0
+
+    # non-finite p skips the p check in threshold mode
+    thr = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        adjusted_p_value_col="qValue",
+    )
+    df2 = spark.createDataFrame(
+        [("G4", "2.0", "inf"), ("G5", "2.0", "0.5")],
+        "Synonym string, log2fc string, qValue string",
+    )
+    rows2 = {r.raw_id: r for r in transform_analysis(df2, thr).collect()}
+    assert rows2["G4"].significant == "significant"  # p treated absent
+    assert rows2["G4"].adjusted_p_value is None
+    assert rows2["G5"].significant == "not significant"
+
+    # linear: |raw fc| >= 1.0 decides, log2_fold_change is emitted
+    lin = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        fold_change_type="linear",
+    )
+    df3 = spark.createDataFrame(
+        [("G6", "1.5", None), ("G7", "0.4", None), ("G8", "-2.0", None)],
+        "Synonym string, log2fc string, qValue string",
+    )
+    rows3 = {r.raw_id: r for r in transform_analysis(df3, lin).collect()}
+    assert set(rows3) == {"G6", "G7"}  # non-positive linear fc dropped
+    import math
+
+    assert abs(rows3["G6"].log2_fold_change - math.log2(1.5)) < 1e-12
+    assert rows3["G6"].significant == "significant"   # |1.5| >= 1.0 raw
+    # raw 0.4 < 1.0 -> not significant even though |log2(0.4)|=1.32 >= 1
+    assert rows3["G7"].significant == "not significant"
+
+    # significant_only keeps 'unknown' rows (reference drops only
+    # 'not significant')
+    unk = AnalysisConfig(
+        analysis_id="a1",
+        experiment_id="e1",
+        name_col="Synonym",
+        logfc_col="log2fc",
+        fold_change_threshold=None,
+        pvalue_threshold=None,
+        significant_only=True,
+    )
+    rows4 = transform_analysis(df3, unk).collect()
+    assert {r.significant for r in rows4} == {"unknown"}
