@@ -32,6 +32,28 @@ _PHRASE_RESULT_TYPE = (
     "array<struct<start:int,end:int,surface:string,entity_id:string>>"
 )
 
+# Per-executor automaton cache keyed by the broadcast's spill path
+# (unique per broadcast, present on BOTH driver and executor sides —
+# pyspark.broadcast.Broadcast has no .id on workers): the trie is
+# O(total vocab chars) to build, so with a multi-million-surface
+# gazetteer rebuilding it per ~1024-row Arrow batch would dominate
+# matching cost. One build per (executor worker, broadcast) instead.
+_AC_CACHE: dict[object, "_AhoCorasick"] = {}
+# build counter, observable from tests (builds <= tasks, not batches)
+_AC_BUILDS = 0
+
+
+def _ac_for_broadcast(bcast) -> "_AhoCorasick":
+    global _AC_BUILDS
+    key = getattr(bcast, "_path", None) or id(bcast)
+    ac = _AC_CACHE.get(key)
+    if ac is None:
+        ac = _AhoCorasick(bcast.value)
+        _AC_CACHE.clear()  # previous vocab broadcasts are dead weight
+        _AC_CACHE[key] = ac
+        _AC_BUILDS += 1
+    return ac
+
 
 def mentions_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     """docs(url, text, ...) x vocab -> mentions(url, pos, token).
@@ -135,7 +157,7 @@ def mentions_phrases(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
     @F.pandas_udf(_PHRASE_RESULT_TYPE)
     def match(texts: pd.Series) -> pd.Series:
-        ac = _AhoCorasick(bcast.value)
+        ac = _ac_for_broadcast(bcast)
 
         def one(text: str | None):
             if text is None:

@@ -93,7 +93,13 @@ class StagedRunner:
         data, lin = self._paths(stage)
         if not (os.path.isdir(data) and os.path.isfile(lin)):
             return False
-        recorded = self.lineage(stage)
+        try:
+            recorded = self.lineage(stage)
+        except (OSError, ValueError):
+            # torn/corrupt lineage.json (crash mid-write) -> rebuild,
+            # never raise: the documented 'half-written stage re-runs'
+            # contract
+            return False
         checksum, n = content_checksum(self.spark.read.parquet(data))
         return checksum == recorded.get("checksum") and n == recorded.get("n_rows")
 
@@ -118,7 +124,10 @@ class StagedRunner:
         out = self.spark.read.parquet(data)
         checksum, n = content_checksum(out)
         per_part = [r.asDict() for r in lineage_rows(out, stage).collect()]
-        with open(lin, "w") as f:
+        # write-then-rename: lineage.json appears atomically, so a
+        # crash mid-dump leaves no torn file behind
+        tmp = lin + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "stage": stage,
@@ -130,6 +139,7 @@ class StagedRunner:
                 f,
                 indent=1,
             )
+        os.replace(tmp, lin)
         return out
 
     def lineage(self, stage: str) -> dict:

@@ -35,6 +35,14 @@ def csv_with_dialect(
     across files, no global single-partition sort, and the parse is
     native ``from_csv`` (all-string schema derived from the header) —
     zero Python round-trips on the line stream.
+
+    CONTRACT (skiprows path): line numbering is per FILE, so each
+    file is one window task — parallel across many paper supp tables
+    (the reference's workload, omics_adapter.py:677-684), but a
+    single multi-GB CSV would serialize into one task. For big
+    headerless-prefix files, strip the prefix at ingest instead.
+    The header line is parsed with the same quote/escape rules as
+    the body (csv.reader, not a naive split).
     """
     if skiprows:
         if not header:
@@ -59,7 +67,13 @@ def csv_with_dialect(
             raise ValueError(
                 f"{path}: no header line survives skiprows={skiprows}/comment filter"
             )
-        cols = [c.strip() for c in first[0].value.split(sep)]
+        import csv as _csv
+        import io as _io
+
+        cols = [
+            c.strip()
+            for c in next(_csv.reader(_io.StringIO(first[0].value), delimiter=sep))
+        ]
         ddl = ", ".join(f"`{c}` string" for c in cols)
         data = body.where(F.col("_r2") > 1)
         return data.select(
@@ -167,10 +181,13 @@ def genbank_cds(spark: SparkSession, path: str) -> DataFrame:
     CDS feature blocks via multiline regex (feature header at 5-space
     indent, qualifier lines at 21), wrapped qualifier values unwrapped
     before extraction. The 'cyanorak ORF Id:' note handling mirrors
-    _get_cyanorak_id (first matching note, prefix stripped).
-    Assumes '//' appears only as the record terminator.
+    _get_cyanorak_id (first matching note, prefix stripped — anchored,
+    so the phrase appearing mid-note is not deleted).
+    Records split on the line-anchored terminator '\\n//', so '//'
+    inside REFERENCE/REMARK text (e.g. an 'http://...' URL) cannot
+    break a record.
     """
-    recs = spark.read.option("lineSep", "//").text(path)
+    recs = spark.read.option("lineSep", "\n//").text(path)
     recs = recs.where(F.col("value").rlike(r"(?m)^LOCUS\s"))
     record_id = F.regexp_extract(F.col("value"), r"(?m)^LOCUS\s+(\S+)", 1)
     blocks = F.regexp_extract_all(
@@ -186,7 +203,9 @@ def genbank_cds(spark: SparkSession, path: str) -> DataFrame:
     cyan_notes = F.filter(notes, lambda n: n.startswith("cyanorak ORF Id:"))
     cyanorak_id = F.when(
         F.size(cyan_notes) > 0,
-        F.trim(F.replace(cyan_notes.getItem(0), F.lit("cyanorak ORF Id:"), F.lit(""))),
+        F.trim(
+            F.regexp_replace(cyan_notes.getItem(0), r"^cyanorak ORF Id:\s*", "")
+        ),
     )
     return per_cds.select(
         "record_id",

@@ -92,6 +92,27 @@ def test_uniprot_annotation_tokens(spark):
     assert out[2] == []
 
 
+def test_uniprot_annotation_gn_word_boundary(spark):
+    """\\bGN= (gene_id_utils.py _UNIPROT_ANNOT_GN_RE): 'AGN=x' /
+    'LOGN=y' must NOT emit a gene_name token."""
+    out = _eval(
+        spark,
+        cg.uniprot_annotation_tokens,
+        [
+            "RL33_PROM9 product AGN=x more",
+            "RL33_PROM9 product LOGN=y",
+            "RL33_PROM9 product GN=real",
+        ],
+    )
+    assert [(t.token, t.id_type) for t in out[0]] == [
+        ("RL33_PROM9", "uniprot_entry_name")
+    ]
+    assert [(t.token, t.id_type) for t in out[1]] == [
+        ("RL33_PROM9", "uniprot_entry_name")
+    ]
+    assert ("real", "gene_name") in [(t.token, t.id_type) for t in out[2]]
+
+
 def test_uniprot_entry_candidates_suffix_strip(spark):
     """F12: 'DNAA_PROM0' -> [DNAA_PROM0, DNAA] (gene_id_graph.py:70-86)."""
     out = _eval(

@@ -85,3 +85,32 @@ def test_end_to_end_on_corpus(spark):
         assert hist.get(m, 0) > 0, (m, hist)
     # every token that is a mention got classified
     assert links.where(F.col("resolution_method").isNull()).count() == 0
+
+
+def test_aho_corasick_built_once_per_broadcast():
+    """The automaton is memoized per broadcast id (built once per
+    executor worker, NOT once per Arrow batch): repeated calls with
+    the same broadcast reuse the cached trie; a new broadcast evicts
+    the old entry and builds exactly once."""
+    from multiomics_biocypher_kg_spark.operators import mention as m
+
+    class FakeBroadcast:
+        def __init__(self, bid, value):
+            self._path = f"/tmp/bcast-{bid}"
+            self.value = value
+
+    m._AC_CACHE.clear()
+    start = m._AC_BUILDS
+    b1 = FakeBroadcast(101, {"hash join": "kw:hash_join"})
+    ac1 = m._ac_for_broadcast(b1)
+    for _ in range(5):  # five "batches" of the same task
+        assert m._ac_for_broadcast(b1) is ac1
+    assert m._AC_BUILDS == start + 1
+
+    b2 = FakeBroadcast(102, {"sort merge": "kw:sort_merge"})
+    ac2 = m._ac_for_broadcast(b2)
+    assert ac2 is not ac1
+    assert m._AC_BUILDS == start + 2
+    assert list(m._AC_CACHE) == ["/tmp/bcast-102"]  # stale broadcast evicted
+    # matching still works through the cached automaton
+    assert [h[2] for h in ac2.find("a sort merge b")] == ["sort merge"]

@@ -123,9 +123,19 @@ def test_csv_dialect_comment_before_header(spark, tmp_path):
     with pytest.raises(ValueError, match="no header"):
         csv_with_dialect(spark, str(empty), skiprows=5, header=True)
 
+    # quoted header cell containing the separator: header parse must
+    # share the body's quoting rules (csv.reader, not a naive split)
+    q = tmp_path / "q.csv"
+    q.write_text('junk line\n"col,A",colB\n"v,1",2\n')
+    qdf = csv_with_dialect(spark, str(q), skiprows=1, header=True)
+    assert qdf.columns == ["col,A", "colB"]
+    assert [tuple(r) for r in qdf.collect()] == [("v,1", "2")]
+
 
 GBK_FIXTURE = """LOCUS       NC_000001            1000 bp    DNA     circular CON 01-JAN-2020
 DEFINITION  Test genome.
+REFERENCE   1  (bases 1 to 1000)
+  REMARK    see https://example.org/genome//notes and http://mirror.example
 FEATURES             Location/Qualifiers
      source          1..1000
                      /organism="Test"
@@ -149,6 +159,7 @@ FEATURES             Location/Qualifiers
      CDS             1..100
                      /locus_tag="PMN0001"
                      /EC_number="3.1.1.1"
+                     /note="cyanorak ORF Id: CK_X ref cyanorak ORF Id: again"
 //
 """
 
@@ -170,12 +181,17 @@ def test_genbank_cds_scan(spark, tmp_path):
     assert rows["PMM0001"].cyanorak_id == "CK_00000001"
     assert rows["PMM0002"].cyanorak_id is None  # non-matching note
     assert rows["PMN0001"].record_id == "NC_000002"
+    # anchored prefix strip: the phrase appearing again mid-note is kept
+    assert rows["PMN0001"].cyanorak_id == "CK_X ref cyanorak ORF Id: again"
 
     ec = {r.locus_tag: list(r.ec_numbers) for r in genbank_ec_by_locus(cds).collect()}
     assert ec == {"PMM0001": ["2.7.7.7", "1.1.1.1"], "PMN0001": ["3.1.1.1"]}
 
     cmap = {r.cyanorak_id: r.locus_tag for r in genbank_cyanorak_map(cds).collect()}
-    assert cmap == {"CK_00000001": "PMM0001"}
+    assert cmap == {
+        "CK_00000001": "PMM0001",
+        "CK_X ref cyanorak ORF Id: again": "PMN0001",
+    }
 
 
 def test_keyed_json_maptype_explode(spark, tmp_path):
