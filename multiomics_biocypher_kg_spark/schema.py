@@ -39,6 +39,12 @@ _TYPE_MAP: dict[str, T.DataType] = {
     "str[]": T.ArrayType(T.StringType()),
     "int[]": T.ArrayType(T.LongType()),
     "float[]": T.ArrayType(T.DoubleType()),
+    # alternate list spelling used by the reference's metabolite
+    # node (schema_config.yaml pathway_ids/pathway_names/
+    # organism_names: list[str])
+    "list[str]": T.ArrayType(T.StringType()),
+    "list[int]": T.ArrayType(T.LongType()),
+    "list[float]": T.ArrayType(T.DoubleType()),
     "timestamp": T.TimestampType(),
     "binary": T.BinaryType(),
 }
