@@ -56,18 +56,29 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """k-word shingles per document: (id, shingle).
+
+    ``distinct=True`` (set semantics — what Jaccard needs) costs a
+    full shuffle of the exploded stream; pass ``distinct=False`` for
+    consumers that are multiset-invariant (MinHash: min over
+    duplicates == min over the set) and dedup later on whatever
+    small subset actually needs set semantics."""
     toks = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
     )
-    return (
-        docs.where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    out = docs.where(F.size(toks) >= k).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -179,10 +190,30 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 def minhash_neardup_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash-LSH discovery + exact Jaccard verification computed
-    on the candidate pairs only (never all co-shingled pairs)."""
-    sh = shingles(docs, id_col=id_col, text_col=text_col)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    return jaccard_pairs(sh, threshold, candidates=cands).select(
+    on the candidate pairs only (never all co-shingled pairs).
+
+    Shuffle budget: the signature aggregation runs on the RAW
+    (non-distinct) shingle stream — min() is multiset-invariant, so
+    the corpus-wide distinct shuffle is skipped entirely — and set
+    semantics are restored only on the shingles of candidate ids
+    (semi-join first, then distinct: a tiny fraction of the corpus).
+    The two SMALL intermediates (candidate pairs; candidate-doc
+    shingles) are localCheckpoint()ed: without the barrier every
+    downstream reference would re-inline the whole upstream pipeline
+    (sizes + both verify sides + the candidate join = 5 corpus
+    scans). With it: exactly TWO corpus scans (signatures, verify
+    semi-join), zero full-stream distincts. On a cluster the
+    checkpoint is the 'persist the candidate stage table' step of
+    the curation DAG."""
+    raw = shingles(docs, id_col=id_col, text_col=text_col, distinct=False)
+    cands = lsh_candidate_pairs(minhash_signatures(raw)).localCheckpoint()
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    )
+    sh_cand = (
+        raw.join(cand_ids, "id", "leftsemi").distinct().localCheckpoint()
+    )
+    return jaccard_pairs(sh_cand, threshold, candidates=cands).select(
         "id_a", "id_b", "jaccard"
     )
 
