@@ -83,20 +83,45 @@ def enforce_categories(
     return df
 
 
+# parse_embedded_mean_sd_n's anchored cell grammar
+# (metabolite_assay_adapter.py:67-69), verbatim
+_EMBEDDED_RE = (
+    r"^\s*([0-9.+\-eE]+)\s*\(\s*([0-9.+\-eEnNaA/]+)\s*\)\s*,\s*n\s*=\s*(\d+)\s*$"
+)
+
+
 def parse_embedded_stats(df: DataFrame, col: str) -> DataFrame:
-    """A12 (metabolite_assay_adapter.py:151-203): parse embedded
-    '0.00054 (8.8e-05), n=2' cells into (mean, sd, n) — three
-    regexp_extracts + casts, no Python."""
-    num = r"([0-9.eE+\-]+)"
+    """A12 (parse_embedded_mean_sd_n,
+    metabolite_assay_adapter.py:181-203): parse embedded
+    '0.00054 (8.8e-05), n=2' cells into (mean, sd, n) — anchored
+    regexp + casts, no Python. Pinned to the reference:
+
+    - the WHOLE cell must match the grammar ('1.5' alone -> nulls,
+      unlike a prefix match);
+    - 'nd' / 'n.d.' (case-insensitive) -> (0.0, 0.0, 0);
+    - a non-numeric sd inside the parens (e.g. 'NA') -> 0.0;
+    - empty / unparseable -> all null.
+
+    Differential-tested against the reference function itself in
+    tests/test_metabolite_assay_parity.py."""
+    s = F.trim(F.col(col).cast("string"))
+    matched = s.rlike(_EMBEDDED_RE)
+    is_nd = F.lower(s).isin("nd", "n.d.")
+    mean = F.when(is_nd, F.lit(0.0)).when(
+        matched, F.regexp_extract(s, _EMBEDDED_RE, 1).try_cast("double")
+    )
+    sd = F.when(is_nd, F.lit(0.0)).when(
+        matched,
+        F.coalesce(
+            F.regexp_extract(s, _EMBEDDED_RE, 2).try_cast("double"), F.lit(0.0)
+        ),
+    )
+    n = F.when(is_nd, F.lit(0)).when(
+        matched, F.regexp_extract(s, _EMBEDDED_RE, 3).try_cast("int")
+    )
     return df.select(
         "*",
-        F.expr(
-            f"try_cast(regexp_extract({col}, '^\\\\s*{num}', 1) AS double)"
-        ).alias(f"{col}_mean"),
-        F.expr(
-            f"try_cast(regexp_extract({col}, '\\\\({num}\\\\)', 1) AS double)"
-        ).alias(f"{col}_sd"),
-        F.expr(
-            f"try_cast(regexp_extract({col}, 'n=([0-9]+)', 1) AS int)"
-        ).alias(f"{col}_n"),
+        mean.alias(f"{col}_mean"),
+        sd.alias(f"{col}_sd"),
+        n.alias(f"{col}_n"),
     )

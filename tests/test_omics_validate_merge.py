@@ -292,16 +292,31 @@ def test_categories_hard_error(spark):
 
 
 def test_embedded_stats_parse(spark):
+    """Pinned to parse_embedded_mean_sd_n: the WHOLE cell must match
+    the '(sd), n=N' grammar; 'nd' -> (0,0,0); 'NA' sd -> 0.0."""
     df = spark.createDataFrame(
-        [("0.00054 (8.8e-05), n=2",), ("1.5",), ("bad",)], "cell string"
+        [
+            ("0.00054 (8.8e-05), n=2",),
+            ("1.5",),
+            ("bad",),
+            ("ND",),
+            ("0.3 (NA), n=1",),
+        ],
+        "cell string",
     )
-    rows = parse_embedded_stats(df, "cell").collect()
-    r0 = [r for r in rows if r.cell.startswith("0.00054")][0]
+    rows = {r.cell: r for r in parse_embedded_stats(df, "cell").collect()}
+    r0 = rows["0.00054 (8.8e-05), n=2"]
     assert math.isclose(r0.cell_mean, 0.00054)
     assert math.isclose(r0.cell_sd, 8.8e-05)
     assert r0.cell_n == 2
-    r1 = [r for r in rows if r.cell == "1.5"][0]
-    assert r1.cell_mean == 1.5 and r1.cell_sd is None and r1.cell_n is None
+    # bare number: reference returns None (full-grammar match required)
+    r1 = rows["1.5"]
+    assert r1.cell_mean is None and r1.cell_sd is None and r1.cell_n is None
+    assert rows["bad"].cell_mean is None
+    rnd = rows["ND"]
+    assert (rnd.cell_mean, rnd.cell_sd, rnd.cell_n) == (0.0, 0.0, 0)
+    rna = rows["0.3 (NA), n=1"]
+    assert (rna.cell_mean, rna.cell_sd, rna.cell_n) == (0.3, 0.0, 1)
 
 
 def test_merge_rules(spark):
