@@ -3706,4 +3706,119 @@ def _apply_driver_window_order() -> None:
     ORACLES.update(reordered_o)
 
 
+# --------------------------------------------------------------------------
+# Web-scale URL canonicalization (functions/urls.py)
+# --------------------------------------------------------------------------
+
+# deterministic messy-url synthesis shared by both engines
+_MESSY_URL_SQL = """
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                  || '?b=2&a=1&utm_source=feed'
+      WHEN 1 THEN 'http://Example.com:80?id=' || CAST(doc_id AS VARCHAR) || '#frag'
+      WHEN 2 THEN 'https://CDN.example.net:8080/x/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'http://h' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_campaign=x'
+      WHEN 4 THEN 'doc-' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://example.com/a%20b/' || CAST(doc_id % 100 AS VARCHAR)
+           || '?z=9&y=8&fbclid=abc#sec'
+    END AS url_raw
+  FROM documents
+"""
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/Path/"),
+                d,
+                F.lit("?b=2&a=1&utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("http://Example.com:80?id="), d, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("https://CDN.example.net:8080/x/"), d),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit("http://h"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org/doc/"),
+                d,
+                F.lit("?utm_campaign=x"),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("doc-"), d))
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/a%20b/"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("?z=9&y=8&fbclid=abc#sec"),
+            )
+        )
+    )
+    return docs.select("doc_id", raw.alias("url_raw"))
+
+
+def _web_url_canonical_sql() -> str:
+    from multiomics_biocypher_kg_spark.functions.urls import canonical_url_sql
+
+    return (
+        "SELECT doc_id, url_raw, url_canonical FROM ("
+        + canonical_url_sql(_MESSY_URL_SQL, "url_raw")
+        + ")"
+    )
+
+
+@register("web_url_canonical", oracle=_web_url_canonical_sql())
+def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): scheme/host
+    lowercase, default ports dropped, fragments stripped, tracking
+    params removed + remaining params sorted, empty path -> '/',
+    schemeless strings pass through. Pure scan-projection expressions
+    — at 100 TB this replaces the raw url as the dedup/partition key
+    before the first shuffle. The oracle renders the identical
+    regex-by-regex decomposition in SQL."""
+    from multiomics_biocypher_kg_spark.functions.urls import canonical_url
+
+    m = _messy_urls(spark, sf_dir)
+    return m.select(
+        "doc_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical")
+    )
+
+
+@register(
+    "web_url_dedup",
+    oracle=f"""
+    WITH canon AS ({_web_url_canonical_sql()})
+    SELECT url_canonical, count(*) AS n_variants, min(doc_id) AS canonical_doc
+    FROM canon GROUP BY url_canonical HAVING count(*) > 1
+    """,
+)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups: raw variants that collapse to one
+    canonical form (the recrawl/utm-family case) — groupBy on the
+    canonical key, min-id canonical member."""
+    canon = web_url_canonical(spark, sf_dir)
+    return (
+        canon.groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
 _apply_driver_window_order()
