@@ -3821,4 +3821,148 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT token) AS n_distinct
+      FROM toks GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id,
+        list_aggregate(list_slice(string_split(text, ' '), i, i + 1),
+                       'string_agg', ' ') AS bigram
+      FROM documents,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS t(i)
+    ),
+    gcnt AS (
+      SELECT doc_id, bigram, count(*) AS cnt FROM grams GROUP BY doc_id, bigram
+    ),
+    top AS (
+      SELECT doc_id, bigram AS top_bigram, cnt,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, bigram ASC) AS rn,
+        sum(cnt) OVER (PARTITION BY doc_id) AS total_bigrams
+      FROM gcnt
+    )
+    SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+      round(1.0 - p.n_distinct / p.n_tokens, 6) AS dup_token_frac,
+      t.top_bigram,
+      round(t.cnt / t.total_bigrams, 6) AS top_bigram_frac
+    FROM per_doc p JOIN top t ON p.doc_id = t.doc_id AND t.rn = 1
+    WHERE p.n_tokens >= 2
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-token fraction (1 - distinct/total) and the
+    most-frequent word-bigram's share of all bigrams (ties -> the
+    lexicographically smallest bigram). Two aggregations over the
+    token/bigram streams, both map-side combined; at corpus scale
+    this is the repetition gate that runs next to text_curation."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    from multiomics_biocypher_kg_spark.operators.dedup import shingles
+
+    grams = shingles(docs, id_col="doc_id", text_col="text", k=2, distinct=False)
+    gcnt = grams.groupBy(F.col("id").alias("doc_id"), F.col("shingle")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("shingle").asc()
+    )
+    wt = Window.partitionBy("doc_id")
+    top = (
+        gcnt.withColumn("rn", F.row_number().over(w))
+        .withColumn("total_bigrams", F.sum("cnt").over(wt))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        per_doc.where(F.col("n_tokens") >= 2)
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.col("shingle").alias("top_bigram"),
+            F.round(F.col("cnt") / F.col("total_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "web_latest_snapshot",
+    oracle="""
+    WITH snaps AS (
+      SELECT doc_id, doc_id % 125 AS fam, 1767225600 + doc_id AS ts_epoch,
+        'https://' || CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
+             ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END
+        || '/doc/' || lpad(CAST(doc_id % 125 AS VARCHAR), 6, '0') AS url
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY url
+                 ORDER BY ts_epoch DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY url) AS n_snapshots
+      FROM snaps
+    )
+    SELECT url, doc_id, CAST(ts_epoch AS BIGINT) AS ts_epoch,
+           CAST(n_snapshots AS BIGINT) AS n_snapshots
+    FROM ranked WHERE rn = 1
+    """,
+)
+def web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup: keep the LATEST snapshot per url (window over
+    url ordered by capture time desc, deterministic tiebreak) — the
+    first stage of any multi-snapshot Common-Crawl corpus before
+    extraction. Synthesized snapshot families (doc_id % 125) give
+    each url ~4 recrawls at sf0.01."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"),
+        F.lpad(fam.cast("string"), 6, "0"),
+    )
+    snaps = docs.select(
+        "doc_id",
+        url.alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("ts_epoch").desc(), F.col("doc_id").desc()
+    )
+    wc = Window.partitionBy("url")
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_snapshots", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select("url", "doc_id", "ts_epoch", "n_snapshots")
+    )
+
+
 _apply_driver_window_order()
