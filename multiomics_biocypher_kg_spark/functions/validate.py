@@ -42,13 +42,22 @@ def map_boolean_tokens(
     true_tokens: list[str],
     false_tokens: list[str],
     skip_tokens: list[str] = (),
-    blank_policy: str = "skip",  # 'skip' | 'false' | 'error'
+    blank_policy: str = "skip",  # 'skip' | 'true' | 'false' (+ 'error' ext.)
 ) -> DataFrame:
-    """F9: declared-token boolean mapping, hard error on unknowns.
+    """F9 (_parse_boolean_cell, observations_adapter.py:78-126):
+    declared-token boolean mapping, hard error on unknowns.
 
     Output column ``{col}_bool`` is the reference's string enum
-    'true'|'false' (or null for skipped rows).
+    'true'|'false' (or null for skipped rows). blank_policy follows
+    the reference exactly ('skip' -> null, 'true'/'false' -> that
+    enum; anything else raises like _apply_blank_policy), plus an
+    'error' extension that fails fast on blanks. Token precedence is
+    the reference's: true_tokens, then false_tokens, then
+    skip_tokens. Differential-tested against the reference function
+    in tests/test_metabolite_assay_parity.py.
     """
+    if blank_policy not in ("skip", "true", "false", "error"):
+        raise ValidationError(f"Invalid blank_policy {blank_policy!r}")
     c = F.trim(F.col(col))
     is_blank = F.col(col).isNull() | (c == "")
     known = (
@@ -63,7 +72,10 @@ def map_boolean_tokens(
     mapped = (
         F.when(c.isin(*true_tokens), F.lit("true"))
         .when(c.isin(*false_tokens), F.lit("false"))
-        .when(is_blank & F.lit(blank_policy == "false"), F.lit("false"))
+        .when(
+            is_blank & F.lit(blank_policy in ("true", "false")),
+            F.lit(blank_policy if blank_policy in ("true", "false") else None),
+        )
         .otherwise(F.lit(None))
     )
     return df.withColumn(f"{col}_bool", mapped)

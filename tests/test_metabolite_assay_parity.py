@@ -187,3 +187,56 @@ def test_compute_embedded_detection_differential(ref):
                 cell,
                 total,
             )
+
+
+_BOOL_TOKENS = dict(
+    true_tokens=["yes", "Y", "1", "true"],
+    false_tokens=["no", "N", "0", "false"],
+    skip_tokens=["nd", "-"],
+)
+_BOOL_CELLS = ["yes", "Y", "1", "true", "no", "N", "0", "false", "nd", "-",
+               " yes ", "", None, "  "]
+
+
+def test_boolean_token_mapping_differential(spark, ref):
+    """F9 differential: the reference observations_adapter's
+    _parse_boolean_cell vs the Spark map_boolean_tokens, across every
+    token class and blank policy — including the hard-error contract
+    on unknown tokens and invalid policies (both sides raise)."""
+    sys.path.insert(0, REFERENCE) if REFERENCE not in sys.path else None
+    from multiomics_kg.adapters.observations_adapter import _parse_boolean_cell
+
+    from multiomics_biocypher_kg_spark.functions.validate import (
+        ValidationError,
+        map_boolean_tokens,
+    )
+
+    for policy in ("skip", "true", "false"):
+        want = [
+            _parse_boolean_cell(c, blank_policy=policy, **_BOOL_TOKENS)
+            for c in _BOOL_CELLS
+        ]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(_BOOL_CELLS)], "i int, cell string"
+        )
+        got = {
+            r.i: r.cell_bool
+            for r in map_boolean_tokens(
+                df, "cell", blank_policy=policy, **_BOOL_TOKENS
+            ).collect()
+        }
+        for i, c in enumerate(_BOOL_CELLS):
+            assert got[i] == want[i], (policy, c, got[i], want[i])
+
+    # unknown token: both sides hard-error
+    with pytest.raises(ValueError, match="Unexpected boolean token"):
+        _parse_boolean_cell("maybe", blank_policy="skip", **_BOOL_TOKENS)
+    bad = spark.createDataFrame([("maybe",)], "cell string")
+    with pytest.raises(ValidationError, match="unknown boolean token"):
+        map_boolean_tokens(bad, "cell", blank_policy="skip", **_BOOL_TOKENS)
+
+    # invalid blank_policy: both sides raise
+    with pytest.raises(ValueError, match="Invalid blank_policy"):
+        _parse_boolean_cell("", blank_policy="bogus", **_BOOL_TOKENS)
+    with pytest.raises(ValidationError, match="Invalid blank_policy"):
+        map_boolean_tokens(bad, "cell", blank_policy="bogus", **_BOOL_TOKENS)
