@@ -85,20 +85,27 @@ def connected_components(
         checkpoint,
     )
     # convergence probe: min-label propagation is monotone (labels only
-    # ever decrease), so the global count of (node, component) pairs
-    # that differ from the previous round is checkable with a cheap
-    # aggregate on the NEW labels joined to the old. With the pointer
+    # ever decrease), so convergence = no node's label shrank this
+    # round. The OLD label rides through the same min() aggregation
+    # as a side column (each node contributes exactly one non-null
+    # old_comp, from its own-label branch), so the probe is a filter
+    # count over the freshly checkpointed frame — a cached-block
+    # scan, not the former per-round join job. With the pointer
     # jump, shallow graphs (the same-as case) converge in 1-2 rounds,
-    # so probing EVERY round ends the loop at the earliest fixed point
-    # — the probe is half a job, a full extra round is one.
-    prev = labels
+    # so probing EVERY round ends the loop at the earliest fixed
+    # point.
+    comp_type = labels.schema["component"].dataType
+    null_old = F.lit(None).cast(comp_type).alias("old_comp")
     changed = None
     for it in range(max_iter):
         neighbor = (
             und.join(labels, und.b == labels.node)
-            .select(und.a.alias("node"), "component")
+            .select(und.a.alias("node"), "component", null_old)
         )
-        candidates = labels.select("node", "component").union(neighbor)
+        own = labels.select(
+            "node", "component", F.col("component").alias("old_comp")
+        )
+        candidates = own.union(neighbor)
         if shortcut:
             # pointer jump: component-of-component joins INTO the
             # union feeding the min() agg (same fixed point; keeping
@@ -109,22 +116,18 @@ def connected_components(
             )
             jump = (
                 labels.join(l2, labels.component == l2.c_node)
-                .select("node", F.col("c_comp").alias("component"))
+                .select("node", F.col("c_comp").alias("component"), null_old)
             )
             candidates = candidates.union(jump)
         new_labels = candidates.groupBy("node").agg(
-            F.min("component").alias("component")
+            F.min("component").alias("component"),
+            F.min("old_comp").alias("old_comp"),
         )
-        labels = _ckpt(new_labels, checkpoint)
-        changed = (
-            labels.alias("n")
-            .join(prev.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        ck = _ckpt(new_labels, checkpoint)
+        changed = ck.where(F.col("component") != F.col("old_comp")).count()
+        labels = ck.select("node", "component")
         if changed == 0:
             break
-        prev = labels
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
