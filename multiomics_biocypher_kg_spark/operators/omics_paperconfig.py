@@ -419,3 +419,27 @@ def paperconfig_edges(spark: SparkSession, cfg: dict, read_csv=None) -> DataFram
     return _structural_edges(spark, cfg).unionByName(
         paperconfig_expression_edges(spark, cfg, read_csv=read_csv)
     )
+
+
+def paperconfig_nodes_multi(spark: SparkSession, cfgs: list[dict]) -> DataFrame:
+    """MultiOMICSAdapter concat (omics_adapter.py:941-974), node
+    stream: one unionByName across papers; node ids are
+    doi-namespaced so cross-paper unions cannot collide."""
+    dfs = [paperconfig_nodes(spark, c) for c in cfgs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def paperconfig_edges_multi(
+    spark: SparkSession, cfgs: list[dict], read_csv=None
+) -> DataFrame:
+    """MultiOMICSAdapter concat, edge stream: edge ids are
+    '{pub}_{analysis}_{gene}' (F20), publication-prefixed, so the
+    union is collision-free by construction."""
+    dfs = [paperconfig_edges(spark, c, read_csv=read_csv) for c in cfgs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -347,3 +347,34 @@ def test_omics_adapter_pr_on_reference_fixture(spark, reference_adapter_cls):
     inter = S & R
     assert len(inter) / len(S) >= 0.95, sorted(S - R)[:10]
     assert len(inter) / len(R) >= 0.95, sorted(R - S)[:10]
+
+
+def test_multi_paperconfig_union(spark, tmp_path, reference_adapter_cls):
+    """Multi-paper concat (MultiOMICSAdapter semantics): the union of
+    two papers' streams equals the concatenation of their single-
+    paper runs, and edge/node ids stay collision-free because every
+    id is publication-namespaced."""
+    from multiomics_biocypher_kg_spark.operators.omics_paperconfig import (
+        paperconfig_edges,
+        paperconfig_edges_multi,
+        paperconfig_nodes_multi,
+    )
+
+    cfg1 = yaml.safe_load(open(_fixture_paperconfig(tmp_path)))
+    fixture2 = os.path.join(
+        REFERENCE, "tests/fixtures/non_de/synthetic_paperconfig.yaml"
+    )
+    cfg2 = yaml.safe_load(open(fixture2))
+
+    singles = [
+        tuple(r) for c in (cfg1, cfg2) for r in paperconfig_edges(spark, c).collect()
+    ]
+    multi = [tuple(r) for r in paperconfig_edges_multi(spark, [cfg1, cfg2]).collect()]
+    assert sorted(map(str, multi)) == sorted(map(str, singles))
+    edge_ids = [m[0] for m in multi]
+    assert len(edge_ids) == len(set(edge_ids))  # publication-namespaced
+
+    nodes = paperconfig_nodes_multi(spark, [cfg1, cfg2]).collect()
+    node_ids = [n.node_id for n in nodes]
+    assert len(node_ids) == len(set(node_ids))
+    assert {n.label for n in nodes} == {"publication", "experiment"}
