@@ -3670,6 +3670,11 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver covers them this round; the rotated-out veterans stay in
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
+    # round-3 additions (no driver row yet)
+    "web_url_canonical",
+    "web_url_dedup",
+    "text_repetition",
+    "web_latest_snapshot",
     # round-2 queries with no driver row yet (registry order preserved)
     "knn_classify",
     "ann_centroids",
