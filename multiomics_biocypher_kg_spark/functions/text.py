@@ -51,18 +51,29 @@ def html_escape(text: str) -> str:
     return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def synth_html(url: str, text: str, lang: str, broken: bool = False) -> str:
+def synth_html(
+    url: str,
+    text: str,
+    lang: str,
+    broken: bool = False,
+    outlinks: list[str] | None = None,
+) -> str:
     """Deterministic page synthesizer (FIXTURES.md A1 shape).
 
     Includes the strip targets the extractor must handle: scripts,
     styles, comments, entities, nested tags, and (when ``broken``)
-    trailing malformed markup after the content region.
+    trailing malformed markup after the content region. ``outlinks``
+    (raw hrefs) render as a ``<nav>`` block BEFORE ``<main>`` so the
+    extracted text stays byte-identical with or without them.
     """
+    nav = ""
+    if outlinks:
+        nav = "<nav>" + "".join(f'<a href="{h}">link</a>' for h in outlinks) + "</nav>"
     body = (
         f'<html lang="{lang}"><head><title>{url}</title>'
         "<script>var t=1;function f(){return '<main>';}</script>"
         "<style>.x{color:red}/*<main>*/</style></head>"
-        f'<body><!-- header for {url} --><h1>{url}</h1>'
+        f'<body><!-- header for {url} --><h1>{url}</h1>{nav}'
         f"<main><p>{html_escape(text)}</p></main>"
         '<div class="footer">&copy; 2026 Example &amp; Co. &#174;</div>'
     )
@@ -98,9 +109,31 @@ def html_escape_col(c: Column) -> Column:
     )
 
 
-def synth_html_col(url: Column, text: Column, lang: Column, broken: Column) -> Column:
+def synth_html_col(
+    url: Column,
+    text: Column,
+    lang: Column,
+    broken: Column,
+    outlinks: Column | None = None,
+) -> Column:
     """Column-expression twin of ``synth_html`` (kept byte-identical;
-    guarded by tests/test_extract.py round-trip + parity tests)."""
+    guarded by tests/test_extract.py round-trip + parity tests).
+    ``outlinks`` is an ``array<string>`` of raw hrefs (nav block
+    before ``<main>``, invisible to extraction)."""
+    if outlinks is not None:
+        nav = F.concat(
+            F.lit("<nav>"),
+            F.array_join(
+                F.transform(
+                    outlinks,
+                    lambda h: F.concat(F.lit('<a href="'), h, F.lit('">link</a>')),
+                ),
+                "",
+            ),
+            F.lit("</nav>"),
+        )
+    else:
+        nav = F.lit("")
     head = F.concat(
         F.lit('<html lang="'),
         lang,
@@ -113,7 +146,9 @@ def synth_html_col(url: Column, text: Column, lang: Column, broken: Column) -> C
         url,
         F.lit(" --><h1>"),
         url,
-        F.lit("</h1><main><p>"),
+        F.lit("</h1>"),
+        nav,
+        F.lit("<main><p>"),
         html_escape_col(text),
         F.lit("</p></main>"),
         F.lit('<div class="footer">&copy; 2026 Example &amp; Co. &#174;</div>'),

@@ -63,12 +63,18 @@ def register(name: str, oracle: str | None = None):
 # Shared oracle SQL fragments (one source of truth for the synthetic shapes)
 # --------------------------------------------------------------------------
 
-# url formula must match sources.pages.pages_from_documents
-URL_SQL = (
-    "('https://' || CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
-    "ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END "
-    "|| '/doc/' || lpad(CAST(doc_id AS VARCHAR), 6, '0'))"
-)
+# url formula must match sources.pages.url_of
+def url_sql(id_expr: str) -> str:
+    """The page-url formula over an arbitrary doc-id SQL expression
+    (SQL twin of sources.pages.url_of)."""
+    return (
+        f"('https://' || CASE WHEN ({id_expr}) % 10 < 3 THEN 'hot.example.com' "
+        f"ELSE 'h' || CAST(({id_expr}) % 50 AS VARCHAR) || '.example.org' END "
+        f"|| '/doc/' || lpad(CAST(({id_expr}) AS VARCHAR), 6, '0'))"
+    )
+
+
+URL_SQL = url_sql("doc_id")
 
 # tokenization with 0-based positions (mirrors posexplode(split(text,' ')))
 TOKENS_SQL = f"""
@@ -3671,6 +3677,8 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "web_link_graph",
+    "web_pagerank",
     "web_url_canonical",
     "web_url_dedup",
     "text_repetition",
@@ -3967,6 +3975,142 @@ def web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_snapshots", F.count(F.lit(1)).over(wc).cast("long"))
         .where(F.col("rn") == 1)
         .select("url", "doc_id", "ts_epoch", "n_snapshots")
+    )
+
+
+# --------------------------------------------------------------------------
+# Web link graph (operators/linkgraph.py): href edges -> host graph -> PageRank
+# --------------------------------------------------------------------------
+
+from multiomics_biocypher_kg_spark.functions.urls import (  # noqa: E402
+    REST_RE as _REST_RE,
+    canonical_url_sql as _canonical_url_sql,
+)
+from multiomics_biocypher_kg_spark.sources.pages import PARTNER_URL as _PARTNER  # noqa: E402
+
+
+def _host_sql(expr: str) -> str:
+    """SQL twin of functions.urls.url_host (lowercased host, no port)."""
+    return (
+        f"lower(regexp_extract(regexp_extract(regexp_extract(trim({expr}), "
+        f"'{_REST_RE}', 1), '^([^/?#]*)', 1), '^([^:]*)', 1))"
+    )
+
+
+# raw hrefs per page, SQL twin of sources.pages.outlinks_of
+_LINKS_SQL = f"""
+  SELECT doc_id, {URL_SQL} AS src_url,
+         unnest([
+           {url_sql('doc_id - doc_id % 7')} || '?utm_source=nav',
+           {url_sql('doc_id - doc_id % 50')} || '#top',
+           '{_PARTNER}'
+         ]) AS href
+  FROM documents
+"""
+
+# canonicalized + hostified edge list -> host graph
+_HOST_GRAPH_SQL = f"""
+  SELECT {_host_sql('src_url')} AS src_host,
+         {_host_sql('url_canonical')} AS dst_host,
+         count(*) AS n_links,
+         count(DISTINCT src_url) AS n_pages
+  FROM ({_canonical_url_sql(_LINKS_SQL, 'href')})
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "web_link_graph",
+    oracle=f"SELECT * FROM ({_HOST_GRAPH_SQL})",
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction -> canonicalization -> host-graph rollup.
+
+    The anchor regexp runs in the scan projection (codegen, zero
+    Python); canonical urls collapse utm/fragment variants before the
+    single (src_host, dst_host) shuffle. The DuckDB oracle mirrors
+    the href synthesis formula AND the full canonicalization chain,
+    so the parse-canonicalize-rollup path is value-gated end to end.
+    """
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    return host_graph(href_edges(pages))
+
+
+def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTEs (the
+    _lsh_cands_sql rendering pattern: deterministic loop -> SQL)."""
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    parts = [
+        f"hg AS ({_HOST_GRAPH_SQL})",
+        "outw AS (SELECT src_host AS src, sum(n_links) AS out_w FROM hg GROUP BY 1)",
+        (
+            "norm AS (SELECT hg.src_host AS src, hg.dst_host AS dst, "
+            "CAST(hg.n_links AS DOUBLE) / outw.out_w AS p "
+            "FROM hg JOIN outw ON hg.src_host = outw.src)"
+        ),
+        (
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT src_host AS node FROM hg UNION ALL SELECT dst_host FROM hg))"
+        ),
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "hasout AS (SELECT DISTINCT src_host AS src FROM hg)",
+        "it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f"dang{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang "
+            f"FROM {p} r LEFT JOIN hasout o ON r.node = o.src WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"con{k} AS (SELECT e.dst AS node, sum(e.p * r.rank) AS contrib "
+            f"FROM norm e JOIN {p} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"it{k} AS (SELECT n.node, {t} / nn.n + {d} * "
+            f"(coalesce(c.contrib, 0.0) + dang{k}.dang / nn.n) AS rank "
+            f"FROM nodes n CROSS JOIN nn CROSS JOIN dang{k} "
+            f"LEFT JOIN con{k} c ON n.node = c.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS host, round(rank, 6) AS pagerank FROM it{iters}"
+    )
+
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+@register("web_pagerank", oracle=_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING))
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the extracted link graph — fixed
+    5-iteration weighted PageRank with dangling-mass redistribution
+    (operators.linkgraph.pagerank). Deterministic, so the DuckDB
+    oracle unrolls the identical iterations as CTEs and the float
+    result is value-hash-gated after round(6)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        pagerank,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
     )
 
 

@@ -33,25 +33,51 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_from_documents_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def url_of(doc_id):  # Column -> Column
+    """URL formula as a function of a doc-id column (shared by the
+    page synthesizer and the outlink targets; SQL mirror:
+    registry.url_sql)."""
+    host = F.when(doc_id % 10 < 3, F.lit(HOT_HOST)).otherwise(
+        F.concat(F.lit("h"), (doc_id % 50).cast("string"), F.lit(".example.org"))
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/doc/"),
+        F.lpad(doc_id.cast("string"), 6, "0"),
+    )
+
+
+PARTNER_URL = "https://partner.example.net/about"
+
+
+def outlinks_of(doc_id):  # Column -> Column (array<string> of raw hrefs)
+    """Deterministic nav outlinks per page — a crawl-graph stand-in:
+
+    - a 7-bucket hub page, utm-tagged (canonicalization must strip it),
+    - a 50-bucket section hub with a fragment (ditto),
+    - a constant external partner link (a dangling PageRank node).
+
+    Targets are pure functions of doc_id over the dense id range, so
+    every intra-corpus target exists at any scale factor.
+    """
+    hub7 = F.concat(url_of(doc_id - doc_id % 7), F.lit("?utm_source=nav"))
+    hub50 = F.concat(url_of(doc_id - doc_id % 50), F.lit("#top"))
+    return F.array(hub7, hub50, F.lit(PARTNER_URL))
+
+
 def pages_from_documents_df(docs: DataFrame) -> DataFrame:
     """The pure transform half — composes with readStream unchanged
     (streaming/ingest.py feeds a streaming documents frame through
     it)."""
-    host = F.when(F.col("doc_id") % 10 < 3, F.lit(HOT_HOST)).otherwise(
-        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org"))
-    )
-    url = F.concat(
-        F.lit("https://"),
-        host,
-        F.lit("/doc/"),
-        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
-    )
+    url = url_of(F.col("doc_id"))
     broken = (F.col("doc_id") % 17) == 0
     return docs.select(
         F.col("doc_id"),
         url.alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH0) + F.col("doc_id")).alias("warc_ts"),
-        synth_html_col(url, F.col("text"), F.col("lang"), broken)
+        synth_html_col(
+            url, F.col("text"), F.col("lang"), broken,
+            outlinks=outlinks_of(F.col("doc_id")),
+        )
         .cast("binary")
         .alias("html"),
         F.col("text"),

@@ -1,0 +1,109 @@
+"""Link-graph operators: href extraction, host rollup, PageRank.
+
+The registry oracles (web_link_graph / web_pagerank,
+tests/test_queries_oracle.py) value-gate the full pipeline against
+DuckDB; these tests pin the operator semantics on hand-built graphs
+where the expected answer is known in closed form.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.text import extract_text, synth_html
+from multiomics_biocypher_kg_spark.operators.linkgraph import (
+    host_graph,
+    href_edges,
+    pagerank,
+)
+from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+from tests.conftest import SF_TINY
+
+
+def test_synth_outlinks_do_not_change_extracted_text():
+    t = "GeneA interacts with GeneB."
+    plain = synth_html("https://h1.example.org/doc/000001", t, "en")
+    linked = synth_html(
+        "https://h1.example.org/doc/000001",
+        t,
+        "en",
+        outlinks=["https://h0.example.org/doc/000000?utm_source=nav", "https://x.org/#top"],
+    )
+    assert plain != linked
+    assert extract_text(plain.encode()) == t
+    assert extract_text(linked.encode()) == t
+
+
+def test_href_edges_parse_and_canonicalize(spark):
+    pages = pages_from_documents(spark, SF_TINY)
+    edges = href_edges(pages)
+    rows = edges.where(F.col("src_url").endswith("/doc/000013")).collect()
+    # doc 13: hub7 = doc 7 (h7), hub50 = doc 0 (hot), partner;
+    # the utm param and fragment must be canonicalized away.
+    dsts = sorted(r.dst_url for r in rows)
+    assert dsts == [
+        "https://h7.example.org/doc/000007",
+        "https://hot.example.com/doc/000000",
+        "https://partner.example.net/about",
+    ]
+    assert all("?utm" not in d and "#" not in d for d in dsts)
+
+
+def test_host_graph_counts(spark):
+    pages = pages_from_documents(spark, SF_TINY)
+    hg = host_graph(href_edges(pages)).collect()
+    n_pages_total = pages.count()
+    # every page emits exactly 3 anchors
+    assert sum(r.n_links for r in hg) == 3 * n_pages_total
+    # the partner host is a pure sink: never a source
+    assert not [r for r in hg if r.src_host == "partner.example.net"]
+    assert [r for r in hg if r.dst_host == "partner.example.net"]
+
+
+def _ranks(spark, edge_rows, **kw):
+    edges = spark.createDataFrame(edge_rows, "src string, dst string, weight double")
+    out = pagerank(edges, **kw).collect()
+    return {r.node: r.rank for r in out}
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    # b is dangling (no out-edges): its mass must be redistributed,
+    # keeping sum(rank) == 1 every iteration.
+    ranks = _ranks(spark, [("a", "b", 1.0), ("c", "b", 1.0)], iters=7)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-12)
+    assert ranks["b"] > ranks["a"] == pytest.approx(ranks["c"], abs=1e-12)
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # a->b->c->a: symmetry forces the uniform fixed point exactly.
+    ranks = _ranks(
+        spark, [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)], iters=3
+    )
+    for v in ranks.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+def test_pagerank_weighted_split_closed_form(spark):
+    # a splits 3:1 between b and c; b, c both dangling. After ONE
+    # iteration from uniform start the closed form is:
+    #   dangling mass = 2/3, teleport = 0.05, d = 0.85
+    #   rank(b) = 0.05 + 0.85*(1/3*3/4 + 2/9) = 0.05 + 0.85*(1/4/... )
+    d = 0.85
+    n = 3.0
+    dang = 2.0 / 3.0
+    b1 = (1 - d) / n + d * ((1 / 3) * 0.75 + dang / n)
+    c1 = (1 - d) / n + d * ((1 / 3) * 0.25 + dang / n)
+    a1 = (1 - d) / n + d * (dang / n)
+    ranks = _ranks(spark, [("a", "b", 3.0), ("a", "c", 1.0)], iters=1)
+    assert ranks["a"] == pytest.approx(a1, abs=1e-12)
+    assert ranks["b"] == pytest.approx(b1, abs=1e-12)
+    assert ranks["c"] == pytest.approx(c1, abs=1e-12)
+
+
+def test_pagerank_checkpoint_matches_uncheckpointed(spark):
+    edge_rows = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 1.0)]
+    plain = _ranks(spark, edge_rows, iters=6)
+    chk = _ranks(spark, edge_rows, iters=6, checkpoint_every=2)
+    for k in plain:
+        assert plain[k] == pytest.approx(chk[k], abs=1e-12)
