@@ -3679,6 +3679,7 @@ _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
     "web_link_graph",
     "web_pagerank",
+    "kg_comention_delta",
     "web_url_canonical",
     "web_url_dedup",
     "text_repetition",
@@ -4082,6 +4083,100 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT node AS host, round(rank, 6) AS pagerank FROM it{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental crawl delta: co-mention edges, old batch vs new batch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kg_comention_delta",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    ents AS (
+      SELECT DISTINCT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
+      FROM ents a JOIN ents b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+    ),
+    batched AS (
+      SELECT subj, obj,
+        sum(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END) AS n_docs_old,
+        sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS n_docs_new
+      FROM pairs GROUP BY subj, obj
+    )
+    SELECT subj, 'co_mentioned_with' AS pred, obj,
+      CAST(n_docs_old AS BIGINT) AS n_docs_old,
+      CAST(n_docs_new AS BIGINT) AS n_docs_new,
+      CASE WHEN n_docs_old = 0 THEN 'insert'
+           WHEN n_docs_new > 0 THEN 'update'
+           ELSE 'unchanged' END AS merge_op
+    FROM batched
+    """,
+)
+def kg_comention_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG construction: entity co-mention edges with the
+    MERGE action a new crawl batch implies per edge.
+
+    The corpus is split into a prior crawl (doc_id % 4 != 3) and a
+    new batch; the pipeline runs ONCE over the union with a batch
+    tag, so the delta costs one pass — the incremental shape, not
+    old-run + new-run + diff. Per-doc entity sets come from one
+    groupBy (collect_set), pairs explode narrowly from the sorted
+    array (no per-doc self-join shuffle), and the final per-edge
+    aggregation is the second and last shuffle. ``merge_op`` is the
+    WHEN [NOT] MATCHED branch operators.materialize.merge_into would
+    take per row (insert / update = accrete evidence counts /
+    unchanged). At 100 TB hot entities skew the pair key — same
+    salting recipe as kg_host_rollup_salted applies to the final agg.
+    """
+    p = _pipeline(spark, sf_dir)
+    ents = (
+        p["links"]
+        .where(F.col("entity_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("entity_id")).alias("ents"))
+    )
+    pairs = ents.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ents"), i + 2, F.size(F.col("ents"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("subj"), y.alias("obj")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pair"),
+    ).select("doc_id", "pair.subj", "pair.obj")
+    is_new = (F.col("doc_id") % 4 == 3).cast("long")
+    return (
+        pairs.groupBy("subj", "obj")
+        .agg(
+            F.sum(1 - is_new).alias("n_docs_old"),
+            F.sum(is_new).alias("n_docs_new"),
+        )
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            "n_docs_old",
+            "n_docs_new",
+            F.when(F.col("n_docs_old") == 0, "insert")
+            .when(F.col("n_docs_new") > 0, "update")
+            .otherwise("unchanged")
+            .alias("merge_op"),
+        )
     )
 
 
