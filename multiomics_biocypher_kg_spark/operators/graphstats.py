@@ -1,0 +1,257 @@
+"""KG graph statistics: co-mention pairs, temporal triple validity,
+PMI edge weighting, degree-oriented triangle counting, and predicate
+functionality profiles.
+
+These are the curation-side diagnostics a web-scale KG build runs over
+its own emitted edge tables — the reference's analog is its QC
+rollups and ontology enrichment passes (entity rollups, annotation
+quality buckets; cf. /root/reference/multiomics_kg/adapters/
+cyanorak_annotation_adapter.py QC counters), re-expressed over the
+co-mention / triple tables the web pipeline materializes.
+
+Design for 100 TB:
+
+- ``comention_pairs``: per-doc entity sets come from ONE groupBy
+  (collect_set); pairs explode narrowly from the sorted array (no
+  per-doc self-join shuffle). Hot entities skew the downstream pair
+  key — the kg_host_rollup_salted recipe applies to any agg over it.
+- ``temporal_edges``: timestamps ride the same two-shuffle shape as
+  the co-mention delta; min/max are map-side-combined partials, so
+  the snapshot history adds no extra pass over the corpus.
+- ``pmi_edges``: three aggregations (pair, entity, corpus) sharing
+  the pair scan; corpus totals stay distributed as broadcast 1-row
+  aggregates (no ``.collect()``), entity marginals join back onto
+  pairs keyed by entity id.
+- ``triangle_counts``: DEGREE-ORIENTED wedge join — each undirected
+  edge is directed from its lower-(degree, id) endpoint, so every
+  wedge is enumerated at its lowest-degree apex and the join fan-out
+  is bounded by sum(min-degree per edge) instead of sum(deg^2) on hub
+  nodes; the triangle SET is orientation-independent, which is what
+  lets the DuckDB oracle verify with a plain id-ordered 3-way join.
+- ``predicate_profile``: one groupBy over the triple table;
+  functionality / inverse-functionality are ratios of partial
+  counts, the schema-inference signal KG curation uses to type
+  predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_entity_sets(links: DataFrame) -> DataFrame:
+    """links(doc_id, entity_id, ...) -> (doc_id, ents sorted array).
+
+    One shuffle; collect_set dedups mention repeats map-side.
+    """
+    return (
+        links.where(F.col("entity_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("entity_id")).alias("ents"))
+    )
+
+
+def comention_pairs(links: DataFrame) -> DataFrame:
+    """Per-doc unordered entity pairs (subj < obj), one row per
+    (doc, pair). The explode is narrow — pairs are generated from the
+    sorted per-doc array with slice/transform, never a self-join.
+    """
+    ents = doc_entity_sets(links)
+    return ents.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ents"), i + 2, F.size(F.col("ents"))),
+                        lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+                    ),
+                )
+            )
+        ).alias("pair"),
+    ).select("doc_id", "pair.subj", "pair.obj")
+
+
+def temporal_edges(pairs: DataFrame, pages: DataFrame) -> DataFrame:
+    """Triple validity intervals across crawl snapshots.
+
+    pairs(doc_id, subj, obj) x pages(doc_id, warc_ts) ->
+    (subj, pred, obj, first_seen_ts, last_seen_ts, n_snapshots).
+
+    Timestamps are emitted as epoch seconds (BIGINT) so the value
+    hash is timezone-stable. At 100 TB the join is keyed by doc_id on
+    both sides (the pages scan prunes to two columns) and min/max
+    partials combine map-side — the temporal rollup costs the same
+    two shuffles as the plain co-mention count.
+    """
+    ts = pages.select("doc_id", F.unix_timestamp("warc_ts").alias("ts_sec"))
+    return (
+        pairs.join(ts, "doc_id")
+        .groupBy("subj", "obj")
+        .agg(
+            F.min("ts_sec").alias("first_seen_ts"),
+            F.max("ts_sec").alias("last_seen_ts"),
+            F.countDistinct("doc_id").alias("n_snapshots"),
+        )
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            "first_seen_ts",
+            "last_seen_ts",
+            "n_snapshots",
+        )
+    )
+
+
+def pmi_edges(pairs: DataFrame) -> DataFrame:
+    """PMI / NPMI weights for co-mention edges — the statistical
+    signal that separates systematic associations from hub-entity
+    coincidence before an edge is admitted to the KG.
+
+    pmi  = ln(n_ab * N / (n_a * n_b))  over document counts
+    npmi = pmi / ln(N / n_ab)          in [-1, 1], 1 = always together
+
+    N (docs with >=1 linked entity) stays a broadcast 1-row
+    aggregate; entity marginals join back by entity id (sort-merge at
+    scale, broadcast under the threshold — Catalyst's call).
+    """
+    doc_ent = pairs.select("doc_id", F.col("subj").alias("entity_id")).unionByName(
+        pairs.select("doc_id", F.col("obj").alias("entity_id"))
+    )
+    marg = doc_ent.groupBy("entity_id").agg(
+        F.countDistinct("doc_id").alias("n_docs_ent")
+    )
+    total = pairs.select(
+        F.countDistinct("doc_id").alias("n_docs_total")
+    )
+    pair_counts = pairs.groupBy("subj", "obj").agg(
+        F.countDistinct("doc_id").alias("n_docs_pair")
+    )
+    j = (
+        pair_counts.join(
+            marg.select(
+                F.col("entity_id").alias("subj"),
+                F.col("n_docs_ent").alias("n_docs_subj"),
+            ),
+            "subj",
+        )
+        .join(
+            marg.select(
+                F.col("entity_id").alias("obj"),
+                F.col("n_docs_ent").alias("n_docs_obj"),
+            ),
+            "obj",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.log(
+        F.col("n_docs_pair")
+        * F.col("n_docs_total")
+        / (F.col("n_docs_subj") * F.col("n_docs_obj"))
+    )
+    denom = F.log(F.col("n_docs_total") / F.col("n_docs_pair"))
+    npmi = F.when(denom == 0, F.lit(1.0)).otherwise(pmi / denom)
+    return j.select(
+        "subj",
+        "obj",
+        "n_docs_pair",
+        "n_docs_subj",
+        "n_docs_obj",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(npmi, 6).alias("npmi"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge set.
+
+    edges(a, b) with a <> b, one row per undirected edge in either
+    or both directions (dedup handled here). Degree orientation: each
+    edge is directed low->high by (degree, node), so wedge
+    enumeration happens at the lowest-degree apex — the standard
+    bound that keeps hub nodes from exploding the join. The closing
+    edge lookup is an equi-join against the SAME oriented edge set
+    (a triangle's closing pair is oriented consistently because the
+    orientation is a total order).
+    """
+    und = (
+        edges.select(F.col("a"), F.col("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "node")
+    with_deg = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    # orient: src is the lower endpoint in the (deg, id) total order
+    oriented = with_deg.where(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    ).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("deg_b").alias("deg_dst"),
+    )
+    # wedges at the apex: two out-edges of the same src, ordered by the
+    # same total order so the closing edge has a unique orientation
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select(
+        F.col("src").alias("n1"), F.col("v").alias("n2"), F.col("w").alias("n3")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    # left-join back onto the node set so 0-triangle nodes appear
+    nodes = sym.select(F.col("a").alias("entity_id")).distinct()
+    return nodes.join(per_node, "entity_id", "left").select(
+        "entity_id",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate functionality profile over (subj, pred, obj) —
+    the schema-inference diagnostic: functionality ~ 1 means the
+    predicate behaves like a key (one object per subject), inverse
+    functionality ~ 1 means objects identify subjects. One groupBy.
+    """
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+        )
+        .select(
+            "pred",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            F.round(F.col("n_subjects") / F.col("n_triples"), 6).alias(
+                "functionality"
+            ),
+            F.round(F.col("n_objects") / F.col("n_triples"), 6).alias(
+                "inverse_functionality"
+            ),
+        )
+    )

@@ -604,9 +604,7 @@ def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(sameas, src="id_a", dst="id_b")
 
 
-@register(
-    "kg_triples",
-    oracle=f"""
+TRIPLES_SQL = f"""
     WITH links AS ({LINKS_SQL}),
     mention_triples AS (
       SELECT DISTINCT url AS subj, 'mentions' AS pred, entity_id AS obj
@@ -619,8 +617,10 @@ def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     allt AS (SELECT * FROM mention_triples UNION ALL SELECT * FROM same_triples)
     SELECT subj, pred, obj, subj || '|' || pred || '|' || obj AS edge_id FROM allt
-    """,
-)
+"""
+
+
+@register("kg_triples", oracle=TRIPLES_SQL)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 5: the materialized (subj, pred, obj) triple table."""
     p = _pipeline(spark, sf_dir)
@@ -3677,6 +3677,12 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "kg_triple_temporal",
+    "kg_pmi_edges",
+    "kg_triangles",
+    "kg_predicate_stats",
+    "web_domain_profile",
+    "text_tfidf",
     "web_link_graph",
     "web_pagerank",
     "kg_comention_delta",
@@ -4134,31 +4140,10 @@ def kg_comention_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged). At 100 TB hot entities skew the pair key — same
     salting recipe as kg_host_rollup_salted applies to the final agg.
     """
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
     p = _pipeline(spark, sf_dir)
-    ents = (
-        p["links"]
-        .where(F.col("entity_id").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("entity_id")).alias("ents"))
-    )
-    pairs = ents.select(
-        "doc_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ents"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ents"), i + 2, F.size(F.col("ents"))
-                        ),
-                        lambda y: F.struct(
-                            x.alias("subj"), y.alias("obj")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pair"),
-    ).select("doc_id", "pair.subj", "pair.obj")
+    pairs = comention_pairs(p["links"])
     is_new = (F.col("doc_id") % 4 == 3).cast("long")
     return (
         pairs.groupBy("subj", "obj")
@@ -4206,6 +4191,287 @@ def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING)
     return ranks.select(
         F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+# --------------------------------------------------------------------------
+# KG graph statistics (operators.graphstats): the curation-side
+# diagnostics a web-scale KG build runs over its own edge tables.
+# --------------------------------------------------------------------------
+
+# unordered per-doc co-mention pairs (subj < obj), one row per (doc, pair)
+COMENTION_PAIRS_SQL = f"""
+  WITH links AS ({LINKS_SQL}),
+  ents AS (
+    SELECT DISTINCT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
+  )
+  SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
+  FROM ents a JOIN ents b
+    ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+"""
+
+
+@register(
+    "kg_triple_temporal",
+    oracle=f"""
+    SELECT subj, 'co_mentioned_with' AS pred, obj,
+      CAST(min(1767225600 + doc_id) AS BIGINT) AS first_seen_ts,
+      CAST(max(1767225600 + doc_id) AS BIGINT) AS last_seen_ts,
+      count(DISTINCT doc_id) AS n_snapshots
+    FROM ({COMENTION_PAIRS_SQL}) pairs
+    GROUP BY subj, obj
+    """,
+)
+def kg_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: per-triple validity interval (first_seen /
+    last_seen crawl timestamp + snapshot support count) across crawl
+    snapshots. The Spark side joins pairs back to the pages table's
+    ``warc_ts`` (the honest shape — timestamps live on the corpus,
+    not the formula); the oracle exploits the deterministic synthetic
+    ``warc_ts = epoch0 + doc_id``. Same two-shuffle plan as the
+    co-mention count: min/max partials combine map-side.
+    """
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        temporal_edges,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    return temporal_edges(comention_pairs(p["links"]), p["pages"])
+
+
+@register(
+    "kg_pmi_edges",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    de AS (
+      SELECT doc_id, subj AS entity_id FROM pairs
+      UNION ALL
+      SELECT doc_id, obj FROM pairs
+    ),
+    marg AS (
+      SELECT entity_id, count(DISTINCT doc_id) AS n_docs_ent
+      FROM de GROUP BY entity_id
+    ),
+    tot AS (SELECT count(DISTINCT doc_id) AS n FROM pairs),
+    pc AS (
+      SELECT subj, obj, count(DISTINCT doc_id) AS n_docs_pair
+      FROM pairs GROUP BY subj, obj
+    ),
+    raw AS (
+      SELECT pc.subj, pc.obj, pc.n_docs_pair,
+        ms.n_docs_ent AS n_docs_subj, mo.n_docs_ent AS n_docs_obj,
+        ln(pc.n_docs_pair * tot.n / (ms.n_docs_ent * mo.n_docs_ent)) AS pmi_raw,
+        ln(tot.n / pc.n_docs_pair) AS denom
+      FROM pc
+      JOIN marg ms ON pc.subj = ms.entity_id
+      JOIN marg mo ON pc.obj = mo.entity_id
+      CROSS JOIN tot
+    )
+    SELECT subj, obj, n_docs_pair, n_docs_subj, n_docs_obj,
+      round(pmi_raw, 6) AS pmi,
+      round(CASE WHEN denom = 0 THEN 1.0 ELSE pmi_raw / denom END, 6) AS npmi
+    FROM raw
+    """,
+)
+def kg_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI / NPMI weighting of co-mention edges — admission scoring
+    that separates systematic association from hub-entity
+    coincidence (operators.graphstats.pmi_edges). Corpus totals stay
+    a broadcast 1-row aggregate; marginals join back by entity id."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        pmi_edges,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    return pmi_edges(comention_pairs(p["links"]))
+
+
+@register(
+    "kg_triangles",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    e AS (SELECT DISTINCT subj AS a, obj AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+      SELECT n1 AS entity_id FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri
+    ),
+    pn AS (SELECT entity_id, count(*) AS n_triangles FROM tri_nodes GROUP BY entity_id),
+    nodes AS (SELECT a AS entity_id FROM e UNION SELECT b FROM e)
+    SELECT nodes.entity_id,
+      CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nodes LEFT JOIN pn ON nodes.entity_id = pn.entity_id
+    """,
+)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation over the co-mention graph —
+    the clustering-structure diagnostic. The Spark plan is
+    DEGREE-ORIENTED (wedges enumerate at the lowest-(degree,id)
+    apex, bounding hub fan-out); the oracle verifies with a plain
+    id-ordered 3-way join — valid because the triangle SET is
+    orientation-independent."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        triangle_counts,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    edges = comention_pairs(p["links"]).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b")
+    )
+    return triangle_counts(edges).select(
+        "entity_id", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
+@register(
+    "kg_predicate_stats",
+    oracle=f"""
+    SELECT pred, count(*) AS n_triples,
+      count(DISTINCT subj) AS n_subjects,
+      count(DISTINCT obj) AS n_objects,
+      round(count(DISTINCT subj) / count(*), 6) AS functionality,
+      round(count(DISTINCT obj) / count(*), 6) AS inverse_functionality
+    FROM ({TRIPLES_SQL}) GROUP BY pred
+    """,
+)
+def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate functionality profile over the materialized
+    triple table (operators.graphstats.predicate_profile) — the
+    schema-inference diagnostic KG curation uses to type predicates.
+    One groupBy over the triple table."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import predicate_profile
+
+    trip = kg_triples(spark, sf_dir)
+    return predicate_profile(trip.select("subj", "pred", "obj"))
+
+
+# unrounded composite quality-score formula (SQL twin of
+# functions.textstats.quality_score; text_stats rounds it per-doc,
+# web_domain_profile averages it per-host before rounding)
+def quality_score_sql(text: str) -> str:
+    toks = f"len(string_split({text}, ' '))"
+    stop = (
+        f"CAST(len(list_filter(string_split({text}, ' '), "
+        f"t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / {toks}"
+    )
+    return (
+        f"((CASE WHEN {toks} >= 20 THEN 1.0 ELSE {toks} / 20.0 END)"
+        f" + (CASE WHEN length({text})::DOUBLE / {toks} BETWEEN 3 AND 10"
+        f" THEN 1.0 ELSE 0.0 END)"
+        f" + ({stop}) * 5)"
+    )
+
+
+@register(
+    "web_domain_profile",
+    oracle=f"""
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+      count(*) AS n_pages,
+      count(DISTINCT lang) AS n_langs,
+      string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
+      CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
+      round(avg({quality_score_sql('text')}), 6) AS avg_quality,
+      round(avg(length(text)), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus quality profile — the domain-level curation
+    table CCNet/RefinedWeb-style pipelines compute before sampling:
+    page counts, language spread, broken-markup rate (probed from
+    the html bytes, not metadata), mean quality score and length.
+    One groupBy keyed by host; the hot host exercises the same skew
+    path as kg_host_rollup_salted. The oracle derives host/broken
+    from the deterministic synthetic formulas; the Spark side probes
+    the url and html columns honestly."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.select(
+            url_host(F.col("url")).alias("host"),
+            "lang",
+            "text",
+            F.col("html").cast("string").alias("html_s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), "|").alias("langs"),
+            F.sum(
+                F.col("html_s").endswith("<span class='unclosed").cast("long")
+            ).alias("n_broken"),
+            F.round(F.avg(ts.quality_score(F.col("text"))), 6).alias("avg_quality"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        tf.tf * ln(n.n_docs / df.df) AS tfidf_raw
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC
+      ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, round(tfidf_raw, 6) AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salient-term
+    signal for doc fingerprints and context features. Two shuffles
+    (tf, df) + one window; the corpus size stays a broadcast 1-row
+    aggregate. Ties order by the UNROUNDED score then term on both
+    sides, so rounding can't reorder the top-k."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf_raw", 6).alias("tfidf"))
     )
 
 
