@@ -3677,6 +3677,7 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "kg_disambiguate",
     "kg_triple_temporal",
     "kg_pmi_edges",
     "kg_triangles",
@@ -4418,6 +4419,85 @@ def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "kg_disambiguate",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    vocab AS (SELECT * FROM {VOCAB_SQL}),
+    amb AS (
+      SELECT doc_id, pos, token,
+        regexp_replace(regexp_replace(token, '[*+]+$', ''), '\\.\\d+$', '') AS norm_token
+      FROM links WHERE resolution_method = 'ambiguous'
+    ),
+    t2 AS (
+      SELECT DISTINCT surface, entity_id FROM vocab
+      WHERE tier = 2 AND surface NOT LIKE '% %'
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id, a.pos, a.token, t.entity_id
+      FROM amb a JOIN t2 t ON a.token = t.surface OR a.norm_token = t.surface
+    ),
+    resolved AS (
+      SELECT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
+    ),
+    prior AS (SELECT entity_id, count(*) AS prior_score FROM resolved GROUP BY entity_id),
+    doc_ents AS (SELECT DISTINCT doc_id, entity_id AS ctx_entity FROM resolved),
+    ents AS (SELECT DISTINCT doc_id, entity_id FROM resolved),
+    pairs AS (
+      SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
+      FROM ents a JOIN ents b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+    ),
+    co AS (
+      SELECT subj AS lo, obj AS hi, count(DISTINCT doc_id) AS co_docs
+      FROM pairs GROUP BY subj, obj
+    ),
+    ctx AS (
+      SELECT c.doc_id, c.pos, c.token, c.entity_id,
+             sum(coalesce(co.co_docs, 0)) AS context_score
+      FROM cands c
+      JOIN doc_ents d ON c.doc_id = d.doc_id AND c.entity_id <> d.ctx_entity
+      LEFT JOIN co ON least(c.entity_id, d.ctx_entity) = co.lo
+                  AND greatest(c.entity_id, d.ctx_entity) = co.hi
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT c.doc_id, c.pos, c.token, c.entity_id,
+        CAST(coalesce(x.context_score, 0) AS BIGINT) AS context_score,
+        CAST(coalesce(p.prior_score, 0) AS BIGINT) AS prior_score
+      FROM cands c
+      LEFT JOIN ctx x
+        ON c.doc_id = x.doc_id AND c.pos = x.pos AND c.entity_id = x.entity_id
+      LEFT JOIN prior p ON c.entity_id = p.entity_id
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY doc_id, pos
+          ORDER BY context_score DESC, prior_score DESC, entity_id ASC
+        ) AS rn,
+        count(*) OVER (PARTITION BY doc_id, pos) AS n_candidates
+      FROM scored
+    )
+    SELECT doc_id, pos, token, entity_id, context_score, prior_score, n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kg_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate entity-link scoring (operators.disambiguate): the
+    'ambiguous' mentions the tier cascade could not resolve get a
+    context score (co-mention document counts with the page's
+    resolved entities) and a popularity prior, then a deterministic
+    argmax picks the sense. Conflict mentions stay quarantined, as
+    in the reference. All scoring joins run on aggregate tables, not
+    raw pages."""
+    from multiomics_biocypher_kg_spark.operators.disambiguate import disambiguate
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    return disambiguate(p["links"], vocab_df(spark), comention_pairs(p["links"]))
 
 
 @register(

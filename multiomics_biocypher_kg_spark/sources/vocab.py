@@ -19,7 +19,8 @@ universe exercises every pass of the resolution cascade
 - 'JOIN' (uppercase surface)  -> token 'join' via 'case_insensitive'
 - 'the' twice at tier 1       -> 'conflict' (quarantined)
 - 'big' tier-2 single entity  -> 'tier2_singleton'
-- 'fast' tier-2, two entities -> 'ambiguous' (unresolved)
+- 'fast' tier-2, two entities -> 'ambiguous' (unresolved by the
+  cascade; scored by the context/prior disambiguation pass)
 - 'a', 'dup', 'slow' absent   -> 'unmatched'
 - 'PMM0001' + footnote artifact forms -> 'heuristic' strip of
   trailing '*'/'+'/'.N' (exercised by unit tests; zero rows on the
@@ -50,8 +51,13 @@ VOCAB_ROWS: list[tuple[str, str, int, str, str]] = (
         ("the", "keyword", 1, "kw:the#1", "keyword"),
         ("the", "keyword", 1, "kw:the#2", "keyword"),
         ("big", "keyword", 2, "kw:big", "keyword"),
-        ("fast", "keyword", 2, "kw:fast#1", "keyword"),
-        ("fast", "keyword", 2, "kw:fast#2", "keyword"),
+        # 'fast' is ambiguous between two entities that ALSO carry a
+        # unique tier-1 surface elsewhere ('scan' / 'sort'), so the
+        # ambiguous mention has real corpus signal for the
+        # disambiguation pass (operators.disambiguate): the entities
+        # accumulate resolved mentions + co-mention structure.
+        ("fast", "keyword", 2, "kw:scan", "keyword"),
+        ("fast", "keyword", 2, "kw:sort", "keyword"),
         ("PMM0001", "locus_tag", 1, "ncbigene:PMM0001", "gene"),
         ("dnaA", "gene_name", 1, "ncbigene:PMM0001", "gene"),
         ("AAV95689", "protein_id", 2, "uniprot:Q7V5L8", "protein"),
