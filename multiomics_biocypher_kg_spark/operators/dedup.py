@@ -135,6 +135,74 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    sh: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Asymmetric shingle containment — quote / near-subset
+    detection: C(small, big) = |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|).
+
+    -> (id_a, id_b, containment, contained_id) with id_a < id_b and
+    containment >= threshold; ``contained_id`` is the smaller
+    (quoted) side, ties to id_a. High containment does NOT imply
+    high Jaccard (a paragraph quoted inside a long page), which is
+    exactly why dedup passes miss quotes and this operator exists.
+
+    Scale note: plain MinHash-LSH candidates under-recall here for
+    the same reason (Jaccard of a small-in-big pair is low). The
+    exhaustive path bounds work by co-shingled pairs; at corpus
+    scale feed ``candidates`` from a containment-aware generator
+    (e.g. LSH over the SMALLER side's shingle sample, or the
+    shared-rare-shingle join), then this verifies exactly.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is None:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sa = sh.select(F.col("id").alias("id_a"), "shingle")
+        sb = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("_shb"))
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(
+                sb,
+                (F.col("id_b") == F.col("_idb"))
+                & (F.col("shingle") == F.col("_shb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("sza", "szb"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            F.when(F.col("sza") <= F.col("szb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """WIDE signatures: (id, mh0..mh{N-1}) — all N_HASHES mins in ONE
     aggregation over the shingle stream.

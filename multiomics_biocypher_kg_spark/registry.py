@@ -2045,6 +2045,13 @@ FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # rebalance the under-split seed scan before the shingle blowup
+    # (same rationale as sources.pages.pages_from_documents: the
+    # exchange moves the small seed table; shingling then uses every
+    # core; a real many-file corpus skips this branch entirely)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     toks = F.split(F.col("text"), " ")
     near = docs.where(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -3677,6 +3684,7 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "dedup_containment",
     "kg_disambiguate",
     "kg_triple_temporal",
     "kg_pmi_edges",
@@ -4419,6 +4427,36 @@ def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT * FROM (
+      SELECT i.id_a, i.id_b,
+        round(CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
+        CASE WHEN sa.sz <= sb.sz THEN i.id_a ELSE i.id_b END AS contained_id
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.id
+      JOIN sizes sb ON i.id_b = sb.id
+    ) WHERE containment >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote / near-subset detection: asymmetric shingle containment
+    >= 0.6 (operators.dedup.containment_pairs). Catches the
+    small-doc-quoted-inside-big-doc pairs whose Jaccard is too low
+    for the dedup passes — the signal a curation pipeline uses to
+    trace quotation/syndication chains."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return dd.containment_pairs(dd.shingles(corpus), threshold=0.6)
 
 
 @register(

@@ -29,8 +29,22 @@ HOT_HOST = "hot.example.com"
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet -> pages DataFrame (input_hint shape + doc_id)."""
-    return pages_from_documents_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """documents.parquet -> pages DataFrame (input_hint shape + doc_id).
+
+    The seed scan is REBALANCED to the session's core count before
+    html synthesis when the parquet under-splits (tiny compressed
+    seed -> 1-3 splits, then amplified ~20x into html in flight):
+    this is the north-rule "repartition by url-hash for extraction"
+    — the exchange moves the small PRE-amplification table, and the
+    regexp-heavy synth/extract chain then uses every core. On a real
+    corpus the input arrives in thousands of splits, so the guard is
+    a no-op and no shuffle is added.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    return pages_from_documents_df(docs)
 
 
 def url_of(doc_id):  # Column -> Column

@@ -234,3 +234,48 @@ def test_multimodal_decode_stub(spark):
     assert abs(out[1].byte_mean - (97 + 98 + 99) / 3) < 1e-9
     assert out[2].byte_mode == ord("z")
     assert out[1].kind == "audio" and out[2].kind == "video"
+
+
+def test_containment_quote_low_jaccard(spark):
+    """A short quote embedded verbatim in a long page: containment
+    1.0 for the quote side, while Jaccard stays far below any dedup
+    threshold — the pair only surfaces through containment."""
+    from multiomics_biocypher_kg_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    page = " ".join(f"w{i}" for i in range(100)) + " " + quote + " " + " ".join(
+        f"v{i}" for i in range(100)
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    got = containment_pairs(sh, threshold=0.9).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["id_a"], row["id_b"], row["contained_id"]) == (1, 2, 1)
+    assert row["containment"] == 1.0
+    jac = jaccard_pairs(sh, threshold=0.5).collect()
+    assert jac == []  # dedup path misses the quote pair
+
+
+def test_containment_candidates_path_matches_exhaustive(spark):
+    from multiomics_biocypher_kg_spark.operators.dedup import (
+        containment_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h i j k l"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    exhaustive = sorted(map(tuple, containment_pairs(sh, 0.5).collect()))
+    cands = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
+    via_cands = sorted(map(tuple, containment_pairs(sh, 0.5, candidates=cands).collect()))
+    assert exhaustive == via_cands and len(exhaustive) == 1
