@@ -57,6 +57,7 @@ def synth_html(
     lang: str,
     broken: bool = False,
     outlinks: list[str] | None = None,
+    anchors: list[str] | None = None,
 ) -> str:
     """Deterministic page synthesizer (FIXTURES.md A1 shape).
 
@@ -64,11 +65,19 @@ def synth_html(
     styles, comments, entities, nested tags, and (when ``broken``)
     trailing malformed markup after the content region. ``outlinks``
     (raw hrefs) render as a ``<nav>`` block BEFORE ``<main>`` so the
-    extracted text stays byte-identical with or without them.
+    extracted text stays byte-identical with or without them;
+    ``anchors`` supplies per-link anchor text (default 'link').
     """
     nav = ""
     if outlinks:
-        nav = "<nav>" + "".join(f'<a href="{h}">link</a>' for h in outlinks) + "</nav>"
+        texts = anchors if anchors is not None else ["link"] * len(outlinks)
+        nav = (
+            "<nav>"
+            + "".join(
+                f'<a href="{h}">{a}</a>' for h, a in zip(outlinks, texts)
+            )
+            + "</nav>"
+        )
     body = (
         f'<html lang="{lang}"><head><title>{url}</title>'
         "<script>var t=1;function f(){return '<main>';}</script>"
@@ -115,22 +124,29 @@ def synth_html_col(
     lang: Column,
     broken: Column,
     outlinks: Column | None = None,
+    anchors: Column | None = None,
 ) -> Column:
     """Column-expression twin of ``synth_html`` (kept byte-identical;
     guarded by tests/test_extract.py round-trip + parity tests).
     ``outlinks`` is an ``array<string>`` of raw hrefs (nav block
-    before ``<main>``, invisible to extraction)."""
+    before ``<main>``, invisible to extraction); ``anchors`` the
+    parallel per-link anchor texts (default 'link')."""
     if outlinks is not None:
-        nav = F.concat(
-            F.lit("<nav>"),
-            F.array_join(
-                F.transform(
-                    outlinks,
-                    lambda h: F.concat(F.lit('<a href="'), h, F.lit('">link</a>')),
+        if anchors is not None:
+            rendered = F.zip_with(
+                outlinks,
+                anchors,
+                lambda h, a: F.concat(
+                    F.lit('<a href="'), h, F.lit('">'), a, F.lit("</a>")
                 ),
-                "",
-            ),
-            F.lit("</nav>"),
+            )
+        else:
+            rendered = F.transform(
+                outlinks,
+                lambda h: F.concat(F.lit('<a href="'), h, F.lit('">link</a>')),
+            )
+        nav = F.concat(
+            F.lit("<nav>"), F.array_join(rendered, ""), F.lit("</nav>")
         )
     else:
         nav = F.lit("")

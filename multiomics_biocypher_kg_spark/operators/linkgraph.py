@@ -61,6 +61,71 @@ def href_edges(pages: DataFrame) -> DataFrame:
     )
 
 
+ANCHOR_PAIR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def anchor_pairs(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (src_url, dst_url, anchor) one row
+    per anchor, dst canonicalized.
+
+    Both capture groups are pulled with ``regexp_extract_all`` (two
+    passes over the SAME pattern, guaranteed same length/order) and
+    re-paired with ``arrays_zip`` — everything stays native Column
+    expressions in the scan projection; the explode is narrow.
+    """
+    h = F.col("html").cast("string")
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_PAIR_RE), F.lit(1))
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_PAIR_RE), F.lit(2))
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))).alias(
+                "p"
+            ),
+        )
+        .select(
+            "src_url",
+            canonical_url(F.col("p.href")).alias("dst_url"),
+            F.col("p.anchor").alias("anchor"),
+        )
+    )
+
+
+def anchor_text_profile(pairs: DataFrame) -> DataFrame:
+    """Anchor-text surface-form mining per link target: how the web
+    NAMES a url — the classic external-evidence signal for entity
+    surface forms and synonym discovery in web-scale KG construction.
+
+    -> (dst_url, n_links, n_texts, top_anchor, top_anchor_links).
+    Two aggregations: (dst, anchor) counts, then per-dst rollup with
+    a deterministic mode — min_by over (-count, anchor) so ties break
+    lexicographically. Both shuffles are map-side combined; hot
+    targets (hub pages) are exactly the skew the salting/AQE recipe
+    covers.
+    """
+    per_text = pairs.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_text.groupBy("dst_url")
+        .agg(
+            F.sum("n").alias("n_links"),
+            F.count(F.lit(1)).alias("n_texts"),
+            F.min_by(
+                F.struct(F.col("anchor"), F.col("n")),
+                F.struct((-F.col("n")).alias("neg"), F.col("anchor").alias("a")),
+            ).alias("top"),
+        )
+        .select(
+            "dst_url",
+            "n_links",
+            "n_texts",
+            F.col("top.anchor").alias("top_anchor"),
+            F.col("top.n").alias("top_anchor_links"),
+        )
+    )
+
+
 def host_graph(edges: DataFrame) -> DataFrame:
     """(src_url, dst_url) -> (src_host, dst_host, n_links, n_pages).
 

@@ -3684,6 +3684,7 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "web_anchor_text",
     "dedup_containment",
     "kg_disambiguate",
     "kg_triple_temporal",
@@ -4201,6 +4202,62 @@ def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
     )
+
+
+# raw (href, anchor) pairs per page, SQL twin of
+# sources.pages.outlinks_of + anchor_texts_of
+_ANCHORS_SQL = f"""
+  SELECT doc_id, {URL_SQL} AS src_url,
+         {url_sql('doc_id - doc_id % 7')} || '?utm_source=nav' AS href,
+         'hub ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT doc_id, {URL_SQL},
+         {url_sql('doc_id - doc_id % 50')} || '#top',
+         'section ' || CAST(doc_id % 5 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, {URL_SQL}, '{_PARTNER}',
+         'partner ' || CAST(doc_id % 2 AS VARCHAR)
+  FROM documents
+"""
+
+
+@register(
+    "web_anchor_text",
+    oracle=f"""
+    WITH pairs AS ({_canonical_url_sql(_ANCHORS_SQL, 'href')}),
+    pt AS (
+      SELECT url_canonical AS dst_url, anchor, count(*) AS n
+      FROM pairs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY dst_url ORDER BY n DESC, anchor ASC) AS rn,
+        sum(n) OVER (PARTITION BY dst_url) AS n_links,
+        count(*) OVER (PARTITION BY dst_url) AS n_texts
+      FROM pt
+    )
+    SELECT dst_url, CAST(n_links AS BIGINT) AS n_links, n_texts,
+           anchor AS top_anchor, n AS top_anchor_links
+    FROM ranked WHERE rn = 1
+    """,
+)
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text surface-form mining: how the web NAMES each link
+    target (operators.linkgraph.anchor_pairs + anchor_text_profile).
+    Both anchor capture groups are pulled natively from the html in
+    the scan projection and re-paired with arrays_zip; dst urls are
+    canonicalized before the rollup so variant families share one
+    profile. The deterministic mode (count DESC, anchor ASC) is
+    mirrored in the oracle window."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        anchor_pairs,
+        anchor_text_profile,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    return anchor_text_profile(anchor_pairs(pages))
 
 
 # --------------------------------------------------------------------------

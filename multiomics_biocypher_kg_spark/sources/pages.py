@@ -78,6 +78,19 @@ def outlinks_of(doc_id):  # Column -> Column (array<string> of raw hrefs)
     return F.array(hub7, hub50, F.lit(PARTNER_URL))
 
 
+def anchor_texts_of(doc_id):  # Column -> Column (array<string>)
+    """Per-link anchor texts, parallel to outlinks_of. The residues
+    (3/5/2) are coprime-ish to the target buckets (7/50/1), so each
+    link TARGET accumulates several distinct anchor surfaces with
+    deterministic, non-uniform counts — what anchor-text surface-form
+    mining needs to have real signal. SQL mirror: registry._ANCHORS_SQL."""
+    return F.array(
+        F.concat(F.lit("hub "), (doc_id % 3).cast("string")),
+        F.concat(F.lit("section "), (doc_id % 5).cast("string")),
+        F.concat(F.lit("partner "), (doc_id % 2).cast("string")),
+    )
+
+
 def pages_from_documents_df(docs: DataFrame) -> DataFrame:
     """The pure transform half — composes with readStream unchanged
     (streaming/ingest.py feeds a streaming documents frame through
@@ -91,6 +104,7 @@ def pages_from_documents_df(docs: DataFrame) -> DataFrame:
         synth_html_col(
             url, F.col("text"), F.col("lang"), broken,
             outlinks=outlinks_of(F.col("doc_id")),
+            anchors=anchor_texts_of(F.col("doc_id")),
         )
         .cast("binary")
         .alias("html"),

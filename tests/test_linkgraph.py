@@ -107,3 +107,48 @@ def test_pagerank_checkpoint_matches_uncheckpointed(spark):
     chk = _ranks(spark, edge_rows, iters=6, checkpoint_every=2)
     for k in plain:
         assert plain[k] == pytest.approx(chk[k], abs=1e-12)
+
+
+def test_anchor_pairs_and_profile(spark):
+    """Hand-built pages: two pages link the same target with
+    different anchor texts; the profile picks the majority text and
+    breaks count ties lexicographically."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        anchor_pairs,
+        anchor_text_profile,
+    )
+
+    def page(url, anchors):
+        nav = "".join(f'<a href="{h}">{a}</a>' for h, a in anchors)
+        return (url, f"<html><body>{nav}<main><p>x</p></main></body></html>".encode())
+
+    t = "https://t.example.org/page"
+    pages = spark.createDataFrame(
+        [
+            page("https://a.org/1", [(t + "?utm_source=x", "Gene A"), (t, "Gene A")]),
+            page("https://b.org/2", [(t + "#frag", "GeneA protein")]),
+            page("https://c.org/3", [("https://other.org/", "zzz")]),
+        ],
+        "url string, html binary",
+    )
+    prof = {r["dst_url"]: r for r in anchor_text_profile(anchor_pairs(pages)).collect()}
+    row = prof[t]
+    # utm + fragment variants collapse onto one canonical target
+    assert row["n_links"] == 3 and row["n_texts"] == 2
+    assert row["top_anchor"] == "Gene A" and row["top_anchor_links"] == 2
+    other = prof["https://other.org/"]
+    assert other["top_anchor"] == "zzz" and other["n_links"] == 1
+
+
+def test_anchor_profile_tie_breaks_lexicographically(spark):
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        anchor_pairs,
+        anchor_text_profile,
+    )
+
+    html = '<a href="https://t.org/">beta</a><a href="https://t.org/">alpha</a>'
+    pages = spark.createDataFrame(
+        [("https://s.org/", html.encode())], "url string, html binary"
+    )
+    row = anchor_text_profile(anchor_pairs(pages)).collect()[0]
+    assert row["top_anchor"] == "alpha" and row["n_texts"] == 2
