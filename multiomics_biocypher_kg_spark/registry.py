@@ -3684,6 +3684,9 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "web_crawl_schedule",
+    "curation_shards",
+    "kg_entity_pagerank",
     "web_anchor_text",
     "dedup_containment",
     "kg_disambiguate",
@@ -4058,39 +4061,58 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(href_edges(pages))
 
 
-def _pagerank_oracle_sql(iters: int, damping: float) -> str:
+def _pagerank_oracle_sql(
+    iters: int,
+    damping: float,
+    edges_sql: str | None = None,
+    out_col: str = "host",
+) -> str:
     """Unrolled fixed-iteration PageRank as DuckDB CTEs (the
-    _lsh_cands_sql rendering pattern: deterministic loop -> SQL)."""
+    _lsh_cands_sql rendering pattern: deterministic loop -> SQL).
+
+    ``edges_sql`` must yield (src, dst, w); defaults to the host
+    link graph. ``out_col`` names the node column of the result.
+    """
+    if edges_sql is None:
+        edges_sql = (
+            f"SELECT src_host AS src, dst_host AS dst, "
+            f"CAST(n_links AS DOUBLE) AS w FROM ({_HOST_GRAPH_SQL})"
+        )
     d = repr(damping)
     t = repr(1.0 - damping)
+    # every CTE is AS MATERIALIZED: the iteration chain references
+    # it_{k-1} three times (dangling mass, contributions, carry), so
+    # un-materialized CTE inlining re-evaluates the edge pipeline
+    # O(3^iters) times — fatal when edges_sql is the full mention
+    # cascade (kg_entity_pagerank hung before this).
     parts = [
-        f"hg AS ({_HOST_GRAPH_SQL})",
-        "outw AS (SELECT src_host AS src, sum(n_links) AS out_w FROM hg GROUP BY 1)",
+        f"hg AS MATERIALIZED ({edges_sql})",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM hg GROUP BY 1)",
         (
-            "norm AS (SELECT hg.src_host AS src, hg.dst_host AS dst, "
-            "CAST(hg.n_links AS DOUBLE) / outw.out_w AS p "
-            "FROM hg JOIN outw ON hg.src_host = outw.src)"
+            "norm AS MATERIALIZED (SELECT hg.src, hg.dst, "
+            "CAST(hg.w AS DOUBLE) / outw.out_w AS p "
+            "FROM hg JOIN outw ON hg.src = outw.src)"
         ),
         (
-            "nodes AS (SELECT DISTINCT node FROM "
-            "(SELECT src_host AS node FROM hg UNION ALL SELECT dst_host FROM hg))"
+            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM hg UNION ALL SELECT dst FROM hg))"
         ),
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "hasout AS (SELECT DISTINCT src_host AS src FROM hg)",
-        "it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "hasout AS MATERIALIZED (SELECT DISTINCT src FROM hg)",
+        "it0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
     ]
     for k in range(1, iters + 1):
         p = f"it{k - 1}"
         parts.append(
-            f"dang{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang "
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dang "
             f"FROM {p} r LEFT JOIN hasout o ON r.node = o.src WHERE o.src IS NULL)"
         )
         parts.append(
-            f"con{k} AS (SELECT e.dst AS node, sum(e.p * r.rank) AS contrib "
+            f"con{k} AS MATERIALIZED (SELECT e.dst AS node, sum(e.p * r.rank) AS contrib "
             f"FROM norm e JOIN {p} r ON e.src = r.node GROUP BY e.dst)"
         )
         parts.append(
-            f"it{k} AS (SELECT n.node, {t} / nn.n + {d} * "
+            f"it{k} AS MATERIALIZED (SELECT n.node, {t} / nn.n + {d} * "
             f"(coalesce(c.contrib, 0.0) + dang{k}.dang / nn.n) AS rank "
             f"FROM nodes n CROSS JOIN nn CROSS JOIN dang{k} "
             f"LEFT JOIN con{k} c ON n.node = c.node)"
@@ -4098,7 +4120,7 @@ def _pagerank_oracle_sql(iters: int, damping: float) -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT node AS host, round(rank, 6) AS pagerank FROM it{iters}"
+        + f"\nSELECT node AS {out_col}, round(rank, 6) AS pagerank FROM it{iters}"
     )
 
 
@@ -4647,6 +4669,193 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+_SNAPS_SQL = """
+  SELECT doc_id, doc_id % 125 AS fam, 1767225600 + doc_id AS ts_epoch,
+    'https://' || CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
+         ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END
+    || '/doc/' || lpad(CAST(doc_id % 125 AS VARCHAR), 6, '0') AS url,
+    CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
+         ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END AS host
+  FROM documents
+"""
+
+
+@register(
+    "web_crawl_schedule",
+    oracle=f"""
+    WITH pr AS ({_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)}),
+    snaps AS ({_SNAPS_SQL}),
+    per_url AS (
+      SELECT url, host, count(*) AS n_snapshots, max(ts_epoch) AS last_ts
+      FROM snaps GROUP BY 1, 2
+    ),
+    tot AS (SELECT max(ts_epoch) AS now_ts FROM snaps)
+    SELECT p.url, p.host, CAST(p.n_snapshots AS BIGINT) AS n_snapshots,
+      CAST(p.last_ts AS BIGINT) AS last_ts,
+      CAST(tot.now_ts - p.last_ts AS BIGINT) AS staleness_sec,
+      coalesce(pr.pagerank, 0.0) AS host_rank,
+      round(coalesce(pr.pagerank, 0.0) * (tot.now_ts - p.last_ts) / 86400.0, 6)
+        AS priority
+    FROM per_url p CROSS JOIN tot LEFT JOIN pr ON p.host = pr.host
+    """,
+)
+def web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl frontier prioritization: per-url staleness (from the
+    multi-snapshot history) weighted by host authority (the link-
+    graph PageRank) — how a crawl scheduler ranks what to fetch
+    next. One per-url aggregation + a broadcast join against the
+    (tiny) host-rank table + a broadcast 1-row corpus max; no
+    .collect() anywhere. The oracle composes the unrolled PageRank
+    CTEs with the snapshot formulas, so the whole composition is
+    value-gated."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        pagerank,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING).select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("host_rank")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    snaps = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
+        ).alias("url"),
+        host.alias("host"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+    )
+    per_url = snaps.groupBy("url", "host").agg(
+        F.count(F.lit(1)).alias("n_snapshots"), F.max("ts_epoch").alias("last_ts")
+    )
+    now = snaps.select(F.max("ts_epoch").alias("now_ts"))
+    return (
+        per_url.crossJoin(F.broadcast(now))
+        .join(F.broadcast(ranks), "host", "left")
+        .select(
+            "url",
+            "host",
+            "n_snapshots",
+            "last_ts",
+            (F.col("now_ts") - F.col("last_ts")).alias("staleness_sec"),
+            F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
+            F.round(
+                F.coalesce("host_rank", F.lit(0.0))
+                * (F.col("now_ts") - F.col("last_ts"))
+                / 86400.0,
+                6,
+            ).alias("priority"),
+        )
+    )
+
+
+_N_SHARDS = 16
+_SHARD_QUALITY_MIN = 2.0
+
+
+@register(
+    "curation_shards",
+    oracle=f"""
+    SELECT {md5_long_sql('doc_id')} % {_N_SHARDS} AS shard_id,
+      count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE {quality_score_sql('text')} >= {_SHARD_QUALITY_MIN}
+    GROUP BY 1
+    """,
+)
+def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export planning: quality-gate the corpus, assign
+    each surviving doc to a shard by content-id hash (the
+    DISTRIBUTED sharding shape — greedy bin-packing by cumulative
+    token count needs a global ordered window, which is a
+    single-task plan at corpus scale and is exactly what this
+    avoids), and roll up per-shard doc/token/char budgets. One
+    filter + one hash-keyed aggregation; balance emerges from the
+    hash, and the rollup is the balance check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = docs.where(ts.quality_score(F.col("text")) >= _SHARD_QUALITY_MIN)
+    return (
+        gated.select(
+            F.pmod(md5_long(F.col("doc_id")), F.lit(_N_SHARDS)).alias("shard_id"),
+            ts.token_count(F.col("text")).alias("toks"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+_COMENTION_EDGES_SQL = f"""
+  SELECT subj AS src, obj AS dst, CAST(n AS DOUBLE) AS w FROM (
+    SELECT subj, obj, count(DISTINCT doc_id) AS n
+    FROM ({COMENTION_PAIRS_SQL}) GROUP BY subj, obj
+  )
+  UNION ALL
+  SELECT obj AS src, subj AS dst, CAST(n AS DOUBLE) AS w FROM (
+    SELECT subj, obj, count(DISTINCT doc_id) AS n
+    FROM ({COMENTION_PAIRS_SQL}) GROUP BY subj, obj
+  )
+"""
+
+
+@register(
+    "kg_entity_pagerank",
+    oracle=_pagerank_oracle_sql(
+        _PR_ITERS,
+        _PR_DAMPING,
+        edges_sql=_COMENTION_EDGES_SQL,
+        out_col="entity_id",
+    ),
+)
+def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: PageRank over the SYMMETRIZED co-mention
+    graph (edge weight = co-mention doc count) — the importance
+    score a KG serves next to each node. Reuses the link-graph
+    PageRank operator (one shuffle join + one aggregation per
+    iteration, corpus scalars as broadcast 1-row aggregates); the
+    oracle reuses the unrolled-CTE renderer over the co-mention
+    edge list."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+    from multiomics_biocypher_kg_spark.operators.linkgraph import pagerank
+
+    p = _pipeline(spark, sf_dir)
+    counts = (
+        comention_pairs(p["links"])
+        .groupBy("subj", "obj")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    edges = counts.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("n").cast("double").alias("weight"),
+    ).unionByName(
+        counts.select(
+            F.col("obj").alias("src"),
+            F.col("subj").alias("dst"),
+            F.col("n").cast("double").alias("weight"),
+        )
+    )
+    return pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING).select(
+        F.col("node").alias("entity_id"), F.round("rank", 6).alias("pagerank")
     )
 
 

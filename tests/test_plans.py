@@ -46,7 +46,13 @@ def test_star_join_broadcasts_dims(spark):
 
 def test_extract_native_stays_in_codegen(spark):
     pages = pages_from_documents(spark, SF_TINY)
-    plan = _plan(extract(pages, engine="native").select("text"))
+    df = extract(pages, engine="native").select("text")
+    # the seed-scan rebalance adds an Exchange, so AQE wraps the plan
+    # and only exposes codegen spans once the final plan is chosen —
+    # execute THIS DataFrame's own query execution first (count()
+    # would build a separate one), then assert on the finalized plan
+    df.collect()
+    plan = _plan(df)
     # '*(N)' prefixes mark WholeStageCodegen spans in executedPlan text
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "ArrowEvalPython" not in plan  # no Python in the native path
