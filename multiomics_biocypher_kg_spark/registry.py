@@ -3684,6 +3684,9 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "kg_mention_contexts",
+    "kg_negative_samples",
+    "text_vocabulary",
     "web_crawl_schedule",
     "curation_shards",
     "kg_entity_pagerank",
@@ -4856,6 +4859,185 @@ def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING).select(
         F.col("node").alias("entity_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+@register(
+    "kg_mention_contexts",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    SELECT l.doc_id, l.pos, l.entity_id,
+      array_to_string(a.arr[greatest(l.pos - 1, 1) : l.pos + 3], ' ') AS context
+    FROM links l JOIN arrs a ON l.doc_id = a.doc_id
+    WHERE l.entity_id IS NOT NULL
+    """,
+)
+def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG provenance: a ±2-token evidence snippet for every resolved
+    mention — what a triple links back to when a curator asks "why
+    is this edge here". One co-partitioned join (links x token
+    arrays, both keyed by doc_id); the slice is a per-row array op,
+    no re-tokenization pass. At 100 TB the context column is written
+    next to the mention table, partitioned the same way."""
+    p = _pipeline(spark, sf_dir)
+    arrs = p["docs"].select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    l = p["links"].where(F.col("entity_id").isNotNull()).select(
+        "doc_id", "pos", "entity_id"
+    )
+    start = F.greatest(F.col("pos") - 1, F.lit(1))
+    length = F.col("pos") + 3 - start + 1
+    return l.join(arrs, "doc_id").select(
+        "doc_id",
+        "pos",
+        "entity_id",
+        F.array_join(F.slice(F.col("arr"), start, length), " ").alias("context"),
+    )
+
+
+_NEG_K = 2
+
+
+@register(
+    "kg_negative_samples",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    edges AS (SELECT DISTINCT subj, obj FROM pairs),
+    ents AS (
+      SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS idx
+      FROM (SELECT DISTINCT subj AS entity_id FROM edges
+            UNION SELECT obj FROM edges)
+    ),
+    n AS (SELECT count(*) AS n FROM ents),
+    ks AS (SELECT unnest(generate_series(1, {_NEG_K})) AS k),
+    cand AS (
+      SELECT e.subj, e.obj, ks.k,
+        {md5_long_sql("e.subj || '|' || e.obj || '#' || CAST(ks.k AS VARCHAR)")} % n.n AS neg_idx
+      FROM edges e CROSS JOIN ks CROSS JOIN n
+    )
+    SELECT c.subj, 'co_mentioned_with' AS pred, c.obj, CAST(c.k AS INTEGER) AS k,
+           x.entity_id AS obj_neg
+    FROM cand c JOIN ents x ON c.neg_idx = x.idx
+    WHERE x.entity_id <> c.obj AND x.entity_id <> c.subj
+    """,
+)
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training:
+    per positive edge, K corrupted-object candidates drawn by
+    hashing the edge key into a dense entity index (collisions with
+    the true pair are filtered — 'filtered negatives'). The entity
+    dictionary is one global row_number over the (comparatively
+    tiny) entity set — the standard dictionary-build shape; the
+    corruption itself is a hash join by index, no randomness, no
+    driver loops, reproducible across runs and engines."""
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    edges = comention_pairs(p["links"]).select("subj", "obj").distinct()
+    ents = (
+        edges.select(F.col("subj").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj").alias("entity_id")))
+        .distinct()
+        .withColumn(
+            "idx",
+            (F.row_number().over(Window.orderBy("entity_id")) - 1).cast("long"),
+        )
+    )
+    n = ents.select(F.count(F.lit(1)).alias("n"))
+    ks = spark.range(1, _NEG_K + 1).select(F.col("id").cast("int").alias("k"))
+    cand = (
+        edges.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "subj",
+            "obj",
+            "k",
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.col("subj"), F.lit("|"), F.col("obj"),
+                        F.lit("#"), F.col("k").cast("string"),
+                    )
+                ),
+                F.col("n"),
+            ).alias("neg_idx"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(ents), cand["neg_idx"] == ents["idx"])
+        .where(
+            (F.col("entity_id") != F.col("obj"))
+            & (F.col("entity_id") != F.col("subj"))
+        )
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            "k",
+            F.col("entity_id").alias("obj_neg"),
+        )
+    )
+
+
+_VOCAB_TOP = 256
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    ranked AS (
+      SELECT token, n,
+        row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+        sum(n) OVER (ORDER BY n DESC, token ASC
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, n,
+      round(CAST(n AS DOUBLE) / tot.total, 6) AS frac,
+      round(CAST(cum AS DOUBLE) / tot.total, 6) AS cum_frac
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {_VOCAB_TOP}
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (the tokenizer-training precursor): corpus
+    token counts, rank, and cumulative coverage for the top tokens.
+    One map-side-combined count shuffle; the rank/coverage window
+    runs over the VOCABULARY (not the corpus), which is the standard
+    dictionary-build shape."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).select(F.lower("tok").alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.select(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    wc = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("n").over(wc))
+        .where(F.col("rank") <= _VOCAB_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("frac"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_frac"),
+        )
     )
 
 
