@@ -3684,6 +3684,7 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "text_pii_scrub",
     "kg_mention_contexts",
     "kg_negative_samples",
     "text_vocabulary",
@@ -4980,6 +4981,41 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             F.col("entity_id").alias("obj_neg"),
         )
+    )
+
+
+from multiomics_biocypher_kg_spark.functions import pii as _pii  # noqa: E402
+
+_PII_COUNTS = _pii.counts_sql("text")
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+      CAST({_PII_COUNTS['n_emails']} AS INTEGER) AS n_emails,
+      CAST({_PII_COUNTS['n_ips']} AS INTEGER) AS n_ips,
+      CAST({_PII_COUNTS['n_phones']} AS INTEGER) AS n_phones,
+      md5({_pii.scrub_sql('text')}) AS masked_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions.pii): per-doc email/ip/phone counts
+    and the md5 of the masked text. Native regexp chain in the scan
+    projection — the masking itself adds zero shuffles. The driver
+    corpus contains no PII by construction, so this query gates the
+    zero-count path and the masked-text identity; detection and
+    masking semantics are pinned on fixtures in tests/test_pii.py
+    (including Spark/DuckDB pattern agreement)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        _pii.email_count(t).alias("n_emails"),
+        _pii.ip_count(t).alias("n_ips"),
+        _pii.phone_count(t).alias("n_phones"),
+        F.md5(_pii.scrub(t)).alias("masked_md5"),
     )
 
 
