@@ -58,6 +58,7 @@ def synth_html(
     broken: bool = False,
     outlinks: list[str] | None = None,
     anchors: list[str] | None = None,
+    noindex: bool = False,
 ) -> str:
     """Deterministic page synthesizer (FIXTURES.md A1 shape).
 
@@ -78,8 +79,9 @@ def synth_html(
             )
             + "</nav>"
         )
+    meta = '<meta name="robots" content="noindex">' if noindex else ""
     body = (
-        f'<html lang="{lang}"><head><title>{url}</title>'
+        f'<html lang="{lang}"><head><title>{url}</title>{meta}'
         "<script>var t=1;function f(){return '<main>';}</script>"
         "<style>.x{color:red}/*<main>*/</style></head>"
         f'<body><!-- header for {url} --><h1>{url}</h1>{nav}'
@@ -125,12 +127,14 @@ def synth_html_col(
     broken: Column,
     outlinks: Column | None = None,
     anchors: Column | None = None,
+    noindex: Column | None = None,
 ) -> Column:
     """Column-expression twin of ``synth_html`` (kept byte-identical;
     guarded by tests/test_extract.py round-trip + parity tests).
     ``outlinks`` is an ``array<string>`` of raw hrefs (nav block
     before ``<main>``, invisible to extraction); ``anchors`` the
-    parallel per-link anchor texts (default 'link')."""
+    parallel per-link anchor texts (default 'link'); ``noindex`` a
+    boolean column rendering a robots meta tag in ``<head>``."""
     if outlinks is not None:
         if anchors is not None:
             rendered = F.zip_with(
@@ -150,12 +154,20 @@ def synth_html_col(
         )
     else:
         nav = F.lit("")
+    meta = (
+        F.when(noindex, F.lit('<meta name="robots" content="noindex">')).otherwise(
+            F.lit("")
+        )
+        if noindex is not None
+        else F.lit("")
+    )
     head = F.concat(
         F.lit('<html lang="'),
         lang,
         F.lit('"><head><title>'),
         url,
         F.lit("</title>"),
+        meta,
         F.lit("<script>var t=1;function f(){return '<main>';}</script>"),
         F.lit("<style>.x{color:red}/*<main>*/</style></head>"),
         F.lit("<body><!-- header for "),

@@ -3684,6 +3684,7 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "web_robots_gate",
     "text_pii_scrub",
     "kg_mention_contexts",
     "kg_negative_samples",
@@ -4980,6 +4981,47 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obj",
             "k",
             F.col("entity_id").alias("obj_neg"),
+        )
+    )
+
+
+@register(
+    "web_robots_gate",
+    oracle="""
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+      count(*) AS n_pages,
+      CAST(sum(CASE WHEN doc_id % 23 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_noindex,
+      CAST(sum(CASE WHEN doc_id % 23 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_indexable
+    FROM documents GROUP BY 1
+    """,
+)
+def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/noindex gate: honor <meta name="robots"
+    content="noindex"> BEFORE extraction — the politeness filter
+    every compliant crawl pipeline applies first. The probe is a
+    native substring test on the html bytes in the scan projection
+    (the cheap pre-filter that saves the expensive extract on gated
+    rows at 100 TB); the rollup is the per-host compliance report.
+    The oracle mirrors the synthesis formula (doc_id % 23 = 1), the
+    Spark side probes the bytes honestly."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    ni = (
+        F.col("html")
+        .cast("string")
+        .contains('<meta name="robots" content="noindex">')
+        .cast("long")
+    )
+    return (
+        pages.select(url_host(F.col("url")).alias("host"), ni.alias("ni"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("ni").alias("n_noindex"),
+            F.sum(1 - F.col("ni")).alias("n_indexable"),
         )
     )
 

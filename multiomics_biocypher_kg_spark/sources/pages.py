@@ -97,6 +97,10 @@ def pages_from_documents_df(docs: DataFrame) -> DataFrame:
     it)."""
     url = url_of(F.col("doc_id"))
     broken = (F.col("doc_id") % 17) == 0
+    # ~1/23 pages carry <meta name="robots" content="noindex"> — the
+    # crawl-politeness gate web_robots_gate must honor (SQL mirror:
+    # doc_id % 23 = 1)
+    noindex = (F.col("doc_id") % 23) == 1
     return docs.select(
         F.col("doc_id"),
         url.alias("url"),
@@ -105,6 +109,7 @@ def pages_from_documents_df(docs: DataFrame) -> DataFrame:
             url, F.col("text"), F.col("lang"), broken,
             outlinks=outlinks_of(F.col("doc_id")),
             anchors=anchor_texts_of(F.col("doc_id")),
+            noindex=noindex,
         )
         .cast("binary")
         .alias("html"),
