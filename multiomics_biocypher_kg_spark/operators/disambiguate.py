@@ -82,6 +82,11 @@ def disambiguate(
     Returns one row per ambiguous mention: the winning entity with
     its scores and candidate-set size.
     """
+    # links feeds three consumers (candidates, priors, doc contexts)
+    # and its upstream is all-broadcast (no reusable exchange) —
+    # materialize once; the stage-table of the curation DAG on a
+    # real cluster.
+    links = links.localCheckpoint(eager=False)
     cands = ambiguous_candidates(links, vocab)
 
     resolved = links.where(F.col("entity_id").isNotNull()).select(

@@ -58,7 +58,7 @@ def comention_pairs(links: DataFrame) -> DataFrame:
     sorted per-doc array with slice/transform, never a self-join.
     """
     ents = doc_entity_sets(links)
-    return ents.select(
+    pairs = ents.select(
         "doc_id",
         F.explode(
             F.flatten(
@@ -72,6 +72,15 @@ def comention_pairs(links: DataFrame) -> DataFrame:
             )
         ).alias("pair"),
     ).select("doc_id", "pair.subj", "pair.obj")
+    # Materialize the pair stage ONCE (lazy local checkpoint): the
+    # mention/link path upstream is all-broadcast (no exchange), so
+    # Spark has no ReusedExchange point and every downstream consumer
+    # (delta, temporal, PMI marginals x3, triangles, entity pagerank,
+    # disambiguation) would otherwise re-run the whole extract
+    # cascade per reference. On a real cluster this is the persisted
+    # co-mention stage table of the curation DAG; swap for a reliable
+    # checkpoint / MERGE INTO stage write there.
+    return pairs.localCheckpoint(eager=False)
 
 
 def temporal_edges(pairs: DataFrame, pages: DataFrame) -> DataFrame:
