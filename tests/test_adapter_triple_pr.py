@@ -33,10 +33,11 @@ import types
 import pytest
 import yaml
 
-REFERENCE = "/root/reference"
+from tests.ref_pin import REF as REFERENCE, reference_status
 
+_REF_SKIP = reference_status()
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not present"
+    _REF_SKIP is not None, reason=_REF_SKIP or "reference pinned"
 )
 
 

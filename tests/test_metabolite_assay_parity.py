@@ -20,10 +20,11 @@ import sys
 
 import pytest
 
-REFERENCE = "/root/reference"
+from tests.ref_pin import REF as REFERENCE, reference_status
 
+_REF_SKIP = reference_status()
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not present"
+    _REF_SKIP is not None, reason=_REF_SKIP or "reference pinned"
 )
 
 

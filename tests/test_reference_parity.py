@@ -18,9 +18,11 @@ import pytest
 from multiomics_biocypher_kg_spark.operators.link import resolve_rows
 from multiomics_biocypher_kg_spark.sources.vocab import VOCAB_SCHEMA
 
-REF = "/root/reference"
+from tests.ref_pin import REF, reference_status
+
+_REF_SKIP = reference_status()
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not available"
+    _REF_SKIP is not None, reason=_REF_SKIP or "reference pinned"
 )
 
 # the shared mapping: tier-1 specific lookups (a dict in the
