@@ -3684,6 +3684,8 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "kg_entity_aliases",
+    "web_cocitation",
     "web_robots_gate",
     "text_pii_scrub",
     "kg_mention_contexts",
@@ -4674,6 +4676,114 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "kg_entity_aliases",
+    oracle=f"""
+    WITH vocab AS (SELECT * FROM {VOCAB_SQL}),
+    links AS ({LINKS_SQL}),
+    al AS (
+      SELECT entity_id,
+        string_agg(DISTINCT surface, '|' ORDER BY surface) AS aliases,
+        count(DISTINCT surface) AS n_aliases
+      FROM vocab GROUP BY entity_id
+    ),
+    obs AS (
+      SELECT entity_id,
+        string_agg(DISTINCT token, '|' ORDER BY token) AS observed_tokens,
+        count(*) AS n_mentions
+      FROM links WHERE entity_id IS NOT NULL GROUP BY entity_id
+    )
+    SELECT al.entity_id,
+      string_split(al.entity_id, ':')[1] AS vocab_group,
+      al.aliases, CAST(al.n_aliases AS BIGINT) AS n_aliases,
+      coalesce(obs.observed_tokens, '') AS observed_tokens,
+      CAST(coalesce(obs.n_mentions, 0) AS BIGINT) AS n_mentions
+    FROM al LEFT JOIN obs ON al.entity_id = obs.entity_id
+    """,
+)
+def kg_entity_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity alias table — a first-class KG product: per
+    canonical entity, every gazetteer surface form plus the token
+    forms actually OBSERVED resolving to it in the corpus, with
+    mention counts (zero-mention entities kept: the dictionary is
+    the driver). Two aggregations joined on entity id; the vocab
+    side is dictionary-sized, the observed side map-side combines."""
+    p = _pipeline(spark, sf_dir)
+    vocab = vocab_df(spark)
+    al = vocab.groupBy("entity_id").agg(
+        F.array_join(F.array_sort(F.collect_set("surface")), "|").alias("aliases"),
+        F.countDistinct("surface").alias("n_aliases"),
+    )
+    obs = (
+        p["links"]
+        .where(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("token")), "|").alias(
+                "observed_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return al.join(obs, "entity_id", "left").select(
+        "entity_id",
+        F.split("entity_id", ":")[0].alias("vocab_group"),
+        "aliases",
+        "n_aliases",
+        F.coalesce("observed_tokens", F.lit("")).alias("observed_tokens"),
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+    )
+
+
+@register(
+    "web_cocitation",
+    oracle=f"""
+    WITH hg AS ({_HOST_GRAPH_SQL}),
+    e AS (SELECT DISTINCT src_host, dst_host FROM hg),
+    pairs AS (
+      SELECT a.src_host AS host_a, b.src_host AS host_b, a.dst_host
+      FROM e a JOIN e b
+        ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+    )
+    SELECT host_a, host_b, count(*) AS n_shared_targets
+    FROM pairs GROUP BY host_a, host_b
+    """,
+)
+def web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation: pairs of hosts that link to the same target
+    — the related-domain similarity signal. Pairs are generated with
+    the SAME sorted-set explode as co-mentions (group by target,
+    collect sorted source set, explode pairs) so a high-fan-in
+    target never drives a self-join blowup; one final pair-keyed
+    aggregation."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    e = host_graph(href_edges(pages)).select("src_host", "dst_host").distinct()
+    srcs = e.groupBy("dst_host").agg(
+        F.array_sort(F.collect_set("src_host")).alias("srcs")
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                        lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.host_a", "p.host_b")
+    return pairs.groupBy("host_a", "host_b").agg(
+        F.count(F.lit(1)).alias("n_shared_targets")
     )
 
 
