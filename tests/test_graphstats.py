@@ -125,3 +125,19 @@ def test_comention_pairs_sorted_unique(spark):
     )
     got = [(r["doc_id"], r["subj"], r["obj"]) for r in comention_pairs(links).collect()]
     assert got == [(1, "a", "b")]
+
+
+def test_comention_pairs_consumers_scan_checkpoint_not_pipeline(spark):
+    """comention_pairs returns a (lazily) checkpointed stage: every
+    consumer's plan reads the materialized RDD instead of re-deriving
+    the groupBy/explode pipeline — the 'persisted stage table' shape
+    the multi-consumer queries (PMI, triangles, temporal) rely on."""
+    links = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "c")], "doc_id long, entity_id string"
+    )
+    pairs = comention_pairs(links)
+    consumer = pairs.groupBy("subj").count()
+    plan = consumer._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    # the upstream collect_set/explode pipeline must NOT be re-inlined
+    assert "collect_set" not in plan and "Generate" not in plan
