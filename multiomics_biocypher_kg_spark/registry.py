@@ -3684,6 +3684,8 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries() and remain oracle-gated by tests/test_queries_oracle.py.
 _DRIVER_WINDOW_FIRST = [
     # round-3 additions (no driver row yet)
+    "web_host_lang_cube",
+    "web_lang_pivot",
     "kg_entity_aliases",
     "web_cocitation",
     "web_robots_gate",
@@ -4784,6 +4786,78 @@ def web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.host_a", "p.host_b")
     return pairs.groupBy("host_a", "host_b").agg(
         F.count(F.lit(1)).alias("n_shared_targets")
+    )
+
+
+@register(
+    "web_host_lang_cube",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(host) = 1 THEN NULL ELSE host END AS host,
+      CASE WHEN GROUPING(lang) = 1 THEN NULL ELSE lang END AS lang,
+      CAST(GROUPING(host) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+      count(*) AS n_pages
+    FROM (
+      SELECT lang,
+        CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+             ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host
+      FROM documents
+    ) GROUP BY CUBE (host, lang)
+    """,
+)
+def web_host_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (host, lang): every subtotal combination plus
+    the grand total in ONE pass (Spark expands the grouping sets
+    map-side; one shuffle, no per-subtotal re-scan). ``gid`` is the
+    grouping_id disambiguating real NULLs from subtotal rows."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.select(url_host(F.col("url")).alias("host"), "lang")
+        .cube("host", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+        .select("host", "lang", "gid", "n_pages")
+    )
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "web_lang_pivot",
+    oracle=f"""
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+      {", ".join(f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}" for lg in _PIVOT_LANGS)}
+    FROM documents GROUP BY 1
+    """,
+)
+def web_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-host language distribution as wide columns. The
+    pivot value list is EXPLICIT (no discovery pass over the corpus
+    — the two-job pivot trap at scale); missing cells coalesce to 0.
+    The oracle mirrors with conditional aggregation, which is also
+    the physical shape Spark compiles an explicit-values pivot to."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    wide = (
+        pages.select(url_host(F.col("url")).alias("host"), "lang")
+        .groupBy("host")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "host",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in _PIVOT_LANGS
+        ],
     )
 
 
