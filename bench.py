@@ -71,7 +71,9 @@ def run_headline() -> None:
     # three passes is the standard noise-robust estimator
     # (BENCH/BASELINE.md methodology note); the pass count is
     # reported in the JSON for cross-round comparability.
-    for _pass in range(3):
+    # SPARK_GRAFT_BENCH_PASSES overrides for smoke tests.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for _pass in range(passes):
         for name in HEADLINE:
             t0 = time.time()
             df = registry.QUERIES[name](spark, sf_dir)
@@ -90,7 +92,7 @@ def run_headline() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "passes": 3,
+                "passes": passes,
                 "queries": timings,
                 "sf": sf,
                 "kg_triples_rows": n_triples,
