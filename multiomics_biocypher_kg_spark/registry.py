@@ -5304,4 +5304,126 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "web_snapshot_diff",
+    oracle=f"""
+    WITH snaps AS (
+      SELECT d.doc_id, d.text, s.url, s.ts_epoch
+      FROM documents d JOIN ({_SNAPS_SQL}) s ON d.doc_id = s.doc_id
+    ),
+    seq AS (
+      SELECT url, doc_id, ts_epoch,
+        list_sort(list_distinct(string_split(text, ' '))) AS toks,
+        lag(list_sort(list_distinct(string_split(text, ' '))))
+          OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS prev_toks
+      FROM snaps
+    )
+    SELECT url, doc_id, CAST(ts_epoch AS BIGINT) AS ts_epoch,
+      CAST(len(list_filter(toks, t -> NOT list_contains(prev_toks, t))) AS INTEGER)
+        AS n_added,
+      CAST(len(list_filter(prev_toks, t -> NOT list_contains(toks, t))) AS INTEGER)
+        AS n_removed,
+      round(CAST(len(list_filter(toks, t -> list_contains(prev_toks, t))) AS DOUBLE)
+        / len(list_distinct(toks || prev_toks)), 6) AS jaccard_prev
+    FROM seq WHERE prev_toks IS NOT NULL
+    """,
+)
+def web_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl change detection: token-set diff between CONSECUTIVE
+    snapshots of the same url (added / removed counts + Jaccard to
+    the previous capture) — the change-rate signal recrawl
+    scheduling consumes. One window keyed by url (the natural
+    partition: snapshot history per page is small even at 10^12
+    docs), array ops per row, no self-join of the snapshot table."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
+    )
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    snaps = docs.select(
+        "doc_id",
+        url.alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        toks.alias("toks"),
+    )
+    w = Window.partitionBy("url").orderBy("ts_epoch", "doc_id")
+    seq = snaps.withColumn("prev_toks", F.lag("toks").over(w)).where(
+        F.col("prev_toks").isNotNull()
+    )
+    inter = F.size(F.array_intersect("toks", "prev_toks"))
+    return seq.select(
+        "url",
+        "doc_id",
+        "ts_epoch",
+        F.size(F.array_except("toks", "prev_toks")).alias("n_added"),
+        F.size(F.array_except("prev_toks", "toks")).alias("n_removed"),
+        F.round(
+            inter / F.size(F.array_union("toks", "prev_toks")), 6
+        ).alias("jaccard_prev"),
+    )
+
+
+_POSTINGS_TOP = 32
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    top AS (
+      SELECT term, df,
+        row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+      FROM df
+    )
+    SELECT t.term, CAST(t.rank AS BIGINT) AS rank, t.df,
+      string_agg(CAST(x.doc_id AS VARCHAR), '|' ORDER BY CAST(x.doc_id AS VARCHAR)) AS postings
+    FROM top t JOIN toks x ON t.term = x.term
+    WHERE t.rank <= {_POSTINGS_TOP}
+    GROUP BY t.term, t.rank, t.df
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-side product of a corpus
+    pipeline): sorted posting lists for the top document-frequency
+    terms. The rank window runs over the VOCABULARY; posting lists
+    assemble with one sorted collect per term — at corpus scale the
+    postings column is written as the index segment, partitioned by
+    term hash."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("term"))
+        .distinct()
+    )
+    df_ = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = df_.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= _POSTINGS_TOP
+    )
+    return (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("term", "rank", "df")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), "|"
+            ).alias("postings")
+        )
+        .select("term", "rank", "df", "postings")
+    )
+
+
 _apply_driver_window_order()
