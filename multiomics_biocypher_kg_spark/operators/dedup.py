@@ -88,6 +88,10 @@ def jaccard_pairs(
 
     -> (id_a, id_b, jaccard) with id_a < id_b. Exact.
 
+    Precondition: ``sh`` must carry DISTINCT (id, shingle) rows
+    (``shingles(..., distinct=True)``, the default): sizes and
+    intersections are row counts, so multiset input inflates both.
+
     Without ``candidates``, pairs come from the shared-shingle
     self-join — quadratic in bucket size, the exhaustive verifier.
     With ``candidates(id_a, id_b)`` (e.g. from LSH), the
@@ -146,6 +150,12 @@ def containment_pairs(
     (quoted) side, ties to id_a. High containment does NOT imply
     high Jaccard (a paragraph quoted inside a long page), which is
     exactly why dedup passes miss quotes and this operator exists.
+
+    Precondition: ``sh`` must carry DISTINCT (id, shingle) rows —
+    i.e. ``shingles(..., distinct=True)`` (the default) — exactly
+    like ``jaccard_pairs``. Sizes come from ``count(*)`` and the
+    intersection from a row-count join, so multiset shingle input
+    inflates both and can push containment past 1.0.
 
     Scale note: plain MinHash-LSH candidates under-recall here for
     the same reason (Jaccard of a small-in-big pair is low). The

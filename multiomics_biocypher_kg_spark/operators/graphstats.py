@@ -52,12 +52,45 @@ def doc_entity_sets(links: DataFrame) -> DataFrame:
     )
 
 
-def comention_pairs(links: DataFrame) -> DataFrame:
+def comention_fanout_metrics(links: DataFrame, cap: int) -> DataFrame:
+    """Guard metric for the quadratic-in-doc-fanout contract: one row
+    (n_docs, n_over_cap, max_fanout, pairs_bound_capped,
+    pairs_bound_uncapped). ``pairs_bound_*`` are sum(k*(k-1)/2) —
+    the exact pair-explosion cost with/without the cap, the number a
+    pipeline operator alerts on before launching the explode.
+    """
+    k = F.size("ents")
+    return doc_entity_sets(links).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((k > cap).cast("long")).alias("n_over_cap"),
+        F.max(k).alias("max_fanout"),
+        F.sum(F.when(k <= cap, (k * (k - 1) / 2).cast("long")).otherwise(0)).alias(
+            "pairs_bound_capped"
+        ),
+        F.sum((k * (k - 1) / 2).cast("long")).alias("pairs_bound_uncapped"),
+    )
+
+
+def comention_pairs(
+    links: DataFrame, max_entities_per_doc: int | None = None
+) -> DataFrame:
     """Per-doc unordered entity pairs (subj < obj), one row per
     (doc, pair). The explode is narrow — pairs are generated from the
     sorted per-doc array with slice/transform, never a self-join.
+
+    Fanout contract: a doc mentioning k entities emits k*(k-1)/2
+    pairs — quadratic in PER-DOC fanout (a viral list page with 10^3
+    entities emits ~5x10^5 rows). ``max_entities_per_doc`` DROPS
+    docs above the cap before the explode (list/index pages are low
+    co-mention signal anyway — the same prune-to-signal discipline
+    as the reference's reachability pruning, brite_adapter.py:
+    188-248). Default None keeps every doc; pair
+    ``comention_fanout_metrics`` with the cap to alert on what a cap
+    would drop before committing to one.
     """
     ents = doc_entity_sets(links)
+    if max_entities_per_doc is not None:
+        ents = ents.where(F.size("ents") <= max_entities_per_doc)
     pairs = ents.select(
         "doc_id",
         F.explode(

@@ -302,6 +302,26 @@ def _tp_orders(spark: SparkSession, cfg: dict) -> dict[str, int]:
     return {r.analysis_id: r.tp_order for r in out}
 
 
+def _tp_hours(spark: SparkSession, cfg: dict) -> dict[str, float | None]:
+    """analysis_id -> timepoint_hours for every analysis whose config
+    gives a timepoint label but no explicit hours — resolved through
+    the SAME Column fn (F3 parse_timepoint_hours) in ONE tiny
+    DataFrame pass over the config-cardinality analysis list, not one
+    Spark job per analysis (the `_tp_orders` shape)."""
+    meta = [
+        (str(sa.get("id", "")), str(sa["timepoint"]))
+        for _, _, sa in _iter_analyses(cfg)
+        if sa.get("timepoint_hours") is None and sa.get("timepoint") is not None
+    ]
+    if not meta:
+        return {}
+    df = spark.createDataFrame(meta, "analysis_id string, timepoint string")
+    out = df.select(
+        "analysis_id", parse_timepoint_hours(F.col("timepoint")).alias("h")
+    ).collect()
+    return {r.analysis_id: r.h for r in out}
+
+
 # cleaned gene id: pandas-NA sentinel -> null, then the reference's
 # strip().strip('*').strip() chain, then empty -> null
 def _clean_gene_id(c):
@@ -326,6 +346,7 @@ def paperconfig_expression_edges(
     pub_id_raw = publication_id(cfg)
     experiments = (cfg.get("publication", {}) or {}).get("experiments", {}) or {}
     orders = _tp_orders(spark, cfg)
+    parsed_hours = _tp_hours(spark, cfg)
 
     if read_csv is None:
 
@@ -348,11 +369,9 @@ def paperconfig_expression_edges(
         timepoint = sa.get("timepoint")
         hours = sa.get("timepoint_hours")
         if hours is None and timepoint is not None:
-            # driver-side single-value parse through the SAME column fn
-            hours_row = spark.range(1).select(
-                parse_timepoint_hours(F.lit(timepoint)).alias("h")
-            ).collect()
-            hours = hours_row[0].h
+            # parsed once for ALL analyses by _tp_hours (one job
+            # regardless of analysis count), same Column fn as W7
+            hours = parsed_hours.get(analysis_id)
         acfg = AnalysisConfig(
             analysis_id=analysis_id,
             experiment_id=f"{pub_id_raw}_{exp_key}",

@@ -2043,14 +2043,20 @@ FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
 """
 
 
-def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_corpus(
+    spark: SparkSession, sf_dir: str, rebalance: bool = True
+) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     # rebalance the under-split seed scan before the shingle blowup
     # (same rationale as sources.pages.pages_from_documents: the
     # exchange moves the small seed table; shingling then uses every
-    # core; a real many-file corpus skips this branch entirely)
+    # core; a real many-file corpus skips this branch entirely).
+    # Consumers whose FIRST operation is itself a shuffle (the
+    # content-hash groupBy in exact dedup) pass rebalance=False: the
+    # extra exchange there is pure cost — their own shuffle already
+    # redistributes, and the map side is a cheap hash projection.
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if rebalance and docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par, "doc_id")
     toks = F.split(F.col("text"), " ")
     near = docs.where(F.col("doc_id") % 4 == 0).select(
@@ -2073,8 +2079,11 @@ def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: content-hash groupBy (one shuffle, map-side combine)."""
-    return dd.exact_duplicates(_dedup_corpus(spark, sf_dir))
+    """Exact dedup: content-hash groupBy (one shuffle, map-side combine).
+
+    rebalance=False: the groupBy's own hash exchange is the only
+    shuffle this plan needs (r3 bench regression unwound)."""
+    return dd.exact_duplicates(_dedup_corpus(spark, sf_dir, rebalance=False))
 
 
 @register(
@@ -3677,63 +3686,43 @@ def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The grading driver oracle-checks the FIRST 50 entries of queries().
-# Every query that has never received a driver CORRECTNESS row (all
-# round-3 additions + the 20 round-2 queries the r2 driver window
-# missed — 48 in total) is rotated to the front; the remaining two
-# slots go to the fast pipeline heads. Rotated-out veterans all hold
-# green r01/r02 driver rows and remain oracle-gated by
+# Round-4 rotation: the only two queries without a driver
+# CORRECTNESS row (web_snapshot_diff / text_inverted_index — they
+# landed after the r3 window was fixed) go first, followed by every
+# round-4 addition, then queries whose implementation changed this
+# round (dedup_exact rebalance scoping, text_vocabulary /
+# kg_negative_samples distributed-index rewrites) so the driver
+# re-verifies the new plans. Remaining slots fill from registry
+# order with green veterans. All rotated-out queries hold green
+# r01-r03 driver rows and stay oracle-gated by
 # tests/test_queries_oracle.py, which sweeps the whole registry.
 _DRIVER_WINDOW_FIRST = [
-    # round-3 additions (no driver row yet)
-    "web_host_lang_cube",
-    "web_lang_pivot",
-    "kg_entity_aliases",
-    "web_cocitation",
-    "web_robots_gate",
-    "text_pii_scrub",
-    "kg_mention_contexts",
+    # never driver-checked (registered post-rotation in round 3)
+    "web_snapshot_diff",
+    "text_inverted_index",
+    # round-4 additions
+    "mm_decode_real",
+    "text_hll_host_cardinality",
+    "text_reservoir_sample",
+    "text_stratified_sample",
+    "dedup_suffix_prefix",
+    "web_bloom_revisit",
+    "text_bpe_pretokenize",
+    "kg_degree_distribution",
+    "text_quantile_sketch",
+    "web_incremental_crawl_merge",
+    "text_minhash_doc_signature",
+    "kg_blocking_keys",
+    "text_udf_contract",
+    "kg_schema_census",
+    # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",
-    "web_crawl_schedule",
-    "curation_shards",
-    "kg_entity_pagerank",
-    "web_anchor_text",
+    "dedup_exact",
     "dedup_containment",
-    "kg_disambiguate",
-    "kg_triple_temporal",
+    "kg_comention_delta",
     "kg_pmi_edges",
     "kg_triangles",
-    "kg_predicate_stats",
-    "web_domain_profile",
-    "text_tfidf",
-    "web_link_graph",
-    "web_pagerank",
-    "kg_comention_delta",
-    "web_url_canonical",
-    "web_url_dedup",
-    "text_repetition",
-    "web_latest_snapshot",
-    # round-2 queries with no driver row yet (registry order preserved)
-    "knn_classify",
-    "ann_centroids",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "mm_frame_sample",
-    "mm_decode_features",
-    "omics_timepoint_hours",
-    "omics_replicate_wide",
-    "onto_annotation_quality",
-    "omics_expression_status",
-    "rel_dm_search_text",
-    "onto_level_kind",
-    "omics_de_transform",
-    "merge_multi_source",
-    "curie_normalize",
-    "kg_host_rollup_salted",
-    "rel_categorical_distribution",
-    "interval_position_merge",
-    "onto_reachability_prune",
-    "onto_nearest_class_ancestor",
 ]
 
 
@@ -5085,6 +5074,9 @@ def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEG_K = 2
+# fixed bucket count for the dense entity index (must match the
+# oracle's bucketing exactly — NOT a parallelism-derived value)
+_NEG_BUCKETS = 64
 
 
 @register(
@@ -5092,10 +5084,24 @@ _NEG_K = 2
     oracle=f"""
     WITH pairs AS ({COMENTION_PAIRS_SQL}),
     edges AS (SELECT DISTINCT subj, obj FROM pairs),
-    ents AS (
-      SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS idx
+    bucketed AS (
+      SELECT entity_id, {md5_long_sql('entity_id')} % {_NEG_BUCKETS} AS b
       FROM (SELECT DISTINCT subj AS entity_id FROM edges
             UNION SELECT obj FROM edges)
+    ),
+    lranks AS (
+      SELECT entity_id, b,
+        row_number() OVER (PARTITION BY b ORDER BY entity_id) AS lrank
+      FROM bucketed
+    ),
+    offs AS (
+      SELECT b, coalesce(sum(cnt) OVER (ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b)
+    ),
+    ents AS (
+      SELECT l.entity_id, o.off + l.lrank - 1 AS idx
+      FROM lranks l JOIN offs o ON l.b = o.b
     ),
     n AS (SELECT count(*) AS n FROM ents),
     ks AS (SELECT unnest(generate_series(1, {_NEG_K})) AS k),
@@ -5114,25 +5120,48 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for KG-embedding training:
     per positive edge, K corrupted-object candidates drawn by
     hashing the edge key into a dense entity index (collisions with
-    the true pair are filtered — 'filtered negatives'). The entity
-    dictionary is one global row_number over the (comparatively
-    tiny) entity set — the standard dictionary-build shape; the
-    corruption itself is a hash join by index, no randomness, no
-    driver loops, reproducible across runs and engines."""
+    the true pair are filtered — 'filtered negatives'). The dense
+    index is built DISTRIBUTED: rank within fixed hash buckets
+    (window partitioned by bucket — each partition holds ~1/64 of
+    the dictionary) plus per-bucket offsets from one tiny 64-row
+    cumulative agg. No unpartitioned window ever sees the entity
+    dictionary, so a 10^9-entity vocabulary never lands on one
+    task. The corruption itself is a hash join by index, no
+    randomness, no driver loops, reproducible across engines."""
     from pyspark.sql import Window
 
     from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
 
     p = _pipeline(spark, sf_dir)
     edges = comention_pairs(p["links"]).select("subj", "obj").distinct()
-    ents = (
+    bucketed = (
         edges.select(F.col("subj").alias("entity_id"))
         .unionByName(edges.select(F.col("obj").alias("entity_id")))
         .distinct()
+        .withColumn("b", md5_long(F.col("entity_id")) % _NEG_BUCKETS)
+    )
+    lranks = bucketed.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("b").orderBy("entity_id")),
+    )
+    offs = (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
-            "idx",
-            (F.row_number().over(Window.orderBy("entity_id")) - 1).cast("long"),
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
+        .select("b", "off")
+    )
+    ents = lranks.join(F.broadcast(offs), "b").select(
+        "entity_id", (F.col("off") + F.col("lrank") - 1).cast("long").alias("idx")
     )
     n = ents.select(F.count(F.lit(1)).alias("n"))
     ks = spark.range(1, _NEG_K + 1).select(F.col("id").cast("int").alias("k"))
@@ -5274,9 +5303,13 @@ _VOCAB_TOP = 256
 def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building (the tokenizer-training precursor): corpus
     token counts, rank, and cumulative coverage for the top tokens.
-    One map-side-combined count shuffle; the rank/coverage window
-    runs over the VOCABULARY (not the corpus), which is the standard
-    dictionary-build shape."""
+    One map-side-combined count shuffle; top-K selection is a
+    distributed TakeOrderedAndProject (per-partition heaps, no
+    global sort — a 10^9-term vocabulary never lands on one task),
+    and only the K survivors see the rank/coverage window. The
+    cumulative coverage of rank r<=K depends only on rows ranked
+    above it, all of which are in the top-K, so the two-phase plan
+    is exact."""
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5285,14 +5318,14 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lower("tok").alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.select(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     wc = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn("cum", F.sum("n").over(wc))
-        .where(F.col("rank") <= _VOCAB_TOP)
         .crossJoin(F.broadcast(tot))
         .select(
             "rank",
@@ -5397,10 +5430,12 @@ _POSTINGS_TOP = 32
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (search-side product of a corpus
     pipeline): sorted posting lists for the top document-frequency
-    terms. The rank window runs over the VOCABULARY; posting lists
-    assemble with one sorted collect per term — at corpus scale the
-    postings column is written as the index segment, partitioned by
-    term hash."""
+    terms. Top-K selection is a distributed TakeOrderedAndProject
+    (per-partition heaps — the vocabulary never lands on a single
+    sort task); only the K survivors see the rank window. Posting
+    lists assemble with one sorted collect per term — at corpus
+    scale the postings column is written as the index segment,
+    partitioned by term hash."""
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5411,8 +5446,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.orderBy(F.desc("df"), F.asc("term"))
-    top = df_.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= _POSTINGS_TOP
+    top = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(_POSTINGS_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
     )
     return (
         toks.join(F.broadcast(top), "term")

@@ -127,6 +127,28 @@ def test_comention_pairs_sorted_unique(spark):
     assert got == [(1, "a", "b")]
 
 
+def test_comention_fanout_cap_drops_list_pages(spark):
+    """max_entities_per_doc drops the viral list page BEFORE the
+    quadratic explode; normal docs are untouched; the guard metric
+    reports exactly what the cap saves."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_fanout_metrics,
+    )
+
+    rows = [(1, "a"), (1, "b")] + [(9, f"e{i:03d}") for i in range(50)]
+    links = spark.createDataFrame(rows, "doc_id long, entity_id string")
+    capped = comention_pairs(links, max_entities_per_doc=10).collect()
+    assert [(r["doc_id"], r["subj"], r["obj"]) for r in capped] == [(1, "a", "b")]
+    # uncapped still emits the full 50*49/2 pairs for doc 9
+    assert comention_pairs(links).count() == 1 + 50 * 49 // 2
+    m = comention_fanout_metrics(links, cap=10).collect()[0]
+    assert m["n_docs"] == 2
+    assert m["n_over_cap"] == 1
+    assert m["max_fanout"] == 50
+    assert m["pairs_bound_capped"] == 1
+    assert m["pairs_bound_uncapped"] == 1 + 50 * 49 // 2
+
+
 def test_comention_pairs_consumers_scan_checkpoint_not_pipeline(spark):
     """comention_pairs returns a (lazily) checkpointed stage: every
     consumer's plan reads the materialized RDD instead of re-deriving

@@ -97,6 +97,38 @@ def test_neardup_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_dictionary_topk_is_distributed_not_global_sort(spark):
+    """text_vocabulary / text_inverted_index select their top-K terms
+    with TakeOrderedAndProject (per-partition heaps) — never an
+    Exchange rangepartitioning global sort of the whole vocabulary.
+    The only unpartitioned window in these plans runs over the K
+    survivors of the limit."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    for q in ("text_vocabulary", "text_inverted_index"):
+        plan = _plan(QUERIES[q](spark, SF_TINY))
+        assert "TakeOrderedAndProject" in plan, q
+        assert "rangepartitioning" not in plan, q
+
+
+def test_negative_sample_index_rank_is_bucket_partitioned(spark):
+    """kg_negative_samples builds its dense entity index with a
+    row_number window PARTITIONED BY the fixed hash bucket (each
+    window partition holds ~1/64 of the dictionary); the only
+    unpartitioned window is the 64-row per-bucket offset cumsum. An
+    unpartitioned row_number over the entity dictionary itself is
+    the single-task sort that breaks at 10^9 entities."""
+    import re
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_negative_samples"](spark, SF_TINY))
+    assert re.search(r"row_number\(\).*?\], \[b#\d+L?\]", plan), (
+        "dense-index rank window must be partitioned by bucket b"
+    )
+    assert "rangepartitioning" not in plan
+
+
 def test_alias_remap_all_broadcast(spark):
     """J11: the node/alias dims broadcast; the edge stream never
     shuffle-joins."""
