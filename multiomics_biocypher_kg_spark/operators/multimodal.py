@@ -97,6 +97,175 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL codec path: uncompressed container formats decodable with the
+# stdlib alone (no PIL/ffmpeg needed) — binary P6 PPM for images and
+# RIFF/WAV PCM-16 for audio. The synthesis writes genuine files of
+# those formats; the decoder parses them from the container headers
+# WITHOUT assuming how they were produced (it handles PPM comments,
+# arbitrary dimensions/maxval, and any PCM-16 mono WAV). This is the
+# "real decode" end of the declared codec slot: the stubbed
+# byte-statistics path above keeps the plumbing gated where codecs
+# are absent; this path proves the same Arrow batch contract carries
+# an actual format parse. Reference analog: the real PDF text decode
+# in pdf_publication_extraction.py:154-211 (binary container in,
+# typed features out).
+# ---------------------------------------------------------------------------
+
+PPM_W = 8
+PPM_H = 8
+WAV_RATE = 8000
+WAV_SAMPLES = 256
+
+REAL_MEDIA_SCHEMA = "doc_id long, kind string, payload binary"
+REAL_FEATURE_SCHEMA = (
+    "doc_id long, kind string, width int, height int, sample_rate int, "
+    "n_units long, mean_value double"
+)
+
+
+def attach_real_payloads(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL media files deterministically from the text
+    column: even doc_ids get a binary P6 PPM (8x8 RGB, pixel bytes =
+    utf-8 text bytes cycled), odd doc_ids a PCM-16 mono WAV (256
+    samples, sample i = (byte_i - 128) * 256 with text bytes cycled).
+    Both are valid files any external tool can open."""
+    import io
+    import struct
+    import wave
+
+    n_px = PPM_W * PPM_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if doc_id % 2 == 0:
+                    px = bytes(data[i % len(data)] for i in range(n_px))
+                    header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode("ascii")
+                    kinds.append("image")
+                    payloads.append(header + px)
+                else:
+                    samples = [
+                        (data[i % len(data)] - 128) * 256
+                        for i in range(WAV_SAMPLES)
+                    ]
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(WAV_RATE)
+                        w.writeframes(
+                            struct.pack(f"<{WAV_SAMPLES}h", *samples)
+                        )
+                    kinds.append("audio")
+                    payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(list(pdf["doc_id"]), dtype="int64"),
+                    "kind": pd.Series(kinds, dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, REAL_MEDIA_SCHEMA)
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary P6 PPM: magic, '#' comments, whitespace-split
+    (width, height, maxval) tokens, then the pixel plane. Returns
+    (width, height, pixel_bytes)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(b):
+            raise ValueError("truncated PPM header")
+        c = b[pos : pos + 1]
+        if c == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval >= 256:
+        raise NotImplementedError("16-bit PPM planes not supported")
+    px = b[pos : pos + width * height * 3]
+    if len(px) != width * height * 3:
+        raise ValueError("truncated PPM pixel plane")
+    return width, height, px
+
+
+def decode_real_features(media: DataFrame) -> DataFrame:
+    """REAL mapInPandas decode: dispatch on the container magic bytes
+    (P6 -> PPM pixel plane; RIFF -> stdlib ``wave`` PCM-16 frames) and
+    emit typed features — (width, height, n_pixel_bytes, mean pixel
+    value) for images, (sample_rate, n_samples, mean |amplitude|) for
+    audio. ``mean_value`` is UNROUNDED — consumers round engine-side
+    so both engines use the same HALF_UP rule. Unknown containers
+    raise NotImplementedError (the declared slot for codecs this
+    sandbox lacks)."""
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # real deployments init heavier codecs HERE, once per partition
+        for pdf in batches:
+            ids, kinds, ws, hs, rates, units, means = ([] for _ in range(7))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    width, height, px = _parse_ppm(b)
+                    ids.append(doc_id)
+                    kinds.append("image")
+                    ws.append(width)
+                    hs.append(height)
+                    rates.append(None)
+                    units.append(len(px))
+                    means.append(sum(px) / len(px))
+                elif b[:4] == b"RIFF":
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                            raise NotImplementedError(
+                                "only PCM-16 mono WAV supported"
+                            )
+                        n = w.getnframes()
+                        rate = w.getframerate()
+                        samples = struct.unpack(f"<{n}h", w.readframes(n))
+                    ids.append(doc_id)
+                    kinds.append("audio")
+                    ws.append(None)
+                    hs.append(None)
+                    rates.append(rate)
+                    units.append(n)
+                    means.append(sum(abs(s) for s in samples) / n)
+                else:
+                    raise NotImplementedError(
+                        f"no decoder for container magic {b[:4]!r}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(kinds, dtype=object),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_units": pd.Series(units, dtype="int64"),
+                    "mean_value": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, kind string, width int, height int, payload binary"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes int"
 

@@ -2750,6 +2750,65 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_decode_real",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    ),
+    img AS (
+      SELECT doc_id, sum(ord(substr(text, ((i - 1) % L) + 1, 1))) AS s
+      FROM b, LATERAL (SELECT unnest(generate_series(1, 192)) AS i) t
+      WHERE doc_id % 2 = 0 GROUP BY doc_id
+    ),
+    aud AS (
+      SELECT doc_id,
+        sum(abs((ord(substr(text, ((i - 1) % L) + 1, 1)) - 128) * 256)) AS s
+      FROM b, LATERAL (SELECT unnest(generate_series(1, 256)) AS i) t
+      WHERE doc_id % 2 = 1 GROUP BY doc_id
+    )
+    SELECT doc_id, 'image' AS kind,
+      CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      CAST(NULL AS INTEGER) AS sample_rate, CAST(192 AS BIGINT) AS n_units,
+      round(CAST(s AS DOUBLE) / 192, 6) AS mean_value
+    FROM img
+    UNION ALL
+    SELECT doc_id, 'audio',
+      CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+      CAST(8000 AS INTEGER), CAST(256 AS BIGINT),
+      round(CAST(s AS DOUBLE) / 256, 6)
+    FROM aud
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end: synthesize genuine binary
+    P6 PPM images / PCM-16 WAV audio from the corpus (valid files —
+    any external viewer opens them), then parse them back through
+    the mapInPandas Arrow contract with actual format decoders
+    (PPM header+pixel-plane parse; stdlib wave for RIFF/WAV). The
+    oracle recomputes the decoded pixel/sample statistics from the
+    source text in SQL, so a header-math or byte-order bug in the
+    decoder is a hash mismatch, not a silent skew. This retires the
+    codec stub for these two formats; compressed codecs remain the
+    declared NotImplementedError slot."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_real_payloads,
+        decode_real_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_real_features(attach_real_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "n_units",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Reference-adapter section: the omics DE transform, declarative merge,
 # CURIE normalization — the reference's core adapter semantics,
@@ -3705,7 +3764,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_hll_host_cardinality",
     "text_reservoir_sample",
     "text_stratified_sample",
-    "dedup_suffix_prefix",
+    "web_boilerplate_shingles",
     "web_bloom_revisit",
     "text_bpe_pretokenize",
     "kg_degree_distribution",
@@ -3713,8 +3772,6 @@ _DRIVER_WINDOW_FIRST = [
     "web_incremental_crawl_merge",
     "text_minhash_doc_signature",
     "kg_blocking_keys",
-    "text_udf_contract",
-    "kg_schema_census",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",
@@ -5462,5 +5519,12 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "rank", "df", "postings")
     )
 
+
+# Round-4 operator families live in their own module (sketches,
+# sampling, bloom, boilerplate, BPE, quantile hist, crawl merge,
+# signatures, blocking) — imported for its @register side effects.
+# It re-applies the window order itself, so either import direction
+# yields the same final ordering.
+from multiomics_biocypher_kg_spark import registry_scale_ops  # noqa: E402,F401
 
 _apply_driver_window_order()

@@ -1,0 +1,846 @@
+"""Round-4 scale operators: deterministic cardinality sketches,
+corpus sampling, Bloom-filter revisit gating, host boilerplate
+detection, BPE pair statistics, histogram quantile sketching,
+incremental crawl merging, minhash signature export, and ER
+blocking-key profiling.
+
+These are the curation-pipeline primitives a 100 TB corpus build
+needs beyond the dedup/ANN families: everywhere an exact global
+answer would need an unbounded sort/collect, the operator here uses
+a bounded-state sketch or a fixed-cardinality histogram whose
+per-partition partials combine map-side. All randomness is replaced
+by cross-engine-deterministic MD5 hashing (functions.hashing), so
+every operator is oracle-paired — the sketch math itself is verified
+value-for-value against DuckDB, not just row counts.
+
+Registered through the shared registry (registry.register) so the
+driver window, the oracle sweep (tests/test_queries_oracle.py), and
+bench all see them with zero extra wiring.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.hashing import (
+    R as MH_R,
+    md5_long,
+    md5_long_sql,
+    minhash_coeffs_sql,
+)
+from multiomics_biocypher_kg_spark.registry import (
+    COMENTION_PAIRS_SQL,
+    _SNAPS_SQL,
+    _pipeline,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# shared synthesis fragments (snapshot-family host, as in web_snapshot_diff)
+# ---------------------------------------------------------------------------
+
+_FAM_HOST_SQL = (
+    "CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END"
+)
+
+
+def _fam_host_col():
+    fam = F.col("doc_id") % 125
+    return F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distinct-count sketch per host (HLL-family)
+# ---------------------------------------------------------------------------
+
+_CARD_TRIALS = 32
+
+_CARD_MINS_SQL = ", ".join(
+    "min(" + md5_long_sql("text || '#c%d'" % k) + " %% %d) AS m%d" % (MH_R, k)
+    for k in range(_CARD_TRIALS)
+)
+_CARD_SUM_SQL = " + ".join("m%d" % k for k in range(_CARD_TRIALS))
+# sum of K independent minimums of n uniforms ~ Gamma(K, 1/(n+1)), so
+# (K-1)/sum is the UNBIASED estimator of n+1 (the KMV/Beyer et al.
+# correction applied to the independent-mins sketch)
+_CARD_EST_SQL = (
+    f"{_CARD_TRIALS - 1}.0 * {MH_R} / greatest({_CARD_SUM_SQL}, 1) - 1"
+)
+
+
+@register(
+    "text_hll_host_cardinality",
+    oracle=f"""
+    WITH hosts AS (
+      SELECT {_FAM_HOST_SQL} AS host, text FROM documents
+    ),
+    mins AS (
+      SELECT host, count(DISTINCT text) AS n_exact, {_CARD_MINS_SQL}
+      FROM hosts GROUP BY host
+    )
+    SELECT host, n_exact,
+      round({_CARD_EST_SQL}, 6) AS n_est,
+      round(abs({_CARD_EST_SQL} - n_exact) / n_exact, 6) AS rel_err
+    FROM mins
+    """,
+)
+def text_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-content estimate via a deterministic
+    HLL-family sketch: 32 independent minimum-of-hash trials, with
+    the unbiased (K-1)/sum-of-mins estimator (sum of K mins of n
+    uniforms ~ Gamma(K, 1/(n+1)) — the KMV correction), hashes from
+    salted MD5 so both engines compute bit-identical registers. The
+    sketch state is 32 longs per host regardless of
+    corpus size, min() combines map-side, and no distinct-set is
+    ever materialized — exactly what per-host cardinality monitoring
+    runs at 10^12 docs, where count(DISTINCT) per hot host is its
+    own shuffle. n_exact rides along (cheap at test scale) so the
+    oracle gates BOTH values and rel_err is an honest, pinned
+    accuracy figure."""
+    base = _docs(spark, sf_dir).select(_fam_host_col().alias("host"), "text")
+    mins = [
+        F.min(
+            md5_long(F.concat(F.col("text"), F.lit(f"#c{k}"))) % MH_R
+        ).alias(f"m{k}")
+        for k in range(_CARD_TRIALS)
+    ]
+    g = base.groupBy("host").agg(
+        F.countDistinct("text").alias("n_exact"), *mins
+    )
+    s = reduce(lambda a, b: a + b, [F.col(f"m{k}") for k in range(_CARD_TRIALS)])
+    est = F.lit(float(_CARD_TRIALS - 1)) * MH_R / F.greatest(s, F.lit(1)) - 1
+    return g.select(
+        "host",
+        "n_exact",
+        F.round(est, 6).alias("n_est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (reservoir-equivalent + stratified)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 100
+
+
+@register(
+    "text_reservoir_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id,
+        {md5_long_sql("CAST(doc_id AS VARCHAR) || '#sample'")} AS priority
+      FROM documents
+    ),
+    top AS (SELECT * FROM pri ORDER BY priority, doc_id LIMIT {_SAMPLE_K})
+    SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+      AS sample_rank, doc_id, priority
+    FROM top
+    """,
+)
+def text_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample of the corpus, reservoir-equivalent but
+    deterministic and distributed: priority = MD5(doc_id), keep the
+    k smallest. orderBy().limit(k) plans as TakeOrderedAndProject —
+    per-partition k-heaps merged on the driver, never a global sort
+    — which IS the distributed reservoir: same marginal membership
+    probability as Vitter's algorithm, plus reproducibility across
+    runs/engines and mergeability across splits. The rank window
+    runs over the k survivors only."""
+    from pyspark.sql import Window
+
+    pri = _docs(spark, sf_dir).select(
+        "doc_id",
+        md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#sample"))
+        ).alias("priority"),
+    )
+    top = pri.orderBy("priority", "doc_id").limit(_SAMPLE_K)
+    w = Window.orderBy("priority", "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "doc_id",
+        "priority",
+    )
+
+
+_STRAT_FRAC = 0.1
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT lang, doc_id,
+        {md5_long_sql("CAST(doc_id AS VARCHAR) || '#strat'")} AS priority,
+        count(*) OVER (PARTITION BY lang) AS lang_count
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, priority, lang_count,
+        row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+      FROM pri
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank,
+      CAST(lang_count AS BIGINT) AS lang_count
+    FROM ranked WHERE rn <= ceil({_STRAT_FRAC} * lang_count)
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sample: ceil(10%) of each language,
+    deterministic hash priority. The rank window partitions by the
+    stratum (lang), so each window partition is one language's docs
+    — the natural distribution key; no global ordering exists
+    anywhere in the plan. The training-mix construction primitive:
+    per-source/per-language quotas are this exact shape."""
+    from pyspark.sql import Window
+
+    pri = _docs(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#strat"))
+        ).alias("priority"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .alias("lang_count"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.ceil(F.lit(_STRAT_FRAC) * F.col("lang_count")))
+        .select(
+            "lang",
+            "doc_id",
+            F.col("rn").cast("long").alias("sample_rank"),
+            F.col("lang_count").cast("long").alias("lang_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host boilerplate detection (template/chrome shingles)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_HOST_SQL = f"""
+  SELECT DISTINCT doc_id, {_FAM_HOST_SQL} AS host,
+    arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+"""
+
+
+@register(
+    "web_boilerplate_shingles",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_HOST_SQL}),
+    host_docs AS (
+      SELECT {_FAM_HOST_SQL} AS host, count(*) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    boiler AS (
+      SELECT b.host, b.shingle
+      FROM (SELECT host, shingle, count(*) AS df_h FROM sh GROUP BY 1, 2) b
+      JOIN host_docs hd ON b.host = hd.host
+      WHERE b.df_h >= 2 AND 5 * b.df_h >= hd.n_docs
+    )
+    SELECT s.doc_id, s.host, count(*) AS n_shingles,
+      CAST(sum(CASE WHEN bl.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_boiler,
+      round(CAST(sum(CASE WHEN bl.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        AS DOUBLE) / count(*), 6) AS boiler_frac
+    FROM sh s LEFT JOIN boiler bl
+      ON s.host = bl.host AND s.shingle = bl.shingle
+    GROUP BY s.doc_id, s.host
+    """,
+)
+def web_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-template boilerplate detection (the CCNet/trafilatura
+    signal): a shingle occurring in >= 2 docs AND >= 20% of a host's
+    pages is site chrome, not content; each doc is scored by the
+    fraction of its shingles that are host-boilerplate. Two aggs
+    over one shingle stream (host-shingle df, then the per-doc
+    rollup after a join against the small high-df boiler set) — no
+    doc-x-doc comparison anywhere, so cost is linear in corpus
+    shingles at any scale. High boiler_frac docs are the templated /
+    mirrored pages a curation pass down-weights before dedup even
+    runs."""
+    docs = _docs(spark, sf_dir)
+    host = _fam_host_col()
+    arr = F.split("text", " ")
+    base = docs.select("doc_id", host.alias("host"), arr.alias("arr"))
+    n = F.size("arr")
+    sh = (
+        base.where(n >= 3)
+        .select(
+            "doc_id",
+            "host",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 2), "
+                    "i -> concat(arr[i-1], ' ', arr[i], ' ', arr[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    host_docs = docs.select(host.alias("host")).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    boiler = (
+        sh.groupBy("host", "shingle")
+        .agg(F.count(F.lit(1)).alias("df_h"))
+        .join(F.broadcast(host_docs), "host")
+        .where((F.col("df_h") >= 2) & (5 * F.col("df_h") >= F.col("n_docs")))
+        .select(
+            F.col("host").alias("b_host"), F.col("shingle").alias("b_shingle")
+        )
+    )
+    marked = sh.join(
+        boiler,
+        (F.col("host") == F.col("b_host"))
+        & (F.col("shingle") == F.col("b_shingle")),
+        "left",
+    ).select(
+        "doc_id",
+        "host",
+        F.when(F.col("b_shingle").isNotNull(), 1).otherwise(0).alias("is_b"),
+    )
+    return marked.groupBy("doc_id", "host").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("is_b").cast("long").alias("n_boiler"),
+        F.round(F.sum("is_b") / F.count(F.lit(1)), 6).alias("boiler_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter revisit gate (crawl frontier membership)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 256  # bit-array size — small on purpose so the FP path is exercised
+_BLOOM_J = 3  # hash functions
+
+
+@register(
+    "web_bloom_revisit",
+    oracle=f"""
+    WITH snaps AS ({_SNAPS_SQL}),
+    all_urls AS (SELECT DISTINCT url FROM snaps),
+    seen AS (SELECT DISTINCT url FROM snaps WHERE doc_id % 10 = 0),
+    js AS (SELECT unnest(generate_series(0, {_BLOOM_J - 1})) AS j),
+    bits AS (
+      SELECT DISTINCT
+        {md5_long_sql("url || '#b' || CAST(j AS VARCHAR)")} % {_BLOOM_M} AS pos
+      FROM seen CROSS JOIN js
+    ),
+    probe AS (
+      SELECT url,
+        {md5_long_sql("url || '#b' || CAST(j AS VARCHAR)")} % {_BLOOM_M} AS pos
+      FROM all_urls CROSS JOIN js
+    ),
+    hits AS (
+      SELECT url, count(*) AS nhit FROM probe p JOIN bits b ON p.pos = b.pos
+      GROUP BY url
+    )
+    SELECT u.url,
+      CAST(CASE WHEN s.url IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        AS truly_seen,
+      CAST(CASE WHEN coalesce(h.nhit, 0) = {_BLOOM_J} THEN 1 ELSE 0 END
+        AS INTEGER) AS maybe_seen
+    FROM all_urls u
+    LEFT JOIN seen s ON u.url = s.url
+    LEFT JOIN hits h ON u.url = h.url
+    """,
+)
+def web_bloom_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter crawl-frontier gate: the set of already-crawled
+    urls is summarized as a {_BLOOM_M}-bit filter ({_BLOOM_J} MD5-salted
+    hash positions per url, bit-set = distinct positions — bounded by
+    m rows however many urls were seen), and every candidate url is
+    probed against the broadcast bit-set: all {_BLOOM_J} bits present
+    => 'maybe seen', skip the fetch. m is deliberately tiny here so
+    false positives OCCUR and the oracle pins them value-for-value —
+    the truly_seen column is the ground truth the FP rate reads off.
+    At 10^12 urls the filter is the only state small enough to
+    broadcast to every fetcher; the same plan scales by raising m."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fam = F.col("doc_id") % 125
+    host = _fam_host_col()
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
+    )
+    snaps = docs.select("doc_id", url.alias("url"))
+    all_urls = snaps.select("url").distinct()
+    seen = snaps.where(F.col("doc_id") % 10 == 0).select("url").distinct()
+
+    def positions(df):
+        pos = F.array(
+            *[
+                md5_long(F.concat(F.col("url"), F.lit(f"#b{j}"))) % _BLOOM_M
+                for j in range(_BLOOM_J)
+            ]
+        )
+        return df.select("url", F.explode(pos).alias("pos"))
+
+    bits = positions(seen).select("pos").distinct()
+    hits = (
+        positions(all_urls)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    return (
+        all_urls.join(
+            F.broadcast(seen.withColumn("s_seen", F.lit(1))), "url", "left"
+        )
+        .join(F.broadcast(hits), "url", "left")
+        .select(
+            "url",
+            F.when(F.col("s_seen").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("truly_seen"),
+            F.when(F.coalesce(F.col("nhit"), F.lit(0)) == _BLOOM_J, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("maybe_seen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer-training precursor)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 32
+
+
+@register(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, sum(n) AS freq_h
+      FROM wc, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) t
+      GROUP BY substr(word, i, 2)
+    ),
+    top AS (
+      SELECT pair, CAST(freq_h AS BIGINT) AS freq FROM pairs
+      ORDER BY freq_h DESC, pair ASC LIMIT {_BPE_TOP}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT)
+      AS rank, pair, freq
+    FROM top
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: pretokenize to
+    words (whitespace — the corpus's pretoken boundary), count each
+    DISTINCT word once, then weight its adjacent character pairs by
+    the word frequency. Top merge candidates come back via
+    distributed TakeOrderedAndProject. The two-level shape (word
+    dictionary first, pairs from the dictionary) is what makes BPE
+    training feasible at corpus scale — pair counting touches the
+    vocabulary (10^6-ish), never the corpus token stream (10^14)."""
+    from pyspark.sql import Window
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("freq_h"))
+    )
+    top = (
+        pairs.orderBy(F.desc("freq_h"), F.asc("pair"))
+        .limit(_BPE_TOP)
+        .select("pair", F.col("freq_h").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "pair", "freq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG degree distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kg_degree_distribution",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    edges AS (SELECT DISTINCT subj, obj FROM pairs),
+    deg AS (
+      SELECT entity_id, count(*) AS degree FROM (
+        SELECT subj AS entity_id, obj AS nb FROM edges
+        UNION
+        SELECT obj AS entity_id, subj AS nb FROM edges
+      ) GROUP BY entity_id
+    ),
+    tot AS (SELECT count(*) AS n FROM deg)
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_entities,
+      round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS frac
+    FROM deg CROSS JOIN tot GROUP BY degree, tot.n
+    """,
+)
+def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-mention graph — the first
+    KG-quality diagnostic after materialization (hub detection, the
+    skew signal that decides salting). Undirected degree = distinct
+    neighbors over both edge directions; the histogram groups by
+    degree (a dictionary of tens of values however big the graph),
+    with the entity-count total as a broadcast 1-row aggregate —
+    nothing here is proportional to graph size except the two
+    map-side-combined aggs."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    edges = comention_pairs(p["links"]).select("subj", "obj").distinct()
+    nbrs = edges.unionByName(
+        edges.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    deg = nbrs.groupBy(F.col("subj").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tot = deg.select(F.count(F.lit(1)).alias("n"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            "n_entities",
+            F.round(F.col("n_entities").cast("double") / F.col("n"), 6).alias(
+                "frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_QSK_BINS = 64
+_QSK_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "text_quantile_sketch",
+    oracle=f"""
+    WITH x AS (SELECT len(string_split(text, ' ')) AS x FROM documents),
+    st AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n FROM x),
+    binned AS (
+      SELECT CAST(floor(CAST((x - mn) AS DOUBLE) * {_QSK_BINS}
+        / (mx - mn + 1)) AS BIGINT) AS bin
+      FROM x CROSS JOIN st
+    ),
+    bins AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+    qs AS (
+      SELECT unnest(CAST([{", ".join(str(q) for q in _QSK_QS)}] AS DOUBLE[])) AS q
+    ),
+    est AS (
+      SELECT q, min(bin) AS bin
+      FROM qs CROSS JOIN st JOIN cum ON cum.cum >= ceil(q * st.n)
+      GROUP BY q
+    )
+    SELECT e.q, CAST(e.bin AS BIGINT) AS bin,
+      round(st.mn + e.bin * CAST((st.mx - st.mn + 1) AS DOUBLE)
+        / {_QSK_BINS}, 6) AS est_value
+    FROM est e CROSS JOIN st
+    """,
+)
+def text_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution quantiles from a FIXED-width histogram sketch
+    (doc token counts): one min/max/count pass, one {_QSK_BINS}-bin
+    count agg (map-side combined — the sketch state is {_QSK_BINS}
+    longs regardless of corpus size), then quantile lookups against
+    the bounded cumulative table. The exact-percentile alternative
+    is a global sort; this is the shape percentile monitoring
+    actually ships at 10^12 rows (t-digest/KLL are refinements of
+    exactly this bounded-state idea — this histogram variant is
+    deterministic, hence oracle-able value-for-value). Estimates
+    resolve to the bin lower bound; error <= one bin width, pinned
+    by test."""
+    from pyspark.sql import Window
+
+    x = _docs(spark, sf_dir).select(F.size(F.split("text", " ")).alias("x"))
+    st = x.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    binned = x.crossJoin(F.broadcast(st)).select(
+        F.floor(
+            (F.col("x") - F.col("mn")).cast("double")
+            * _QSK_BINS
+            / (F.col("mx") - F.col("mn") + 1)
+        ).alias("bin")
+    )
+    bins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded window: <= _QSK_BINS rows by construction
+    cum = bins.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QSK_QS], "q double")
+    est = (
+        qs.crossJoin(F.broadcast(st))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return est.crossJoin(F.broadcast(st)).select(
+        "q",
+        F.col("bin").cast("long").alias("bin"),
+        F.round(
+            F.col("mn")
+            + F.col("bin") * (F.col("mx") - F.col("mn") + 1).cast("double")
+            / _QSK_BINS,
+            6,
+        ).alias("est_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental crawl merge (MERGE INTO as a query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "web_incremental_crawl_merge",
+    oracle=f"""
+    WITH current AS (
+      SELECT url, max(doc_id) AS cur_id FROM ({_SNAPS_SQL})
+      WHERE doc_id % 3 <> 2 GROUP BY url
+    ),
+    batch AS (
+      -- the new crawl goes DEEPER: its url family is doc_id % 150,
+      -- so families 125-149 are urls the current table has never
+      -- seen (the insert path), while 0-124 overlap (update/keep)
+      SELECT
+        'https://' || CASE WHEN doc_id % 150 % 10 < 3 THEN 'hot.example.com'
+             ELSE 'h' || CAST(doc_id % 150 % 50 AS VARCHAR) || '.example.org' END
+        || '/doc/' || lpad(CAST(doc_id % 150 AS VARCHAR), 6, '0') AS url,
+        max(doc_id) AS bat_id
+      FROM documents WHERE doc_id % 3 = 2 GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(c.url, b.url) AS url, c.cur_id, b.bat_id
+      FROM current c FULL OUTER JOIN batch b ON c.url = b.url
+    )
+    SELECT url,
+      CAST(greatest(coalesce(cur_id, -1), coalesce(bat_id, -1)) AS BIGINT)
+        AS final_doc_id,
+      CAST(1767225600 + greatest(coalesce(cur_id, -1), coalesce(bat_id, -1))
+        AS BIGINT) AS final_ts,
+      CASE WHEN cur_id IS NULL THEN 'insert'
+           WHEN bat_id IS NULL OR bat_id < cur_id THEN 'keep'
+           ELSE 'update' END AS action
+    FROM merged
+    """,
+)
+def web_incremental_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl upsert — the MERGE INTO semantics of the
+    resumable snapshot table expressed as a query: the existing
+    per-url latest table full-outer-joins the new crawl batch's
+    per-url latest; newer batch captures 'update', unseen urls
+    'insert', everything else 'keep'. Both sides pre-aggregate to
+    one row per url BEFORE the join (max is map-side combined), so
+    the join is url-keyed latest-vs-latest, never snapshot-x-
+    snapshot. Timestamps are derived from doc_id (strictly
+    monotone), so recency ties are impossible and the merge is
+    deterministic — the property the MERGE statement twin in
+    operators.materialize relies on for idempotent replay."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def url_for(fam):
+        host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+            F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+        )
+        return F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/doc/"),
+            F.lpad(fam.cast("string"), 6, "0"),
+        )
+
+    current = (
+        docs.where(F.col("doc_id") % 3 != 2)
+        .select(url_for(F.col("doc_id") % 125).alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(F.max("doc_id").alias("cur_id"))
+    )
+    # the new crawl goes deeper: url family doc_id % 150, so families
+    # 125-149 exercise the insert path at every scale factor
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 2)
+        .select(url_for(F.col("doc_id") % 150).alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(F.max("doc_id").alias("bat_id"))
+    )
+    merged = current.join(batch, "url", "full_outer")
+    final_id = F.greatest(
+        F.coalesce(F.col("cur_id"), F.lit(-1)),
+        F.coalesce(F.col("bat_id"), F.lit(-1)),
+    )
+    return merged.select(
+        "url",
+        final_id.cast("long").alias("final_doc_id"),
+        (F.lit(1767225600) + final_id).cast("long").alias("final_ts"),
+        F.when(F.col("cur_id").isNull(), F.lit("insert"))
+        .when(
+            F.col("bat_id").isNull() | (F.col("bat_id") < F.col("cur_id")),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature export (reusable dedup index segment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_minhash_doc_signature",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id,
+        arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+    ),
+    hashed AS (SELECT id, {md5_long_sql("shingle")} % {MH_R} AS x FROM sh),
+    sigs AS (
+      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
+      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
+      GROUP BY id, h.i
+    )
+    SELECT id AS doc_id,
+      string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS sig
+    FROM sigs GROUP BY id
+    """,
+)
+def text_minhash_doc_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature EXPORT: the 16-hash signature
+    serialized per document — the persisted index segment that lets
+    tomorrow's crawl batch near-dup against today's corpus without
+    re-shingling it (signatures union+min-combine across corpus
+    versions, the mergeability MinHash is chosen for). One wide agg
+    over the shingle stream (operators.dedup.minhash_signatures —
+    the same plan the LSH path uses internally), zero extra
+    shuffles for the serialization."""
+    from multiomics_biocypher_kg_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = dd.minhash_signatures(dd.shingles(docs))
+    n = len(
+        [c for c in sigs.columns if c.startswith("mh")]
+    )
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "|", *[F.col(f"mh{i}").cast("string") for i in range(n)]
+        ).alias("sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER blocking-key profile
+# ---------------------------------------------------------------------------
+
+_BLOCK_PAIR_CAP = 1000
+
+
+@register(
+    "kg_blocking_keys",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    keys AS (
+      SELECT doc_id,
+        arr[1] || '|' || CAST(CAST(floor(len(arr) / 8.0) AS BIGINT) AS VARCHAR)
+          AS block_key
+      FROM t
+    )
+    SELECT block_key, count(*) AS n_docs,
+      CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs,
+      CAST(CASE WHEN count(*) * (count(*) - 1) / 2 > {_BLOCK_PAIR_CAP}
+        THEN 1 ELSE 0 END AS INTEGER) AS oversized
+    FROM keys GROUP BY block_key
+    """,
+)
+def kg_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking profile: every record gets a cheap
+    composite block key (leading token + length bucket); candidate
+    pairs are only generated WITHIN a block, so the match cost is
+    sum over blocks of n*(n-1)/2 instead of corpus². This query is
+    the pre-flight report that makes blocking safe to run: per-block
+    record and pair counts plus the oversized flag (the block a
+    skew-aware matcher splits further or salts — same discipline as
+    the co-mention fanout cap). One groupBy on the key; the key
+    itself is computed in the scan projection."""
+    arr = F.split("text", " ")
+    keys = _docs(spark, sf_dir).select(
+        F.concat(
+            F.element_at(arr, 1),
+            F.lit("|"),
+            F.floor(F.size(arr) / 8.0).cast("long").cast("string"),
+        ).alias("block_key")
+    )
+    g = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    return g.select(
+        "block_key",
+        "n_docs",
+        n_pairs.alias("n_pairs"),
+        F.when(n_pairs > _BLOCK_PAIR_CAP, 1).otherwise(0).cast("int").alias(
+            "oversized"
+        ),
+    )
+
+
+# If this module is imported FIRST (registry's own bottom import then
+# sees it half-initialized), registry applies its window order before
+# these registrations exist — re-apply here so the final ordering is
+# identical either way. Idempotent.
+from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
+    _apply_driver_window_order,
+)
+
+_apply_driver_window_order()

@@ -236,6 +236,63 @@ def test_multimodal_decode_stub(spark):
     assert out[1].kind == "audio" and out[2].kind == "video"
 
 
+def test_multimodal_decode_real_formats(spark):
+    """The real decoders parse ARBITRARY valid files, not just our
+    synthesis: a 2x3 PPM with header comments, and a 4-sample WAV at
+    a non-default rate — dims/rate/means come from the container."""
+    import io
+    import struct
+    import wave
+
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        decode_real_features,
+    )
+
+    ppm = b"P6\n# a comment\n2 3\n# another\n255\n" + bytes(range(18))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<4h", -1000, 2000, -3000, 4000))
+    media = spark.createDataFrame(
+        [(1, "image", ppm), (2, "audio", buf.getvalue())],
+        "doc_id long, kind string, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_real_features(media).collect()}
+    assert (out[1].width, out[1].height, out[1].n_units) == (2, 3, 18)
+    assert abs(out[1].mean_value - sum(range(18)) / 18) < 1e-9
+    assert (out[2].sample_rate, out[2].n_units) == (44100, 4)
+    assert abs(out[2].mean_value - (1000 + 2000 + 3000 + 4000) / 4) < 1e-9
+
+
+def test_multimodal_real_payloads_are_valid_files(spark):
+    """attach_real_payloads writes files any external reader opens:
+    the WAV round-trips through stdlib wave; the PPM through the
+    header parser with the documented geometry."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        WAV_RATE,
+        WAV_SAMPLES,
+        attach_real_payloads,
+        decode_real_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, "wxyz")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in decode_real_features(attach_real_payloads(docs)).collect()
+    }
+    assert (out[0].width, out[0].height) == (PPM_W, PPM_H)
+    assert out[0].n_units == PPM_W * PPM_H * 3
+    # pixel bytes are 'abcd' cycled over 192 bytes
+    assert abs(out[0].mean_value - (97 + 98 + 99 + 100) / 4) < 1e-9
+    assert (out[1].sample_rate, out[1].n_units) == (WAV_RATE, WAV_SAMPLES)
+
+
 def test_containment_quote_low_jaccard(spark):
     """A short quote embedded verbatim in a long page: containment
     1.0 for the quote side, while Jaccard stays far below any dedup

@@ -105,7 +105,12 @@ def test_dictionary_topk_is_distributed_not_global_sort(spark):
     survivors of the limit."""
     from multiomics_biocypher_kg_spark.registry import QUERIES
 
-    for q in ("text_vocabulary", "text_inverted_index"):
+    for q in (
+        "text_vocabulary",
+        "text_inverted_index",
+        "text_reservoir_sample",
+        "text_bpe_pretokenize",
+    ):
         plan = _plan(QUERIES[q](spark, SF_TINY))
         assert "TakeOrderedAndProject" in plan, q
         assert "rangepartitioning" not in plan, q

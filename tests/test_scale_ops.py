@@ -1,0 +1,132 @@
+"""Round-4 scale operators: statistical contracts the oracle can't
+express — sketch accuracy bounds, sampling determinism/coverage,
+Bloom false-positive behavior, quantile-sketch error bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.registry import QUERIES
+from tests.conftest import SF_TINY
+
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+def test_cardinality_sketch_accuracy_on_large_host(spark):
+    """The unbiased (K-1)/sum estimator with K=32 trials has relative
+    stddev ~1/sqrt(K-2) ~ 18%. Pin that the BIG host (the only one
+    where the asymptotics apply) lands within 3 sigma, and that the
+    estimate is positive everywhere."""
+    rows = QUERIES["text_hll_host_cardinality"](spark, SF_SMALL).collect()
+    by_host = {r["host"]: r for r in rows}
+    hot = by_host["hot.example.com"]
+    assert hot["n_exact"] >= 100  # 30% of the corpus lands here
+    assert hot["rel_err"] <= 3 / math.sqrt(30)
+    assert all(r["n_est"] > 0 for r in rows)
+
+
+def test_reservoir_sample_deterministic_and_uniformish(spark):
+    """Same sample across runs (hash priorities, no RNG); ranks are
+    1..k dense; membership is hash-uniform — the k docs are spread
+    over the id space, not a prefix."""
+    a = QUERIES["text_reservoir_sample"](spark, SF_SMALL).collect()
+    b = QUERIES["text_reservoir_sample"](spark, SF_SMALL).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert sorted(r["sample_rank"] for r in a) == list(range(1, len(a) + 1))
+    ids = sorted(r["doc_id"] for r in a)
+    assert len(a) == 100
+    assert ids[0] < 50 and ids[-1] > 450  # spans the id range
+
+
+def test_stratified_sample_hits_per_stratum_quota(spark):
+    """Each language contributes exactly ceil(10% of its count)."""
+    out = QUERIES["text_stratified_sample"](spark, SF_SMALL)
+    got = {
+        r["lang"]: (r["n"], r["lc"])
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("lang_count").alias("lc"))
+        .collect()
+    }
+    truth = {
+        r["lang"]: r["c"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for lang, (n, lc) in got.items():
+        assert lc == truth[lang]
+        assert n == math.ceil(0.1 * truth[lang])
+
+
+def test_bloom_revisit_no_false_negatives(spark):
+    """Bloom's one-sided guarantee: every truly-seen url is
+    maybe_seen (no false negative, ever); with the deliberately tiny
+    m=256 filter the corpus produces at least one false positive, so
+    the FP path is exercised, and FPs stay a small minority."""
+    rows = QUERIES["web_bloom_revisit"](spark, SF_SMALL).collect()
+    assert all(r["maybe_seen"] == 1 for r in rows if r["truly_seen"] == 1)
+    fps = [r for r in rows if r["maybe_seen"] == 1 and r["truly_seen"] == 0]
+    unseen = [r for r in rows if r["truly_seen"] == 0]
+    assert len(fps) >= 1
+    assert len(fps) <= 0.2 * len(unseen)
+
+
+def test_quantile_sketch_within_one_bin_of_exact(spark):
+    """Histogram quantile estimates are the bin lower bound — pin
+    |estimate - exact nearest-rank quantile| <= one bin width."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    xs = sorted(
+        r["x"] for r in docs.select(F.size(F.split("text", " ")).alias("x")).collect()
+    )
+    n = len(xs)
+    width = (xs[-1] - xs[0] + 1) / 64
+    for r in QUERIES["text_quantile_sketch"](spark, SF_SMALL).collect():
+        exact = xs[max(0, math.ceil(r["q"] * n) - 1)]
+        assert abs(r["est_value"] - exact) <= width + 1e-9, (r["q"], exact, r)
+
+
+def test_crawl_merge_actions_partition_the_url_space(spark):
+    """insert/update/keep are exhaustive and mutually exclusive, and
+    the merged id is always the newest on its url."""
+    rows = QUERIES["web_incremental_crawl_merge"](spark, SF_SMALL).collect()
+    assert {r["action"] for r in rows} == {"insert", "update", "keep"}
+    assert len({r["url"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["final_ts"] == 1767225600 + r["final_doc_id"]
+
+
+def test_minhash_signature_export_matches_lsh_internals(spark):
+    """The exported signature equals the wide-agg signature the LSH
+    path computes internally — one source of truth for the index."""
+    from multiomics_biocypher_kg_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = dd.minhash_signatures(dd.shingles(docs))
+    internal = {
+        r["id"]: "|".join(str(r[f"mh{i}"]) for i in range(16))
+        for r in sigs.collect()
+    }
+    exported = {
+        r["doc_id"]: r["sig"]
+        for r in QUERIES["text_minhash_doc_signature"](spark, SF_TINY).collect()
+    }
+    assert exported == internal
+
+
+def test_blocking_keys_bound_candidate_pairs(spark):
+    """Sum of within-block pairs is far below the all-pairs count —
+    the whole point of blocking — and the pair formula is exact."""
+    rows = QUERIES["kg_blocking_keys"](spark, SF_SMALL).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    blocked_pairs = sum(r["n_pairs"] for r in rows)
+    assert n_docs == 500
+    assert blocked_pairs < 0.25 * n_docs * (n_docs - 1) / 2
+    for r in rows:
+        assert r["n_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+        assert r["oversized"] == (1 if r["n_pairs"] > 1000 else 0)
