@@ -6,16 +6,20 @@ DuckDB runs over the same parquet tables. Column names/types are
 aligned on both sides; floating-point aggregates are rounded
 identically so the order-insensitive value-hash matches.
 
-Sections:
-  KG pipeline     kg_*      (extract/mention/link/canonicalize/
-                             materialize/enrich over the synthesized
-                             page corpus — the north-rule pipeline)
-  Ontology        onto_*    (closure / levels / subtree rollups)
-  Relational      rel_*     (the reference's aggregate/window/join
-                             operator inventory over TPC-H-ish data)
-  Dedup & text    dedup_*, text_*
-  Similarity      ann_*, knn_*
-  Events          ev_*      (sessionize, as-of, range join, replicate agg)
+This module holds the registry itself (QUERIES/ORACLES/register),
+the KG-pipeline family (kg_* — the north-rule extract/mention/link/
+canonicalize/materialize DAG), and the driver-window ordering. The
+other families live in per-family modules imported at the bottom
+for their @register side effects (round-4 split — pure moves,
+oracles byte-identical):
+
+  registry_relational   rel_*, ev_*, skew patterns
+  registry_ontology     onto_* closure/levels/rollups, intervals
+  registry_dedup_text   dedup_*, text_*, ann_*/knn_*, mm_*
+  registry_adapter      omics_*, merge, CURIE (reference semantics)
+  registry_web          web_*, url/linkgraph/curation, KG statistics
+  registry_scale_ops    sketches, sampling, bloom, crawl merge
+  oracle_fragments      shared synthetic-shape SQL (leaf module)
 """
 
 from __future__ import annotations
@@ -63,108 +67,26 @@ def register(name: str, oracle: str | None = None):
 # Shared oracle SQL fragments (one source of truth for the synthetic shapes)
 # --------------------------------------------------------------------------
 
-# url formula must match sources.pages.url_of
-def url_sql(id_expr: str) -> str:
-    """The page-url formula over an arbitrary doc-id SQL expression
-    (SQL twin of sources.pages.url_of)."""
-    return (
-        f"('https://' || CASE WHEN ({id_expr}) % 10 < 3 THEN 'hot.example.com' "
-        f"ELSE 'h' || CAST(({id_expr}) % 50 AS VARCHAR) || '.example.org' END "
-        f"|| '/doc/' || lpad(CAST(({id_expr}) AS VARCHAR), 6, '0'))"
-    )
-
-
-URL_SQL = url_sql("doc_id")
-
-# tokenization with 0-based positions (mirrors posexplode(split(text,' ')))
-TOKENS_SQL = f"""
-  SELECT doc_id, {URL_SQL} AS url, lang,
-         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
-         unnest(string_split(text, ' ')) AS token
-  FROM documents
-"""
-
-VOCAB_SQL = vocab_values_sql()
-
-# the tiered resolution cascade (mirror of operators.link.link)
-LINKS_SQL = f"""
-WITH vocab AS (SELECT * FROM {VOCAB_SQL}),
-toks AS ({TOKENS_SQL}),
-t1 AS (SELECT surface AS k, min(entity_id) AS e, count(DISTINCT entity_id) AS n
-       FROM vocab WHERE tier = 1 AND surface NOT LIKE '% %' GROUP BY surface),
-t1ci AS (SELECT lower(surface) AS k, min(entity_id) AS e, count(DISTINCT entity_id) AS n
-         FROM vocab WHERE tier = 1 AND surface NOT LIKE '% %' GROUP BY lower(surface)),
-t2 AS (SELECT surface AS k, min(entity_id) AS e, count(DISTINCT entity_id) AS n
-       FROM vocab WHERE tier = 2 AND surface NOT LIKE '% %' GROUP BY surface),
-norm AS (SELECT *, regexp_replace(regexp_replace(token, '[*+]+$', ''), '\\.\\d+$', '') AS norm_token
-         FROM toks),
-detected AS (
-  SELECT n.* FROM norm n
-  WHERE lower(n.token) IN (SELECT lower(surface) FROM vocab WHERE surface NOT LIKE '% %')
-     OR lower(n.norm_token) IN (SELECT lower(surface) FROM vocab WHERE surface NOT LIKE '% %')
-),
-joined AS (
-  SELECT d.doc_id, d.url, d.lang, d.pos, d.token,
-         a1.e AS e1, a1.n AS n1, a2.e AS e2, a2.n AS n2,
-         a3.e AS e3, a3.n AS n3, a4.e AS e4, a4.n AS n4,
-         a5.e AS e5, a5.n AS n5
-  FROM detected d
-  LEFT JOIN t1   a1 ON d.token = a1.k
-  LEFT JOIN t1ci a2 ON lower(d.token) = a2.k
-  LEFT JOIN t1   a3 ON d.norm_token = a3.k
-  LEFT JOIN t2   a4 ON d.token = a4.k
-  LEFT JOIN t2   a5 ON d.norm_token = a5.k
+from multiomics_biocypher_kg_spark.oracle_fragments import (  # noqa: F401
+    COMENTION_PAIRS_SQL,
+    COMPONENTS_SQL,
+    LINKS_SQL,
+    SAMEAS_SQL,
+    TOKENS_SQL,
+    TRIPLES_SQL,
+    URL_SQL,
+    VOCAB_SQL,
+    _SNAPS_SQL,
+    url_sql,
 )
-SELECT doc_id, url, lang, pos, token,
-  CASE WHEN n1 = 1 THEN e1
-       WHEN n1 > 1 THEN NULL
-       WHEN n2 = 1 THEN e2
-       WHEN n2 > 1 THEN NULL
-       WHEN n3 = 1 THEN e3
-       WHEN n3 > 1 THEN NULL
-       WHEN n4 = 1 THEN e4
-       WHEN n4 > 1 THEN NULL
-       WHEN n5 = 1 THEN e5
-       ELSE NULL END AS entity_id,
-  CASE WHEN n1 = 1 THEN 'tier1_exact'
-       WHEN n1 > 1 THEN 'conflict'
-       WHEN n2 = 1 THEN 'case_insensitive'
-       WHEN n2 > 1 THEN 'conflict'
-       WHEN n3 = 1 THEN 'heuristic'
-       WHEN n3 > 1 THEN 'conflict'
-       WHEN n4 = 1 THEN 'tier2_singleton'
-       WHEN n4 > 1 THEN 'ambiguous'
-       WHEN n5 = 1 THEN 'heuristic'
-       WHEN n5 > 1 THEN 'ambiguous'
-       ELSE 'unmatched' END AS resolution_method
-FROM joined
-"""
 
-# same-as evidence (mirror of plans.pipeline.sameas_from_documents)
-SAMEAS_SQL = """
-  SELECT format('ent:{:06d}', doc_id) AS id_a,
-         format('ent:{:06d}', doc_id - doc_id % 5) AS id_b
-  FROM documents WHERE doc_id % 5 <> 0
-  UNION ALL
-  SELECT format('ent:{:06d}', doc_id), format('ent:{:06d}', doc_id + 1)
-  FROM documents WHERE doc_id % 10 = 4
-"""
 
-# connected components over the same-as graph (min-label, recursive CTE)
-COMPONENTS_SQL = f"""
-WITH RECURSIVE raw AS ({SAMEAS_SQL}),
-und AS (
-  SELECT id_a AS a, id_b AS b FROM raw
-  UNION
-  SELECT id_b, id_a FROM raw
-),
-reach(node, lbl) AS (
-  SELECT a, a FROM und
-  UNION
-  SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
-)
-SELECT node, min(lbl) AS component FROM reach GROUP BY node
-"""
+
+
+
+
+
+
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -604,20 +526,7 @@ def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(sameas, src="id_a", dst="id_b")
 
 
-TRIPLES_SQL = f"""
-    WITH links AS ({LINKS_SQL}),
-    mention_triples AS (
-      SELECT DISTINCT url AS subj, 'mentions' AS pred, entity_id AS obj
-      FROM links WHERE entity_id IS NOT NULL
-    ),
-    comp AS ({COMPONENTS_SQL}),
-    same_triples AS (
-      SELECT node AS subj, 'same_as_canonical' AS pred, component AS obj
-      FROM comp WHERE node <> component
-    ),
-    allt AS (SELECT * FROM mention_triples UNION ALL SELECT * FROM same_triples)
-    SELECT subj, pred, obj, subj || '|' || pred || '|' || obj AS edge_id FROM allt
-"""
+
 
 
 @register("kg_triples", oracle=TRIPLES_SQL)
@@ -691,3054 +600,8 @@ def kg_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Relational section: the reference's aggregate/window/join inventory
-# (SURVEY.md §2.3-2.8) exercised over the TPC-H-ish tables.
-# --------------------------------------------------------------------------
-
-
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-@register(
-    "rel_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-      round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
-      round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
-      round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE), 6) AS avg_disc,
-      count(*) AS count_order,
-      CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc
-    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A3 (group rollups + conditional counts), TPC-H Q1 shape."""
-    li = _read(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_shipdate") <= "2001-09-01")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("sum_base_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
-                2,
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
-            .cast("long")
-            .alias("n_high_disc"),
-        )
-    )
-
-
-@register(
-    "rel_top_suppliers_per_nation",
-    oracle="""
-    WITH rev AS (
-      SELECT l_suppkey, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
-      FROM lineitem GROUP BY l_suppkey
-    ),
-    ranked AS (
-      SELECT s.s_nationkey, s.s_suppkey, s.s_name, r.revenue,
-             CAST(row_number() OVER (PARTITION BY s.s_nationkey
-                  ORDER BY r.revenue DESC, s.s_suppkey ASC) AS INTEGER) AS rnk
-      FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
-    )
-    SELECT s_nationkey, s_suppkey, s_name, revenue, rnk FROM ranked WHERE rnk <= 3
-    """,
-)
-def rel_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8 (top-k per group) + J1 (broadcast dim join).
-
-    Physical: lineitem pre-aggregated per suppkey (map-side partial
-    agg), supplier broadcast, window over small aggregate only."""
-    from pyspark.sql import Window
-
-    li = _read(spark, sf_dir, "lineitem")
-    sup = _read(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("double"),
-            2,
-        ).alias("revenue")
-    )
-    w = Window.partitionBy("s_nationkey").orderBy(
-        F.col("revenue").desc(), F.col("s_suppkey").asc()
-    )
-    return (
-        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("s_nationkey", "s_suppkey", "s_name", "revenue", "rnk")
-    )
-
-
-@register(
-    "rel_market_share",
-    oracle="""
-    SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-      round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
-      count(DISTINCT o.o_orderkey) AS n_orders
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name, year(o.o_orderdate)
-    """,
-)
-def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2: star join — fact shuffled once on orderkey, every
-    dimension broadcast; Catalyst collapses dim chain map-side."""
-    li = _read(spark, sf_dir, "lineitem")
-    o = _read(spark, sf_dir, "orders")
-    c = _read(spark, sf_dir, "customer")
-    n = _read(spark, sf_dir, "nation")
-    r = _read(spark, sf_dir, "region")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
-        )
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-                ).cast("double"),
-                2,
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-        )
-    )
-
-
-@register(
-    "rel_ref_integrity",
-    oracle="""
-    SELECT o.o_orderstatus,
-      count(*) AS n_orders,
-      CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY o.o_orderstatus
-    """,
-)
-def rel_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J12 (skip_bad_relationships): orphan-edge detection via
-    left join + null probe (semi/anti equivalent, counted)."""
-    o = _read(spark, sf_dir, "orders")
-    c = _read(spark, sf_dir, "customer").select("c_custkey")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_orphans"),
-        )
-    )
-
-
-@register(
-    "rel_collect_sorted",
-    oracle="""
-    SELECT n.n_name,
-      string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment) AS segments,
-      count(DISTINCT c.c_mktsegment) AS n_segments
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-)
-def rel_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: sorted distinct collect (apoc.coll.sort analog),
-    canonicalized to a pipe-joined string."""
-    c = _read(spark, sf_dir, "customer")
-    n = _read(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
-                "segments"
-            ),
-            F.countDistinct("c_mktsegment").alias("n_segments"),
-        )
-    )
-
-
-@register(
-    "rel_parallel_arrays",
-    oracle="""
-    WITH pre AS (
-      SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS m,
-             round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
-      FROM lineitem GROUP BY l_returnflag, month(l_shipdate)
-    )
-    SELECT l_returnflag,
-      string_agg(CAST(m AS VARCHAR), '|' ORDER BY m) AS month_labels,
-      string_agg(CAST(qty AS VARCHAR), '|' ORDER BY m) AS month_totals
-    FROM pre GROUP BY l_returnflag
-    """,
-)
-def rel_parallel_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: ordered parallel-array collect (time_point_labels/totals
-    pattern, post-import.cypher:235-270): pre-agg per (group, order
-    key), sort_array(collect_list(struct)), project parallel arrays."""
-    li = _read(spark, sf_dir, "lineitem")
-    pre = li.groupBy(
-        "l_returnflag", F.month("l_shipdate").cast("int").alias("m")
-    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
-    return (
-        pre.groupBy("l_returnflag")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "qty"))).alias("arr"))
-        .select(
-            "l_returnflag",
-            F.array_join(
-                F.transform("arr", lambda x: x["m"].cast("string")), "|"
-            ).alias("month_labels"),
-            F.array_join(
-                F.transform("arr", lambda x: x["qty"].cast("string")), "|"
-            ).alias("month_totals"),
-        )
-    )
-
-
-@register(
-    "rel_percentile_stats",
-    oracle="""
-    SELECT l_returnflag,
-      round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min_value,
-      round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max_value,
-      round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
-      round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
-      round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 6) AS p75,
-      count(l_extendedprice) AS n_values
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def rel_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: exact percentileCont quartiles (post-import.cypher:339-350).
-    Exact percentile(), not percentile_approx — pinned semantics."""
-    from multiomics_biocypher_kg_spark.operators.enrich import distribution_stats
-
-    li = _read(spark, sf_dir, "lineitem")
-    return distribution_stats(li, ["l_returnflag"], "l_extendedprice")
-
-
-@register(
-    "rel_mode_consensus",
-    oracle="""
-    WITH counts AS (
-      SELECT p_type, p_brand, count(*) AS cnt,
-        CASE WHEN p_brand = 'Brand#13' THEN 1 ELSE 0 END AS excluded
-      FROM part GROUP BY p_type, p_brand
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY p_type
-        ORDER BY excluded ASC, cnt DESC, p_brand ASC) AS rn
-      FROM counts
-    )
-    SELECT p_type, p_brand AS consensus_brand, cnt AS n_members FROM ranked WHERE rn = 1
-    """,
-)
-def rel_mode_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: mode/consensus with exclusion preference ('hypothetical
-    protein' blacklist analog, ortholog_group_adapter.py:51-64):
-    most-common brand per type, preferring non-blacklisted values,
-    deterministic tiebreak."""
-    from pyspark.sql import Window
-
-    p = _read(spark, sf_dir, "part")
-    counts = (
-        p.groupBy("p_type", "p_brand")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "excluded", F.when(F.col("p_brand") == "Brand#13", 1).otherwise(0)
-        )
-    )
-    w = Window.partitionBy("p_type").orderBy(
-        F.col("excluded").asc(), F.col("cnt").desc(), F.col("p_brand").asc()
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("p_type", F.col("p_brand").alias("consensus_brand"), F.col("cnt").alias("n_members"))
-    )
-
-
-@register(
-    "rel_union_evidence",
-    oracle="""
-    WITH tagged AS (
-      SELECT c_nationkey AS nationkey, 'customer' AS source FROM customer
-      UNION ALL
-      SELECT s_nationkey, 'supplier' FROM supplier
-    )
-    SELECT nationkey,
-      string_agg(DISTINCT source, '|' ORDER BY source) AS evidence_sources,
-      count(*) AS n_refs
-    FROM tagged GROUP BY nationkey
-    """,
-)
-def rel_union_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1/U5: union of tagged evidence streams + per-key
-    evidence_sources accretion (post-import.cypher:1056-1087)."""
-    c = _read(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("source")
-    )
-    s = _read(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("source")
-    )
-    return (
-        c.unionByName(s)
-        .groupBy("nationkey")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("source")), "|").alias(
-                "evidence_sources"
-            ),
-            F.count(F.lit(1)).alias("n_refs"),
-        )
-    )
-
-
-@register(
-    "rel_window_rank_effect",
-    oracle="""
-    WITH ranked AS (
-      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        CAST(row_number() OVER (PARTITION BY l_suppkey
-          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER)
-          AS rank_by_effect
-      FROM lineitem
-    )
-    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rank_by_effect
-    FROM ranked WHERE rank_by_effect <= 3
-    """,
-)
-def rel_window_rank_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2: rank_by_effect — fully tie-broken row_number window
-    (post-import.cypher:693-705 ORDER BY abs(fc) DESC, padj, locus)."""
-    from pyspark.sql import Window
-
-    li = _read(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("l_extendedprice").desc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
-    return (
-        li.withColumn("rank_by_effect", F.row_number().over(w))
-        .where(F.col("rank_by_effect") <= 3)
-        .select(
-            "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rank_by_effect"
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Events section: sessionization, as-of join, range join, replicate
-# aggregation, majority vote, ordering, significance cascade, JSON.
-# --------------------------------------------------------------------------
-
-
-@register(
-    "ev_sessionize",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, event_id, ts,
-        date_diff('second',
-          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
-      FROM events
-    ),
-    s AS (
-      SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 21600 THEN 1 ELSE 0 END)
-        OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
-      FROM g
-    )
-    SELECT user_id, session_id, count(*) AS n_events,
-      CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
-      CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
-    FROM s GROUP BY user_id, session_id
-    """,
-)
-def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: lag-gap > 6h starts a new session (the batch
-    twin of streaming session_window; one shuffle keyed by user)."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    sess = (
-        ev.withColumn("gap", gap)
-        .withColumn(
-            "session_id",
-            F.sum(
-                F.when(F.col("gap").isNull() | (F.col("gap") > 21600), 1).otherwise(0)
-            )
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("int"),
-        )
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
-        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
-    )
-
-
-@register(
-    "ev_asof_join",
-    oracle="""
-    SELECT e.event_id AS error_id,
-      (SELECT c.event_id FROM events c
-       WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
-       ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
-    FROM events e WHERE e.event_type = 'error'
-    """,
-)
-def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (most recent prior click per error, per user) via
-    the union+window trick: tag both streams, sort within user by
-    (ts, type, id), carry last click id forward — one shuffle, no
-    per-group pandas, scales to arbitrary group sizes."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "error")
-    )
-    # 'click' < 'error' lexicographically -> clicks at equal ts sort first
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_type", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tagged = ev.withColumn(
-        "click_id",
-        F.last(
-            F.when(F.col("event_type") == "click", F.col("event_id")),
-            ignorenulls=True,
-        ).over(w),
-    )
-    return tagged.where(F.col("event_type") == "error").select(
-        F.col("event_id").alias("error_id"), "click_id"
-    )
-
-
-@register(
-    "ev_range_join",
-    oracle="""
-    SELECT c.event_id AS click_id, v.event_id AS view_id
-    FROM events c JOIN events v
-      ON c.user_id = v.user_id AND c.event_type = 'click' AND v.event_type = 'view'
-     AND v.ts > c.ts AND date_diff('second', c.ts, v.ts) <= 86400
-    """,
-)
-def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6-style interval/range join (position-fallback merge analog,
-    build_gene_mapping.py:186-294): views within 24h after a click.
-
-    Physical strategy: bucketize time into window-sized buckets and
-    equi-join on (user, bucket) with the click exploded into its two
-    candidate buckets — turns a theta join (cross product per user)
-    into a hash join; the residual predicate filters exactly."""
-    ev = _read(spark, sf_dir, "events")
-    win = 86400
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("cts"),
-        F.explode(
-            F.array(
-                (F.unix_timestamp("ts") / win).cast("long"),
-                (F.unix_timestamp("ts") / win).cast("long") + 1,
-            )
-        ).alias("bucket"),
-    )
-    views = ev.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("vu"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("vts"),
-        (F.unix_timestamp("ts") / win).cast("long").alias("bucket"),
-    )
-    return (
-        clicks.join(views, ["bucket"])
-        .where(
-            (F.col("cu") == F.col("vu"))
-            & (F.col("vts") > F.col("cts"))
-            & (
-                F.unix_timestamp("vts") - F.unix_timestamp("cts") <= win
-            )
-        )
-        .select("click_id", "view_id")
-    )
-
-
-@register(
-    "ev_replicate_agg",
-    oracle="""
-    SELECT user_id, event_type,
-      count(*) AS n,
-      round(CAST(avg(value) AS DOUBLE), 6) AS mean_value,
-      CASE WHEN count(*) > 1 THEN round(CAST(stddev_samp(value) AS DOUBLE), 6) END AS sd_value,
-      CAST(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-      CASE WHEN sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) >= 2 THEN 'detected'
-           WHEN sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) = 1 THEN 'sporadic'
-           ELSE 'not_detected' END AS detection_status
-    FROM events GROUP BY user_id, event_type
-    """,
-)
-def ev_replicate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: replicate aggregation (metabolite_assay_adapter.py:106-148):
-    mean / sample-stdev / n / n-above-threshold / detection_status."""
-    ev = _read(spark, sf_dir, "events")
-    n_high = F.sum(F.when(F.col("value") > 10, 1).otherwise(0))
-    return ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.when(F.count(F.lit(1)) > 1, F.round(F.stddev_samp("value"), 6)).alias(
-            "sd_value"
-        ),
-        n_high.cast("long").alias("n_high"),
-        F.when(n_high >= 2, F.lit("detected"))
-        .when(n_high == 1, F.lit("sporadic"))
-        .otherwise(F.lit("not_detected"))
-        .alias("detection_status"),
-    )
-
-
-@register(
-    "ev_majority_vote",
-    oracle="""
-    WITH votes AS (
-      SELECT user_id,
-        CASE WHEN event_id % 3 <> 0 THEN 'hot' ELSE event_type END AS vote
-      FROM events
-    ),
-    per AS (
-      SELECT user_id, vote, count(*) AS cnt FROM votes GROUP BY user_id, vote
-    ),
-    tot AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total FROM per GROUP BY user_id)
-    SELECT p.user_id, p.vote, p.cnt, t.total
-    FROM per p JOIN tot t ON p.user_id = t.user_id
-    WHERE p.cnt * 2 > t.total
-    """,
-)
-def ev_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: strict >50% majority vote (ortholog_group_adapter.py:67-81).
-
-    The raw events fixture has no >50% type per user, which made the
-    oracle comparison vacuous (0 rows both sides); a deterministic
-    skewed vote column ('hot' for 2/3 of events) makes the majority
-    predicate fire so the check compares real rows.
-    """
-    ev = _read(spark, sf_dir, "events")
-    votes = ev.select(
-        "user_id",
-        F.when(F.col("event_id") % 3 != 0, F.lit("hot"))
-        .otherwise(F.col("event_type"))
-        .alias("vote"),
-    )
-    per = votes.groupBy("user_id", "vote").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = per.groupBy("user_id").agg(F.sum("cnt").cast("long").alias("total"))
-    return (
-        per.join(tot, "user_id")
-        .where(F.col("cnt") * 2 > F.col("total"))
-        .select("user_id", "vote", "cnt", "total")
-    )
-
-
-@register(
-    "kg_alias_remap",
-    oracle="""
-    WITH nodes AS (
-      SELECT DISTINCT 'n' || CAST(p_partkey % 37 AS VARCHAR) AS id
-      FROM part WHERE p_partkey % 3 <> 0
-    ),
-    aliases AS (
-      SELECT 'a' || CAST(p_partkey % 53 AS VARCHAR) AS orig,
-             min('n' || CAST(p_partkey % 37 AS VARCHAR)) AS anchor
-      FROM part WHERE p_partkey % 5 = 0
-      GROUP BY 'a' || CAST(p_partkey % 53 AS VARCHAR)
-    ),
-    edges AS (
-      SELECT 'g' || CAST(l_orderkey AS VARCHAR) || '_'
-               || CAST(l_linenumber AS VARCHAR) AS subj,
-        CASE WHEN l_partkey % 2 = 0 THEN 'n' || CAST(l_partkey % 37 AS VARCHAR)
-             ELSE 'a' || CAST(l_partkey % 53 AS VARCHAR) END AS obj
-      FROM lineitem
-    )
-    SELECT e.subj,
-      CASE WHEN n.id IS NOT NULL THEN e.obj
-           WHEN n2.id IS NOT NULL THEN a.anchor END AS obj,
-      CASE WHEN n.id IS NOT NULL THEN 'kept'
-           WHEN n2.id IS NOT NULL THEN 'remapped'
-           ELSE 'dropped' END AS remap_status
-    FROM edges e
-    LEFT JOIN nodes n ON e.obj = n.id
-    LEFT JOIN aliases a ON e.obj = a.orig
-    LEFT JOIN nodes n2 ON a.anchor = n2.id
-    """,
-)
-def kg_alias_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 (tcdb_adapter.py:204-238): edges to retired ids re-anchor
-    onto the nearest curated ancestor via the seed-alias broadcast
-    map; unknown-and-unaliased targets drop (status retained). All
-    dims broadcast — the edge stream never shuffles."""
-    from multiomics_biocypher_kg_spark.operators.materialize import referential_remap
-
-    part = _read(spark, sf_dir, "part")
-    li = _read(spark, sf_dir, "lineitem")
-    nodes = (
-        part.where(F.col("p_partkey") % 3 != 0)
-        .select(F.concat(F.lit("n"), (F.col("p_partkey") % 37).cast("string")).alias("id"))
-        .distinct()
-    )
-    aliases = part.where(F.col("p_partkey") % 5 == 0).select(
-        F.concat(F.lit("a"), (F.col("p_partkey") % 53).cast("string")).alias("orig"),
-        F.concat(F.lit("n"), (F.col("p_partkey") % 37).cast("string")).alias("anchor"),
-    )
-    edges = li.select(
-        F.concat(
-            F.lit("g"),
-            F.col("l_orderkey").cast("string"),
-            F.lit("_"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("subj"),
-        F.when(
-            F.col("l_partkey") % 2 == 0,
-            F.concat(F.lit("n"), (F.col("l_partkey") % 37).cast("string")),
-        )
-        .otherwise(
-            F.concat(F.lit("a"), (F.col("l_partkey") % 53).cast("string"))
-        )
-        .alias("obj"),
-    )
-    return referential_remap(edges, nodes, aliases)
-
-
-@register(
-    "rel_arraycontains_rollup",
-    oracle="""
-    WITH pubs AS (
-      SELECT doc_id,
-        ['org' || CAST(doc_id % 7 AS VARCHAR),
-         'org' || CAST(doc_id % 11 AS VARCHAR)] AS organisms,
-        ['t' || CAST(doc_id % 3 AS VARCHAR)] AS treatment_types
-      FROM documents
-    ),
-    orgs AS (
-      SELECT DISTINCT 'org' || CAST(doc_id % 11 AS VARCHAR) AS preferred_name
-      FROM documents
-    ),
-    matched AS (
-      SELECT o.preferred_name, p.doc_id, p.treatment_types
-      FROM orgs o JOIN pubs p ON list_contains(p.organisms, o.preferred_name)
-    ),
-    exploded AS (
-      SELECT preferred_name, doc_id, unnest(treatment_types) AS tt FROM matched
-    )
-    SELECT preferred_name,
-      CAST(count(DISTINCT doc_id) AS BIGINT) AS publication_count,
-      string_agg(DISTINCT tt, '|' ORDER BY tt) AS treatment_types
-    FROM exploded GROUP BY preferred_name
-    """,
-)
-def rel_arraycontains_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J14 (post-import.cypher:294-309): the ANY(org IN p.organisms)
-    membership 'soft join' — expressed at scale as explode + equi-join
-    (never a per-row array scan against every organism), then the
-    per-organism publication_count + deduped union of array props."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pubs = docs.select(
-        "doc_id",
-        F.array(
-            F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")),
-            F.concat(F.lit("org"), (F.col("doc_id") % 11).cast("string")),
-        ).alias("organisms"),
-        F.array(
-            F.concat(F.lit("t"), (F.col("doc_id") % 3).cast("string"))
-        ).alias("treatment_types"),
-    )
-    orgs = docs.select(
-        F.concat(F.lit("org"), (F.col("doc_id") % 11).cast("string")).alias(
-            "preferred_name"
-        )
-    ).distinct()
-    matched = (
-        pubs.select(
-            "doc_id", "treatment_types", F.explode("organisms").alias("org")
-        )
-        .join(F.broadcast(orgs), F.col("org") == F.col("preferred_name"))
-    )
-    exploded = matched.select(
-        "preferred_name", "doc_id", F.explode("treatment_types").alias("tt")
-    )
-    return exploded.groupBy("preferred_name").agg(
-        F.countDistinct("doc_id").alias("publication_count"),
-        F.array_join(F.array_sort(F.collect_set("tt")), "|").alias(
-            "treatment_types"
-        ),
-    )
-
-
-@register(
-    "rel_percentile_disc",
-    oracle="""
-    WITH ranked AS (
-      SELECT event_type, value,
-        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    )
-    SELECT event_type,
-      round(min(value), 6) AS value_min,
-      round(max(value), 6) AS value_max,
-      round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
-                THEN value END), 6) AS value_q1,
-      round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
-                THEN value END), 6) AS value_median,
-      round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
-                THEN value END), 6) AS value_q3
-    FROM ranked GROUP BY event_type
-    """,
-)
-def rel_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 discrete variant (post-import.cypher:1203-1214): Neo4j
-    percentileDisc nearest-rank (value AT index ceil(p*n), never
-    interpolated) for q1/median/q3 + min/max per assay group —
-    row_number window + conditional agg, identical rank convention
-    on both engines."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-
-    def disc(p):
-        idx = F.greatest(F.lit(1), F.ceil(p * F.col("n")).cast("long"))
-        return F.max(F.when(F.col("rn") == idx, F.col("value")))
-
-    return ranked.groupBy("event_type").agg(
-        F.round(F.min("value"), 6).alias("value_min"),
-        F.round(F.max("value"), 6).alias("value_max"),
-        F.round(disc(0.25), 6).alias("value_q1"),
-        F.round(disc(0.5), 6).alias("value_median"),
-        F.round(disc(0.75), 6).alias("value_q3"),
-    )
-
-
-@register(
-    "kg_evidence_accretion",
-    oracle="""
-    WITH arms AS (
-      SELECT DISTINCT user_id, 'metabolism' AS source, 0 AS arm
-      FROM events WHERE value > 10
-      UNION ALL
-      SELECT DISTINCT user_id, 'transport', 1 FROM events WHERE event_type = 'click'
-      UNION ALL
-      SELECT DISTINCT user_id, 'measured', 2 FROM events WHERE event_id % 2 = 0
-    ),
-    per AS (SELECT user_id, source, min(arm) AS first_arm
-            FROM arms GROUP BY user_id, source)
-    SELECT user_id, string_agg(source, '|' ORDER BY first_arm) AS evidence_sources,
-           CAST(count(*) AS INTEGER) AS n_sources
-    FROM per GROUP BY user_id
-    """,
-)
-def kg_evidence_accretion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7/U5: multi-arm evidence accretion
-    (post-import.cypher:1052-1094,1271-1288) — three MERGE arms
-    (metabolism/transport/measured analogs) accrete evidence_sources
-    per entity in arm order, each source recorded once. One-shot
-    batch form; the incremental merge_into(accrete=...) fold is
-    asserted equal in tests/test_materialize_lineage.py."""
-    from multiomics_biocypher_kg_spark.operators.materialize import accrete_evidence
-
-    ev = _read(spark, sf_dir, "events")
-    arms = [
-        ("metabolism", ev.where(F.col("value") > 10).select("user_id")),
-        ("transport", ev.where(F.col("event_type") == "click").select("user_id")),
-        ("measured", ev.where(F.col("event_id") % 2 == 0).select("user_id")),
-    ]
-    acc = accrete_evidence(arms, ["user_id"])
-    return acc.select(
-        "user_id",
-        F.array_join("evidence_sources", "|").alias("evidence_sources"),
-        F.size("evidence_sources").cast("int").alias("n_sources"),
-    )
-
-
-@register(
-    "kg_gene_cds_merge",
-    oracle="""
-    WITH gene AS (
-      SELECT p_partkey AS k, 'gene' || CAST(p_partkey AS VARCHAR) AS id,
-        'PMM' || CAST(p_partkey AS VARCHAR) || '%2CPMM_'
-          || CAST(p_partkey AS VARCHAR) AS locus_tag_enc
-      FROM part
-    ),
-    cds AS (
-      SELECT 'gene' || CAST(p_partkey AS VARCHAR) AS parent,
-        'NP_' || CAST(p_partkey AS VARCHAR) || '.1' AS protein_id
-      FROM part WHERE p_partkey % 2 = 0
-    )
-    SELECT g.k AS row_id,
-      replace(g.locus_tag_enc, '%2C', ',') AS old_locus_tags,
-      c.protein_id
-    FROM gene g JOIN cds c ON g.id = c.parent
-    """,
-)
-def kg_gene_cds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 (build_gene_mapping.py:81-110): gene+CDS self-merge on
-    ID==Parent over a synthesized GFF-shaped table (attrs maps, the
-    real operator), incl. URL-decoded multi-valued locus_tag."""
-    from multiomics_biocypher_kg_spark.operators.merge_rules import merge_gene_cds
-
-    part = _read(spark, sf_dir, "part")
-    ks = F.col("p_partkey").cast("string")
-    gene = part.select(
-        F.lit("gene").alias("type"),
-        F.col("p_partkey").alias("k"),
-        F.create_map(
-            F.lit("ID"), F.concat(F.lit("gene"), ks),
-            F.lit("locus_tag"), F.concat(F.lit("PMM"), ks, F.lit("%2CPMM_"), ks),
-        ).alias("attrs"),
-    )
-    cds = part.where(F.col("p_partkey") % 2 == 0).select(
-        F.lit("CDS").alias("type"),
-        F.col("p_partkey").alias("k"),
-        F.create_map(
-            F.lit("Parent"), F.concat(F.lit("gene"), ks),
-            F.lit("protein_id"), F.concat(F.lit("NP_"), ks, F.lit(".1")),
-        ).alias("attrs"),
-    )
-    merged = merge_gene_cds(gene.unionByName(cds), decode_locus_tag=True)
-    return merged.select(
-        F.col("k_gene").alias("row_id"),
-        "old_locus_tags",
-        F.col("attrs_cds").getItem("protein_id").alias("protein_id"),
-    )
-
-
-@register(
-    "omics_fc_range_check",
-    oracle="""
-    WITH rows_ AS (
-      SELECT 'a' || CAST(user_id % 6 AS VARCHAR) AS analysis_id,
-        CASE WHEN user_id % 6 IN (0, 1) THEN 'linear'
-             WHEN user_id % 6 IN (2, 3) THEN 'log2' END AS fold_change_type,
-        CASE WHEN user_id % 6 IN (1, 3, 5)
-             THEN CAST(event_id % 37 AS DOUBLE) / 10 + 1.1
-             ELSE CAST(event_id % 41 - 20 AS DOUBLE) / 10 END AS fc
-      FROM events
-    ),
-    agg AS (
-      SELECT analysis_id, fold_change_type,
-        count(fc) AS n,
-        CAST(sum(CASE WHEN fc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
-        round(min(fc), 6) AS fc_min, round(max(fc), 6) AS fc_max
-      FROM rows_ GROUP BY analysis_id, fold_change_type
-    )
-    SELECT *,
-      CASE WHEN coalesce(fold_change_type, 'log2') = 'linear' AND n_negative > 0
-           THEN 'linear_negative_fc'
-           WHEN coalesce(fold_change_type, 'log2') = 'log2' AND n_negative = 0
-                AND fc_min > 1.0
-           THEN 'log2_maybe_linear'
-           ELSE 'ok' END AS fc_range_warning
-    FROM agg
-    """,
-)
-def omics_fc_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 (_validate_fc_range, omics_adapter.py:95-133): per-analysis
-    FC-range sanity metrics + warning enum over six synthesized
-    analyses covering linear-with-negatives, log2-all->1, and
-    undeclared-type branches."""
-    from multiomics_biocypher_kg_spark.functions.omics import fc_range_check
-
-    ev = _read(spark, sf_dir, "events")
-    m = F.col("user_id") % 6
-    rows = ev.select(
-        F.concat(F.lit("a"), m.cast("string")).alias("analysis_id"),
-        F.when(m.isin(0, 1), F.lit("linear"))
-        .when(m.isin(2, 3), F.lit("log2"))
-        .alias("fold_change_type"),
-        F.when(
-            m.isin(1, 3, 5), (F.col("event_id") % 37).cast("double") / 10 + 1.1
-        )
-        .otherwise((F.col("event_id") % 41 - 20).cast("double") / 10)
-        .alias("log2_fold_change"),
-    )
-    return fc_range_check(rows)
-
-
-@register(
-    "omics_formula_elements",
-    oracle="""
-    WITH synth AS (
-      SELECT p_partkey AS row_id,
-        CASE p_partkey % 6
-          WHEN 0 THEN 'C6H12O6'
-          WHEN 1 THEN 'H2O'
-          WHEN 2 THEN 'C' || CAST(p_partkey % 20 + 1 AS VARCHAR) || 'H'
-                   || CAST(p_partkey % 30 + 2 AS VARCHAR) || 'NO4PS'
-          WHEN 3 THEN '(CH3)2SO'
-          WHEN 4 THEN 'not a formula!'
-          ELSE ''
-        END AS formula
-      FROM part
-    )
-    SELECT row_id, formula,
-      CASE WHEN formula = '' OR formula IS NULL
-             OR NOT regexp_matches(formula, '^([A-Z][a-z]?[0-9]*|\\(|\\)[0-9]*|\\.[0-9]*)+$')
-           THEN ''
-           ELSE array_to_string(list_sort(list_distinct(
-             regexp_extract_all(formula, '([A-Z][a-z]?)[0-9]*', 1))), '|')
-      END AS elements
-    FROM synth
-    """,
-)
-def omics_formula_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 (_parse_elements, metabolism_adapter.py:40-53): sorted
-    unique element symbols from Hill-notation formulas, empty on
-    malformed/empty input (never raises)."""
-    from multiomics_biocypher_kg_spark.functions.chem import formula_elements
-
-    part = _read(spark, sf_dir, "part")
-    m = F.col("p_partkey") % 6
-    formula = (
-        F.when(m == 0, F.lit("C6H12O6"))
-        .when(m == 1, F.lit("H2O"))
-        .when(
-            m == 2,
-            F.concat(
-                F.lit("C"), (F.col("p_partkey") % 20 + 1).cast("string"),
-                F.lit("H"), (F.col("p_partkey") % 30 + 2).cast("string"),
-                F.lit("NO4PS"),
-            ),
-        )
-        .when(m == 3, F.lit("(CH3)2SO"))
-        .when(m == 4, F.lit("not a formula!"))
-        .otherwise(F.lit(""))
-    )
-    return part.select(
-        F.col("p_partkey").alias("row_id"),
-        formula.alias("formula"),
-        F.array_join(formula_elements(formula), "|").alias("elements"),
-    )
-
-
-@register(
-    "onto_uninformative_flag",
-    oracle="""
-    WITH terms AS (
-      SELECT p_partkey AS row_id,
-        CASE p_partkey % 5
-          WHEN 0 THEN 'go:0008150'
-          WHEN 1 THEN 'cog.category:S'
-          WHEN 2 THEN 'go:' || CAST(1000000 + p_partkey AS VARCHAR)
-          ELSE 'kegg:K' || CAST(p_partkey AS VARCHAR)
-        END AS id,
-        CASE p_partkey % 5
-          WHEN 3 THEN 'K' || CAST(p_partkey AS VARCHAR)
-                   || '; uncharacterized protein'
-          WHEN 4 THEN 'K' || CAST(p_partkey AS VARCHAR) || '; DNA polymerase'
-          ELSE 'some term'
-        END AS name
-      FROM part
-    )
-    SELECT row_id, id, name,
-      CASE WHEN id IN ('go:0008150','go:0003674','go:0005575','cog.category:S',
-                       'cyanorak.role:R','cyanorak.role:R.1','cyanorak.role:R.2',
-                       'cyanorak.role:R.4','cyanorak.role:R.5','tigr.role:156',
-                       'tigr.role:704','tigr.role:856','tigr.role:185','tigr.role:157')
-             OR regexp_matches(name, '^K\\d+;\\s+uncharacterized protein\\b')
-           THEN 'true' ELSE 'false' END AS is_uninformative
-    FROM terms
-    """,
-)
-def onto_uninformative_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18 (post-import.cypher:536-559): uninformative-term flagging —
-    curated direct-id list + KEGG uncharacterized-protein name
-    pattern."""
-    from multiomics_biocypher_kg_spark.operators.enrich import flag_uninformative
-
-    part = _read(spark, sf_dir, "part")
-    m = F.col("p_partkey") % 5
-    ks = F.col("p_partkey").cast("string")
-    terms = part.select(
-        F.col("p_partkey").alias("row_id"),
-        F.when(m == 0, F.lit("go:0008150"))
-        .when(m == 1, F.lit("cog.category:S"))
-        .when(m == 2, F.concat(F.lit("go:"), (F.col("p_partkey") + 1000000).cast("string")))
-        .otherwise(F.concat(F.lit("kegg:K"), ks))
-        .alias("id"),
-        F.when(m == 3, F.concat(F.lit("K"), ks, F.lit("; uncharacterized protein")))
-        .when(m == 4, F.concat(F.lit("K"), ks, F.lit("; DNA polymerase")))
-        .otherwise(F.lit("some term"))
-        .alias("name"),
-    )
-    return flag_uninformative(terms)
-
-
-@register(
-    "ev_timepoint_order",
-    oracle="""
-    SELECT event_id, user_id,
-      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
-        AS tp_order
-    FROM events
-    """,
-)
-def ev_timepoint_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7: time_point_order assignment (omics_adapter.py:446-475)."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", "user_id", F.row_number().over(w).alias("tp_order")
-    )
-
-
-@register(
-    "ev_sig_cascade",
-    oracle="""
-    WITH synth AS (
-      SELECT event_id, user_id,
-        CASE WHEN event_id % 13 = 0 THEN 'NA'
-             WHEN event_id % 17 = 0 THEN ''
-             ELSE CAST(event_id % 41 - 20 AS VARCHAR) || '.' ||
-                  CAST(event_id % 10 AS VARCHAR) ||
-                  CASE WHEN event_id % 7 = 0 THEN '*' ELSE '' END
-        END AS fc_str,
-        CASE WHEN event_id % 11 = 0 THEN NULL
-             ELSE '0.0' || CAST(event_id % 100 AS VARCHAR) END AS p_str,
-        CASE WHEN user_id % 2 = 0 THEN 'linear' ELSE 'log2' END AS fold_change_type,
-        (user_id % 5 = 0) AS prefiltered,
-        (user_id % 3 = 0) AS ast_mode,
-        (user_id % 7 = 0) AS no_thresholds
-      FROM events
-    ),
-    parsed AS (
-      SELECT *,
-        regexp_matches(fc_str, '\\*$') AS has_asterisk,
-        TRY_CAST(regexp_replace(fc_str, '\\*$', '') AS DOUBLE) AS fc_num,
-        TRY_CAST(p_str AS DOUBLE) AS adjusted_p
-      FROM synth
-    ),
-    conv AS (
-      SELECT *,
-        CASE WHEN fold_change_type = 'linear'
-             THEN CASE WHEN fc_num > 0 THEN round(log2(fc_num), 6) END
-             ELSE fc_num END AS log2_fc
-      FROM parsed
-    )
-    SELECT event_id, log2_fc, adjusted_p,
-      CASE WHEN log2_fc IS NULL THEN NULL
-           WHEN log2_fc > 0 THEN 'up' ELSE 'down' END AS expression_direction,
-      CASE WHEN prefiltered THEN 'significant'
-           WHEN ast_mode THEN
-             CASE WHEN has_asterisk THEN 'significant' ELSE 'not significant' END
-           WHEN no_thresholds THEN 'unknown'
-           WHEN (log2_fc IS NULL OR abs(log2_fc) >= 1.0)
-            AND (adjusted_p IS NULL OR adjusted_p <= 0.05) THEN 'significant'
-           ELSE 'not significant' END AS significant
-    FROM conv
-    """,
-)
-def ev_sig_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5/F4/F6/F7: the full significance cascade — prefiltered ->
-    asterisk-mode (decides alone) -> no-thresholds 'unknown' ->
-    present-checks-only AND (omics_adapter.py:595-632), with
-    asterisk parsing (:770-787), linear->log2 conversion (:76-92) and
-    expression direction (:828-830) — over strings synthesized
-    deterministically from event ids (same on both engines)."""
-    ev = _read(spark, sf_dir, "events")
-    fc_core = F.concat(
-        (F.col("event_id") % 41 - 20).cast("string"),
-        F.lit("."),
-        (F.col("event_id") % 10).cast("string"),
-        F.when(F.col("event_id") % 7 == 0, F.lit("*")).otherwise(F.lit("")),
-    )
-    synth = ev.select(
-        "event_id",
-        "user_id",
-        F.when(F.col("event_id") % 13 == 0, F.lit("NA"))
-        .when(F.col("event_id") % 17 == 0, F.lit(""))
-        .otherwise(fc_core)
-        .alias("fc_str"),
-        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("0.0"), (F.col("event_id") % 100).cast("string")))
-        .alias("p_str"),
-        F.when(F.col("user_id") % 2 == 0, F.lit("linear"))
-        .otherwise(F.lit("log2"))
-        .alias("fold_change_type"),
-        (F.col("user_id") % 5 == 0).alias("prefiltered"),
-        (F.col("user_id") % 3 == 0).alias("ast_mode"),
-        (F.col("user_id") % 7 == 0).alias("no_thresholds"),
-    )
-    parsed = synth.select(
-        "*",
-        F.col("fc_str").rlike(r"\*$").alias("has_asterisk"),
-        F.expr(r"try_cast(regexp_replace(fc_str, '\\*$', '') AS double)").alias(
-            "fc_num"
-        ),
-        F.expr("try_cast(p_str AS double)").alias("adjusted_p"),
-    )
-    conv = parsed.withColumn(
-        "log2_fc",
-        F.when(
-            F.col("fold_change_type") == "linear",
-            F.when(F.col("fc_num") > 0, F.round(F.log2("fc_num"), 6)),
-        ).otherwise(F.col("fc_num")),
-    )
-    return conv.select(
-        "event_id",
-        "log2_fc",
-        "adjusted_p",
-        F.when(F.col("log2_fc").isNull(), F.lit(None))
-        .when(F.col("log2_fc") > 0, F.lit("up"))
-        .otherwise(F.lit("down"))
-        .alias("expression_direction"),
-        F.when(F.col("prefiltered"), F.lit("significant"))
-        .when(
-            F.col("ast_mode"),
-            F.when(F.col("has_asterisk"), F.lit("significant")).otherwise(
-                F.lit("not significant")
-            ),
-        )
-        .when(F.col("no_thresholds"), F.lit("unknown"))
-        .when(
-            (F.col("log2_fc").isNull() | (F.abs(F.col("log2_fc")) >= 1.0))
-            & (F.col("adjusted_p").isNull() | (F.col("adjusted_p") <= 0.05)),
-            F.lit("significant"),
-        )
-        .otherwise(F.lit("not significant"))
-        .alias("significant"),
-    )
-
-
-@register(
-    "ev_json_extract",
-    oracle="""
-    SELECT event_type,
-      CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-      count(*) AS n
-    FROM events GROUP BY event_type
-    """,
-)
-def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 analog: JSON property extraction (get_json_object)."""
-    ev = _read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("int"))
-        .cast("long")
-        .alias("sum_k"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "ev_tumbling_window",
-    oracle="""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-      event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
-    FROM events GROUP BY date_trunc('day', ts), event_type
-    """,
-)
-def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window aggregation (batch twin of the
-    streaming groupBy(window(ts, '1 day')) in streaming.events)."""
-    ev = _read(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Ontology section: closure / levels / subtree rollups (G2/G3/G5)
-# over a deterministic tree derived from doc ids (FIXTURES B5).
-# --------------------------------------------------------------------------
-
-ONTO_EDGES_SQL = """
-  SELECT format('n{:04d}', doc_id) AS child,
-         format('n{:04d}', doc_id // 4) AS parent
-  FROM documents WHERE doc_id > 0
-"""
-
-ONTO_CLOSURE_SQL = f"""
-WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
-clos(node, ancestor, depth) AS (
-  SELECT child, parent, 1 FROM edges
-  UNION
-  SELECT c.node, e.parent, c.depth + 1
-  FROM clos c JOIN edges e ON c.ancestor = e.child
-)
-SELECT node, ancestor, CAST(depth AS INTEGER) AS depth FROM clos
-"""
-
-
-def _onto_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    return docs.where(F.col("doc_id") > 0).select(
-        F.format_string("n%04d", F.col("doc_id")).alias("child"),
-        F.format_string("n%04d", F.floor(F.col("doc_id") / 4).cast("int")).alias(
-            "parent"
-        ),
-    )
-
-
-@register("onto_closure", oracle=ONTO_CLOSURE_SQL)
-def onto_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2/G5: bounded ancestor closure via iterative self-joins."""
-    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
-
-    return ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10).select(
-        "node", "ancestor", F.col("depth").cast("int").alias("depth")
-    )
-
-
-@register(
-    "onto_levels",
-    oracle=f"""
-    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
-    lv(node, level) AS (
-      SELECT 'n0000', 0
-      UNION
-      SELECT e.child, lv.level + 1 FROM lv JOIN edges e ON e.parent = lv.node
-    )
-    SELECT node, CAST(min(level) AS INTEGER) AS level FROM lv GROUP BY node
-    """,
-)
-def onto_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3: min-depth BFS levels from the root (go_utils.py:255-325)."""
-    from multiomics_biocypher_kg_spark.operators.enrich import min_levels
-
-    spark_edges = _onto_edges(spark, sf_dir)
-    roots = spark.createDataFrame([("n0000",)], "node string")
-    return min_levels(spark_edges, roots).select(
-        "node", F.col("level").cast("int").alias("level")
-    )
-
-
-@register(
-    "onto_subtree_rollup",
-    oracle=f"""
-    WITH clos AS ({ONTO_CLOSURE_SQL}),
-    allnodes AS (SELECT node FROM clos UNION SELECT ancestor FROM clos),
-    pairs AS (
-      SELECT node, ancestor FROM clos
-      UNION
-      SELECT node, node FROM allnodes
-    )
-    SELECT ancestor, count(DISTINCT node) AS member_count
-    FROM pairs GROUP BY ancestor
-    """,
-)
-def onto_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5: per-ancestor distinct-descendant rollup incl. self
-    (Cypher *0.. subtree counts, post-import.cypher:840-911)."""
-    from multiomics_biocypher_kg_spark.operators.enrich import (
-        ancestors_closure,
-        subtree_rollup,
-    )
-
-    closure = ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10)
-    nodes = (
-        closure.select("node")
-        .union(closure.select("ancestor"))
-        .distinct()
-        .select(F.col("node").alias("id"), F.col("node").alias("val"))
-    )
-    return subtree_rollup(closure, nodes, "id", "val")
-
-
-# --------------------------------------------------------------------------
-# Dedup & text-analysis section (training-data pipeline operators)
-# over documents + deterministic synthetic near/exact duplicates.
-# --------------------------------------------------------------------------
-
-from multiomics_biocypher_kg_spark.functions.hashing import (  # noqa: E402
-    MINHASH_COEFFS,
-    R as MH_R,
-    ROWS_PER_BAND,
-    md5_long,
-    md5_long_sql,
-    minhash_coeffs_sql,
-)
-from multiomics_biocypher_kg_spark.operators import dedup as dd  # noqa: E402
-from multiomics_biocypher_kg_spark.functions import textstats as ts  # noqa: E402
-
-# corpus = documents + near-dups (every 4th doc, drop every 7th token)
-#                    + exact dups (every 5th doc)
-DEDUP_CORPUS_SQL = """
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000,
-    array_to_string(
-      list_where(string_split(text, ' '),
-                 list_transform(generate_series(1, len(string_split(text, ' '))),
-                                i -> (i - 1) % 10 <> 9)), ' ')
-  FROM documents WHERE doc_id % 4 = 0
-  UNION ALL
-  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
-"""
-
-SHINGLES_SQL = f"""
-  SELECT DISTINCT doc_id AS id,
-    arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM ({DEDUP_CORPUS_SQL})) d,
-       LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
-"""
-
-JACCARD_SQL = f"""
-WITH sh AS ({SHINGLES_SQL}),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT i.id_a, i.id_b,
-  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
-"""
-
-
-def _dedup_corpus(
-    spark: SparkSession, sf_dir: str, rebalance: bool = True
-) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    # rebalance the under-split seed scan before the shingle blowup
-    # (same rationale as sources.pages.pages_from_documents: the
-    # exchange moves the small seed table; shingling then uses every
-    # core; a real many-file corpus skips this branch entirely).
-    # Consumers whose FIRST operation is itself a shuffle (the
-    # content-hash groupBy in exact dedup) pass rebalance=False: the
-    # extra exchange there is pure cost — their own shuffle already
-    # redistributes, and the map side is a cheap hash projection.
-    par = spark.sparkContext.defaultParallelism
-    if rebalance and docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
-    toks = F.split(F.col("text"), " ")
-    near = docs.where(F.col("doc_id") % 4 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(F.filter(toks, lambda t, i: i % 10 != 9), " ").alias("text"),
-    )
-    exact = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-    )
-    return docs.unionByName(near).unionByName(exact)
-
-
-@register(
-    "dedup_exact",
-    oracle=f"""
-    SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
-      count(*) AS n_dups,
-      string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
-    FROM ({DEDUP_CORPUS_SQL}) GROUP BY md5(text) HAVING count(*) > 1
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: content-hash groupBy (one shuffle, map-side combine).
-
-    rebalance=False: the groupBy's own hash exchange is the only
-    shuffle this plan needs (r3 bench regression unwound)."""
-    return dd.exact_duplicates(_dedup_corpus(spark, sf_dir, rebalance=False))
-
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"SELECT id_a, id_b, jaccard FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard >= 0.5 via shared-shingle join (the
-    exact verifier; LSH below is the discovery path at scale)."""
-    corpus = _dedup_corpus(spark, sf_dir)
-    return dd.jaccard_pairs(dd.shingles(corpus), 0.5)
-
-
-MINHASH_PAIRS_CTES = f"""
-    sh AS ({SHINGLES_SQL}),
-    hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
-    sigs AS (
-      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
-      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
-      GROUP BY id, h.i
-    ),
-    banded AS (
-      SELECT id, i // {ROWS_PER_BAND} AS band,
-        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-      FROM sigs GROUP BY id, i // {ROWS_PER_BAND}
-    ),
-    cands AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-    ),
-    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5),
-    pairs AS (
-      SELECT c.id_a, c.id_b, v.jaccard
-      FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
-    )
-"""
-
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"WITH {MINHASH_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 hashes) + LSH (8 bands x 2 rows) candidate pairs,
-    verified with exact Jaccard >= 0.5 — the scale path: linear
-    signature cost, bucket-join discovery, exact verify on the
-    (tiny) candidate set only."""
-    return dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
-
-
-@register(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {MINHASH_PAIRS_CTES},
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, lbl) AS (
-      SELECT a, a FROM und
-      UNION
-      SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
-    ),
-    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
-    SELECT node AS doc_id, component AS canonical_id,
-      CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
-    FROM comp
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full dedup deliverable: near-dup PAIRS (MinHash-LSH
-    discovery + exact verify) chain into connected components so
-    transitively-linked documents collapse to ONE canonical id (min
-    doc id) with cluster sizes — what a curation job actually writes
-    back. Composes the two scale paths end-to-end: banded candidate
-    generation + pointer-jump CC."""
-    from multiomics_biocypher_kg_spark.operators.canonicalize import (
-        connected_components,
-    )
-    from pyspark.sql import Window
-
-    pairs = dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
-    w = Window.partitionBy("component")
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-    )
-
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH corpus AS ({DEDUP_CORPUS_SQL}),
-    toks AS (
-      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM corpus
-    ),
-    tok_w AS (
-      SELECT id, token, count(*) AS w, {md5_long_sql('token')} AS h
-      FROM toks GROUP BY id, token
-    ),
-    per_bit AS (
-      SELECT id, b.bit AS bit,
-        sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN w ELSE -w END) AS s
-      FROM tok_w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
-      GROUP BY id, b.bit
-    ),
-    hashes AS (
-      SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
-        AS simhash
-      FROM per_bit GROUP BY id
-    )
-    SELECT a.id AS id_a, b.id AS id_b,
-      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM hashes a JOIN hashes b ON a.id < b.id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-60 near-dup pairs (hamming <= 3) via 4x15-bit band
-    bucketing (recall 1.0 by pigeonhole for hamming<=3, so the
-    all-pairs DuckDB oracle matches exactly). The plan is equi-join
-    only — no CartesianProduct (asserted in tests/test_plans.py)."""
-    corpus = _dedup_corpus(spark, sf_dir)
-    hashes = dd.simhash64(corpus)
-    return dd.simhash_banded_pairs(hashes, 3).select(
-        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
-    )
-
-
-@register(
-    "text_stats",
-    oracle="""
-    SELECT doc_id,
-      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-      CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
-      CAST(length(text) AS INTEGER) AS n_chars,
-      round(CAST(len(list_filter(string_split(text, ' '),
-            t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
-            / len(string_split(text, ' ')), 6) AS stopword_ratio,
-      round(
-        (CASE WHEN len(string_split(text,' ')) >= 20 THEN 1.0
-              ELSE len(string_split(text,' ')) / 20.0 END)
-        + (CASE WHEN length(text)::DOUBLE / len(string_split(text,' ')) BETWEEN 3 AND 10
-                THEN 1.0 ELSE 0.0 END)
-        + (CAST(len(list_filter(string_split(text, ' '),
-             t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
-             / len(string_split(text, ' '))) * 5, 6) AS quality_score
-    FROM documents
-    """,
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex), stopword ratio,
-    composite quality score — all native expressions."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        ts.token_count(t).alias("n_tokens"),
-        ts.bpe_token_count(t).alias("n_bpe_tokens"),
-        F.length(t).alias("n_chars"),
-        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(ts.quality_score(t), 6).alias("quality_score"),
-    )
-
-
-@register(
-    "text_langid",
-    oracle="""
-    WITH scored AS (
-      SELECT doc_id, lang,
-        len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ein'))) AS s_de,
-        len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) AS s_en,
-        len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','de','una'))) AS s_es,
-        len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','des','une'))) AS s_fr,
-        len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','我'))) AS s_zh
-      FROM documents
-    )
-    SELECT doc_id, lang,
-      CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
-           WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
-           WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
-           WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
-           ELSE 'zh' END AS pred_lang
-    FROM scored
-    """,
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (stopword-hit argmax, deterministic
-    alphabetical tie-break). On this synthetic corpus every doc uses
-    the same token universe, so the value is in the plumbing; unit
-    tests exercise real multilingual discrimination."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "lang", "text"
-    )
-    return ts.langid_predict(docs).select("doc_id", "lang", "pred_lang")
-
-
-@register(
-    "text_curation",
-    oracle=f"""
-    WITH corpus AS ({DEDUP_CORPUS_SQL}),
-    stats AS (
-      SELECT doc_id, text,
-        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        round(
-          (CASE WHEN len(string_split(text,' ')) >= 20 THEN 1.0
-                ELSE len(string_split(text,' ')) / 20.0 END)
-          + (CASE WHEN length(text)::DOUBLE / len(string_split(text,' ')) BETWEEN 3 AND 10
-                  THEN 1.0 ELSE 0.0 END)
-          + (CAST(len(list_filter(string_split(text, ' '),
-               t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
-               / len(string_split(text, ' '))) * 5, 6) AS quality_score
-      FROM corpus
-    ),
-    kept AS (
-      SELECT * FROM stats WHERE n_tokens >= 10 AND quality_score >= 1.5
-    ),
-    canon AS (
-      SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
-        CAST(count(*) AS BIGINT) AS n_copies
-      FROM kept GROUP BY md5(text)
-    )
-    SELECT c.doc_id, s.n_tokens, s.quality_score, c.n_copies
-    FROM canon c JOIN stats s ON c.doc_id = s.doc_id
-    """,
-)
-def text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data curation pass: quality gate
-    (length + chars/token + stopword-density score) -> exact dedup
-    keeping the lowest-id canonical doc with its duplicate count —
-    one quality scan + one content-hash shuffle over the corpus,
-    the minimal shape of a real corpus-curation job."""
-    corpus = _dedup_corpus(spark, sf_dir)
-    t = F.col("text")
-    stats = corpus.select(
-        "doc_id",
-        "text",
-        ts.token_count(t).alias("n_tokens"),
-        F.round(ts.quality_score(t), 6).alias("quality_score"),
-    )
-    kept = stats.where((F.col("n_tokens") >= 10) & (F.col("quality_score") >= 1.5))
-    canon = kept.groupBy(F.md5("text").alias("text_md5")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
-    return canon.join(stats.drop("text"), "doc_id").select(
-        "doc_id", "n_tokens", "quality_score", "n_copies"
-    )
-
-
-@register(
-    "text_fingerprint",
-    oracle=f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id,
-        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
-           LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
-    ),
-    hashed AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS h FROM sh),
-    ranked AS (
-      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-      FROM hashed
-    )
-    SELECT doc_id, string_agg(CAST(h AS VARCHAR), '|' ORDER BY h) AS fingerprint
-    FROM ranked WHERE rn <= 8 GROUP BY doc_id
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprint: 8 smallest distinct shingle
-    hashes per document (rolling-hash document signature)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fingerprint"))
-
-
-# --------------------------------------------------------------------------
-# Similarity search section (embeddings)
-# --------------------------------------------------------------------------
-
-# exact double-precision pair cosine in SQL (element-wise, explicit
-# double cast — list_dot_product on FLOAT[] accumulates in float32
-# and would NOT match Spark's double math)
-def _pair_cosine_sql(query_filter: str) -> str:
-    return f"""
-    exploded AS (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exploded GROUP BY vec_id
-    ),
-    dots AS (
-      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, sum(q.x * b.x) AS dot
-      FROM exploded q JOIN exploded b ON q.dim = b.dim AND q.vec_id <> b.vec_id
-      WHERE {query_filter}
-      GROUP BY q.vec_id, b.vec_id
-    ),
-    cos AS (
-      SELECT d.query_id, d.neighbor_id,
-        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
-      FROM dots d
-      JOIN norms nq ON d.query_id = nq.vec_id
-      JOIN norms nb ON d.neighbor_id = nb.vec_id
-    )
-    """
-
-
-@register(
-    "ann_bruteforce_topk",
-    oracle=f"""
-    WITH {_pair_cosine_sql("q.vec_id < 10")},
-    ranked AS (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-      FROM cos
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for the first 10 vectors —
-    the ANN correctness baseline (broadcast queries, single corpus
-    scan, native zip_with/aggregate dot products)."""
-    from multiomics_biocypher_kg_spark.operators.simsearch import cosine_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.where(F.col("vec_id") < 10).select("vec_id")
-    return cosine_topk(emb, query_ids=q, k=5)
-
-
-@register(
-    "knn_classify",
-    oracle=f"""
-    WITH {_pair_cosine_sql("q.vec_id < 100")},
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-        ORDER BY cosine DESC, neighbor_id ASC) AS rank
-      FROM cos
-    ),
-    votes AS (
-      SELECT r.query_id, e.label AS nb_label, count(*) AS votes
-      FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
-      WHERE r.rank <= 5 GROUP BY r.query_id, e.label
-    ),
-    pred AS (
-      SELECT query_id, nb_label AS pred_label,
-        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nb_label ASC) AS rn
-      FROM votes
-    )
-    SELECT p.query_id, p.pred_label, e.label AS true_label
-    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id WHERE p.rn = 1
-    """,
-)
-def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-NN majority-vote classification for the first 100 vectors
-    (votes desc, label asc tie-break)."""
-    from multiomics_biocypher_kg_spark.operators import simsearch as ss
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    topk = ss.cosine_topk(
-        emb, query_ids=emb.where(F.col("vec_id") < 100).select("vec_id"), k=5
-    )
-    labeled = topk.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")),
-        "neighbor_id",
-    )
-    votes = labeled.groupBy("query_id", "nb_label").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("nb_label").asc()
-    )
-    pred = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("nb_label").alias("pred_label"))
-    )
-    return pred.join(
-        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
-        "query_id",
-    )
-
-
-@register(
-    "ann_centroids",
-    oracle="""
-    WITH exploded AS (
-      SELECT label, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    ),
-    per_dim AS (SELECT label, dim, avg(x) AS m FROM exploded GROUP BY label, dim)
-    SELECT p.label, round(sqrt(sum(m * m)), 6) AS centroid_norm, c.n_vectors
-    FROM per_dim p
-    JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) c
-      ON p.label = c.label
-    GROUP BY p.label, c.n_vectors
-    """,
-)
-def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid norms (posexplode + two-level agg)."""
-    from multiomics_biocypher_kg_spark.operators.simsearch import label_centroids
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return label_centroids(emb).select("label", "n_vectors", "centroid_norm")
-
-
-# sign-LSH candidate generation rendered in SQL — the EXACT DuckDB
-# mirror of simsearch._plane_sign / lsh_bucket (dim is 1-based in
-# generate_subscripts, hence dim - 1). Requires `exploded` from
-# _pair_cosine_sql in the same WITH chain.
-def _lsh_cands_sql(n_tables: int, n_planes: int) -> str:
-    return f"""
-    lsh_proj AS (
-      SELECT e.vec_id, t.t, p.p,
-        sum(e.x * CASE WHEN (((t.t * 131 + p.p) * 2654435761
-                              + (e.dim - 1) * 40503) % 97) % 2 = 0
-                  THEN 1.0 ELSE -1.0 END) AS proj
-      FROM exploded e
-      CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) t
-      CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
-      GROUP BY e.vec_id, t.t, p.p
-    ),
-    lsh_buckets AS (
-      SELECT vec_id, t,
-        sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS b
-      FROM lsh_proj GROUP BY vec_id, t
-    ),
-    lsh_cands AS (
-      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-      FROM lsh_buckets a
-      JOIN lsh_buckets b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id
-    )
-    """
-
-
-# Deterministic fixed-init Lloyd k-means rendered in SQL: the EXACT
-# DuckDB mirror of simsearch.ivf_index / ivf_topk. Seeds = the
-# n_lists lowest-id vectors; each iteration = nearest-centroid
-# assignment (ties -> smallest list id, matching array_position of
-# array_min) followed by per-dim means, with empty lists keeping the
-# previous centroid (the `coalesce` — mirrors ivf_index's
-# `if i in new else cents[i]`). Iterations are unrolled as CTE pairs
-# (the _lsh_cands_sql rendering trick).
-def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
-    def assign(cent: str, out: str) -> str:
-        return f"""
-    {out}_d AS (
-      SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
-      FROM exploded e JOIN {cent} c ON e.dim = c.dim
-      GROUP BY e.vec_id, c.list_id
-    ),
-    {out} AS (
-      SELECT vec_id, list_id FROM (
-        SELECT vec_id, list_id,
-          row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d ASC, list_id ASC) AS rn
-        FROM {out}_d) WHERE rn = 1
-    )"""
-
-    parts = [
-        f"""
-    exploded AS (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exploded GROUP BY vec_id
-    ),
-    seeds AS (
-      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-               AS list_id
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_lists})
-    ),
-    cent0 AS (
-      SELECT s.list_id, e.dim, e.x AS c
-      FROM seeds s JOIN exploded e ON s.vec_id = e.vec_id
-    )"""
-    ]
-    for i in range(iters):
-        parts.append(assign(f"cent{i}", f"a{i + 1}"))
-        parts.append(f"""
-    m{i + 1} AS (
-      SELECT a.list_id, e.dim, avg(e.x) AS c
-      FROM a{i + 1} a JOIN exploded e ON a.vec_id = e.vec_id
-      GROUP BY a.list_id, e.dim
-    ),
-    cent{i + 1} AS (
-      SELECT c0.list_id, c0.dim, coalesce(m.c, c0.c) AS c
-      FROM cent{i} c0
-      LEFT JOIN m{i + 1} m ON c0.list_id = m.list_id AND c0.dim = m.dim
-    )""")
-    parts.append(assign(f"cent{iters}", "afinal"))
-    parts.append(f"""
-    probes AS (
-      SELECT vec_id AS query_id, list_id FROM (
-        SELECT vec_id, list_id,
-          row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d ASC, list_id ASC) AS rn
-        FROM afinal_d) WHERE rn <= {n_probe}
-    ),
-    cands AS (
-      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-      FROM probes p JOIN afinal a ON p.list_id = a.list_id
-      WHERE a.vec_id <> p.query_id
-    ),
-    cdots AS (
-      SELECT c.query_id, c.neighbor_id, sum(q.x * b.x) AS dot
-      FROM cands c
-      JOIN exploded q ON q.vec_id = c.query_id
-      JOIN exploded b ON b.vec_id = c.neighbor_id AND b.dim = q.dim
-      GROUP BY c.query_id, c.neighbor_id
-    ),
-    ccos AS (
-      SELECT d.query_id, d.neighbor_id,
-        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
-      FROM cdots d
-      JOIN norms nq ON d.query_id = nq.vec_id
-      JOIN norms nb ON d.neighbor_id = nb.vec_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-      FROM ccos) WHERE rank <= {k}""")
-    return "WITH " + ",".join(parts)
-
-
-@register("ann_ivf_topk", oracle=_ivf_topk_sql(n_lists=8, n_probe=3, iters=2, k=5))
-# exactness-vs-bruteforce, determinism, and the n_probe=n_lists degenerate
-# case are pinned in tests/test_dedup_simsearch.py
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (the brief's 'IVF variant as the scale path'):
-    deterministic k-means inverted lists (fixed lowest-id init, fixed
-    Lloyd iterations — no RNG), n_probe nearest lists per query,
-    exact cosine re-rank on probed candidates only. At scale the
-    corpus is bucketed by list_id so a query touches
-    n_probe/n_lists of the data."""
-    from multiomics_biocypher_kg_spark.operators.simsearch import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, k=5, n_lists=8, n_probe=3)
-
-
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH {_pair_cosine_sql("q.vec_id < b.vec_id")},
-    {_lsh_cands_sql(8, 4)}
-    SELECT c.query_id AS id_a, c.neighbor_id AS id_b, c.cosine
-    FROM cos c JOIN lsh_cands l ON c.query_id = l.id_a AND c.neighbor_id = l.id_b
-    WHERE c.cosine >= 0.35
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.35) via sign-LSH
-    candidate discovery (8 tables x 4 planes) + exact cosine verify
-    on candidates only — mirrors the MinHash-LSH pattern; the oracle
-    renders the identical hyperplane formula in SQL, so the LSH
-    bucketing itself is correctness-gated. Equi-join plan, no
-    CartesianProduct (asserted in tests/test_plans.py); recall vs
-    brute force is measured in tests/test_dedup_simsearch.py."""
-    from multiomics_biocypher_kg_spark.operators.simsearch import (
-        embedding_neardup_pairs,
-    )
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, 0.35, n_tables=8, n_planes=4)
-
-
-# --------------------------------------------------------------------------
-# Multimodal section: binary payload plumbing + batch decode
-# --------------------------------------------------------------------------
-
-
-@register(
-    "mm_frame_sample",
-    oracle="""
-    WITH vids AS (
-      SELECT doc_id, text, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
-    ),
-    frames AS (
-      SELECT doc_id, i AS frame_idx,
-        substr(text, ((i * L) // 4) + 1,
-               (((i + 1) * L) // 4) - ((i * L) // 4)) AS frame_text
-      FROM vids, (SELECT unnest(generate_series(0, 3)) AS i) f
-    )
-    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_text,
-      CAST(strlen(frame_text) AS INTEGER) AS n_bytes
-    FROM frames
-    """,
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling end-to-end: binary video payloads ->
-    mapInPandas one-row-per-frame slicing (the ffmpeg-keyframe slot);
-    the oracle recomputes the deterministic byte boundaries in SQL,
-    so the many-rows-out Arrow batch contract is correctness-gated."""
-    from multiomics_biocypher_kg_spark.operators.multimodal import (
-        attach_payloads,
-        sample_frames,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    frames = sample_frames(attach_payloads(docs), n_frames=4)
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        F.decode("frame", "utf-8").alias("frame_text"),
-        "n_bytes",
-    )
-
-
-@register(
-    "mm_decode_features",
-    oracle="""
-    WITH chars AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
-    ),
-    freq AS (
-      SELECT doc_id, ascii(c) AS byte, count(*) AS cnt FROM chars GROUP BY doc_id, ascii(c)
-    ),
-    mode AS (
-      SELECT doc_id, min(byte) AS byte_mode FROM freq f1
-      WHERE cnt = (SELECT max(cnt) FROM freq f2 WHERE f2.doc_id = f1.doc_id)
-      GROUP BY doc_id
-    ),
-    mean AS (
-      SELECT doc_id, round(avg(ascii(c)), 6) AS byte_mean,
-             CAST(count(*) AS INTEGER) AS n_bytes
-      FROM chars GROUP BY doc_id
-    )
-    SELECT m.doc_id,
-      CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      m.n_bytes, m.byte_mean, CAST(mo.byte_mode AS INTEGER) AS byte_mode
-    FROM mean m JOIN mode mo ON m.doc_id = mo.doc_id
-    """,
-)
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: synthesize binary payloads +
-    typed metadata, run the mapInPandas batch 'decoder' (stubbed
-    byte-statistics codec — the real image/audio codec slots into
-    the same contract), return per-asset features. The oracle
-    recomputes the byte statistics in SQL, so the Arrow batch path
-    itself is correctness-gated."""
-    from multiomics_biocypher_kg_spark.operators.multimodal import (
-        attach_payloads,
-        decode_features,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = decode_features(attach_payloads(docs))
-    return feats.select(
-        "doc_id",
-        "kind",
-        "n_bytes",
-        F.round("byte_mean", 6).alias("byte_mean"),
-        F.col("byte_mode").cast("int").alias("byte_mode"),
-    )
-
-
-@register(
-    "mm_decode_real",
-    oracle="""
-    WITH b AS (
-      SELECT doc_id, text, length(text) AS L FROM documents
-    ),
-    img AS (
-      SELECT doc_id, sum(ord(substr(text, ((i - 1) % L) + 1, 1))) AS s
-      FROM b, LATERAL (SELECT unnest(generate_series(1, 192)) AS i) t
-      WHERE doc_id % 2 = 0 GROUP BY doc_id
-    ),
-    aud AS (
-      SELECT doc_id,
-        sum(abs((ord(substr(text, ((i - 1) % L) + 1, 1)) - 128) * 256)) AS s
-      FROM b, LATERAL (SELECT unnest(generate_series(1, 256)) AS i) t
-      WHERE doc_id % 2 = 1 GROUP BY doc_id
-    )
-    SELECT doc_id, 'image' AS kind,
-      CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
-      CAST(NULL AS INTEGER) AS sample_rate, CAST(192 AS BIGINT) AS n_units,
-      round(CAST(s AS DOUBLE) / 192, 6) AS mean_value
-    FROM img
-    UNION ALL
-    SELECT doc_id, 'audio',
-      CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-      CAST(8000 AS INTEGER), CAST(256 AS BIGINT),
-      round(CAST(s AS DOUBLE) / 256, 6)
-    FROM aud
-    """,
-)
-def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode end-to-end: synthesize genuine binary
-    P6 PPM images / PCM-16 WAV audio from the corpus (valid files —
-    any external viewer opens them), then parse them back through
-    the mapInPandas Arrow contract with actual format decoders
-    (PPM header+pixel-plane parse; stdlib wave for RIFF/WAV). The
-    oracle recomputes the decoded pixel/sample statistics from the
-    source text in SQL, so a header-math or byte-order bug in the
-    decoder is a hash mismatch, not a silent skew. This retires the
-    codec stub for these two formats; compressed codecs remain the
-    declared NotImplementedError slot."""
-    from multiomics_biocypher_kg_spark.operators.multimodal import (
-        attach_real_payloads,
-        decode_real_features,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = decode_real_features(attach_real_payloads(docs))
-    return feats.select(
-        "doc_id",
-        "kind",
-        "width",
-        "height",
-        "sample_rate",
-        "n_units",
-        F.round("mean_value", 6).alias("mean_value"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Reference-adapter section: the omics DE transform, declarative merge,
-# CURIE normalization — the reference's core adapter semantics,
-# oracle-checked end to end.
-# --------------------------------------------------------------------------
-
-OMICS_SYNTH_SQL = """
-  SELECT
-    CASE WHEN event_id % 17 = 0 THEN '' ELSE 'g' || CAST(event_id % 500 AS VARCHAR) END AS Synonym,
-    CASE WHEN event_id % 13 = 0 THEN 'NA'
-         WHEN event_id % 19 = 0 THEN 'Infinity'
-         ELSE CAST(event_id % 41 - 20 AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR)
-              || CASE WHEN event_id % 7 = 0 THEN '*' ELSE '' END
-    END AS log2fc,
-    CASE WHEN event_id % 11 = 0 THEN NULL
-         ELSE '0.0' || CAST(event_id % 100 AS VARCHAR) END AS qValue
-  FROM events
-"""
-
-
-def _omics_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
-    fc_core = F.concat(
-        (F.col("event_id") % 41 - 20).cast("string"),
-        F.lit("."),
-        (F.col("event_id") % 10).cast("string"),
-        F.when(F.col("event_id") % 7 == 0, F.lit("*")).otherwise(F.lit("")),
-    )
-    return ev.select(
-        F.when(F.col("event_id") % 17 == 0, F.lit(""))
-        .otherwise(F.concat(F.lit("g"), (F.col("event_id") % 500).cast("string")))
-        .alias("Synonym"),
-        F.when(F.col("event_id") % 13 == 0, F.lit("NA"))
-        .when(F.col("event_id") % 19 == 0, F.lit("Infinity"))
-        .otherwise(fc_core)
-        .alias("log2fc"),
-        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("0.0"), (F.col("event_id") % 100).cast("string")))
-        .alias("qValue"),
-    )
-
-
-@register(
-    "omics_timepoint_hours",
-    oracle="""
-    WITH synth AS (
-      SELECT event_id, user_id,
-        CASE event_id % 12
-          WHEN 0 THEN '4h'
-          WHEN 1 THEN '0.5h'
-          WHEN 2 THEN '-12h'
-          WHEN 3 THEN 'day 18'
-          WHEN 4 THEN 'Day 2'
-          WHEN 5 THEN '50h (P added)'
-          WHEN 6 THEN '0.5h post-inoculation'
-          WHEN 7 THEN '1h extended darkness (36h)'
-          WHEN 8 THEN 'R (rescue: nutrient stress)'
-          WHEN 9 THEN 'days 60+89'
-          WHEN 10 THEN ''
-          ELSE CAST(event_id % 9 AS VARCHAR) || 'h'
-        END AS label
-      FROM events
-    ),
-    parsed AS (
-      SELECT event_id, user_id, label,
-        CASE
-          WHEN label IS NULL OR trim(label) = '' THEN NULL
-          WHEN lower(trim(label)) LIKE 'days %' AND contains(trim(label), '+') THEN NULL
-          WHEN trim(label) LIKE 'R %' OR trim(label) = 'R' THEN NULL
-          WHEN contains(trim(label), 'extended darkness') AND contains(trim(label), '(') THEN
-            CASE WHEN regexp_extract(trim(label), '\\((\\d+(?:\\.\\d+)?)h\\)', 1) <> ''
-                 THEN CAST(regexp_extract(trim(label), '\\((\\d+(?:\\.\\d+)?)h\\)', 1) AS DOUBLE) END
-          WHEN lower(trim(label)) LIKE 'day %' THEN
-            CASE WHEN regexp_extract(trim(label), '^[Dd]ay\\s+(\\d+(?:\\.\\d+)?)', 1) <> ''
-                 THEN CAST(regexp_extract(trim(label), '^[Dd]ay\\s+(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) * 24 END
-          ELSE
-            CASE WHEN regexp_extract(trim(label), '^(-?\\d+(?:\\.\\d+)?)\\s*h', 1) <> ''
-                 THEN CAST(regexp_extract(trim(label), '^(-?\\d+(?:\\.\\d+)?)\\s*h', 1) AS DOUBLE) END
-        END AS time_point_hours
-      FROM synth
-    )
-    SELECT event_id AS analysis_id, user_id AS experiment_id, label,
-      time_point_hours,
-      CAST(row_number() OVER (
-        PARTITION BY user_id
-        ORDER BY coalesce(time_point_hours, 'infinity'::DOUBLE), event_id
-      ) AS INTEGER) AS time_point_order
-    FROM parsed
-    """,
-)
-def omics_timepoint_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 + W7 (paperconfig_utils.py:185-213, omics_adapter.py:446-475):
-    parse every reference timepoint-label shape to hours, then assign
-    per-experiment time_point_order by (hours NULLS LAST, id). Labels
-    synthesized to cover all branches incl. the unparseable ones."""
-    from multiomics_biocypher_kg_spark.functions.omics import assign_time_point_order
-
-    ev = _read(spark, sf_dir, "events")
-    m = F.col("event_id") % 12
-    label = (
-        F.when(m == 0, F.lit("4h"))
-        .when(m == 1, F.lit("0.5h"))
-        .when(m == 2, F.lit("-12h"))
-        .when(m == 3, F.lit("day 18"))
-        .when(m == 4, F.lit("Day 2"))
-        .when(m == 5, F.lit("50h (P added)"))
-        .when(m == 6, F.lit("0.5h post-inoculation"))
-        .when(m == 7, F.lit("1h extended darkness (36h)"))
-        .when(m == 8, F.lit("R (rescue: nutrient stress)"))
-        .when(m == 9, F.lit("days 60+89"))
-        .when(m == 10, F.lit(""))
-        .otherwise(F.concat((F.col("event_id") % 9).cast("string"), F.lit("h")))
-    )
-    synth = ev.select(
-        F.col("event_id").alias("analysis_id"),
-        F.col("user_id").alias("experiment_id"),
-        label.alias("label"),
-    )
-    return assign_time_point_order(synth, label_col="label").select(
-        "analysis_id",
-        "experiment_id",
-        "label",
-        "time_point_hours",
-        "time_point_order",
-    )
-
-
-@register(
-    "omics_replicate_wide",
-    oracle="""
-    WITH synth AS (
-      SELECT event_id AS k,
-        CASE event_id % 7 WHEN 0 THEN 'NA' WHEN 1 THEN 'ND'
-          ELSE CAST(event_id % 23 AS VARCHAR) END AS rep1,
-        CASE event_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'bad!'
-          ELSE CAST(event_id % 19 AS VARCHAR) || '.5' END AS rep2,
-        CASE event_id % 3 WHEN 0 THEN 'NA' WHEN 1 THEN '0'
-          ELSE CAST(event_id % 11 AS VARCHAR) END AS rep3
-      FROM events
-    ),
-    long AS (
-      SELECT k, 1 AS rep_idx, trim(coalesce(rep1, '')) AS s FROM synth
-      UNION ALL SELECT k, 2, trim(coalesce(rep2, '')) FROM synth
-      UNION ALL SELECT k, 3, trim(coalesce(rep3, '')) FROM synth
-    ),
-    parsed AS (
-      SELECT k, rep_idx,
-        CASE WHEN s IN ('', 'NA') THEN NULL
-             WHEN s IN ('ND', 'nd') THEN 0.0
-             ELSE TRY_CAST(s AS DOUBLE) END AS v
-      FROM long
-    ),
-    ok AS (SELECT * FROM parsed WHERE v IS NOT NULL AND NOT isnan(v)),
-    agg AS (
-      SELECT k,
-        CAST(count(*) AS INTEGER) AS n_replicates,
-        CAST(sum(CASE WHEN v <> 0.0 THEN 1 ELSE 0 END) AS INTEGER) AS n_non_zero,
-        round(avg(v), 6) AS mean,
-        round(CASE WHEN count(*) >= 2 THEN stddev_samp(v) ELSE 0.0 END, 6) AS sd,
-        string_agg(CAST(v AS VARCHAR), '|' ORDER BY rep_idx) AS replicate_values
-      FROM ok GROUP BY k
-    )
-    SELECT s.k AS row_id,
-      coalesce(n_replicates, 0) AS n_replicates,
-      coalesce(n_non_zero, 0) AS n_non_zero,
-      coalesce(mean, 0.0) AS mean,
-      coalesce(sd, 0.0) AS sd,
-      coalesce(replicate_values, '') AS replicate_values,
-      CASE WHEN coalesce(n_non_zero, 0) = 0 THEN 'not_detected'
-           WHEN n_non_zero = n_replicates THEN 'detected'
-           ELSE 'sporadic' END AS detection_status
-    FROM (SELECT DISTINCT k FROM synth) s LEFT JOIN agg USING (k)
-    """,
-)
-def omics_replicate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11 wide form (_aggregate_replicates,
-    metabolite_assay_adapter.py:106-148): wide replicate columns with
-    missing/'ND'-null/unparseable cells -> mean, sample sd, counts,
-    ordered replicate list, detection status; all-missing keys keep
-    the reference's zero-row defaults."""
-    from multiomics_biocypher_kg_spark.functions.omics import (
-        aggregate_replicates_wide,
-    )
-
-    ev = _read(spark, sf_dir, "events")
-    e = F.col("event_id")
-    synth = ev.select(
-        e.alias("row_id"),
-        F.when(e % 7 == 0, F.lit("NA"))
-        .when(e % 7 == 1, F.lit("ND"))
-        .otherwise((e % 23).cast("string"))
-        .alias("rep1"),
-        F.when(e % 5 == 0, F.lit(""))
-        .when(e % 5 == 1, F.lit("bad!"))
-        .otherwise(F.concat((e % 19).cast("string"), F.lit(".5")))
-        .alias("rep2"),
-        F.when(e % 3 == 0, F.lit("NA"))
-        .when(e % 3 == 1, F.lit("0"))
-        .otherwise((e % 11).cast("string"))
-        .alias("rep3"),
-    )
-    out = aggregate_replicates_wide(
-        synth,
-        key_cols=["row_id"],
-        replicate_cols=["rep1", "rep2", "rep3"],
-        null_values=["ND", "nd"],
-        missing_values=["", "NA"],
-    )
-    return out.select(
-        "row_id",
-        "n_replicates",
-        "n_non_zero",
-        "mean",
-        "sd",
-        F.array_join(
-            F.transform(F.col("replicate_values"), lambda v: v.cast("string")), "|"
-        ).alias("replicate_values"),
-        "detection_status",
-    )
-
-
-ANNOT_BUCKETS = [
-    "go", "kegg", "pfam", "ec", "reaction", "transporter", "cazy", "role_edge"
-]
-
-
-@register(
-    "onto_annotation_quality",
-    oracle="""
-    WITH genes AS (
-      SELECT DISTINCT 'g' || CAST(p_partkey % 300 AS VARCHAR) AS gene,
-        (p_partkey % 300) % 4 = 0 AS has_role
-      FROM part
-    ),
-    edges AS (
-      SELECT 'g' || CAST(user_id AS VARCHAR) AS gene,
-        CASE event_id % 11
-          WHEN 0 THEN 'go' WHEN 1 THEN 'kegg' WHEN 2 THEN 'pfam'
-          WHEN 3 THEN 'ec' WHEN 4 THEN 'reaction' WHEN 5 THEN 'transporter'
-          WHEN 6 THEN 'cazy' WHEN 7 THEN 'role_edge'
-          ELSE 'catch_all' END AS bucket
-      FROM events WHERE event_id % 97 < 8
-    ),
-    flags AS (
-      SELECT gene,
-        max(CASE WHEN bucket = 'go' THEN 1 ELSE 0 END) AS has_go,
-        max(CASE WHEN bucket = 'kegg' THEN 1 ELSE 0 END) AS has_kegg,
-        max(CASE WHEN bucket = 'pfam' THEN 1 ELSE 0 END) AS has_pfam,
-        max(CASE WHEN bucket = 'ec' THEN 1 ELSE 0 END) AS has_ec,
-        max(CASE WHEN bucket = 'reaction' THEN 1 ELSE 0 END) AS has_reaction,
-        max(CASE WHEN bucket = 'transporter' THEN 1 ELSE 0 END) AS has_transporter,
-        max(CASE WHEN bucket = 'cazy' THEN 1 ELSE 0 END) AS has_cazy,
-        max(CASE WHEN bucket = 'role_edge' THEN 1 ELSE 0 END) AS has_role_edge,
-        1 AS has_any_edge
-      FROM edges GROUP BY gene
-    ),
-    scored AS (
-      SELECT g.gene,
-        coalesce(f.has_go, 0) + coalesce(f.has_kegg, 0) + coalesce(f.has_pfam, 0)
-          + coalesce(f.has_ec, 0) + coalesce(f.has_reaction, 0)
-          + coalesce(f.has_transporter, 0) + coalesce(f.has_cazy, 0)
-          + coalesce(f.has_role_edge, 0)
-          + CASE WHEN g.has_role THEN 1 ELSE 0 END AS informative_count,
-        coalesce(f.has_any_edge, 0) = 1 AS has_any_edge
-      FROM genes g LEFT JOIN flags f USING (gene)
-    )
-    SELECT gene, CAST(informative_count AS INTEGER) AS informative_count,
-      CASE WHEN informative_count >= 2 THEN 'informative_multi'
-           WHEN informative_count = 1 THEN 'informative_single'
-           WHEN has_any_edge THEN 'catch_all_only'
-           ELSE 'no_evidence' END AS annotation_state,
-      CAST(CASE WHEN informative_count >= 2 THEN 3
-           WHEN informative_count = 1 THEN 2
-           WHEN has_any_edge THEN 1
-           ELSE 0 END AS INTEGER) AS annotation_quality
-    FROM scored
-    """,
-)
-def onto_annotation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J13 (post-import.cypher:572-613): per-gene source-bucket
-    existence flags (the Cypher EXISTS semi-joins) as ONE groupBy
-    with max(when) per bucket — never 8 separate semi-join passes —
-    feeding informative_count -> annotation_state / quality."""
-    part = _read(spark, sf_dir, "part")
-    ev = _read(spark, sf_dir, "events")
-    genes = part.select(
-        F.concat(F.lit("g"), (F.col("p_partkey") % 300).cast("string")).alias("gene"),
-        ((F.col("p_partkey") % 300) % 4 == 0).alias("has_role"),
-    ).distinct()
-    b = F.col("event_id") % 11
-    bucket = (
-        F.when(b == 0, F.lit("go"))
-        .when(b == 1, F.lit("kegg"))
-        .when(b == 2, F.lit("pfam"))
-        .when(b == 3, F.lit("ec"))
-        .when(b == 4, F.lit("reaction"))
-        .when(b == 5, F.lit("transporter"))
-        .when(b == 6, F.lit("cazy"))
-        .when(b == 7, F.lit("role_edge"))
-        .otherwise(F.lit("catch_all"))
-    )
-    edges = ev.where(F.col("event_id") % 97 < 8).select(
-        F.concat(F.lit("g"), F.col("user_id").cast("string")).alias("gene"),
-        bucket.alias("bucket"),
-    )
-    flags = edges.groupBy("gene").agg(
-        *[
-            F.max(F.when(F.col("bucket") == bk, 1).otherwise(0)).alias(f"has_{bk}")
-            for bk in ANNOT_BUCKETS
-        ],
-        F.lit(1).alias("has_any_edge"),
-    )
-    scored = genes.join(flags, "gene", "left").select(
-        "gene",
-        (
-            sum(
-                [F.coalesce(F.col(f"has_{bk}"), F.lit(0)) for bk in ANNOT_BUCKETS],
-                F.lit(0),
-            )
-            + F.when(F.col("has_role"), 1).otherwise(0)
-        ).alias("informative_count"),
-        (F.coalesce(F.col("has_any_edge"), F.lit(0)) == 1).alias("has_any_edge"),
-    )
-    return scored.select(
-        "gene",
-        F.col("informative_count").cast("int").alias("informative_count"),
-        F.when(F.col("informative_count") >= 2, F.lit("informative_multi"))
-        .when(F.col("informative_count") == 1, F.lit("informative_single"))
-        .when(F.col("has_any_edge"), F.lit("catch_all_only"))
-        .otherwise(F.lit("no_evidence"))
-        .alias("annotation_state"),
-        F.when(F.col("informative_count") >= 2, F.lit(3))
-        .when(F.col("informative_count") == 1, F.lit(2))
-        .when(F.col("has_any_edge"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("annotation_quality"),
-    )
-
-
-@register(
-    "omics_expression_status",
-    oracle="""
-    SELECT event_id,
-      CASE WHEN event_id % 3 = 0 THEN 'significant' ELSE 'not significant' END
-        AS significant,
-      CASE WHEN event_id % 2 = 0 THEN 'up' ELSE 'down' END AS expression_direction,
-      CASE WHEN event_id % 3 = 0 AND event_id % 2 = 0 THEN 'significant_up'
-           WHEN event_id % 3 = 0 AND event_id % 2 <> 0 THEN 'significant_down'
-           ELSE 'not_significant' END AS expression_status
-    FROM events
-    """,
-)
-def omics_expression_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8 (post-import.cypher:207-212): expression_status composition
-    from (significant, expression_direction)."""
-    ev = _read(spark, sf_dir, "events")
-    sig = F.when(F.col("event_id") % 3 == 0, F.lit("significant")).otherwise(
-        F.lit("not significant")
-    )
-    direction = F.when(F.col("event_id") % 2 == 0, F.lit("up")).otherwise(
-        F.lit("down")
-    )
-    df = ev.select(
-        "event_id", sig.alias("significant"), direction.alias("expression_direction")
-    )
-    status = (
-        F.when(
-            (F.col("significant") == "significant")
-            & (F.col("expression_direction") == "up"),
-            F.lit("significant_up"),
-        )
-        .when(
-            (F.col("significant") == "significant")
-            & (F.col("expression_direction") == "down"),
-            F.lit("significant_down"),
-        )
-        .otherwise(F.lit("not_significant"))
-    )
-    return df.withColumn("expression_status", status)
-
-
-@register(
-    "rel_dm_search_text",
-    oracle="""
-    WITH dms AS (
-      SELECT 'p' || CAST(user_id AS VARCHAR) AS pub,
-        'metric_' || CAST(event_id % 13 AS VARCHAR) AS name,
-        'type_' || CAST(event_id % 5 AS VARCHAR) AS metric_type,
-        CASE WHEN event_id % 4 = 0 THEN NULL
-             ELSE 'desc' || CAST(event_id % 6 AS VARCHAR) END AS field_description
-      FROM events
-    )
-    SELECT pub,
-      trim(
-        coalesce(string_agg(DISTINCT name, ' ' ORDER BY name), '') || ' '
-        || replace(coalesce(string_agg(DISTINCT metric_type, ' ' ORDER BY metric_type), ''), '_', ' ')
-        || ' '
-        || coalesce(string_agg(DISTINCT field_description, ' ' ORDER BY field_description), '')
-      ) AS derived_metric_search_text
-    FROM dms GROUP BY pub
-    """,
-)
-def rel_dm_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F17 (post-import.cypher:429-442,514-526): per-publication
-    derived-metric fulltext aggregation — distinct names + metric
-    types (underscore -> space) + field descriptions, null descs
-    skipped; token order pinned sorted (the reference's collect order
-    is engine-arbitrary)."""
-    ev = _read(spark, sf_dir, "events")
-    dms = ev.select(
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("pub"),
-        F.concat(F.lit("metric_"), (F.col("event_id") % 13).cast("string")).alias(
-            "name"
-        ),
-        F.concat(F.lit("type_"), (F.col("event_id") % 5).cast("string")).alias(
-            "metric_type"
-        ),
-        F.when(
-            F.col("event_id") % 4 != 0,
-            F.concat(F.lit("desc"), (F.col("event_id") % 6).cast("string")),
-        ).alias("field_description"),
-    )
-    agg = dms.groupBy("pub").agg(
-        F.array_join(F.array_sort(F.collect_set("name")), " ").alias("names"),
-        F.regexp_replace(
-            F.array_join(F.array_sort(F.collect_set("metric_type")), " "), "_", " "
-        ).alias("types"),
-        F.array_join(F.array_sort(F.collect_set("field_description")), " ").alias(
-            "descs"
-        ),
-    )
-    return agg.select(
-        "pub",
-        F.trim(
-            F.concat(
-                F.col("names"), F.lit(" "), F.col("types"), F.lit(" "), F.col("descs")
-            )
-        ).alias("derived_metric_search_text"),
-    )
-
-
-@register(
-    "onto_level_kind",
-    oracle="""
-    SELECT p_partkey AS row_id, id,
-      CAST(len(string_split(id, '.')) - 1 AS INTEGER) AS level,
-      ['tc_class','tc_subclass','tc_family','tc_subfamily','tc_specificity']
-        [len(string_split(id, '.'))] AS level_kind
-    FROM (
-      SELECT p_partkey,
-        array_to_string(list_slice(['1','A','12','3','1'], 1, p_partkey % 5 + 1), '.')
-          AS id
-      FROM part
-    )
-    """,
-)
-def onto_level_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19 (tcdb_adapter.py:163-165, brite_adapter.py:171-173):
-    level = path depth from the dotted id, level_kind = depth-indexed
-    enum — pure arithmetic on split()."""
-    part = _read(spark, sf_dir, "part")
-    segs = F.array(F.lit("1"), F.lit("A"), F.lit("12"), F.lit("3"), F.lit("1"))
-    tc_id = F.array_join(F.slice(segs, 1, F.col("p_partkey") % 5 + 1), ".")
-    kinds = F.array(
-        F.lit("tc_class"),
-        F.lit("tc_subclass"),
-        F.lit("tc_family"),
-        F.lit("tc_subfamily"),
-        F.lit("tc_specificity"),
-    )
-    df = part.select(F.col("p_partkey").alias("row_id"), tc_id.alias("id"))
-    depth = F.size(F.split(F.col("id"), r"\.")) - 1
-    return df.select(
-        "row_id",
-        "id",
-        depth.cast("int").alias("level"),
-        F.element_at(kinds, depth + 1).alias("level_kind"),
-    )
-
-
-@register(
-    "omics_de_transform",
-    oracle=f"""
-    WITH synth AS ({OMICS_SYNTH_SQL}),
-    mapped AS (
-      SELECT Synonym AS raw_id, log2fc AS raw_fc, qValue AS raw_p FROM synth
-      WHERE Synonym IS NOT NULL AND trim(Synonym) <> ''
-    ),
-    parsed AS (
-      SELECT raw_id,
-        regexp_matches(trim(raw_fc), '^\\*|\\*$') AS has_asterisk,
-        TRY_CAST(trim(regexp_replace(trim(raw_fc), '^\\*+|\\*+$', ''))
-                 AS DOUBLE) AS fc_num
-      FROM mapped
-    ),
-    fin AS (
-      SELECT * FROM parsed WHERE fc_num IS NOT NULL AND isfinite(fc_num)
-    )
-    SELECT 'a1' AS analysis_id, 'e1' AS experiment_id, raw_id,
-      fc_num AS log2_fold_change,
-      CASE WHEN has_asterisk THEN 0.05 ELSE 1.0 END AS adjusted_p_value,
-      CASE WHEN has_asterisk THEN 'significant'
-           ELSE 'not significant' END AS significant,
-      CASE WHEN fc_num > 0 THEN 'up' ELSE 'down' END AS expression_direction
-    FROM fin
-    """,
-)
-def omics_de_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's core adapter (OmicsAdapter) end-to-end over a
-    synthesized supp table: config-driven mapping (P1), id filter
-    (P3), non-finite filter (P4), asterisk parse (F6), significance
-    cascade (P5), direction (F7) — via functions.omics."""
-    from multiomics_biocypher_kg_spark.functions.omics import (
-        AnalysisConfig,
-        transform_analysis,
-    )
-
-    cfg = AnalysisConfig(
-        analysis_id="a1",
-        experiment_id="e1",
-        name_col="Synonym",
-        logfc_col="log2fc",
-        adjusted_p_value_col="qValue",
-        pvalue_asterisk_in_logfc=True,
-    )
-    out = transform_analysis(_omics_synth(spark, sf_dir), cfg)
-    return out.select(
-        "analysis_id",
-        "experiment_id",
-        "raw_id",
-        "log2_fold_change",
-        "adjusted_p_value",
-        "significant",
-        "expression_direction",
-    )
-
-
-@register(
-    "merge_multi_source",
-    oracle="""
-    WITH cust AS (
-      SELECT c_nationkey AS k, min(c_name) AS sample_customer,
-             string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
-             count(*) AS n_cust
-      FROM customer GROUP BY c_nationkey
-    ),
-    supp AS (
-      SELECT s_nationkey AS k, min(s_name) AS sample_supplier, count(*) AS n_supp
-      FROM supplier GROUP BY s_nationkey
-    )
-    SELECT n.n_nationkey, n.n_name,
-      coalesce(c.sample_customer, s.sample_supplier) AS representative,
-      coalesce(c.segs, '') AS segments,
-      coalesce(CAST(c.n_cust AS BIGINT), CAST(s.n_supp AS BIGINT)) AS member_count,
-      concat_ws(' :: ', n.n_name, c.sample_customer, s.sample_supplier) AS summary
-    FROM nation n LEFT JOIN cust c ON n.n_nationkey = c.k
-    LEFT JOIN supp s ON n.n_nationkey = s.k
-    """,
-)
-def merge_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8: declarative config-driven multi-source merge (anchor +
-    two sources, single/passthrough/integer/concat rules) via
-    operators.merge_rules, over TPC-H dims."""
-    from multiomics_biocypher_kg_spark.operators.merge_rules import (
-        FieldRule,
-        SourceSpec,
-        merge_sources,
-    )
-
-    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    cust = (
-        _read(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
-        .agg(
-            F.min("c_name").alias("sample_customer"),
-            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
-                "segs"
-            ),
-            F.count(F.lit(1)).alias("n_cust"),
-        )
-    )
-    supp = (
-        _read(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
-        .agg(F.min("s_name").alias("sample_supplier"), F.count(F.lit(1)).alias("n_supp"))
-    )
-    merged = merge_sources(
-        nation,
-        [
-            SourceSpec("cust", cust, "n_nationkey"),
-            SourceSpec("supp", supp, "n_nationkey"),
-        ],
-        [
-            FieldRule(
-                "representative",
-                "single",
-                ["cust.sample_customer", "supp.sample_supplier"],
-            ),
-            FieldRule("segments", "passthrough", ["cust.segs"]),
-            FieldRule("member_count", "integer", ["cust.n_cust", "supp.n_supp"]),
-            FieldRule(
-                "summary",
-                "concat",
-                ["anchor.n_name", "cust.sample_customer", "supp.sample_supplier"],
-            ),
-        ],
-    )
-    return merged.select(
-        "n_nationkey",
-        "n_name",
-        "representative",
-        F.coalesce("segments", F.lit("")).alias("segments"),
-        "member_count",
-        "summary",
-    )
-
-
-@register(
-    "curie_normalize",
-    oracle="""
-    WITH synth AS (
-      SELECT doc_id,
-        CASE doc_id % 4
-          WHEN 0 THEN 'GO:' || CAST(doc_id AS VARCHAR)
-          WHEN 1 THEN 'NCBIGene:' || CAST(doc_id AS VARCHAR)
-          WHEN 2 THEN 'UniProtKB:' || CAST(doc_id AS VARCHAR)
-          ELSE 'My Weird DB:' || CAST(doc_id AS VARCHAR)
-        END AS curie,
-        'a|b''c ' || CAST(doc_id AS VARCHAR) AS dirty
-      FROM documents
-    )
-    SELECT doc_id,
-      (CASE string_split(curie, ':')[1]
-        WHEN 'GO' THEN 'go'
-        WHEN 'NCBIGene' THEN 'ncbigene'
-        WHEN 'UniProtKB' THEN 'uniprot'
-        ELSE replace(lower(string_split(curie, ':')[1]), ' ', '_')
-      END) || ':' || string_split(curie, ':')[2] AS curie_norm,
-      replace(replace(dirty, '|', ','), '''', '^') AS cleaned
-    FROM synth
-    """,
-)
-def curie_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2: CURIE prefix normalization (the reference's 3M-call
-    hot spot as pure native expressions) + clean_text translate."""
-    from multiomics_biocypher_kg_spark.functions.curie import (
-        clean_text,
-        normalize_curie_col,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    d = F.col("doc_id").cast("string")
-    synth = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("GO:"), d))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("NCBIGene:"), d))
-        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("UniProtKB:"), d))
-        .otherwise(F.concat(F.lit("My Weird DB:"), d))
-        .alias("curie"),
-        F.concat(F.lit("a|b'c "), d).alias("dirty"),
-    )
-    return synth.select(
-        "doc_id",
-        normalize_curie_col(F.col("curie")).alias("curie_norm"),
-        clean_text(F.col("dirty")).alias("cleaned"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Skew / distribution patterns
-# --------------------------------------------------------------------------
-
-
-@register(
-    "kg_host_rollup_salted",
-    oracle=f"""
-    WITH pages AS (
-      SELECT doc_id,
-        CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
-             ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
-        lang, len(string_split(text, ' ')) AS n_toks
-      FROM documents
-    )
-    SELECT host, count(*) AS n_pages,
-      string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
-      CAST(sum(n_toks) AS BIGINT) AS total_tokens
-    FROM pages GROUP BY host
-    """,
-)
-def kg_host_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skewed-key rollup with explicit salting: the hot host holds
-    ~30% of the corpus (FIXTURES A1), so the per-host aggregation is
-    two-phase — partial agg per (host, salt=doc_id%16), final agg per
-    host. The partials are tiny, so the hot key's reduce work is
-    spread over 16 tasks before the single-key merge. (For plain
-    count/sum Spark's map-side combine already does this; the salted
-    shape is what collect_set/countDistinct-style aggs need, shown
-    here with the distinct-langs set.)"""
-    pages = pages_from_documents(spark, sf_dir)
-    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
-    toks = F.size(F.split(F.col("text"), " "))
-    salted = (
-        pages.select(
-            host.alias("host"),
-            (F.col("doc_id") % 16).alias("salt"),
-            "lang",
-            toks.alias("n_toks"),
-        )
-        .groupBy("host", "salt")
-        .agg(
-            F.count(F.lit(1)).alias("pn"),
-            F.collect_set("lang").alias("pl"),
-            F.sum("n_toks").alias("pt"),
-        )
-    )
-    return salted.groupBy("host").agg(
-        F.sum("pn").alias("n_pages"),
-        F.array_join(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pl")))), "|"
-        ).alias("langs"),
-        F.sum("pt").cast("long").alias("total_tokens"),
-    )
-
-
-@register(
-    "rel_categorical_distribution",
-    oracle="""
-    WITH pre AS (
-      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
-      FROM orders GROUP BY o_orderpriority, o_orderstatus
-    )
-    SELECT o_orderpriority,
-      string_agg(o_orderstatus, '|' ORDER BY o_orderstatus) AS category_labels,
-      string_agg(CAST(cnt AS VARCHAR), '|' ORDER BY o_orderstatus) AS category_counts
-    FROM pre GROUP BY o_orderpriority
-    """,
-)
-def rel_categorical_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 (post-import.cypher:366-373): per-group categorical
-    distribution as label-sorted parallel arrays."""
-    o = _read(spark, sf_dir, "orders")
-    pre = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return (
-        pre.groupBy("o_orderpriority")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt"))).alias("arr")
-        )
-        .select(
-            "o_orderpriority",
-            F.array_join(
-                F.transform("arr", lambda x: x["o_orderstatus"]), "|"
-            ).alias("category_labels"),
-            F.array_join(
-                F.transform("arr", lambda x: x["cnt"].cast("string")), "|"
-            ).alias("category_counts"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Interval merge, reachability pruning, nearest typed ancestor
-# --------------------------------------------------------------------------
-
-INTERVALS_A_SQL = """
-  SELECT doc_id AS a_id, 's' || CAST(doc_id % 2 AS VARCHAR) AS strand,
-         doc_id * 100 AS a_start,
-         doc_id * 100 + 80 + doc_id % 40 AS a_end
-  FROM documents
-"""
-
-# shifted twin of A (small jitter: matches) + decoys (shift 60 > max_dstart)
-INTERVALS_B_SQL = """
-  SELECT doc_id AS b_id, 's' || CAST(doc_id % 2 AS VARCHAR) AS strand,
-         doc_id * 100 + (doc_id % 7) - 3 AS b_start,
-         doc_id * 100 + 80 + doc_id % 40 + (doc_id % 5) - 2 AS b_end
-  FROM documents WHERE doc_id % 3 <> 0
-  UNION ALL
-  SELECT doc_id + 500000, 's' || CAST(doc_id % 2 AS VARCHAR),
-         doc_id * 100 + 60, doc_id * 100 + 80 + doc_id % 40 + 60
-  FROM documents WHERE doc_id % 11 = 0
-"""
-
-
-@register(
-    "interval_position_merge",
-    oracle=f"""
-    WITH a AS ({INTERVALS_A_SQL}), b AS ({INTERVALS_B_SQL}),
-    cand AS (
-      SELECT a.a_id, b.b_id,
-        least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) + 1 AS overlap_len
-      FROM a JOIN b ON a.strand = b.strand
-        AND abs(a.a_start - b.b_start) <= 50
-        AND abs(a.a_end - b.b_end) <= 3
-        AND least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) + 1
-            >= 0.9 * (a.a_end - a.a_start + 1)
-        AND least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) + 1
-            >= 0.9 * (b.b_end - b.b_start + 1)
-    ),
-    counted AS (
-      SELECT *, count(*) OVER (PARTITION BY a_id) AS na,
-                count(*) OVER (PARTITION BY b_id) AS nb
-      FROM cand
-    )
-    SELECT a_id, b_id, overlap_len FROM counted WHERE na = 1 AND nb = 1
-    """,
-)
-def interval_position_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: the reference's genomic position-fallback merge (same
-    strand, reciprocal overlap >= 0.9, |dstart| <= 50, |dend| <= 3,
-    1:1 only) via bucketized hash join — operators.intervals."""
-    from multiomics_biocypher_kg_spark.operators.intervals import (
-        position_fallback_merge,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    d = F.col("doc_id")
-    a = docs.select(
-        d.alias("a_id"),
-        F.concat(F.lit("s"), (d % 2).cast("string")).alias("strand"),
-        (d * 100).alias("a_start"),
-        (d * 100 + 80 + d % 40).alias("a_end"),
-    )
-    b1 = docs.where(d % 3 != 0).select(
-        d.alias("b_id"),
-        F.concat(F.lit("s"), (d % 2).cast("string")).alias("strand"),
-        (d * 100 + (d % 7) - 3).alias("b_start"),
-        (d * 100 + 80 + d % 40 + (d % 5) - 2).alias("b_end"),
-    )
-    b2 = docs.where(d % 11 == 0).select(
-        (d + 500000).alias("b_id"),
-        F.concat(F.lit("s"), (d % 2).cast("string")).alias("strand"),
-        (d * 100 + 60).alias("b_start"),
-        (d * 100 + 80 + d % 40 + 60).alias("b_end"),
-    )
-    return position_fallback_merge(a, b1.unionByName(b2))
-
-
-@register(
-    "onto_reachability_prune",
-    oracle=f"""
-    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
-    known AS (
-      SELECT format('n{{:04d}}', doc_id) AS node FROM documents WHERE doc_id % 7 = 0
-    ),
-    kept(node) AS (
-      SELECT node FROM known
-      UNION
-      SELECT e.parent FROM kept k JOIN edges e ON e.child = k.node
-    )
-    SELECT node FROM kept
-    """,
-)
-def onto_reachability_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10 (BRITE prune, brite_adapter.py:188-248): keep only
-    hierarchy nodes whose subtree contains a known leaf — seed the
-    known set, walk parents to fixpoint (bottom-up ancestor marking
-    via iterative join)."""
-    edges = _onto_edges(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    known = docs.where(F.col("doc_id") % 7 == 0).select(
-        F.format_string("n%04d", F.col("doc_id")).alias("node")
-    )
-    kept = known
-    frontier = known
-    for _ in range(12):
-        step = (
-            frontier.join(edges, frontier.node == edges.child)
-            .select(F.col("parent").alias("node"))
-            .join(kept, "node", "left_anti")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if step.isEmpty():
-            break
-        kept = kept.union(step)
-        frontier = step
-    return kept
-
-
-@register(
-    "onto_nearest_class_ancestor",
-    oracle=f"""
-    WITH clos AS ({ONTO_CLOSURE_SQL}),
-    self_pairs AS (
-      SELECT node, node AS ancestor, 0 AS depth
-      FROM (SELECT node FROM clos UNION SELECT ancestor FROM clos)
-    ),
-    all_pairs AS (
-      SELECT node, ancestor, depth FROM clos
-      UNION ALL SELECT * FROM self_pairs
-    ),
-    classes AS (SELECT * FROM all_pairs WHERE ancestor IN ('n0000','n0001','n0002','n0003')),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY node ORDER BY depth, ancestor) AS rn
-      FROM classes
-    )
-    SELECT node, ancestor AS class_node, CAST(depth AS INTEGER) AS class_depth
-    FROM ranked WHERE rn = 1
-    """,
-)
-def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9 (tc_class ancestor pointer, post-import.cypher:864-870):
-    nearest ancestor (min depth, deterministic tiebreak) belonging to
-    the 'class' level, self included — closure join + row_number."""
-    from pyspark.sql import Window
-
-    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
-
-    closure = ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10)
-    nodes = closure.select("node").union(closure.select("ancestor")).distinct()
-    self_pairs = nodes.select(
-        "node", F.col("node").alias("ancestor"), F.lit(0).alias("depth")
-    )
-    all_pairs = closure.select("node", "ancestor", "depth").union(self_pairs)
-    classes = all_pairs.where(
-        F.col("ancestor").isin("n0000", "n0001", "n0002", "n0003")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("depth").asc(), F.col("ancestor").asc())
-    return (
-        classes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "node",
-            F.col("ancestor").alias("class_node"),
-            F.col("depth").cast("int").alias("class_depth"),
-        )
-    )
 
 
 # --------------------------------------------------------------------------
@@ -3796,1735 +659,19 @@ def _apply_driver_window_order() -> None:
 
 
 # --------------------------------------------------------------------------
-# Web-scale URL canonicalization (functions/urls.py)
+# Query families (split into per-family modules in round 4 — pure
+# moves, every oracle string verbatim; imported for their @register
+# side effects). Import order satisfies inter-module dependencies
+# (registry_web reads the dedup corpus fragments). Each module can
+# also be imported first: the window order is re-applied after the
+# last registration either way.
 # --------------------------------------------------------------------------
 
-# deterministic messy-url synthesis shared by both engines
-_MESSY_URL_SQL = """
-  SELECT doc_id,
-    CASE doc_id % 6
-      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)
-                  || '?b=2&a=1&utm_source=feed'
-      WHEN 1 THEN 'http://Example.com:80?id=' || CAST(doc_id AS VARCHAR) || '#frag'
-      WHEN 2 THEN 'https://CDN.example.net:8080/x/' || CAST(doc_id AS VARCHAR)
-      WHEN 3 THEN 'http://h' || CAST(doc_id % 50 AS VARCHAR)
-                  || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
-                  || '?utm_campaign=x'
-      WHEN 4 THEN 'doc-' || CAST(doc_id AS VARCHAR)
-      ELSE 'https://example.com/a%20b/' || CAST(doc_id % 100 AS VARCHAR)
-           || '?z=9&y=8&fbclid=abc#sec'
-    END AS url_raw
-  FROM documents
-"""
-
-
-def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    d = F.col("doc_id").cast("string")
-    raw = (
-        F.when(
-            F.col("doc_id") % 6 == 0,
-            F.concat(
-                F.lit("HTTPS://WWW.Example.COM:443/Path/"),
-                d,
-                F.lit("?b=2&a=1&utm_source=feed"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 6 == 1,
-            F.concat(F.lit("http://Example.com:80?id="), d, F.lit("#frag")),
-        )
-        .when(
-            F.col("doc_id") % 6 == 2,
-            F.concat(F.lit("https://CDN.example.net:8080/x/"), d),
-        )
-        .when(
-            F.col("doc_id") % 6 == 3,
-            F.concat(
-                F.lit("http://h"),
-                (F.col("doc_id") % 50).cast("string"),
-                F.lit(".example.org/doc/"),
-                d,
-                F.lit("?utm_campaign=x"),
-            ),
-        )
-        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("doc-"), d))
-        .otherwise(
-            F.concat(
-                F.lit("https://example.com/a%20b/"),
-                (F.col("doc_id") % 100).cast("string"),
-                F.lit("?z=9&y=8&fbclid=abc#sec"),
-            )
-        )
-    )
-    return docs.select("doc_id", raw.alias("url_raw"))
-
-
-def _web_url_canonical_sql() -> str:
-    from multiomics_biocypher_kg_spark.functions.urls import canonical_url_sql
-
-    return (
-        "SELECT doc_id, url_raw, url_canonical FROM ("
-        + canonical_url_sql(_MESSY_URL_SQL, "url_raw")
-        + ")"
-    )
-
-
-@register("web_url_canonical", oracle=_web_url_canonical_sql())
-def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization (functions/urls.py): scheme/host
-    lowercase, default ports dropped, fragments stripped, tracking
-    params removed + remaining params sorted, empty path -> '/',
-    schemeless strings pass through. Pure scan-projection expressions
-    — at 100 TB this replaces the raw url as the dedup/partition key
-    before the first shuffle. The oracle renders the identical
-    regex-by-regex decomposition in SQL."""
-    from multiomics_biocypher_kg_spark.functions.urls import canonical_url
-
-    m = _messy_urls(spark, sf_dir)
-    return m.select(
-        "doc_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical")
-    )
-
-
-@register(
-    "web_url_dedup",
-    oracle=f"""
-    WITH canon AS ({_web_url_canonical_sql()})
-    SELECT url_canonical, count(*) AS n_variants, min(doc_id) AS canonical_doc
-    FROM canon GROUP BY url_canonical HAVING count(*) > 1
-    """,
-)
-def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL dedup groups: raw variants that collapse to one
-    canonical form (the recrawl/utm-family case) — groupBy on the
-    canonical key, min-id canonical member."""
-    canon = web_url_canonical(spark, sf_dir)
-    return (
-        canon.groupBy("url_canonical")
-        .agg(
-            F.count(F.lit(1)).alias("n_variants"),
-            F.min("doc_id").alias("canonical_doc"),
-        )
-        .where(F.col("n_variants") > 1)
-    )
-
-
-
-@register(
-    "text_repetition",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-      FROM documents
-    ),
-    per_doc AS (
-      SELECT doc_id, count(*) AS n_tokens,
-             count(DISTINCT token) AS n_distinct
-      FROM toks GROUP BY doc_id
-    ),
-    grams AS (
-      SELECT doc_id,
-        list_aggregate(list_slice(string_split(text, ' '), i, i + 1),
-                       'string_agg', ' ') AS bigram
-      FROM documents,
-           unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS t(i)
-    ),
-    gcnt AS (
-      SELECT doc_id, bigram, count(*) AS cnt FROM grams GROUP BY doc_id, bigram
-    ),
-    top AS (
-      SELECT doc_id, bigram AS top_bigram, cnt,
-        row_number() OVER (PARTITION BY doc_id
-                           ORDER BY cnt DESC, bigram ASC) AS rn,
-        sum(cnt) OVER (PARTITION BY doc_id) AS total_bigrams
-      FROM gcnt
-    )
-    SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
-      round(1.0 - p.n_distinct / p.n_tokens, 6) AS dup_token_frac,
-      t.top_bigram,
-      round(t.cnt / t.total_bigrams, 6) AS top_bigram_frac
-    FROM per_doc p JOIN top t ON p.doc_id = t.doc_id AND t.rn = 1
-    WHERE p.n_tokens >= 2
-    """,
-)
-def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per document:
-    duplicate-token fraction (1 - distinct/total) and the
-    most-frequent word-bigram's share of all bigrams (ties -> the
-    lexicographically smallest bigram). Two aggregations over the
-    token/bigram streams, both map-side combined; at corpus scale
-    this is the repetition gate that runs next to text_curation."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("token").alias("n_distinct"),
-    )
-    from multiomics_biocypher_kg_spark.operators.dedup import shingles
-
-    grams = shingles(docs, id_col="doc_id", text_col="text", k=2, distinct=False)
-    gcnt = grams.groupBy(F.col("id").alias("doc_id"), F.col("shingle")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("shingle").asc()
-    )
-    wt = Window.partitionBy("doc_id")
-    top = (
-        gcnt.withColumn("rn", F.row_number().over(w))
-        .withColumn("total_bigrams", F.sum("cnt").over(wt))
-        .where(F.col("rn") == 1)
-    )
-    return (
-        per_doc.where(F.col("n_tokens") >= 2)
-        .join(top, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(
-                1.0 - F.col("n_distinct") / F.col("n_tokens"), 6
-            ).alias("dup_token_frac"),
-            F.col("shingle").alias("top_bigram"),
-            F.round(F.col("cnt") / F.col("total_bigrams"), 6).alias(
-                "top_bigram_frac"
-            ),
-        )
-    )
-
-
-@register(
-    "web_latest_snapshot",
-    oracle="""
-    WITH snaps AS (
-      SELECT doc_id, doc_id % 125 AS fam, 1767225600 + doc_id AS ts_epoch,
-        'https://' || CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
-             ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END
-        || '/doc/' || lpad(CAST(doc_id % 125 AS VARCHAR), 6, '0') AS url
-      FROM documents
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY url
-                 ORDER BY ts_epoch DESC, doc_id DESC) AS rn,
-             count(*) OVER (PARTITION BY url) AS n_snapshots
-      FROM snaps
-    )
-    SELECT url, doc_id, CAST(ts_epoch AS BIGINT) AS ts_epoch,
-           CAST(n_snapshots AS BIGINT) AS n_snapshots
-    FROM ranked WHERE rn = 1
-    """,
-)
-def web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recrawl dedup: keep the LATEST snapshot per url (window over
-    url ordered by capture time desc, deterministic tiebreak) — the
-    first stage of any multi-snapshot Common-Crawl corpus before
-    extraction. Synthesized snapshot families (doc_id % 125) give
-    each url ~4 recrawls at sf0.01."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    fam = F.col("doc_id") % 125
-    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
-        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
-    )
-    url = F.concat(
-        F.lit("https://"), host, F.lit("/doc/"),
-        F.lpad(fam.cast("string"), 6, "0"),
-    )
-    snaps = docs.select(
-        "doc_id",
-        url.alias("url"),
-        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
-    )
-    w = Window.partitionBy("url").orderBy(
-        F.col("ts_epoch").desc(), F.col("doc_id").desc()
-    )
-    wc = Window.partitionBy("url")
-    return (
-        snaps.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_snapshots", F.count(F.lit(1)).over(wc).cast("long"))
-        .where(F.col("rn") == 1)
-        .select("url", "doc_id", "ts_epoch", "n_snapshots")
-    )
-
-
-# --------------------------------------------------------------------------
-# Web link graph (operators/linkgraph.py): href edges -> host graph -> PageRank
-# --------------------------------------------------------------------------
-
-from multiomics_biocypher_kg_spark.functions.urls import (  # noqa: E402
-    REST_RE as _REST_RE,
-    canonical_url_sql as _canonical_url_sql,
-)
-from multiomics_biocypher_kg_spark.sources.pages import PARTNER_URL as _PARTNER  # noqa: E402
-
-
-def _host_sql(expr: str) -> str:
-    """SQL twin of functions.urls.url_host (lowercased host, no port)."""
-    return (
-        f"lower(regexp_extract(regexp_extract(regexp_extract(trim({expr}), "
-        f"'{_REST_RE}', 1), '^([^/?#]*)', 1), '^([^:]*)', 1))"
-    )
-
-
-# raw hrefs per page, SQL twin of sources.pages.outlinks_of
-_LINKS_SQL = f"""
-  SELECT doc_id, {URL_SQL} AS src_url,
-         unnest([
-           {url_sql('doc_id - doc_id % 7')} || '?utm_source=nav',
-           {url_sql('doc_id - doc_id % 50')} || '#top',
-           '{_PARTNER}'
-         ]) AS href
-  FROM documents
-"""
-
-# canonicalized + hostified edge list -> host graph
-_HOST_GRAPH_SQL = f"""
-  SELECT {_host_sql('src_url')} AS src_host,
-         {_host_sql('url_canonical')} AS dst_host,
-         count(*) AS n_links,
-         count(DISTINCT src_url) AS n_pages
-  FROM ({_canonical_url_sql(_LINKS_SQL, 'href')})
-  GROUP BY 1, 2
-"""
-
-
-@register(
-    "web_link_graph",
-    oracle=f"SELECT * FROM ({_HOST_GRAPH_SQL})",
-)
-def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperlink extraction -> canonicalization -> host-graph rollup.
-
-    The anchor regexp runs in the scan projection (codegen, zero
-    Python); canonical urls collapse utm/fragment variants before the
-    single (src_host, dst_host) shuffle. The DuckDB oracle mirrors
-    the href synthesis formula AND the full canonicalization chain,
-    so the parse-canonicalize-rollup path is value-gated end to end.
-    """
-    from multiomics_biocypher_kg_spark.operators.linkgraph import (
-        host_graph,
-        href_edges,
-    )
-
-    pages = pages_from_documents(spark, sf_dir)
-    return host_graph(href_edges(pages))
-
-
-def _pagerank_oracle_sql(
-    iters: int,
-    damping: float,
-    edges_sql: str | None = None,
-    out_col: str = "host",
-) -> str:
-    """Unrolled fixed-iteration PageRank as DuckDB CTEs (the
-    _lsh_cands_sql rendering pattern: deterministic loop -> SQL).
-
-    ``edges_sql`` must yield (src, dst, w); defaults to the host
-    link graph. ``out_col`` names the node column of the result.
-    """
-    if edges_sql is None:
-        edges_sql = (
-            f"SELECT src_host AS src, dst_host AS dst, "
-            f"CAST(n_links AS DOUBLE) AS w FROM ({_HOST_GRAPH_SQL})"
-        )
-    d = repr(damping)
-    t = repr(1.0 - damping)
-    # every CTE is AS MATERIALIZED: the iteration chain references
-    # it_{k-1} three times (dangling mass, contributions, carry), so
-    # un-materialized CTE inlining re-evaluates the edge pipeline
-    # O(3^iters) times — fatal when edges_sql is the full mention
-    # cascade (kg_entity_pagerank hung before this).
-    parts = [
-        f"hg AS MATERIALIZED ({edges_sql})",
-        "outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM hg GROUP BY 1)",
-        (
-            "norm AS MATERIALIZED (SELECT hg.src, hg.dst, "
-            "CAST(hg.w AS DOUBLE) / outw.out_w AS p "
-            "FROM hg JOIN outw ON hg.src = outw.src)"
-        ),
-        (
-            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
-            "(SELECT src AS node FROM hg UNION ALL SELECT dst FROM hg))"
-        ),
-        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "hasout AS MATERIALIZED (SELECT DISTINCT src FROM hg)",
-        "it0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
-    ]
-    for k in range(1, iters + 1):
-        p = f"it{k - 1}"
-        parts.append(
-            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dang "
-            f"FROM {p} r LEFT JOIN hasout o ON r.node = o.src WHERE o.src IS NULL)"
-        )
-        parts.append(
-            f"con{k} AS MATERIALIZED (SELECT e.dst AS node, sum(e.p * r.rank) AS contrib "
-            f"FROM norm e JOIN {p} r ON e.src = r.node GROUP BY e.dst)"
-        )
-        parts.append(
-            f"it{k} AS MATERIALIZED (SELECT n.node, {t} / nn.n + {d} * "
-            f"(coalesce(c.contrib, 0.0) + dang{k}.dang / nn.n) AS rank "
-            f"FROM nodes n CROSS JOIN nn CROSS JOIN dang{k} "
-            f"LEFT JOIN con{k} c ON n.node = c.node)"
-        )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT node AS {out_col}, round(rank, 6) AS pagerank FROM it{iters}"
-    )
-
-
-# --------------------------------------------------------------------------
-# Incremental crawl delta: co-mention edges, old batch vs new batch
-# --------------------------------------------------------------------------
-
-
-@register(
-    "kg_comention_delta",
-    oracle=f"""
-    WITH links AS ({LINKS_SQL}),
-    ents AS (
-      SELECT DISTINCT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
-    ),
-    pairs AS (
-      SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
-      FROM ents a JOIN ents b
-        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
-    ),
-    batched AS (
-      SELECT subj, obj,
-        sum(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END) AS n_docs_old,
-        sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS n_docs_new
-      FROM pairs GROUP BY subj, obj
-    )
-    SELECT subj, 'co_mentioned_with' AS pred, obj,
-      CAST(n_docs_old AS BIGINT) AS n_docs_old,
-      CAST(n_docs_new AS BIGINT) AS n_docs_new,
-      CASE WHEN n_docs_old = 0 THEN 'insert'
-           WHEN n_docs_new > 0 THEN 'update'
-           ELSE 'unchanged' END AS merge_op
-    FROM batched
-    """,
-)
-def kg_comention_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental KG construction: entity co-mention edges with the
-    MERGE action a new crawl batch implies per edge.
-
-    The corpus is split into a prior crawl (doc_id % 4 != 3) and a
-    new batch; the pipeline runs ONCE over the union with a batch
-    tag, so the delta costs one pass — the incremental shape, not
-    old-run + new-run + diff. Per-doc entity sets come from one
-    groupBy (collect_set), pairs explode narrowly from the sorted
-    array (no per-doc self-join shuffle), and the final per-edge
-    aggregation is the second and last shuffle. ``merge_op`` is the
-    WHEN [NOT] MATCHED branch operators.materialize.merge_into would
-    take per row (insert / update = accrete evidence counts /
-    unchanged). At 100 TB hot entities skew the pair key — same
-    salting recipe as kg_host_rollup_salted applies to the final agg.
-    """
-    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
-
-    p = _pipeline(spark, sf_dir)
-    pairs = comention_pairs(p["links"])
-    is_new = (F.col("doc_id") % 4 == 3).cast("long")
-    return (
-        pairs.groupBy("subj", "obj")
-        .agg(
-            F.sum(1 - is_new).alias("n_docs_old"),
-            F.sum(is_new).alias("n_docs_new"),
-        )
-        .select(
-            "subj",
-            F.lit("co_mentioned_with").alias("pred"),
-            "obj",
-            "n_docs_old",
-            "n_docs_new",
-            F.when(F.col("n_docs_old") == 0, "insert")
-            .when(F.col("n_docs_new") > 0, "update")
-            .otherwise("unchanged")
-            .alias("merge_op"),
-        )
-    )
-
-
-_PR_ITERS = 5
-_PR_DAMPING = 0.85
-
-
-@register("web_pagerank", oracle=_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING))
-def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level PageRank over the extracted link graph — fixed
-    5-iteration weighted PageRank with dangling-mass redistribution
-    (operators.linkgraph.pagerank). Deterministic, so the DuckDB
-    oracle unrolls the identical iterations as CTEs and the float
-    result is value-hash-gated after round(6)."""
-    from multiomics_biocypher_kg_spark.operators.linkgraph import (
-        host_graph,
-        href_edges,
-        pagerank,
-    )
-
-    pages = pages_from_documents(spark, sf_dir)
-    hg = host_graph(href_edges(pages)).select(
-        F.col("src_host").alias("src"),
-        F.col("dst_host").alias("dst"),
-        F.col("n_links").cast("double").alias("weight"),
-    )
-    ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING)
-    return ranks.select(
-        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
-    )
-
-
-# raw (href, anchor) pairs per page, SQL twin of
-# sources.pages.outlinks_of + anchor_texts_of
-_ANCHORS_SQL = f"""
-  SELECT doc_id, {URL_SQL} AS src_url,
-         {url_sql('doc_id - doc_id % 7')} || '?utm_source=nav' AS href,
-         'hub ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
-  FROM documents
-  UNION ALL
-  SELECT doc_id, {URL_SQL},
-         {url_sql('doc_id - doc_id % 50')} || '#top',
-         'section ' || CAST(doc_id % 5 AS VARCHAR)
-  FROM documents
-  UNION ALL
-  SELECT doc_id, {URL_SQL}, '{_PARTNER}',
-         'partner ' || CAST(doc_id % 2 AS VARCHAR)
-  FROM documents
-"""
-
-
-@register(
-    "web_anchor_text",
-    oracle=f"""
-    WITH pairs AS ({_canonical_url_sql(_ANCHORS_SQL, 'href')}),
-    pt AS (
-      SELECT url_canonical AS dst_url, anchor, count(*) AS n
-      FROM pairs GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT *,
-        row_number() OVER (PARTITION BY dst_url ORDER BY n DESC, anchor ASC) AS rn,
-        sum(n) OVER (PARTITION BY dst_url) AS n_links,
-        count(*) OVER (PARTITION BY dst_url) AS n_texts
-      FROM pt
-    )
-    SELECT dst_url, CAST(n_links AS BIGINT) AS n_links, n_texts,
-           anchor AS top_anchor, n AS top_anchor_links
-    FROM ranked WHERE rn = 1
-    """,
-)
-def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anchor-text surface-form mining: how the web NAMES each link
-    target (operators.linkgraph.anchor_pairs + anchor_text_profile).
-    Both anchor capture groups are pulled natively from the html in
-    the scan projection and re-paired with arrays_zip; dst urls are
-    canonicalized before the rollup so variant families share one
-    profile. The deterministic mode (count DESC, anchor ASC) is
-    mirrored in the oracle window."""
-    from multiomics_biocypher_kg_spark.operators.linkgraph import (
-        anchor_pairs,
-        anchor_text_profile,
-    )
-
-    pages = pages_from_documents(spark, sf_dir)
-    return anchor_text_profile(anchor_pairs(pages))
-
-
-# --------------------------------------------------------------------------
-# KG graph statistics (operators.graphstats): the curation-side
-# diagnostics a web-scale KG build runs over its own edge tables.
-# --------------------------------------------------------------------------
-
-# unordered per-doc co-mention pairs (subj < obj), one row per (doc, pair)
-COMENTION_PAIRS_SQL = f"""
-  WITH links AS ({LINKS_SQL}),
-  ents AS (
-    SELECT DISTINCT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
-  )
-  SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
-  FROM ents a JOIN ents b
-    ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
-"""
-
-
-@register(
-    "kg_triple_temporal",
-    oracle=f"""
-    SELECT subj, 'co_mentioned_with' AS pred, obj,
-      CAST(min(1767225600 + doc_id) AS BIGINT) AS first_seen_ts,
-      CAST(max(1767225600 + doc_id) AS BIGINT) AS last_seen_ts,
-      count(DISTINCT doc_id) AS n_snapshots
-    FROM ({COMENTION_PAIRS_SQL}) pairs
-    GROUP BY subj, obj
-    """,
-)
-def kg_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal KG: per-triple validity interval (first_seen /
-    last_seen crawl timestamp + snapshot support count) across crawl
-    snapshots. The Spark side joins pairs back to the pages table's
-    ``warc_ts`` (the honest shape — timestamps live on the corpus,
-    not the formula); the oracle exploits the deterministic synthetic
-    ``warc_ts = epoch0 + doc_id``. Same two-shuffle plan as the
-    co-mention count: min/max partials combine map-side.
-    """
-    from multiomics_biocypher_kg_spark.operators.graphstats import (
-        comention_pairs,
-        temporal_edges,
-    )
-
-    p = _pipeline(spark, sf_dir)
-    return temporal_edges(comention_pairs(p["links"]), p["pages"])
-
-
-@register(
-    "kg_pmi_edges",
-    oracle=f"""
-    WITH pairs AS ({COMENTION_PAIRS_SQL}),
-    de AS (
-      SELECT doc_id, subj AS entity_id FROM pairs
-      UNION ALL
-      SELECT doc_id, obj FROM pairs
-    ),
-    marg AS (
-      SELECT entity_id, count(DISTINCT doc_id) AS n_docs_ent
-      FROM de GROUP BY entity_id
-    ),
-    tot AS (SELECT count(DISTINCT doc_id) AS n FROM pairs),
-    pc AS (
-      SELECT subj, obj, count(DISTINCT doc_id) AS n_docs_pair
-      FROM pairs GROUP BY subj, obj
-    ),
-    raw AS (
-      SELECT pc.subj, pc.obj, pc.n_docs_pair,
-        ms.n_docs_ent AS n_docs_subj, mo.n_docs_ent AS n_docs_obj,
-        ln(pc.n_docs_pair * tot.n / (ms.n_docs_ent * mo.n_docs_ent)) AS pmi_raw,
-        ln(tot.n / pc.n_docs_pair) AS denom
-      FROM pc
-      JOIN marg ms ON pc.subj = ms.entity_id
-      JOIN marg mo ON pc.obj = mo.entity_id
-      CROSS JOIN tot
-    )
-    SELECT subj, obj, n_docs_pair, n_docs_subj, n_docs_obj,
-      round(pmi_raw, 6) AS pmi,
-      round(CASE WHEN denom = 0 THEN 1.0 ELSE pmi_raw / denom END, 6) AS npmi
-    FROM raw
-    """,
-)
-def kg_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PMI / NPMI weighting of co-mention edges — admission scoring
-    that separates systematic association from hub-entity
-    coincidence (operators.graphstats.pmi_edges). Corpus totals stay
-    a broadcast 1-row aggregate; marginals join back by entity id."""
-    from multiomics_biocypher_kg_spark.operators.graphstats import (
-        comention_pairs,
-        pmi_edges,
-    )
-
-    p = _pipeline(spark, sf_dir)
-    return pmi_edges(comention_pairs(p["links"]))
-
-
-@register(
-    "kg_triangles",
-    oracle=f"""
-    WITH pairs AS ({COMENTION_PAIRS_SQL}),
-    e AS (SELECT DISTINCT subj AS a, obj AS b FROM pairs),
-    tri AS (
-      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
-      FROM e e1
-      JOIN e e2 ON e1.b = e2.a
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
-    tri_nodes AS (
-      SELECT n1 AS entity_id FROM tri
-      UNION ALL SELECT n2 FROM tri
-      UNION ALL SELECT n3 FROM tri
-    ),
-    pn AS (SELECT entity_id, count(*) AS n_triangles FROM tri_nodes GROUP BY entity_id),
-    nodes AS (SELECT a AS entity_id FROM e UNION SELECT b FROM e)
-    SELECT nodes.entity_id,
-      CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
-    FROM nodes LEFT JOIN pn ON nodes.entity_id = pn.entity_id
-    """,
-)
-def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-entity triangle participation over the co-mention graph —
-    the clustering-structure diagnostic. The Spark plan is
-    DEGREE-ORIENTED (wedges enumerate at the lowest-(degree,id)
-    apex, bounding hub fan-out); the oracle verifies with a plain
-    id-ordered 3-way join — valid because the triangle SET is
-    orientation-independent."""
-    from multiomics_biocypher_kg_spark.operators.graphstats import (
-        comention_pairs,
-        triangle_counts,
-    )
-
-    p = _pipeline(spark, sf_dir)
-    edges = comention_pairs(p["links"]).select(
-        F.col("subj").alias("a"), F.col("obj").alias("b")
-    )
-    return triangle_counts(edges).select(
-        "entity_id", F.col("n_triangles").cast("long").alias("n_triangles")
-    )
-
-
-@register(
-    "kg_predicate_stats",
-    oracle=f"""
-    SELECT pred, count(*) AS n_triples,
-      count(DISTINCT subj) AS n_subjects,
-      count(DISTINCT obj) AS n_objects,
-      round(count(DISTINCT subj) / count(*), 6) AS functionality,
-      round(count(DISTINCT obj) / count(*), 6) AS inverse_functionality
-    FROM ({TRIPLES_SQL}) GROUP BY pred
-    """,
-)
-def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-predicate functionality profile over the materialized
-    triple table (operators.graphstats.predicate_profile) — the
-    schema-inference diagnostic KG curation uses to type predicates.
-    One groupBy over the triple table."""
-    from multiomics_biocypher_kg_spark.operators.graphstats import predicate_profile
-
-    trip = kg_triples(spark, sf_dir)
-    return predicate_profile(trip.select("subj", "pred", "obj"))
-
-
-# unrounded composite quality-score formula (SQL twin of
-# functions.textstats.quality_score; text_stats rounds it per-doc,
-# web_domain_profile averages it per-host before rounding)
-def quality_score_sql(text: str) -> str:
-    toks = f"len(string_split({text}, ' '))"
-    stop = (
-        f"CAST(len(list_filter(string_split({text}, ' '), "
-        f"t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / {toks}"
-    )
-    return (
-        f"((CASE WHEN {toks} >= 20 THEN 1.0 ELSE {toks} / 20.0 END)"
-        f" + (CASE WHEN length({text})::DOUBLE / {toks} BETWEEN 3 AND 10"
-        f" THEN 1.0 ELSE 0.0 END)"
-        f" + ({stop}) * 5)"
-    )
-
-
-@register(
-    "web_domain_profile",
-    oracle=f"""
-    SELECT
-      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
-           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
-      count(*) AS n_pages,
-      count(DISTINCT lang) AS n_langs,
-      string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
-      CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
-      round(avg({quality_score_sql('text')}), 6) AS avg_quality,
-      round(avg(length(text)), 6) AS avg_chars
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host corpus quality profile — the domain-level curation
-    table CCNet/RefinedWeb-style pipelines compute before sampling:
-    page counts, language spread, broken-markup rate (probed from
-    the html bytes, not metadata), mean quality score and length.
-    One groupBy keyed by host; the hot host exercises the same skew
-    path as kg_host_rollup_salted. The oracle derives host/broken
-    from the deterministic synthetic formulas; the Spark side probes
-    the url and html columns honestly."""
-    from multiomics_biocypher_kg_spark.functions.urls import url_host
-
-    pages = pages_from_documents(spark, sf_dir)
-    return (
-        pages.select(
-            url_host(F.col("url")).alias("host"),
-            "lang",
-            "text",
-            F.col("html").cast("string").alias("html_s"),
-        )
-        .groupBy("host")
-        .agg(
-            F.count("*").alias("n_pages"),
-            F.countDistinct("lang").alias("n_langs"),
-            F.array_join(F.array_sort(F.collect_set("lang")), "|").alias("langs"),
-            F.sum(
-                F.col("html_s").endswith("<span class='unclosed").cast("long")
-            ).alias("n_broken"),
-            F.round(F.avg(ts.quality_score(F.col("text"))), 6).alias("avg_quality"),
-            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
-        )
-    )
-
-
-@register(
-    "dedup_containment",
-    oracle=f"""
-    WITH sh AS ({SHINGLES_SQL}),
-    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-    inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-      GROUP BY a.id, b.id
-    )
-    SELECT * FROM (
-      SELECT i.id_a, i.id_b,
-        round(CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
-        CASE WHEN sa.sz <= sb.sz THEN i.id_a ELSE i.id_b END AS contained_id
-      FROM inter i
-      JOIN sizes sa ON i.id_a = sa.id
-      JOIN sizes sb ON i.id_b = sb.id
-    ) WHERE containment >= 0.6
-    """,
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quote / near-subset detection: asymmetric shingle containment
-    >= 0.6 (operators.dedup.containment_pairs). Catches the
-    small-doc-quoted-inside-big-doc pairs whose Jaccard is too low
-    for the dedup passes — the signal a curation pipeline uses to
-    trace quotation/syndication chains."""
-    corpus = _dedup_corpus(spark, sf_dir)
-    return dd.containment_pairs(dd.shingles(corpus), threshold=0.6)
-
-
-@register(
-    "kg_disambiguate",
-    oracle=f"""
-    WITH links AS ({LINKS_SQL}),
-    vocab AS (SELECT * FROM {VOCAB_SQL}),
-    amb AS (
-      SELECT doc_id, pos, token,
-        regexp_replace(regexp_replace(token, '[*+]+$', ''), '\\.\\d+$', '') AS norm_token
-      FROM links WHERE resolution_method = 'ambiguous'
-    ),
-    t2 AS (
-      SELECT DISTINCT surface, entity_id FROM vocab
-      WHERE tier = 2 AND surface NOT LIKE '% %'
-    ),
-    cands AS (
-      SELECT DISTINCT a.doc_id, a.pos, a.token, t.entity_id
-      FROM amb a JOIN t2 t ON a.token = t.surface OR a.norm_token = t.surface
-    ),
-    resolved AS (
-      SELECT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
-    ),
-    prior AS (SELECT entity_id, count(*) AS prior_score FROM resolved GROUP BY entity_id),
-    doc_ents AS (SELECT DISTINCT doc_id, entity_id AS ctx_entity FROM resolved),
-    ents AS (SELECT DISTINCT doc_id, entity_id FROM resolved),
-    pairs AS (
-      SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
-      FROM ents a JOIN ents b
-        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
-    ),
-    co AS (
-      SELECT subj AS lo, obj AS hi, count(DISTINCT doc_id) AS co_docs
-      FROM pairs GROUP BY subj, obj
-    ),
-    ctx AS (
-      SELECT c.doc_id, c.pos, c.token, c.entity_id,
-             sum(coalesce(co.co_docs, 0)) AS context_score
-      FROM cands c
-      JOIN doc_ents d ON c.doc_id = d.doc_id AND c.entity_id <> d.ctx_entity
-      LEFT JOIN co ON least(c.entity_id, d.ctx_entity) = co.lo
-                  AND greatest(c.entity_id, d.ctx_entity) = co.hi
-      GROUP BY 1, 2, 3, 4
-    ),
-    scored AS (
-      SELECT c.doc_id, c.pos, c.token, c.entity_id,
-        CAST(coalesce(x.context_score, 0) AS BIGINT) AS context_score,
-        CAST(coalesce(p.prior_score, 0) AS BIGINT) AS prior_score
-      FROM cands c
-      LEFT JOIN ctx x
-        ON c.doc_id = x.doc_id AND c.pos = x.pos AND c.entity_id = x.entity_id
-      LEFT JOIN prior p ON c.entity_id = p.entity_id
-    ),
-    ranked AS (
-      SELECT *,
-        row_number() OVER (
-          PARTITION BY doc_id, pos
-          ORDER BY context_score DESC, prior_score DESC, entity_id ASC
-        ) AS rn,
-        count(*) OVER (PARTITION BY doc_id, pos) AS n_candidates
-      FROM scored
-    )
-    SELECT doc_id, pos, token, entity_id, context_score, prior_score, n_candidates
-    FROM ranked WHERE rn = 1
-    """,
-)
-def kg_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate entity-link scoring (operators.disambiguate): the
-    'ambiguous' mentions the tier cascade could not resolve get a
-    context score (co-mention document counts with the page's
-    resolved entities) and a popularity prior, then a deterministic
-    argmax picks the sense. Conflict mentions stay quarantined, as
-    in the reference. All scoring joins run on aggregate tables, not
-    raw pages."""
-    from multiomics_biocypher_kg_spark.operators.disambiguate import disambiguate
-    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
-
-    p = _pipeline(spark, sf_dir)
-    return disambiguate(p["links"], vocab_df(spark), comention_pairs(p["links"]))
-
-
-@register(
-    "text_tfidf",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        tf.tf * ln(n.n_docs / df.df) AS tfidf_raw
-      FROM tf JOIN df USING (term) CROSS JOIN n
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC
-      ) AS rn
-      FROM scored
-    )
-    SELECT doc_id, term, tf, df, round(tfidf_raw, 6) AS tfidf
-    FROM ranked WHERE rn <= 3
-    """,
-)
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document — the classic salient-term
-    signal for doc fingerprints and context features. Two shuffles
-    (tf, df) + one window; the corpus size stays a broadcast 1-row
-    aggregate. Ties order by the UNROUNDED score then term on both
-    sides, so rounding can't reorder the top-k."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.lower("tok").alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.select(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "df", F.round("tfidf_raw", 6).alias("tfidf"))
-    )
-
-
-@register(
-    "kg_entity_aliases",
-    oracle=f"""
-    WITH vocab AS (SELECT * FROM {VOCAB_SQL}),
-    links AS ({LINKS_SQL}),
-    al AS (
-      SELECT entity_id,
-        string_agg(DISTINCT surface, '|' ORDER BY surface) AS aliases,
-        count(DISTINCT surface) AS n_aliases
-      FROM vocab GROUP BY entity_id
-    ),
-    obs AS (
-      SELECT entity_id,
-        string_agg(DISTINCT token, '|' ORDER BY token) AS observed_tokens,
-        count(*) AS n_mentions
-      FROM links WHERE entity_id IS NOT NULL GROUP BY entity_id
-    )
-    SELECT al.entity_id,
-      string_split(al.entity_id, ':')[1] AS vocab_group,
-      al.aliases, CAST(al.n_aliases AS BIGINT) AS n_aliases,
-      coalesce(obs.observed_tokens, '') AS observed_tokens,
-      CAST(coalesce(obs.n_mentions, 0) AS BIGINT) AS n_mentions
-    FROM al LEFT JOIN obs ON al.entity_id = obs.entity_id
-    """,
-)
-def kg_entity_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The entity alias table — a first-class KG product: per
-    canonical entity, every gazetteer surface form plus the token
-    forms actually OBSERVED resolving to it in the corpus, with
-    mention counts (zero-mention entities kept: the dictionary is
-    the driver). Two aggregations joined on entity id; the vocab
-    side is dictionary-sized, the observed side map-side combines."""
-    p = _pipeline(spark, sf_dir)
-    vocab = vocab_df(spark)
-    al = vocab.groupBy("entity_id").agg(
-        F.array_join(F.array_sort(F.collect_set("surface")), "|").alias("aliases"),
-        F.countDistinct("surface").alias("n_aliases"),
-    )
-    obs = (
-        p["links"]
-        .where(F.col("entity_id").isNotNull())
-        .groupBy("entity_id")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("token")), "|").alias(
-                "observed_tokens"
-            ),
-            F.count(F.lit(1)).alias("n_mentions"),
-        )
-    )
-    return al.join(obs, "entity_id", "left").select(
-        "entity_id",
-        F.split("entity_id", ":")[0].alias("vocab_group"),
-        "aliases",
-        "n_aliases",
-        F.coalesce("observed_tokens", F.lit("")).alias("observed_tokens"),
-        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
-    )
-
-
-@register(
-    "web_cocitation",
-    oracle=f"""
-    WITH hg AS ({_HOST_GRAPH_SQL}),
-    e AS (SELECT DISTINCT src_host, dst_host FROM hg),
-    pairs AS (
-      SELECT a.src_host AS host_a, b.src_host AS host_b, a.dst_host
-      FROM e a JOIN e b
-        ON a.dst_host = b.dst_host AND a.src_host < b.src_host
-    )
-    SELECT host_a, host_b, count(*) AS n_shared_targets
-    FROM pairs GROUP BY host_a, host_b
-    """,
-)
-def web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host co-citation: pairs of hosts that link to the same target
-    — the related-domain similarity signal. Pairs are generated with
-    the SAME sorted-set explode as co-mentions (group by target,
-    collect sorted source set, explode pairs) so a high-fan-in
-    target never drives a self-join blowup; one final pair-keyed
-    aggregation."""
-    from multiomics_biocypher_kg_spark.operators.linkgraph import (
-        host_graph,
-        href_edges,
-    )
-
-    pages = pages_from_documents(spark, sf_dir)
-    e = host_graph(href_edges(pages)).select("src_host", "dst_host").distinct()
-    srcs = e.groupBy("dst_host").agg(
-        F.array_sort(F.collect_set("src_host")).alias("srcs")
-    )
-    pairs = srcs.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("srcs"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
-                        lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.host_a", "p.host_b")
-    return pairs.groupBy("host_a", "host_b").agg(
-        F.count(F.lit(1)).alias("n_shared_targets")
-    )
-
-
-@register(
-    "web_host_lang_cube",
-    oracle="""
-    SELECT
-      CASE WHEN GROUPING(host) = 1 THEN NULL ELSE host END AS host,
-      CASE WHEN GROUPING(lang) = 1 THEN NULL ELSE lang END AS lang,
-      CAST(GROUPING(host) * 2 + GROUPING(lang) AS BIGINT) AS gid,
-      count(*) AS n_pages
-    FROM (
-      SELECT lang,
-        CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
-             ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host
-      FROM documents
-    ) GROUP BY CUBE (host, lang)
-    """,
-)
-def web_host_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OLAP CUBE over (host, lang): every subtotal combination plus
-    the grand total in ONE pass (Spark expands the grouping sets
-    map-side; one shuffle, no per-subtotal re-scan). ``gid`` is the
-    grouping_id disambiguating real NULLs from subtotal rows."""
-    from multiomics_biocypher_kg_spark.functions.urls import url_host
-
-    pages = pages_from_documents(spark, sf_dir)
-    return (
-        pages.select(url_host(F.col("url")).alias("host"), "lang")
-        .cube("host", "lang")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n_pages"),
-        )
-        .select("host", "lang", "gid", "n_pages")
-    )
-
-
-_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
-
-
-@register(
-    "web_lang_pivot",
-    oracle=f"""
-    SELECT
-      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
-           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
-      {", ".join(f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}" for lg in _PIVOT_LANGS)}
-    FROM documents GROUP BY 1
-    """,
-)
-def web_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: per-host language distribution as wide columns. The
-    pivot value list is EXPLICIT (no discovery pass over the corpus
-    — the two-job pivot trap at scale); missing cells coalesce to 0.
-    The oracle mirrors with conditional aggregation, which is also
-    the physical shape Spark compiles an explicit-values pivot to."""
-    from multiomics_biocypher_kg_spark.functions.urls import url_host
-
-    pages = pages_from_documents(spark, sf_dir)
-    wide = (
-        pages.select(url_host(F.col("url")).alias("host"), "lang")
-        .groupBy("host")
-        .pivot("lang", _PIVOT_LANGS)
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.select(
-        "host",
-        *[
-            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
-            for lg in _PIVOT_LANGS
-        ],
-    )
-
-
-_SNAPS_SQL = """
-  SELECT doc_id, doc_id % 125 AS fam, 1767225600 + doc_id AS ts_epoch,
-    'https://' || CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
-         ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END
-    || '/doc/' || lpad(CAST(doc_id % 125 AS VARCHAR), 6, '0') AS url,
-    CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
-         ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END AS host
-  FROM documents
-"""
-
-
-@register(
-    "web_crawl_schedule",
-    oracle=f"""
-    WITH pr AS ({_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)}),
-    snaps AS ({_SNAPS_SQL}),
-    per_url AS (
-      SELECT url, host, count(*) AS n_snapshots, max(ts_epoch) AS last_ts
-      FROM snaps GROUP BY 1, 2
-    ),
-    tot AS (SELECT max(ts_epoch) AS now_ts FROM snaps)
-    SELECT p.url, p.host, CAST(p.n_snapshots AS BIGINT) AS n_snapshots,
-      CAST(p.last_ts AS BIGINT) AS last_ts,
-      CAST(tot.now_ts - p.last_ts AS BIGINT) AS staleness_sec,
-      coalesce(pr.pagerank, 0.0) AS host_rank,
-      round(coalesce(pr.pagerank, 0.0) * (tot.now_ts - p.last_ts) / 86400.0, 6)
-        AS priority
-    FROM per_url p CROSS JOIN tot LEFT JOIN pr ON p.host = pr.host
-    """,
-)
-def web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recrawl frontier prioritization: per-url staleness (from the
-    multi-snapshot history) weighted by host authority (the link-
-    graph PageRank) — how a crawl scheduler ranks what to fetch
-    next. One per-url aggregation + a broadcast join against the
-    (tiny) host-rank table + a broadcast 1-row corpus max; no
-    .collect() anywhere. The oracle composes the unrolled PageRank
-    CTEs with the snapshot formulas, so the whole composition is
-    value-gated."""
-    from multiomics_biocypher_kg_spark.operators.linkgraph import (
-        host_graph,
-        href_edges,
-        pagerank,
-    )
-
-    pages = pages_from_documents(spark, sf_dir)
-    hg = host_graph(href_edges(pages)).select(
-        F.col("src_host").alias("src"),
-        F.col("dst_host").alias("dst"),
-        F.col("n_links").cast("double").alias("weight"),
-    )
-    ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING).select(
-        F.col("node").alias("host"), F.round("rank", 6).alias("host_rank")
-    )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    fam = F.col("doc_id") % 125
-    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
-        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
-    )
-    snaps = docs.select(
-        F.concat(
-            F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
-        ).alias("url"),
-        host.alias("host"),
-        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
-    )
-    per_url = snaps.groupBy("url", "host").agg(
-        F.count(F.lit(1)).alias("n_snapshots"), F.max("ts_epoch").alias("last_ts")
-    )
-    now = snaps.select(F.max("ts_epoch").alias("now_ts"))
-    return (
-        per_url.crossJoin(F.broadcast(now))
-        .join(F.broadcast(ranks), "host", "left")
-        .select(
-            "url",
-            "host",
-            "n_snapshots",
-            "last_ts",
-            (F.col("now_ts") - F.col("last_ts")).alias("staleness_sec"),
-            F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
-            F.round(
-                F.coalesce("host_rank", F.lit(0.0))
-                * (F.col("now_ts") - F.col("last_ts"))
-                / 86400.0,
-                6,
-            ).alias("priority"),
-        )
-    )
-
-
-_N_SHARDS = 16
-_SHARD_QUALITY_MIN = 2.0
-
-
-@register(
-    "curation_shards",
-    oracle=f"""
-    SELECT {md5_long_sql('doc_id')} % {_N_SHARDS} AS shard_id,
-      count(*) AS n_docs,
-      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-      CAST(sum(length(text)) AS BIGINT) AS n_chars
-    FROM documents
-    WHERE {quality_score_sql('text')} >= {_SHARD_QUALITY_MIN}
-    GROUP BY 1
-    """,
-)
-def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data export planning: quality-gate the corpus, assign
-    each surviving doc to a shard by content-id hash (the
-    DISTRIBUTED sharding shape — greedy bin-packing by cumulative
-    token count needs a global ordered window, which is a
-    single-task plan at corpus scale and is exactly what this
-    avoids), and roll up per-shard doc/token/char budgets. One
-    filter + one hash-keyed aggregation; balance emerges from the
-    hash, and the rollup is the balance check."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    gated = docs.where(ts.quality_score(F.col("text")) >= _SHARD_QUALITY_MIN)
-    return (
-        gated.select(
-            F.pmod(md5_long(F.col("doc_id")), F.lit(_N_SHARDS)).alias("shard_id"),
-            ts.token_count(F.col("text")).alias("toks"),
-            F.length("text").alias("chars"),
-        )
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("toks").cast("long").alias("n_tokens"),
-            F.sum("chars").cast("long").alias("n_chars"),
-        )
-    )
-
-
-_COMENTION_EDGES_SQL = f"""
-  SELECT subj AS src, obj AS dst, CAST(n AS DOUBLE) AS w FROM (
-    SELECT subj, obj, count(DISTINCT doc_id) AS n
-    FROM ({COMENTION_PAIRS_SQL}) GROUP BY subj, obj
-  )
-  UNION ALL
-  SELECT obj AS src, subj AS dst, CAST(n AS DOUBLE) AS w FROM (
-    SELECT subj, obj, count(DISTINCT doc_id) AS n
-    FROM ({COMENTION_PAIRS_SQL}) GROUP BY subj, obj
-  )
-"""
-
-
-@register(
-    "kg_entity_pagerank",
-    oracle=_pagerank_oracle_sql(
-        _PR_ITERS,
-        _PR_DAMPING,
-        edges_sql=_COMENTION_EDGES_SQL,
-        out_col="entity_id",
-    ),
-)
-def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity salience: PageRank over the SYMMETRIZED co-mention
-    graph (edge weight = co-mention doc count) — the importance
-    score a KG serves next to each node. Reuses the link-graph
-    PageRank operator (one shuffle join + one aggregation per
-    iteration, corpus scalars as broadcast 1-row aggregates); the
-    oracle reuses the unrolled-CTE renderer over the co-mention
-    edge list."""
-    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
-    from multiomics_biocypher_kg_spark.operators.linkgraph import pagerank
-
-    p = _pipeline(spark, sf_dir)
-    counts = (
-        comention_pairs(p["links"])
-        .groupBy("subj", "obj")
-        .agg(F.countDistinct("doc_id").alias("n"))
-    )
-    edges = counts.select(
-        F.col("subj").alias("src"),
-        F.col("obj").alias("dst"),
-        F.col("n").cast("double").alias("weight"),
-    ).unionByName(
-        counts.select(
-            F.col("obj").alias("src"),
-            F.col("subj").alias("dst"),
-            F.col("n").cast("double").alias("weight"),
-        )
-    )
-    return pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING).select(
-        F.col("node").alias("entity_id"), F.round("rank", 6).alias("pagerank")
-    )
-
-
-@register(
-    "kg_mention_contexts",
-    oracle=f"""
-    WITH links AS ({LINKS_SQL}),
-    arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
-    SELECT l.doc_id, l.pos, l.entity_id,
-      array_to_string(a.arr[greatest(l.pos - 1, 1) : l.pos + 3], ' ') AS context
-    FROM links l JOIN arrs a ON l.doc_id = a.doc_id
-    WHERE l.entity_id IS NOT NULL
-    """,
-)
-def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KG provenance: a ±2-token evidence snippet for every resolved
-    mention — what a triple links back to when a curator asks "why
-    is this edge here". One co-partitioned join (links x token
-    arrays, both keyed by doc_id); the slice is a per-row array op,
-    no re-tokenization pass. At 100 TB the context column is written
-    next to the mention table, partitioned the same way."""
-    p = _pipeline(spark, sf_dir)
-    arrs = p["docs"].select(
-        "doc_id", F.split("text", " ").alias("arr")
-    )
-    l = p["links"].where(F.col("entity_id").isNotNull()).select(
-        "doc_id", "pos", "entity_id"
-    )
-    start = F.greatest(F.col("pos") - 1, F.lit(1))
-    length = F.col("pos") + 3 - start + 1
-    return l.join(arrs, "doc_id").select(
-        "doc_id",
-        "pos",
-        "entity_id",
-        F.array_join(F.slice(F.col("arr"), start, length), " ").alias("context"),
-    )
-
-
-_NEG_K = 2
-# fixed bucket count for the dense entity index (must match the
-# oracle's bucketing exactly — NOT a parallelism-derived value)
-_NEG_BUCKETS = 64
-
-
-@register(
-    "kg_negative_samples",
-    oracle=f"""
-    WITH pairs AS ({COMENTION_PAIRS_SQL}),
-    edges AS (SELECT DISTINCT subj, obj FROM pairs),
-    bucketed AS (
-      SELECT entity_id, {md5_long_sql('entity_id')} % {_NEG_BUCKETS} AS b
-      FROM (SELECT DISTINCT subj AS entity_id FROM edges
-            UNION SELECT obj FROM edges)
-    ),
-    lranks AS (
-      SELECT entity_id, b,
-        row_number() OVER (PARTITION BY b ORDER BY entity_id) AS lrank
-      FROM bucketed
-    ),
-    offs AS (
-      SELECT b, coalesce(sum(cnt) OVER (ORDER BY b
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b)
-    ),
-    ents AS (
-      SELECT l.entity_id, o.off + l.lrank - 1 AS idx
-      FROM lranks l JOIN offs o ON l.b = o.b
-    ),
-    n AS (SELECT count(*) AS n FROM ents),
-    ks AS (SELECT unnest(generate_series(1, {_NEG_K})) AS k),
-    cand AS (
-      SELECT e.subj, e.obj, ks.k,
-        {md5_long_sql("e.subj || '|' || e.obj || '#' || CAST(ks.k AS VARCHAR)")} % n.n AS neg_idx
-      FROM edges e CROSS JOIN ks CROSS JOIN n
-    )
-    SELECT c.subj, 'co_mentioned_with' AS pred, c.obj, CAST(c.k AS INTEGER) AS k,
-           x.entity_id AS obj_neg
-    FROM cand c JOIN ents x ON c.neg_idx = x.idx
-    WHERE x.entity_id <> c.obj AND x.entity_id <> c.subj
-    """,
-)
-def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic negative sampling for KG-embedding training:
-    per positive edge, K corrupted-object candidates drawn by
-    hashing the edge key into a dense entity index (collisions with
-    the true pair are filtered — 'filtered negatives'). The dense
-    index is built DISTRIBUTED: rank within fixed hash buckets
-    (window partitioned by bucket — each partition holds ~1/64 of
-    the dictionary) plus per-bucket offsets from one tiny 64-row
-    cumulative agg. No unpartitioned window ever sees the entity
-    dictionary, so a 10^9-entity vocabulary never lands on one
-    task. The corruption itself is a hash join by index, no
-    randomness, no driver loops, reproducible across engines."""
-    from pyspark.sql import Window
-
-    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
-
-    p = _pipeline(spark, sf_dir)
-    edges = comention_pairs(p["links"]).select("subj", "obj").distinct()
-    bucketed = (
-        edges.select(F.col("subj").alias("entity_id"))
-        .unionByName(edges.select(F.col("obj").alias("entity_id")))
-        .distinct()
-        .withColumn("b", md5_long(F.col("entity_id")) % _NEG_BUCKETS)
-    )
-    lranks = bucketed.withColumn(
-        "lrank",
-        F.row_number().over(Window.partitionBy("b").orderBy("entity_id")),
-    )
-    offs = (
-        bucketed.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("b").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("b", "off")
-    )
-    ents = lranks.join(F.broadcast(offs), "b").select(
-        "entity_id", (F.col("off") + F.col("lrank") - 1).cast("long").alias("idx")
-    )
-    n = ents.select(F.count(F.lit(1)).alias("n"))
-    ks = spark.range(1, _NEG_K + 1).select(F.col("id").cast("int").alias("k"))
-    cand = (
-        edges.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "subj",
-            "obj",
-            "k",
-            F.pmod(
-                md5_long(
-                    F.concat(
-                        F.col("subj"), F.lit("|"), F.col("obj"),
-                        F.lit("#"), F.col("k").cast("string"),
-                    )
-                ),
-                F.col("n"),
-            ).alias("neg_idx"),
-        )
-    )
-    return (
-        cand.join(F.broadcast(ents), cand["neg_idx"] == ents["idx"])
-        .where(
-            (F.col("entity_id") != F.col("obj"))
-            & (F.col("entity_id") != F.col("subj"))
-        )
-        .select(
-            "subj",
-            F.lit("co_mentioned_with").alias("pred"),
-            "obj",
-            "k",
-            F.col("entity_id").alias("obj_neg"),
-        )
-    )
-
-
-@register(
-    "web_robots_gate",
-    oracle="""
-    SELECT
-      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
-           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
-      count(*) AS n_pages,
-      CAST(sum(CASE WHEN doc_id % 23 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_noindex,
-      CAST(sum(CASE WHEN doc_id % 23 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_indexable
-    FROM documents GROUP BY 1
-    """,
-)
-def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots/noindex gate: honor <meta name="robots"
-    content="noindex"> BEFORE extraction — the politeness filter
-    every compliant crawl pipeline applies first. The probe is a
-    native substring test on the html bytes in the scan projection
-    (the cheap pre-filter that saves the expensive extract on gated
-    rows at 100 TB); the rollup is the per-host compliance report.
-    The oracle mirrors the synthesis formula (doc_id % 23 = 1), the
-    Spark side probes the bytes honestly."""
-    from multiomics_biocypher_kg_spark.functions.urls import url_host
-
-    pages = pages_from_documents(spark, sf_dir)
-    ni = (
-        F.col("html")
-        .cast("string")
-        .contains('<meta name="robots" content="noindex">')
-        .cast("long")
-    )
-    return (
-        pages.select(url_host(F.col("url")).alias("host"), ni.alias("ni"))
-        .groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.sum("ni").alias("n_noindex"),
-            F.sum(1 - F.col("ni")).alias("n_indexable"),
-        )
-    )
-
-
-from multiomics_biocypher_kg_spark.functions import pii as _pii  # noqa: E402
-
-_PII_COUNTS = _pii.counts_sql("text")
-
-
-@register(
-    "text_pii_scrub",
-    oracle=f"""
-    SELECT doc_id,
-      CAST({_PII_COUNTS['n_emails']} AS INTEGER) AS n_emails,
-      CAST({_PII_COUNTS['n_ips']} AS INTEGER) AS n_ips,
-      CAST({_PII_COUNTS['n_phones']} AS INTEGER) AS n_phones,
-      md5({_pii.scrub_sql('text')}) AS masked_md5
-    FROM documents
-    """,
-)
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub pass (functions.pii): per-doc email/ip/phone counts
-    and the md5 of the masked text. Native regexp chain in the scan
-    projection — the masking itself adds zero shuffles. The driver
-    corpus contains no PII by construction, so this query gates the
-    zero-count path and the masked-text identity; detection and
-    masking semantics are pinned on fixtures in tests/test_pii.py
-    (including Spark/DuckDB pattern agreement)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        _pii.email_count(t).alias("n_emails"),
-        _pii.ip_count(t).alias("n_ips"),
-        _pii.phone_count(t).alias("n_phones"),
-        F.md5(_pii.scrub(t)).alias("masked_md5"),
-    )
-
-
-_VOCAB_TOP = 256
-
-
-@register(
-    "text_vocabulary",
-    oracle=f"""
-    WITH toks AS (
-      SELECT lower(unnest(string_split(text, ' '))) AS token FROM documents
-    ),
-    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-    tot AS (SELECT sum(n) AS total FROM counts),
-    ranked AS (
-      SELECT token, n,
-        row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
-        sum(n) OVER (ORDER BY n DESC, token ASC
-                     ROWS UNBOUNDED PRECEDING) AS cum
-      FROM counts
-    )
-    SELECT CAST(rank AS BIGINT) AS rank, token, n,
-      round(CAST(n AS DOUBLE) / tot.total, 6) AS frac,
-      round(CAST(cum AS DOUBLE) / tot.total, 6) AS cum_frac
-    FROM ranked CROSS JOIN tot
-    WHERE rank <= {_VOCAB_TOP}
-    """,
-)
-def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary building (the tokenizer-training precursor): corpus
-    token counts, rank, and cumulative coverage for the top tokens.
-    One map-side-combined count shuffle; top-K selection is a
-    distributed TakeOrderedAndProject (per-partition heaps, no
-    global sort — a 10^9-term vocabulary never lands on one task),
-    and only the K survivors see the rank/coverage window. The
-    cumulative coverage of rank r<=K depends only on rows ranked
-    above it, all of which are in the top-K, so the two-phase plan
-    is exact."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        F.explode(F.split("text", " ")).alias("tok")
-    ).select(F.lower("tok").alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.select(F.sum("n").alias("total"))
-    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP)
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    wc = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        top.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum", F.sum("n").over(wc))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "rank",
-            "token",
-            "n",
-            F.round(F.col("n") / F.col("total"), 6).alias("frac"),
-            F.round(F.col("cum") / F.col("total"), 6).alias("cum_frac"),
-        )
-    )
-
-
-@register(
-    "web_snapshot_diff",
-    oracle=f"""
-    WITH snaps AS (
-      SELECT d.doc_id, d.text, s.url, s.ts_epoch
-      FROM documents d JOIN ({_SNAPS_SQL}) s ON d.doc_id = s.doc_id
-    ),
-    seq AS (
-      SELECT url, doc_id, ts_epoch,
-        list_sort(list_distinct(string_split(text, ' '))) AS toks,
-        lag(list_sort(list_distinct(string_split(text, ' '))))
-          OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS prev_toks
-      FROM snaps
-    )
-    SELECT url, doc_id, CAST(ts_epoch AS BIGINT) AS ts_epoch,
-      CAST(len(list_filter(toks, t -> NOT list_contains(prev_toks, t))) AS INTEGER)
-        AS n_added,
-      CAST(len(list_filter(prev_toks, t -> NOT list_contains(toks, t))) AS INTEGER)
-        AS n_removed,
-      round(CAST(len(list_filter(toks, t -> list_contains(prev_toks, t))) AS DOUBLE)
-        / len(list_distinct(toks || prev_toks)), 6) AS jaccard_prev
-    FROM seq WHERE prev_toks IS NOT NULL
-    """,
-)
-def web_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl change detection: token-set diff between CONSECUTIVE
-    snapshots of the same url (added / removed counts + Jaccard to
-    the previous capture) — the change-rate signal recrawl
-    scheduling consumes. One window keyed by url (the natural
-    partition: snapshot history per page is small even at 10^12
-    docs), array ops per row, no self-join of the snapshot table."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    fam = F.col("doc_id") % 125
-    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
-        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
-    )
-    url = F.concat(
-        F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
-    )
-    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
-    snaps = docs.select(
-        "doc_id",
-        url.alias("url"),
-        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
-        toks.alias("toks"),
-    )
-    w = Window.partitionBy("url").orderBy("ts_epoch", "doc_id")
-    seq = snaps.withColumn("prev_toks", F.lag("toks").over(w)).where(
-        F.col("prev_toks").isNotNull()
-    )
-    inter = F.size(F.array_intersect("toks", "prev_toks"))
-    return seq.select(
-        "url",
-        "doc_id",
-        "ts_epoch",
-        F.size(F.array_except("toks", "prev_toks")).alias("n_added"),
-        F.size(F.array_except("prev_toks", "toks")).alias("n_removed"),
-        F.round(
-            inter / F.size(F.array_union("toks", "prev_toks")), 6
-        ).alias("jaccard_prev"),
-    )
-
-
-_POSTINGS_TOP = 32
-
-
-@register(
-    "text_inverted_index",
-    oracle=f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, lower(unnest(string_split(text, ' '))) AS term
-      FROM documents
-    ),
-    df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
-    top AS (
-      SELECT term, df,
-        row_number() OVER (ORDER BY df DESC, term ASC) AS rank
-      FROM df
-    )
-    SELECT t.term, CAST(t.rank AS BIGINT) AS rank, t.df,
-      string_agg(CAST(x.doc_id AS VARCHAR), '|' ORDER BY CAST(x.doc_id AS VARCHAR)) AS postings
-    FROM top t JOIN toks x ON t.term = x.term
-    WHERE t.rank <= {_POSTINGS_TOP}
-    GROUP BY t.term, t.rank, t.df
-    """,
-)
-def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build (search-side product of a corpus
-    pipeline): sorted posting lists for the top document-frequency
-    terms. Top-K selection is a distributed TakeOrderedAndProject
-    (per-partition heaps — the vocabulary never lands on a single
-    sort task); only the K survivors see the rank window. Posting
-    lists assemble with one sorted collect per term — at corpus
-    scale the postings column is written as the index segment,
-    partitioned by term hash."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .select("doc_id", F.lower("tok").alias("term"))
-        .distinct()
-    )
-    df_ = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
-    top = (
-        df_.orderBy(F.desc("df"), F.asc("term"))
-        .limit(_POSTINGS_TOP)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
-    return (
-        toks.join(F.broadcast(top), "term")
-        .groupBy("term", "rank", "df")
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), "|"
-            ).alias("postings")
-        )
-        .select("term", "rank", "df", "postings")
-    )
-
-
-# Round-4 operator families live in their own module (sketches,
-# sampling, bloom, boilerplate, BPE, quantile hist, crawl merge,
-# signatures, blocking) — imported for its @register side effects.
-# It re-applies the window order itself, so either import direction
-# yields the same final ordering.
+from multiomics_biocypher_kg_spark import registry_relational  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_ontology  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_dedup_text  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_adapter  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_web  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_scale_ops  # noqa: E402,F401
 
 _apply_driver_window_order()

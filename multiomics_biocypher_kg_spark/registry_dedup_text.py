@@ -1,0 +1,824 @@
+"""Dedup, text-analysis, similarity-search, and multimodal query
+families (the training-data pipeline operators: SURVEY.md S2.12).
+
+Split out of registry.py in round 4 — a pure move, oracles verbatim.
+The dedup corpus/shingle SQL constants defined here are shared with
+registry_web (containment / curation queries reuse the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.operators.canonicalize import connected_components
+from multiomics_biocypher_kg_spark.oracle_fragments import (  # noqa: F401
+    DEDUP_CORPUS_SQL,
+    SHINGLES_SQL,
+)
+from multiomics_biocypher_kg_spark.registry import register
+from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+
+# --------------------------------------------------------------------------
+# Dedup & text-analysis section (training-data pipeline operators)
+# over documents + deterministic synthetic near/exact duplicates.
+# --------------------------------------------------------------------------
+
+from multiomics_biocypher_kg_spark.functions.hashing import (  # noqa: E402
+    MINHASH_COEFFS,
+    R as MH_R,
+    ROWS_PER_BAND,
+    md5_long,
+    md5_long_sql,
+    minhash_coeffs_sql,
+)
+from multiomics_biocypher_kg_spark.operators import dedup as dd  # noqa: E402
+from multiomics_biocypher_kg_spark.functions import textstats as ts  # noqa: E402
+
+JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+"""
+
+
+def _dedup_corpus(
+    spark: SparkSession, sf_dir: str, rebalance: bool = True
+) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # rebalance the under-split seed scan before the shingle blowup
+    # (same rationale as sources.pages.pages_from_documents: the
+    # exchange moves the small seed table; shingling then uses every
+    # core; a real many-file corpus skips this branch entirely).
+    # Consumers whose FIRST operation is itself a shuffle (the
+    # content-hash groupBy in exact dedup) pass rebalance=False: the
+    # extra exchange there is pure cost — their own shuffle already
+    # redistributes, and the map side is a cheap hash projection.
+    par = spark.sparkContext.defaultParallelism
+    if rebalance and docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    toks = F.split(F.col("text"), " ")
+    near = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.filter(toks, lambda t, i: i % 10 != 9), " ").alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+      count(*) AS n_dups,
+      string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
+    FROM ({DEDUP_CORPUS_SQL}) GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy (one shuffle, map-side combine).
+
+    rebalance=False: the groupBy's own hash exchange is the only
+    shuffle this plan needs (r3 bench regression unwound)."""
+    return dd.exact_duplicates(_dedup_corpus(spark, sf_dir, rebalance=False))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"SELECT id_a, id_b, jaccard FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard >= 0.5 via shared-shingle join (the
+    exact verifier; LSH below is the discovery path at scale)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return dd.jaccard_pairs(dd.shingles(corpus), 0.5)
+
+
+MINHASH_PAIRS_CTES = f"""
+    sh AS ({SHINGLES_SQL}),
+    hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
+    sigs AS (
+      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
+      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
+      GROUP BY id, h.i
+    ),
+    banded AS (
+      SELECT id, i // {ROWS_PER_BAND} AS band,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5),
+    pairs AS (
+      SELECT c.id_a, c.id_b, v.jaccard
+      FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"WITH {MINHASH_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (8 bands x 2 rows) candidate pairs,
+    verified with exact Jaccard >= 0.5 — the scale path: linear
+    signature cost, bucket-join discovery, exact verify on the
+    (tiny) candidate set only."""
+    return dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT node AS doc_id, component AS canonical_id,
+      CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup deliverable: near-dup PAIRS (MinHash-LSH
+    discovery + exact verify) chain into connected components so
+    transitively-linked documents collapse to ONE canonical id (min
+    doc id) with cluster sizes — what a curation job actually writes
+    back. Composes the two scale paths end-to-end: banded candidate
+    generation + pointer-jump CC."""
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    pairs = dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({DEDUP_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM corpus
+    ),
+    tok_w AS (
+      SELECT id, token, count(*) AS w, {md5_long_sql('token')} AS h
+      FROM toks GROUP BY id, token
+    ),
+    per_bit AS (
+      SELECT id, b.bit AS bit,
+        sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN w ELSE -w END) AS s
+      FROM tok_w CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY id, b.bit
+    ),
+    hashes AS (
+      SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+        AS simhash
+      FROM per_bit GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup pairs (hamming <= 3) via 4x15-bit band
+    bucketing (recall 1.0 by pigeonhole for hamming<=3, so the
+    all-pairs DuckDB oracle matches exactly). The plan is equi-join
+    only — no CartesianProduct (asserted in tests/test_plans.py)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    hashes = dd.simhash64(corpus)
+    return dd.simhash_banded_pairs(hashes, 3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+      CAST(length(text) AS INTEGER) AS n_chars,
+      round(CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS stopword_ratio,
+      round(
+        (CASE WHEN len(string_split(text,' ')) >= 20 THEN 1.0
+              ELSE len(string_split(text,' ')) / 20.0 END)
+        + (CASE WHEN length(text)::DOUBLE / len(string_split(text,' ')) BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.0 END)
+        + (CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+             / len(string_split(text, ' '))) * 5, 6) AS quality_score
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), stopword ratio,
+    composite quality score — all native expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(ts.quality_score(t), 6).alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ein'))) AS s_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of','to'))) AS s_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','de','una'))) AS s_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','des','une'))) AS s_fr,
+        len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在','我'))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, deterministic
+    alphabetical tie-break). On this synthetic corpus every doc uses
+    the same token universe, so the value is in the plumbing; unit
+    tests exercise real multilingual discrimination."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return ts.langid_predict(docs).select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "text_curation",
+    oracle=f"""
+    WITH corpus AS ({DEDUP_CORPUS_SQL}),
+    stats AS (
+      SELECT doc_id, text,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        round(
+          (CASE WHEN len(string_split(text,' ')) >= 20 THEN 1.0
+                ELSE len(string_split(text,' ')) / 20.0 END)
+          + (CASE WHEN length(text)::DOUBLE / len(string_split(text,' ')) BETWEEN 3 AND 10
+                  THEN 1.0 ELSE 0.0 END)
+          + (CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+               / len(string_split(text, ' '))) * 5, 6) AS quality_score
+      FROM corpus
+    ),
+    kept AS (
+      SELECT * FROM stats WHERE n_tokens >= 10 AND quality_score >= 1.5
+    ),
+    canon AS (
+      SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
+        CAST(count(*) AS BIGINT) AS n_copies
+      FROM kept GROUP BY md5(text)
+    )
+    SELECT c.doc_id, s.n_tokens, s.quality_score, c.n_copies
+    FROM canon c JOIN stats s ON c.doc_id = s.doc_id
+    """,
+)
+def text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass: quality gate
+    (length + chars/token + stopword-density score) -> exact dedup
+    keeping the lowest-id canonical doc with its duplicate count —
+    one quality scan + one content-hash shuffle over the corpus,
+    the minimal shape of a real corpus-curation job."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    t = F.col("text")
+    stats = corpus.select(
+        "doc_id",
+        "text",
+        ts.token_count(t).alias("n_tokens"),
+        F.round(ts.quality_score(t), 6).alias("quality_score"),
+    )
+    kept = stats.where((F.col("n_tokens") >= 10) & (F.col("quality_score") >= 1.5))
+    canon = kept.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return canon.join(stats.drop("text"), "doc_id").select(
+        "doc_id", "n_tokens", "quality_score", "n_copies"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+    ),
+    hashed AS (SELECT DISTINCT doc_id, {md5_long_sql('shingle')} AS h FROM sh),
+    ranked AS (
+      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT doc_id, string_agg(CAST(h AS VARCHAR), '|' ORDER BY h) AS fingerprint
+    FROM ranked WHERE rn <= 8 GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: 8 smallest distinct shingle
+    hashes per document (rolling-hash document signature)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search section (embeddings)
+# --------------------------------------------------------------------------
+
+# exact double-precision pair cosine in SQL (element-wise, explicit
+# double cast — list_dot_product on FLOAT[] accumulates in float32
+# and would NOT match Spark's double math)
+def _pair_cosine_sql(query_filter: str) -> str:
+    return f"""
+    exploded AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exploded GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, sum(q.x * b.x) AS dot
+      FROM exploded q JOIN exploded b ON q.dim = b.dim AND q.vec_id <> b.vec_id
+      WHERE {query_filter}
+      GROUP BY q.vec_id, b.vec_id
+    ),
+    cos AS (
+      SELECT d.query_id, d.neighbor_id,
+        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nb ON d.neighbor_id = nb.vec_id
+    )
+    """
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH {_pair_cosine_sql("q.vec_id < 10")},
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM cos
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors —
+    the ANN correctness baseline (broadcast queries, single corpus
+    scan, native zip_with/aggregate dot products)."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select("vec_id")
+    return cosine_topk(emb, query_ids=q, k=5)
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH {_pair_cosine_sql("q.vec_id < 100")},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM cos
+    ),
+    votes AS (
+      SELECT r.query_id, e.label AS nb_label, count(*) AS votes
+      FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+      WHERE r.rank <= 5 GROUP BY r.query_id, e.label
+    ),
+    pred AS (
+      SELECT query_id, nb_label AS pred_label,
+        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nb_label ASC) AS rn
+      FROM votes
+    )
+    SELECT p.query_id, p.pred_label, e.label AS true_label
+    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id WHERE p.rn = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification for the first 100 vectors
+    (votes desc, label asc tie-break)."""
+    from multiomics_biocypher_kg_spark.operators import simsearch as ss
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = ss.cosine_topk(
+        emb, query_ids=emb.where(F.col("vec_id") < 100).select("vec_id"), k=5
+    )
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    return pred.join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+        "query_id",
+    )
+
+
+@register(
+    "ann_centroids",
+    oracle="""
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    per_dim AS (SELECT label, dim, avg(x) AS m FROM exploded GROUP BY label, dim)
+    SELECT p.label, round(sqrt(sum(m * m)), 6) AS centroid_norm, c.n_vectors
+    FROM per_dim p
+    JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) c
+      ON p.label = c.label
+    GROUP BY p.label, c.n_vectors
+    """,
+)
+def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norms (posexplode + two-level agg)."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb).select("label", "n_vectors", "centroid_norm")
+
+
+# sign-LSH candidate generation rendered in SQL — the EXACT DuckDB
+# mirror of simsearch._plane_sign / lsh_bucket (dim is 1-based in
+# generate_subscripts, hence dim - 1). Requires `exploded` from
+# _pair_cosine_sql in the same WITH chain.
+def _lsh_cands_sql(n_tables: int, n_planes: int) -> str:
+    return f"""
+    lsh_proj AS (
+      SELECT e.vec_id, t.t, p.p,
+        sum(e.x * CASE WHEN (((t.t * 131 + p.p) * 2654435761
+                              + (e.dim - 1) * 40503) % 97) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS proj
+      FROM exploded e
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) t
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) p
+      GROUP BY e.vec_id, t.t, p.p
+    ),
+    lsh_buckets AS (
+      SELECT vec_id, t,
+        sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS b
+      FROM lsh_proj GROUP BY vec_id, t
+    ),
+    lsh_cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM lsh_buckets a
+      JOIN lsh_buckets b2 ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id
+    )
+    """
+
+
+# Deterministic fixed-init Lloyd k-means rendered in SQL: the EXACT
+# DuckDB mirror of simsearch.ivf_index / ivf_topk. Seeds = the
+# n_lists lowest-id vectors; each iteration = nearest-centroid
+# assignment (ties -> smallest list id, matching array_position of
+# array_min) followed by per-dim means, with empty lists keeping the
+# previous centroid (the `coalesce` — mirrors ivf_index's
+# `if i in new else cents[i]`). Iterations are unrolled as CTE pairs
+# (the _lsh_cands_sql rendering trick).
+def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
+    def assign(cent: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+      SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
+      FROM exploded e JOIN {cent} c ON e.dim = c.dim
+      GROUP BY e.vec_id, c.list_id
+    ),
+    {out} AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, list_id ASC) AS rn
+        FROM {out}_d) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""
+    exploded AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exploded GROUP BY vec_id
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS list_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_lists})
+    ),
+    cent0 AS (
+      SELECT s.list_id, e.dim, e.x AS c
+      FROM seeds s JOIN exploded e ON s.vec_id = e.vec_id
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(assign(f"cent{i}", f"a{i + 1}"))
+        parts.append(f"""
+    m{i + 1} AS (
+      SELECT a.list_id, e.dim, avg(e.x) AS c
+      FROM a{i + 1} a JOIN exploded e ON a.vec_id = e.vec_id
+      GROUP BY a.list_id, e.dim
+    ),
+    cent{i + 1} AS (
+      SELECT c0.list_id, c0.dim, coalesce(m.c, c0.c) AS c
+      FROM cent{i} c0
+      LEFT JOIN m{i + 1} m ON c0.list_id = m.list_id AND c0.dim = m.dim
+    )""")
+    parts.append(assign(f"cent{iters}", "afinal"))
+    parts.append(f"""
+    probes AS (
+      SELECT vec_id AS query_id, list_id FROM (
+        SELECT vec_id, list_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, list_id ASC) AS rn
+        FROM afinal_d) WHERE rn <= {n_probe}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN afinal a ON p.list_id = a.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    cdots AS (
+      SELECT c.query_id, c.neighbor_id, sum(q.x * b.x) AS dot
+      FROM cands c
+      JOIN exploded q ON q.vec_id = c.query_id
+      JOIN exploded b ON b.vec_id = c.neighbor_id AND b.dim = q.dim
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    ccos AS (
+      SELECT d.query_id, d.neighbor_id,
+        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
+      FROM cdots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nb ON d.neighbor_id = nb.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM ccos) WHERE rank <= {k}""")
+    return "WITH " + ",".join(parts)
+
+
+@register("ann_ivf_topk", oracle=_ivf_topk_sql(n_lists=8, n_probe=3, iters=2, k=5))
+# exactness-vs-bruteforce, determinism, and the n_probe=n_lists degenerate
+# case are pinned in tests/test_dedup_simsearch.py
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the brief's 'IVF variant as the scale path'):
+    deterministic k-means inverted lists (fixed lowest-id init, fixed
+    Lloyd iterations — no RNG), n_probe nearest lists per query,
+    exact cosine re-rank on probed candidates only. At scale the
+    corpus is bucketed by list_id so a query touches
+    n_probe/n_lists of the data."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=5, n_lists=8, n_probe=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_pair_cosine_sql("q.vec_id < b.vec_id")},
+    {_lsh_cands_sql(8, 4)}
+    SELECT c.query_id AS id_a, c.neighbor_id AS id_b, c.cosine
+    FROM cos c JOIN lsh_cands l ON c.query_id = l.id_a AND c.neighbor_id = l.id_b
+    WHERE c.cosine >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.35) via sign-LSH
+    candidate discovery (8 tables x 4 planes) + exact cosine verify
+    on candidates only — mirrors the MinHash-LSH pattern; the oracle
+    renders the identical hyperplane formula in SQL, so the LSH
+    bucketing itself is correctness-gated. Equi-join plan, no
+    CartesianProduct (asserted in tests/test_plans.py); recall vs
+    brute force is measured in tests/test_dedup_simsearch.py."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, 0.35, n_tables=8, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal section: binary payload plumbing + batch decode
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, text, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_idx,
+        substr(text, ((i * L) // 4) + 1,
+               (((i + 1) * L) // 4) - ((i * L) // 4)) AS frame_text
+      FROM vids, (SELECT unnest(generate_series(0, 3)) AS i) f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_text,
+      CAST(strlen(frame_text) AS INTEGER) AS n_bytes
+    FROM frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling end-to-end: binary video payloads ->
+    mapInPandas one-row-per-frame slicing (the ffmpeg-keyframe slot);
+    the oracle recomputes the deterministic byte boundaries in SQL,
+    so the many-rows-out Arrow batch contract is correctness-gated."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_payloads,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = sample_frames(attach_payloads(docs), n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.decode("frame", "utf-8").alias("frame_text"),
+        "n_bytes",
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ascii(c) AS byte, count(*) AS cnt FROM chars GROUP BY doc_id, ascii(c)
+    ),
+    mode AS (
+      SELECT doc_id, min(byte) AS byte_mode FROM freq f1
+      WHERE cnt = (SELECT max(cnt) FROM freq f2 WHERE f2.doc_id = f1.doc_id)
+      GROUP BY doc_id
+    ),
+    mean AS (
+      SELECT doc_id, round(avg(ascii(c)), 6) AS byte_mean,
+             CAST(count(*) AS INTEGER) AS n_bytes
+      FROM chars GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+      CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      m.n_bytes, m.byte_mean, CAST(mo.byte_mode AS INTEGER) AS byte_mode
+    FROM mean m JOIN mode mo ON m.doc_id = mo.doc_id
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary payloads +
+    typed metadata, run the mapInPandas batch 'decoder' (stubbed
+    byte-statistics codec — the real image/audio codec slots into
+    the same contract), return per-asset features. The oracle
+    recomputes the byte statistics in SQL, so the Arrow batch path
+    itself is correctness-gated."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_payloads,
+        decode_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_features(attach_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.col("byte_mode").cast("int").alias("byte_mode"),
+    )
+
+
+@register(
+    "mm_decode_real",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    ),
+    img AS (
+      SELECT doc_id, sum(ord(substr(text, ((i - 1) % L) + 1, 1))) AS s
+      FROM b, LATERAL (SELECT unnest(generate_series(1, 192)) AS i) t
+      WHERE doc_id % 2 = 0 GROUP BY doc_id
+    ),
+    aud AS (
+      SELECT doc_id,
+        sum(abs((ord(substr(text, ((i - 1) % L) + 1, 1)) - 128) * 256)) AS s
+      FROM b, LATERAL (SELECT unnest(generate_series(1, 256)) AS i) t
+      WHERE doc_id % 2 = 1 GROUP BY doc_id
+    )
+    SELECT doc_id, 'image' AS kind,
+      CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      CAST(NULL AS INTEGER) AS sample_rate, CAST(192 AS BIGINT) AS n_units,
+      round(CAST(s AS DOUBLE) / 192, 6) AS mean_value
+    FROM img
+    UNION ALL
+    SELECT doc_id, 'audio',
+      CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+      CAST(8000 AS INTEGER), CAST(256 AS BIGINT),
+      round(CAST(s AS DOUBLE) / 256, 6)
+    FROM aud
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end: synthesize genuine binary
+    P6 PPM images / PCM-16 WAV audio from the corpus (valid files —
+    any external viewer opens them), then parse them back through
+    the mapInPandas Arrow contract with actual format decoders
+    (PPM header+pixel-plane parse; stdlib wave for RIFF/WAV). The
+    oracle recomputes the decoded pixel/sample statistics from the
+    source text in SQL, so a header-math or byte-order bug in the
+    decoder is a hash mismatch, not a silent skew. This retires the
+    codec stub for these two formats; compressed codecs remain the
+    declared NotImplementedError slot."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_real_payloads,
+        decode_real_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_real_features(attach_real_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "n_units",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+# Re-apply the driver-window order after this module's registrations:
+# if this module is imported FIRST, registry's own bottom-of-file
+# ordering pass runs before these queries exist. Idempotent.
+from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
+    _apply_driver_window_order,
+)
+
+_apply_driver_window_order()

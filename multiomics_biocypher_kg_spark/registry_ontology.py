@@ -1,0 +1,289 @@
+"""Ontology query families: closure / levels / subtree rollups plus
+interval merge, reachability pruning, and nearest typed ancestor
+(SURVEY.md S2.9, J6, W9).
+
+Split out of registry.py in round 4 — a pure move, oracles verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Ontology section: closure / levels / subtree rollups (G2/G3/G5)
+# over a deterministic tree derived from doc ids (FIXTURES B5).
+# --------------------------------------------------------------------------
+
+ONTO_EDGES_SQL = """
+  SELECT format('n{:04d}', doc_id) AS child,
+         format('n{:04d}', doc_id // 4) AS parent
+  FROM documents WHERE doc_id > 0
+"""
+
+ONTO_CLOSURE_SQL = f"""
+WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+clos(node, ancestor, depth) AS (
+  SELECT child, parent, 1 FROM edges
+  UNION
+  SELECT c.node, e.parent, c.depth + 1
+  FROM clos c JOIN edges e ON c.ancestor = e.child
+)
+SELECT node, ancestor, CAST(depth AS INTEGER) AS depth FROM clos
+"""
+
+
+def _onto_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.where(F.col("doc_id") > 0).select(
+        F.format_string("n%04d", F.col("doc_id")).alias("child"),
+        F.format_string("n%04d", F.floor(F.col("doc_id") / 4).cast("int")).alias(
+            "parent"
+        ),
+    )
+
+
+@register("onto_closure", oracle=ONTO_CLOSURE_SQL)
+def onto_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G5: bounded ancestor closure via iterative self-joins."""
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+
+    return ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10).select(
+        "node", "ancestor", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@register(
+    "onto_levels",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+    lv(node, level) AS (
+      SELECT 'n0000', 0
+      UNION
+      SELECT e.child, lv.level + 1 FROM lv JOIN edges e ON e.parent = lv.node
+    )
+    SELECT node, CAST(min(level) AS INTEGER) AS level FROM lv GROUP BY node
+    """,
+)
+def onto_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: min-depth BFS levels from the root (go_utils.py:255-325)."""
+    from multiomics_biocypher_kg_spark.operators.enrich import min_levels
+
+    spark_edges = _onto_edges(spark, sf_dir)
+    roots = spark.createDataFrame([("n0000",)], "node string")
+    return min_levels(spark_edges, roots).select(
+        "node", F.col("level").cast("int").alias("level")
+    )
+
+
+@register(
+    "onto_subtree_rollup",
+    oracle=f"""
+    WITH clos AS ({ONTO_CLOSURE_SQL}),
+    allnodes AS (SELECT node FROM clos UNION SELECT ancestor FROM clos),
+    pairs AS (
+      SELECT node, ancestor FROM clos
+      UNION
+      SELECT node, node FROM allnodes
+    )
+    SELECT ancestor, count(DISTINCT node) AS member_count
+    FROM pairs GROUP BY ancestor
+    """,
+)
+def onto_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: per-ancestor distinct-descendant rollup incl. self
+    (Cypher *0.. subtree counts, post-import.cypher:840-911)."""
+    from multiomics_biocypher_kg_spark.operators.enrich import (
+        ancestors_closure,
+        subtree_rollup,
+    )
+
+    closure = ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10)
+    nodes = (
+        closure.select("node")
+        .union(closure.select("ancestor"))
+        .distinct()
+        .select(F.col("node").alias("id"), F.col("node").alias("val"))
+    )
+    return subtree_rollup(closure, nodes, "id", "val")
+
+
+# --------------------------------------------------------------------------
+# Interval merge, reachability pruning, nearest typed ancestor
+# --------------------------------------------------------------------------
+
+INTERVALS_A_SQL = """
+  SELECT doc_id AS a_id, 's' || CAST(doc_id % 2 AS VARCHAR) AS strand,
+         doc_id * 100 AS a_start,
+         doc_id * 100 + 80 + doc_id % 40 AS a_end
+  FROM documents
+"""
+
+# shifted twin of A (small jitter: matches) + decoys (shift 60 > max_dstart)
+INTERVALS_B_SQL = """
+  SELECT doc_id AS b_id, 's' || CAST(doc_id % 2 AS VARCHAR) AS strand,
+         doc_id * 100 + (doc_id % 7) - 3 AS b_start,
+         doc_id * 100 + 80 + doc_id % 40 + (doc_id % 5) - 2 AS b_end
+  FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 500000, 's' || CAST(doc_id % 2 AS VARCHAR),
+         doc_id * 100 + 60, doc_id * 100 + 80 + doc_id % 40 + 60
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@register(
+    "interval_position_merge",
+    oracle=f"""
+    WITH a AS ({INTERVALS_A_SQL}), b AS ({INTERVALS_B_SQL}),
+    cand AS (
+      SELECT a.a_id, b.b_id,
+        least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) + 1 AS overlap_len
+      FROM a JOIN b ON a.strand = b.strand
+        AND abs(a.a_start - b.b_start) <= 50
+        AND abs(a.a_end - b.b_end) <= 3
+        AND least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) + 1
+            >= 0.9 * (a.a_end - a.a_start + 1)
+        AND least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) + 1
+            >= 0.9 * (b.b_end - b.b_start + 1)
+    ),
+    counted AS (
+      SELECT *, count(*) OVER (PARTITION BY a_id) AS na,
+                count(*) OVER (PARTITION BY b_id) AS nb
+      FROM cand
+    )
+    SELECT a_id, b_id, overlap_len FROM counted WHERE na = 1 AND nb = 1
+    """,
+)
+def interval_position_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the reference's genomic position-fallback merge (same
+    strand, reciprocal overlap >= 0.9, |dstart| <= 50, |dend| <= 3,
+    1:1 only) via bucketized hash join — operators.intervals."""
+    from multiomics_biocypher_kg_spark.operators.intervals import (
+        position_fallback_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    a = docs.select(
+        d.alias("a_id"),
+        F.concat(F.lit("s"), (d % 2).cast("string")).alias("strand"),
+        (d * 100).alias("a_start"),
+        (d * 100 + 80 + d % 40).alias("a_end"),
+    )
+    b1 = docs.where(d % 3 != 0).select(
+        d.alias("b_id"),
+        F.concat(F.lit("s"), (d % 2).cast("string")).alias("strand"),
+        (d * 100 + (d % 7) - 3).alias("b_start"),
+        (d * 100 + 80 + d % 40 + (d % 5) - 2).alias("b_end"),
+    )
+    b2 = docs.where(d % 11 == 0).select(
+        (d + 500000).alias("b_id"),
+        F.concat(F.lit("s"), (d % 2).cast("string")).alias("strand"),
+        (d * 100 + 60).alias("b_start"),
+        (d * 100 + 80 + d % 40 + 60).alias("b_end"),
+    )
+    return position_fallback_merge(a, b1.unionByName(b2))
+
+
+@register(
+    "onto_reachability_prune",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+    known AS (
+      SELECT format('n{{:04d}}', doc_id) AS node FROM documents WHERE doc_id % 7 = 0
+    ),
+    kept(node) AS (
+      SELECT node FROM known
+      UNION
+      SELECT e.parent FROM kept k JOIN edges e ON e.child = k.node
+    )
+    SELECT node FROM kept
+    """,
+)
+def onto_reachability_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (BRITE prune, brite_adapter.py:188-248): keep only
+    hierarchy nodes whose subtree contains a known leaf — seed the
+    known set, walk parents to fixpoint (bottom-up ancestor marking
+    via iterative join)."""
+    edges = _onto_edges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    known = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.format_string("n%04d", F.col("doc_id")).alias("node")
+    )
+    kept = known
+    frontier = known
+    for _ in range(12):
+        step = (
+            frontier.join(edges, frontier.node == edges.child)
+            .select(F.col("parent").alias("node"))
+            .join(kept, "node", "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if step.isEmpty():
+            break
+        kept = kept.union(step)
+        frontier = step
+    return kept
+
+
+@register(
+    "onto_nearest_class_ancestor",
+    oracle=f"""
+    WITH clos AS ({ONTO_CLOSURE_SQL}),
+    self_pairs AS (
+      SELECT node, node AS ancestor, 0 AS depth
+      FROM (SELECT node FROM clos UNION SELECT ancestor FROM clos)
+    ),
+    all_pairs AS (
+      SELECT node, ancestor, depth FROM clos
+      UNION ALL SELECT * FROM self_pairs
+    ),
+    classes AS (SELECT * FROM all_pairs WHERE ancestor IN ('n0000','n0001','n0002','n0003')),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY node ORDER BY depth, ancestor) AS rn
+      FROM classes
+    )
+    SELECT node, ancestor AS class_node, CAST(depth AS INTEGER) AS class_depth
+    FROM ranked WHERE rn = 1
+    """,
+)
+def onto_nearest_class_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (tc_class ancestor pointer, post-import.cypher:864-870):
+    nearest ancestor (min depth, deterministic tiebreak) belonging to
+    the 'class' level, self included — closure join + row_number."""
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+
+    closure = ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10)
+    nodes = closure.select("node").union(closure.select("ancestor")).distinct()
+    self_pairs = nodes.select(
+        "node", F.col("node").alias("ancestor"), F.lit(0).alias("depth")
+    )
+    all_pairs = closure.select("node", "ancestor", "depth").union(self_pairs)
+    classes = all_pairs.where(
+        F.col("ancestor").isin("n0000", "n0001", "n0002", "n0003")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("depth").asc(), F.col("ancestor").asc())
+    return (
+        classes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "node",
+            F.col("ancestor").alias("class_node"),
+            F.col("depth").cast("int").alias("class_depth"),
+        )
+    )
+
+# Re-apply the driver-window order after this module's registrations:
+# if this module is imported FIRST, registry's own bottom-of-file
+# ordering pass runs before these queries exist. Idempotent.
+from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
+    _apply_driver_window_order,
+)
+
+_apply_driver_window_order()

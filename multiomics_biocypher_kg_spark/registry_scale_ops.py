@@ -31,12 +31,11 @@ from multiomics_biocypher_kg_spark.functions.hashing import (
     md5_long_sql,
     minhash_coeffs_sql,
 )
-from multiomics_biocypher_kg_spark.registry import (
+from multiomics_biocypher_kg_spark.oracle_fragments import (
     COMENTION_PAIRS_SQL,
     _SNAPS_SQL,
-    _pipeline,
-    register,
 )
+from multiomics_biocypher_kg_spark.registry import _pipeline, register
 
 # ---------------------------------------------------------------------------
 # shared synthesis fragments (snapshot-family host, as in web_snapshot_diff)

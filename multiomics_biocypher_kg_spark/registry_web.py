@@ -1,0 +1,1754 @@
+"""Web-scale query families: url canonicalization, link graph +
+PageRank, crawl deltas, and the KG curation/graph-statistics layer
+(SURVEY.md S2.12 web/KG additions).
+
+Split out of registry.py in round 4 — a pure move, oracles verbatim.
+Pipeline fragments (LINKS_SQL, URL_SQL, _pipeline) come from
+registry; the dedup corpus fragments come from registry_dedup_text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from multiomics_biocypher_kg_spark.operators import dedup as dd
+from multiomics_biocypher_kg_spark.functions import textstats as ts
+from multiomics_biocypher_kg_spark.oracle_fragments import (
+    COMENTION_PAIRS_SQL,
+    LINKS_SQL,
+    TRIPLES_SQL,
+    URL_SQL,
+    VOCAB_SQL,
+    _SNAPS_SQL,
+    url_sql,
+)
+from multiomics_biocypher_kg_spark.oracle_fragments import SHINGLES_SQL
+from multiomics_biocypher_kg_spark.registry import _pipeline, register
+from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+from multiomics_biocypher_kg_spark.sources.vocab import vocab_df
+
+# --------------------------------------------------------------------------
+# Web-scale URL canonicalization (functions/urls.py)
+# --------------------------------------------------------------------------
+
+# deterministic messy-url synthesis shared by both engines
+_MESSY_URL_SQL = """
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                  || '?b=2&a=1&utm_source=feed'
+      WHEN 1 THEN 'http://Example.com:80?id=' || CAST(doc_id AS VARCHAR) || '#frag'
+      WHEN 2 THEN 'https://CDN.example.net:8080/x/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'http://h' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_campaign=x'
+      WHEN 4 THEN 'doc-' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://example.com/a%20b/' || CAST(doc_id % 100 AS VARCHAR)
+           || '?z=9&y=8&fbclid=abc#sec'
+    END AS url_raw
+  FROM documents
+"""
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/Path/"),
+                d,
+                F.lit("?b=2&a=1&utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("http://Example.com:80?id="), d, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("https://CDN.example.net:8080/x/"), d),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit("http://h"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org/doc/"),
+                d,
+                F.lit("?utm_campaign=x"),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("doc-"), d))
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/a%20b/"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("?z=9&y=8&fbclid=abc#sec"),
+            )
+        )
+    )
+    return docs.select("doc_id", raw.alias("url_raw"))
+
+
+def _web_url_canonical_sql() -> str:
+    from multiomics_biocypher_kg_spark.functions.urls import canonical_url_sql
+
+    return (
+        "SELECT doc_id, url_raw, url_canonical FROM ("
+        + canonical_url_sql(_MESSY_URL_SQL, "url_raw")
+        + ")"
+    )
+
+
+@register("web_url_canonical", oracle=_web_url_canonical_sql())
+def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): scheme/host
+    lowercase, default ports dropped, fragments stripped, tracking
+    params removed + remaining params sorted, empty path -> '/',
+    schemeless strings pass through. Pure scan-projection expressions
+    — at 100 TB this replaces the raw url as the dedup/partition key
+    before the first shuffle. The oracle renders the identical
+    regex-by-regex decomposition in SQL."""
+    from multiomics_biocypher_kg_spark.functions.urls import canonical_url
+
+    m = _messy_urls(spark, sf_dir)
+    return m.select(
+        "doc_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical")
+    )
+
+
+@register(
+    "web_url_dedup",
+    oracle=f"""
+    WITH canon AS ({_web_url_canonical_sql()})
+    SELECT url_canonical, count(*) AS n_variants, min(doc_id) AS canonical_doc
+    FROM canon GROUP BY url_canonical HAVING count(*) > 1
+    """,
+)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups: raw variants that collapse to one
+    canonical form (the recrawl/utm-family case) — groupBy on the
+    canonical key, min-id canonical member."""
+    canon = web_url_canonical(spark, sf_dir)
+    return (
+        canon.groupBy("url_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT token) AS n_distinct
+      FROM toks GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id,
+        list_aggregate(list_slice(string_split(text, ' '), i, i + 1),
+                       'string_agg', ' ') AS bigram
+      FROM documents,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS t(i)
+    ),
+    gcnt AS (
+      SELECT doc_id, bigram, count(*) AS cnt FROM grams GROUP BY doc_id, bigram
+    ),
+    top AS (
+      SELECT doc_id, bigram AS top_bigram, cnt,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, bigram ASC) AS rn,
+        sum(cnt) OVER (PARTITION BY doc_id) AS total_bigrams
+      FROM gcnt
+    )
+    SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+      round(1.0 - p.n_distinct / p.n_tokens, 6) AS dup_token_frac,
+      t.top_bigram,
+      round(t.cnt / t.total_bigrams, 6) AS top_bigram_frac
+    FROM per_doc p JOIN top t ON p.doc_id = t.doc_id AND t.rn = 1
+    WHERE p.n_tokens >= 2
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-token fraction (1 - distinct/total) and the
+    most-frequent word-bigram's share of all bigrams (ties -> the
+    lexicographically smallest bigram). Two aggregations over the
+    token/bigram streams, both map-side combined; at corpus scale
+    this is the repetition gate that runs next to text_curation."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    from multiomics_biocypher_kg_spark.operators.dedup import shingles
+
+    grams = shingles(docs, id_col="doc_id", text_col="text", k=2, distinct=False)
+    gcnt = grams.groupBy(F.col("id").alias("doc_id"), F.col("shingle")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("shingle").asc()
+    )
+    wt = Window.partitionBy("doc_id")
+    top = (
+        gcnt.withColumn("rn", F.row_number().over(w))
+        .withColumn("total_bigrams", F.sum("cnt").over(wt))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        per_doc.where(F.col("n_tokens") >= 2)
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.col("shingle").alias("top_bigram"),
+            F.round(F.col("cnt") / F.col("total_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "web_latest_snapshot",
+    oracle="""
+    WITH snaps AS (
+      SELECT doc_id, doc_id % 125 AS fam, 1767225600 + doc_id AS ts_epoch,
+        'https://' || CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
+             ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org' END
+        || '/doc/' || lpad(CAST(doc_id % 125 AS VARCHAR), 6, '0') AS url
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY url
+                 ORDER BY ts_epoch DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY url) AS n_snapshots
+      FROM snaps
+    )
+    SELECT url, doc_id, CAST(ts_epoch AS BIGINT) AS ts_epoch,
+           CAST(n_snapshots AS BIGINT) AS n_snapshots
+    FROM ranked WHERE rn = 1
+    """,
+)
+def web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup: keep the LATEST snapshot per url (window over
+    url ordered by capture time desc, deterministic tiebreak) — the
+    first stage of any multi-snapshot Common-Crawl corpus before
+    extraction. Synthesized snapshot families (doc_id % 125) give
+    each url ~4 recrawls at sf0.01."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"),
+        F.lpad(fam.cast("string"), 6, "0"),
+    )
+    snaps = docs.select(
+        "doc_id",
+        url.alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("ts_epoch").desc(), F.col("doc_id").desc()
+    )
+    wc = Window.partitionBy("url")
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_snapshots", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select("url", "doc_id", "ts_epoch", "n_snapshots")
+    )
+
+
+# --------------------------------------------------------------------------
+# Web link graph (operators/linkgraph.py): href edges -> host graph -> PageRank
+# --------------------------------------------------------------------------
+
+from multiomics_biocypher_kg_spark.functions.urls import (  # noqa: E402
+    REST_RE as _REST_RE,
+    canonical_url_sql as _canonical_url_sql,
+)
+from multiomics_biocypher_kg_spark.sources.pages import PARTNER_URL as _PARTNER  # noqa: E402
+
+
+def _host_sql(expr: str) -> str:
+    """SQL twin of functions.urls.url_host (lowercased host, no port)."""
+    return (
+        f"lower(regexp_extract(regexp_extract(regexp_extract(trim({expr}), "
+        f"'{_REST_RE}', 1), '^([^/?#]*)', 1), '^([^:]*)', 1))"
+    )
+
+
+# raw hrefs per page, SQL twin of sources.pages.outlinks_of
+_LINKS_SQL = f"""
+  SELECT doc_id, {URL_SQL} AS src_url,
+         unnest([
+           {url_sql('doc_id - doc_id % 7')} || '?utm_source=nav',
+           {url_sql('doc_id - doc_id % 50')} || '#top',
+           '{_PARTNER}'
+         ]) AS href
+  FROM documents
+"""
+
+# canonicalized + hostified edge list -> host graph
+_HOST_GRAPH_SQL = f"""
+  SELECT {_host_sql('src_url')} AS src_host,
+         {_host_sql('url_canonical')} AS dst_host,
+         count(*) AS n_links,
+         count(DISTINCT src_url) AS n_pages
+  FROM ({_canonical_url_sql(_LINKS_SQL, 'href')})
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "web_link_graph",
+    oracle=f"SELECT * FROM ({_HOST_GRAPH_SQL})",
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction -> canonicalization -> host-graph rollup.
+
+    The anchor regexp runs in the scan projection (codegen, zero
+    Python); canonical urls collapse utm/fragment variants before the
+    single (src_host, dst_host) shuffle. The DuckDB oracle mirrors
+    the href synthesis formula AND the full canonicalization chain,
+    so the parse-canonicalize-rollup path is value-gated end to end.
+    """
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    return host_graph(href_edges(pages))
+
+
+def _pagerank_oracle_sql(
+    iters: int,
+    damping: float,
+    edges_sql: str | None = None,
+    out_col: str = "host",
+) -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTEs (the
+    _lsh_cands_sql rendering pattern: deterministic loop -> SQL).
+
+    ``edges_sql`` must yield (src, dst, w); defaults to the host
+    link graph. ``out_col`` names the node column of the result.
+    """
+    if edges_sql is None:
+        edges_sql = (
+            f"SELECT src_host AS src, dst_host AS dst, "
+            f"CAST(n_links AS DOUBLE) AS w FROM ({_HOST_GRAPH_SQL})"
+        )
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    # every CTE is AS MATERIALIZED: the iteration chain references
+    # it_{k-1} three times (dangling mass, contributions, carry), so
+    # un-materialized CTE inlining re-evaluates the edge pipeline
+    # O(3^iters) times — fatal when edges_sql is the full mention
+    # cascade (kg_entity_pagerank hung before this).
+    parts = [
+        f"hg AS MATERIALIZED ({edges_sql})",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM hg GROUP BY 1)",
+        (
+            "norm AS MATERIALIZED (SELECT hg.src, hg.dst, "
+            "CAST(hg.w AS DOUBLE) / outw.out_w AS p "
+            "FROM hg JOIN outw ON hg.src = outw.src)"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM hg UNION ALL SELECT dst FROM hg))"
+        ),
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "hasout AS MATERIALIZED (SELECT DISTINCT src FROM hg)",
+        "it0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dang "
+            f"FROM {p} r LEFT JOIN hasout o ON r.node = o.src WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"con{k} AS MATERIALIZED (SELECT e.dst AS node, sum(e.p * r.rank) AS contrib "
+            f"FROM norm e JOIN {p} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"it{k} AS MATERIALIZED (SELECT n.node, {t} / nn.n + {d} * "
+            f"(coalesce(c.contrib, 0.0) + dang{k}.dang / nn.n) AS rank "
+            f"FROM nodes n CROSS JOIN nn CROSS JOIN dang{k} "
+            f"LEFT JOIN con{k} c ON n.node = c.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS {out_col}, round(rank, 6) AS pagerank FROM it{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental crawl delta: co-mention edges, old batch vs new batch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kg_comention_delta",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    ents AS (
+      SELECT DISTINCT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
+      FROM ents a JOIN ents b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+    ),
+    batched AS (
+      SELECT subj, obj,
+        sum(CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END) AS n_docs_old,
+        sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS n_docs_new
+      FROM pairs GROUP BY subj, obj
+    )
+    SELECT subj, 'co_mentioned_with' AS pred, obj,
+      CAST(n_docs_old AS BIGINT) AS n_docs_old,
+      CAST(n_docs_new AS BIGINT) AS n_docs_new,
+      CASE WHEN n_docs_old = 0 THEN 'insert'
+           WHEN n_docs_new > 0 THEN 'update'
+           ELSE 'unchanged' END AS merge_op
+    FROM batched
+    """,
+)
+def kg_comention_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG construction: entity co-mention edges with the
+    MERGE action a new crawl batch implies per edge.
+
+    The corpus is split into a prior crawl (doc_id % 4 != 3) and a
+    new batch; the pipeline runs ONCE over the union with a batch
+    tag, so the delta costs one pass — the incremental shape, not
+    old-run + new-run + diff. Per-doc entity sets come from one
+    groupBy (collect_set), pairs explode narrowly from the sorted
+    array (no per-doc self-join shuffle), and the final per-edge
+    aggregation is the second and last shuffle. ``merge_op`` is the
+    WHEN [NOT] MATCHED branch operators.materialize.merge_into would
+    take per row (insert / update = accrete evidence counts /
+    unchanged). At 100 TB hot entities skew the pair key — same
+    salting recipe as kg_host_rollup_salted applies to the final agg.
+    """
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    pairs = comention_pairs(p["links"])
+    is_new = (F.col("doc_id") % 4 == 3).cast("long")
+    return (
+        pairs.groupBy("subj", "obj")
+        .agg(
+            F.sum(1 - is_new).alias("n_docs_old"),
+            F.sum(is_new).alias("n_docs_new"),
+        )
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            "n_docs_old",
+            "n_docs_new",
+            F.when(F.col("n_docs_old") == 0, "insert")
+            .when(F.col("n_docs_new") > 0, "update")
+            .otherwise("unchanged")
+            .alias("merge_op"),
+        )
+    )
+
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+@register("web_pagerank", oracle=_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING))
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the extracted link graph — fixed
+    5-iteration weighted PageRank with dangling-mass redistribution
+    (operators.linkgraph.pagerank). Deterministic, so the DuckDB
+    oracle unrolls the identical iterations as CTEs and the float
+    result is value-hash-gated after round(6)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        pagerank,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+# raw (href, anchor) pairs per page, SQL twin of
+# sources.pages.outlinks_of + anchor_texts_of
+_ANCHORS_SQL = f"""
+  SELECT doc_id, {URL_SQL} AS src_url,
+         {url_sql('doc_id - doc_id % 7')} || '?utm_source=nav' AS href,
+         'hub ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT doc_id, {URL_SQL},
+         {url_sql('doc_id - doc_id % 50')} || '#top',
+         'section ' || CAST(doc_id % 5 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, {URL_SQL}, '{_PARTNER}',
+         'partner ' || CAST(doc_id % 2 AS VARCHAR)
+  FROM documents
+"""
+
+
+@register(
+    "web_anchor_text",
+    oracle=f"""
+    WITH pairs AS ({_canonical_url_sql(_ANCHORS_SQL, 'href')}),
+    pt AS (
+      SELECT url_canonical AS dst_url, anchor, count(*) AS n
+      FROM pairs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY dst_url ORDER BY n DESC, anchor ASC) AS rn,
+        sum(n) OVER (PARTITION BY dst_url) AS n_links,
+        count(*) OVER (PARTITION BY dst_url) AS n_texts
+      FROM pt
+    )
+    SELECT dst_url, CAST(n_links AS BIGINT) AS n_links, n_texts,
+           anchor AS top_anchor, n AS top_anchor_links
+    FROM ranked WHERE rn = 1
+    """,
+)
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text surface-form mining: how the web NAMES each link
+    target (operators.linkgraph.anchor_pairs + anchor_text_profile).
+    Both anchor capture groups are pulled natively from the html in
+    the scan projection and re-paired with arrays_zip; dst urls are
+    canonicalized before the rollup so variant families share one
+    profile. The deterministic mode (count DESC, anchor ASC) is
+    mirrored in the oracle window."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        anchor_pairs,
+        anchor_text_profile,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    return anchor_text_profile(anchor_pairs(pages))
+
+
+# --------------------------------------------------------------------------
+# KG graph statistics (operators.graphstats): the curation-side
+# diagnostics a web-scale KG build runs over its own edge tables.
+# --------------------------------------------------------------------------
+
+
+
+
+@register(
+    "kg_triple_temporal",
+    oracle=f"""
+    SELECT subj, 'co_mentioned_with' AS pred, obj,
+      CAST(min(1767225600 + doc_id) AS BIGINT) AS first_seen_ts,
+      CAST(max(1767225600 + doc_id) AS BIGINT) AS last_seen_ts,
+      count(DISTINCT doc_id) AS n_snapshots
+    FROM ({COMENTION_PAIRS_SQL}) pairs
+    GROUP BY subj, obj
+    """,
+)
+def kg_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: per-triple validity interval (first_seen /
+    last_seen crawl timestamp + snapshot support count) across crawl
+    snapshots. The Spark side joins pairs back to the pages table's
+    ``warc_ts`` (the honest shape — timestamps live on the corpus,
+    not the formula); the oracle exploits the deterministic synthetic
+    ``warc_ts = epoch0 + doc_id``. Same two-shuffle plan as the
+    co-mention count: min/max partials combine map-side.
+    """
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        temporal_edges,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    return temporal_edges(comention_pairs(p["links"]), p["pages"])
+
+
+@register(
+    "kg_pmi_edges",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    de AS (
+      SELECT doc_id, subj AS entity_id FROM pairs
+      UNION ALL
+      SELECT doc_id, obj FROM pairs
+    ),
+    marg AS (
+      SELECT entity_id, count(DISTINCT doc_id) AS n_docs_ent
+      FROM de GROUP BY entity_id
+    ),
+    tot AS (SELECT count(DISTINCT doc_id) AS n FROM pairs),
+    pc AS (
+      SELECT subj, obj, count(DISTINCT doc_id) AS n_docs_pair
+      FROM pairs GROUP BY subj, obj
+    ),
+    raw AS (
+      SELECT pc.subj, pc.obj, pc.n_docs_pair,
+        ms.n_docs_ent AS n_docs_subj, mo.n_docs_ent AS n_docs_obj,
+        ln(pc.n_docs_pair * tot.n / (ms.n_docs_ent * mo.n_docs_ent)) AS pmi_raw,
+        ln(tot.n / pc.n_docs_pair) AS denom
+      FROM pc
+      JOIN marg ms ON pc.subj = ms.entity_id
+      JOIN marg mo ON pc.obj = mo.entity_id
+      CROSS JOIN tot
+    )
+    SELECT subj, obj, n_docs_pair, n_docs_subj, n_docs_obj,
+      round(pmi_raw, 6) AS pmi,
+      round(CASE WHEN denom = 0 THEN 1.0 ELSE pmi_raw / denom END, 6) AS npmi
+    FROM raw
+    """,
+)
+def kg_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI / NPMI weighting of co-mention edges — admission scoring
+    that separates systematic association from hub-entity
+    coincidence (operators.graphstats.pmi_edges). Corpus totals stay
+    a broadcast 1-row aggregate; marginals join back by entity id."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        pmi_edges,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    return pmi_edges(comention_pairs(p["links"]))
+
+
+@register(
+    "kg_triangles",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    e AS (SELECT DISTINCT subj AS a, obj AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+      SELECT n1 AS entity_id FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri
+    ),
+    pn AS (SELECT entity_id, count(*) AS n_triangles FROM tri_nodes GROUP BY entity_id),
+    nodes AS (SELECT a AS entity_id FROM e UNION SELECT b FROM e)
+    SELECT nodes.entity_id,
+      CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nodes LEFT JOIN pn ON nodes.entity_id = pn.entity_id
+    """,
+)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation over the co-mention graph —
+    the clustering-structure diagnostic. The Spark plan is
+    DEGREE-ORIENTED (wedges enumerate at the lowest-(degree,id)
+    apex, bounding hub fan-out); the oracle verifies with a plain
+    id-ordered 3-way join — valid because the triangle SET is
+    orientation-independent."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        triangle_counts,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    edges = comention_pairs(p["links"]).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b")
+    )
+    return triangle_counts(edges).select(
+        "entity_id", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
+@register(
+    "kg_predicate_stats",
+    oracle=f"""
+    SELECT pred, count(*) AS n_triples,
+      count(DISTINCT subj) AS n_subjects,
+      count(DISTINCT obj) AS n_objects,
+      round(count(DISTINCT subj) / count(*), 6) AS functionality,
+      round(count(DISTINCT obj) / count(*), 6) AS inverse_functionality
+    FROM ({TRIPLES_SQL}) GROUP BY pred
+    """,
+)
+def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate functionality profile over the materialized
+    triple table (operators.graphstats.predicate_profile) — the
+    schema-inference diagnostic KG curation uses to type predicates.
+    One groupBy over the triple table."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import predicate_profile
+    from multiomics_biocypher_kg_spark.registry import kg_triples
+
+    trip = kg_triples(spark, sf_dir)
+    return predicate_profile(trip.select("subj", "pred", "obj"))
+
+
+# unrounded composite quality-score formula (SQL twin of
+# functions.textstats.quality_score; text_stats rounds it per-doc,
+# web_domain_profile averages it per-host before rounding)
+def quality_score_sql(text: str) -> str:
+    toks = f"len(string_split({text}, ' '))"
+    stop = (
+        f"CAST(len(list_filter(string_split({text}, ' '), "
+        f"t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / {toks}"
+    )
+    return (
+        f"((CASE WHEN {toks} >= 20 THEN 1.0 ELSE {toks} / 20.0 END)"
+        f" + (CASE WHEN length({text})::DOUBLE / {toks} BETWEEN 3 AND 10"
+        f" THEN 1.0 ELSE 0.0 END)"
+        f" + ({stop}) * 5)"
+    )
+
+
+@register(
+    "web_domain_profile",
+    oracle=f"""
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+      count(*) AS n_pages,
+      count(DISTINCT lang) AS n_langs,
+      string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
+      CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
+      round(avg({quality_score_sql('text')}), 6) AS avg_quality,
+      round(avg(length(text)), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus quality profile — the domain-level curation
+    table CCNet/RefinedWeb-style pipelines compute before sampling:
+    page counts, language spread, broken-markup rate (probed from
+    the html bytes, not metadata), mean quality score and length.
+    One groupBy keyed by host; the hot host exercises the same skew
+    path as kg_host_rollup_salted. The oracle derives host/broken
+    from the deterministic synthetic formulas; the Spark side probes
+    the url and html columns honestly."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.select(
+            url_host(F.col("url")).alias("host"),
+            "lang",
+            "text",
+            F.col("html").cast("string").alias("html_s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), "|").alias("langs"),
+            F.sum(
+                F.col("html_s").endswith("<span class='unclosed").cast("long")
+            ).alias("n_broken"),
+            F.round(F.avg(ts.quality_score(F.col("text"))), 6).alias("avg_quality"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT * FROM (
+      SELECT i.id_a, i.id_b,
+        round(CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment,
+        CASE WHEN sa.sz <= sb.sz THEN i.id_a ELSE i.id_b END AS contained_id
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.id
+      JOIN sizes sb ON i.id_b = sb.id
+    ) WHERE containment >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote / near-subset detection: asymmetric shingle containment
+    >= 0.6 (operators.dedup.containment_pairs). Catches the
+    small-doc-quoted-inside-big-doc pairs whose Jaccard is too low
+    for the dedup passes — the signal a curation pipeline uses to
+    trace quotation/syndication chains."""
+    from multiomics_biocypher_kg_spark.registry_dedup_text import (
+        _dedup_corpus,
+    )
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    return dd.containment_pairs(dd.shingles(corpus), threshold=0.6)
+
+
+@register(
+    "kg_disambiguate",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    vocab AS (SELECT * FROM {VOCAB_SQL}),
+    amb AS (
+      SELECT doc_id, pos, token,
+        regexp_replace(regexp_replace(token, '[*+]+$', ''), '\\.\\d+$', '') AS norm_token
+      FROM links WHERE resolution_method = 'ambiguous'
+    ),
+    t2 AS (
+      SELECT DISTINCT surface, entity_id FROM vocab
+      WHERE tier = 2 AND surface NOT LIKE '% %'
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id, a.pos, a.token, t.entity_id
+      FROM amb a JOIN t2 t ON a.token = t.surface OR a.norm_token = t.surface
+    ),
+    resolved AS (
+      SELECT doc_id, entity_id FROM links WHERE entity_id IS NOT NULL
+    ),
+    prior AS (SELECT entity_id, count(*) AS prior_score FROM resolved GROUP BY entity_id),
+    doc_ents AS (SELECT DISTINCT doc_id, entity_id AS ctx_entity FROM resolved),
+    ents AS (SELECT DISTINCT doc_id, entity_id FROM resolved),
+    pairs AS (
+      SELECT a.doc_id, a.entity_id AS subj, b.entity_id AS obj
+      FROM ents a JOIN ents b
+        ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+    ),
+    co AS (
+      SELECT subj AS lo, obj AS hi, count(DISTINCT doc_id) AS co_docs
+      FROM pairs GROUP BY subj, obj
+    ),
+    ctx AS (
+      SELECT c.doc_id, c.pos, c.token, c.entity_id,
+             sum(coalesce(co.co_docs, 0)) AS context_score
+      FROM cands c
+      JOIN doc_ents d ON c.doc_id = d.doc_id AND c.entity_id <> d.ctx_entity
+      LEFT JOIN co ON least(c.entity_id, d.ctx_entity) = co.lo
+                  AND greatest(c.entity_id, d.ctx_entity) = co.hi
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT c.doc_id, c.pos, c.token, c.entity_id,
+        CAST(coalesce(x.context_score, 0) AS BIGINT) AS context_score,
+        CAST(coalesce(p.prior_score, 0) AS BIGINT) AS prior_score
+      FROM cands c
+      LEFT JOIN ctx x
+        ON c.doc_id = x.doc_id AND c.pos = x.pos AND c.entity_id = x.entity_id
+      LEFT JOIN prior p ON c.entity_id = p.entity_id
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY doc_id, pos
+          ORDER BY context_score DESC, prior_score DESC, entity_id ASC
+        ) AS rn,
+        count(*) OVER (PARTITION BY doc_id, pos) AS n_candidates
+      FROM scored
+    )
+    SELECT doc_id, pos, token, entity_id, context_score, prior_score, n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kg_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate entity-link scoring (operators.disambiguate): the
+    'ambiguous' mentions the tier cascade could not resolve get a
+    context score (co-mention document counts with the page's
+    resolved entities) and a popularity prior, then a deterministic
+    argmax picks the sense. Conflict mentions stay quarantined, as
+    in the reference. All scoring joins run on aggregate tables, not
+    raw pages."""
+    from multiomics_biocypher_kg_spark.operators.disambiguate import disambiguate
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    return disambiguate(p["links"], vocab_df(spark), comention_pairs(p["links"]))
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        tf.tf * ln(n.n_docs / df.df) AS tfidf_raw
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC
+      ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, round(tfidf_raw, 6) AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salient-term
+    signal for doc fingerprints and context features. Two shuffles
+    (tf, df) + one window; the corpus size stays a broadcast 1-row
+    aggregate. Ties order by the UNROUNDED score then term on both
+    sides, so rounding can't reorder the top-k."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "kg_entity_aliases",
+    oracle=f"""
+    WITH vocab AS (SELECT * FROM {VOCAB_SQL}),
+    links AS ({LINKS_SQL}),
+    al AS (
+      SELECT entity_id,
+        string_agg(DISTINCT surface, '|' ORDER BY surface) AS aliases,
+        count(DISTINCT surface) AS n_aliases
+      FROM vocab GROUP BY entity_id
+    ),
+    obs AS (
+      SELECT entity_id,
+        string_agg(DISTINCT token, '|' ORDER BY token) AS observed_tokens,
+        count(*) AS n_mentions
+      FROM links WHERE entity_id IS NOT NULL GROUP BY entity_id
+    )
+    SELECT al.entity_id,
+      string_split(al.entity_id, ':')[1] AS vocab_group,
+      al.aliases, CAST(al.n_aliases AS BIGINT) AS n_aliases,
+      coalesce(obs.observed_tokens, '') AS observed_tokens,
+      CAST(coalesce(obs.n_mentions, 0) AS BIGINT) AS n_mentions
+    FROM al LEFT JOIN obs ON al.entity_id = obs.entity_id
+    """,
+)
+def kg_entity_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity alias table — a first-class KG product: per
+    canonical entity, every gazetteer surface form plus the token
+    forms actually OBSERVED resolving to it in the corpus, with
+    mention counts (zero-mention entities kept: the dictionary is
+    the driver). Two aggregations joined on entity id; the vocab
+    side is dictionary-sized, the observed side map-side combines."""
+    p = _pipeline(spark, sf_dir)
+    vocab = vocab_df(spark)
+    al = vocab.groupBy("entity_id").agg(
+        F.array_join(F.array_sort(F.collect_set("surface")), "|").alias("aliases"),
+        F.countDistinct("surface").alias("n_aliases"),
+    )
+    obs = (
+        p["links"]
+        .where(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("token")), "|").alias(
+                "observed_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return al.join(obs, "entity_id", "left").select(
+        "entity_id",
+        F.split("entity_id", ":")[0].alias("vocab_group"),
+        "aliases",
+        "n_aliases",
+        F.coalesce("observed_tokens", F.lit("")).alias("observed_tokens"),
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+    )
+
+
+@register(
+    "web_cocitation",
+    oracle=f"""
+    WITH hg AS ({_HOST_GRAPH_SQL}),
+    e AS (SELECT DISTINCT src_host, dst_host FROM hg),
+    pairs AS (
+      SELECT a.src_host AS host_a, b.src_host AS host_b, a.dst_host
+      FROM e a JOIN e b
+        ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+    )
+    SELECT host_a, host_b, count(*) AS n_shared_targets
+    FROM pairs GROUP BY host_a, host_b
+    """,
+)
+def web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation: pairs of hosts that link to the same target
+    — the related-domain similarity signal. Pairs are generated with
+    the SAME sorted-set explode as co-mentions (group by target,
+    collect sorted source set, explode pairs) so a high-fan-in
+    target never drives a self-join blowup; one final pair-keyed
+    aggregation."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    e = host_graph(href_edges(pages)).select("src_host", "dst_host").distinct()
+    srcs = e.groupBy("dst_host").agg(
+        F.array_sort(F.collect_set("src_host")).alias("srcs")
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                        lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.host_a", "p.host_b")
+    return pairs.groupBy("host_a", "host_b").agg(
+        F.count(F.lit(1)).alias("n_shared_targets")
+    )
+
+
+@register(
+    "web_host_lang_cube",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(host) = 1 THEN NULL ELSE host END AS host,
+      CASE WHEN GROUPING(lang) = 1 THEN NULL ELSE lang END AS lang,
+      CAST(GROUPING(host) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+      count(*) AS n_pages
+    FROM (
+      SELECT lang,
+        CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+             ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host
+      FROM documents
+    ) GROUP BY CUBE (host, lang)
+    """,
+)
+def web_host_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (host, lang): every subtotal combination plus
+    the grand total in ONE pass (Spark expands the grouping sets
+    map-side; one shuffle, no per-subtotal re-scan). ``gid`` is the
+    grouping_id disambiguating real NULLs from subtotal rows."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.select(url_host(F.col("url")).alias("host"), "lang")
+        .cube("host", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+        .select("host", "lang", "gid", "n_pages")
+    )
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "web_lang_pivot",
+    oracle=f"""
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+      {", ".join(f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}" for lg in _PIVOT_LANGS)}
+    FROM documents GROUP BY 1
+    """,
+)
+def web_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-host language distribution as wide columns. The
+    pivot value list is EXPLICIT (no discovery pass over the corpus
+    — the two-job pivot trap at scale); missing cells coalesce to 0.
+    The oracle mirrors with conditional aggregation, which is also
+    the physical shape Spark compiles an explicit-values pivot to."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    wide = (
+        pages.select(url_host(F.col("url")).alias("host"), "lang")
+        .groupBy("host")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "host",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in _PIVOT_LANGS
+        ],
+    )
+
+
+
+
+
+@register(
+    "web_crawl_schedule",
+    oracle=f"""
+    WITH pr AS ({_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)}),
+    snaps AS ({_SNAPS_SQL}),
+    per_url AS (
+      SELECT url, host, count(*) AS n_snapshots, max(ts_epoch) AS last_ts
+      FROM snaps GROUP BY 1, 2
+    ),
+    tot AS (SELECT max(ts_epoch) AS now_ts FROM snaps)
+    SELECT p.url, p.host, CAST(p.n_snapshots AS BIGINT) AS n_snapshots,
+      CAST(p.last_ts AS BIGINT) AS last_ts,
+      CAST(tot.now_ts - p.last_ts AS BIGINT) AS staleness_sec,
+      coalesce(pr.pagerank, 0.0) AS host_rank,
+      round(coalesce(pr.pagerank, 0.0) * (tot.now_ts - p.last_ts) / 86400.0, 6)
+        AS priority
+    FROM per_url p CROSS JOIN tot LEFT JOIN pr ON p.host = pr.host
+    """,
+)
+def web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl frontier prioritization: per-url staleness (from the
+    multi-snapshot history) weighted by host authority (the link-
+    graph PageRank) — how a crawl scheduler ranks what to fetch
+    next. One per-url aggregation + a broadcast join against the
+    (tiny) host-rank table + a broadcast 1-row corpus max; no
+    .collect() anywhere. The oracle composes the unrolled PageRank
+    CTEs with the snapshot formulas, so the whole composition is
+    value-gated."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        pagerank,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    ranks = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING).select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("host_rank")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    snaps = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
+        ).alias("url"),
+        host.alias("host"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+    )
+    per_url = snaps.groupBy("url", "host").agg(
+        F.count(F.lit(1)).alias("n_snapshots"), F.max("ts_epoch").alias("last_ts")
+    )
+    now = snaps.select(F.max("ts_epoch").alias("now_ts"))
+    return (
+        per_url.crossJoin(F.broadcast(now))
+        .join(F.broadcast(ranks), "host", "left")
+        .select(
+            "url",
+            "host",
+            "n_snapshots",
+            "last_ts",
+            (F.col("now_ts") - F.col("last_ts")).alias("staleness_sec"),
+            F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
+            F.round(
+                F.coalesce("host_rank", F.lit(0.0))
+                * (F.col("now_ts") - F.col("last_ts"))
+                / 86400.0,
+                6,
+            ).alias("priority"),
+        )
+    )
+
+
+_N_SHARDS = 16
+_SHARD_QUALITY_MIN = 2.0
+
+
+@register(
+    "curation_shards",
+    oracle=f"""
+    SELECT {md5_long_sql('doc_id')} % {_N_SHARDS} AS shard_id,
+      count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE {quality_score_sql('text')} >= {_SHARD_QUALITY_MIN}
+    GROUP BY 1
+    """,
+)
+def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export planning: quality-gate the corpus, assign
+    each surviving doc to a shard by content-id hash (the
+    DISTRIBUTED sharding shape — greedy bin-packing by cumulative
+    token count needs a global ordered window, which is a
+    single-task plan at corpus scale and is exactly what this
+    avoids), and roll up per-shard doc/token/char budgets. One
+    filter + one hash-keyed aggregation; balance emerges from the
+    hash, and the rollup is the balance check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = docs.where(ts.quality_score(F.col("text")) >= _SHARD_QUALITY_MIN)
+    return (
+        gated.select(
+            F.pmod(md5_long(F.col("doc_id")), F.lit(_N_SHARDS)).alias("shard_id"),
+            ts.token_count(F.col("text")).alias("toks"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+_COMENTION_EDGES_SQL = f"""
+  SELECT subj AS src, obj AS dst, CAST(n AS DOUBLE) AS w FROM (
+    SELECT subj, obj, count(DISTINCT doc_id) AS n
+    FROM ({COMENTION_PAIRS_SQL}) GROUP BY subj, obj
+  )
+  UNION ALL
+  SELECT obj AS src, subj AS dst, CAST(n AS DOUBLE) AS w FROM (
+    SELECT subj, obj, count(DISTINCT doc_id) AS n
+    FROM ({COMENTION_PAIRS_SQL}) GROUP BY subj, obj
+  )
+"""
+
+
+@register(
+    "kg_entity_pagerank",
+    oracle=_pagerank_oracle_sql(
+        _PR_ITERS,
+        _PR_DAMPING,
+        edges_sql=_COMENTION_EDGES_SQL,
+        out_col="entity_id",
+    ),
+)
+def kg_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: PageRank over the SYMMETRIZED co-mention
+    graph (edge weight = co-mention doc count) — the importance
+    score a KG serves next to each node. Reuses the link-graph
+    PageRank operator (one shuffle join + one aggregation per
+    iteration, corpus scalars as broadcast 1-row aggregates); the
+    oracle reuses the unrolled-CTE renderer over the co-mention
+    edge list."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+    from multiomics_biocypher_kg_spark.operators.linkgraph import pagerank
+
+    p = _pipeline(spark, sf_dir)
+    counts = (
+        comention_pairs(p["links"])
+        .groupBy("subj", "obj")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    edges = counts.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("n").cast("double").alias("weight"),
+    ).unionByName(
+        counts.select(
+            F.col("obj").alias("src"),
+            F.col("subj").alias("dst"),
+            F.col("n").cast("double").alias("weight"),
+        )
+    )
+    return pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING).select(
+        F.col("node").alias("entity_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+@register(
+    "kg_mention_contexts",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    SELECT l.doc_id, l.pos, l.entity_id,
+      array_to_string(a.arr[greatest(l.pos - 1, 1) : l.pos + 3], ' ') AS context
+    FROM links l JOIN arrs a ON l.doc_id = a.doc_id
+    WHERE l.entity_id IS NOT NULL
+    """,
+)
+def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG provenance: a ±2-token evidence snippet for every resolved
+    mention — what a triple links back to when a curator asks "why
+    is this edge here". One co-partitioned join (links x token
+    arrays, both keyed by doc_id); the slice is a per-row array op,
+    no re-tokenization pass. At 100 TB the context column is written
+    next to the mention table, partitioned the same way."""
+    p = _pipeline(spark, sf_dir)
+    arrs = p["docs"].select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    l = p["links"].where(F.col("entity_id").isNotNull()).select(
+        "doc_id", "pos", "entity_id"
+    )
+    start = F.greatest(F.col("pos") - 1, F.lit(1))
+    length = F.col("pos") + 3 - start + 1
+    return l.join(arrs, "doc_id").select(
+        "doc_id",
+        "pos",
+        "entity_id",
+        F.array_join(F.slice(F.col("arr"), start, length), " ").alias("context"),
+    )
+
+
+_NEG_K = 2
+# fixed bucket count for the dense entity index (must match the
+# oracle's bucketing exactly — NOT a parallelism-derived value)
+_NEG_BUCKETS = 64
+
+
+@register(
+    "kg_negative_samples",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    edges AS (SELECT DISTINCT subj, obj FROM pairs),
+    bucketed AS (
+      SELECT entity_id, {md5_long_sql('entity_id')} % {_NEG_BUCKETS} AS b
+      FROM (SELECT DISTINCT subj AS entity_id FROM edges
+            UNION SELECT obj FROM edges)
+    ),
+    lranks AS (
+      SELECT entity_id, b,
+        row_number() OVER (PARTITION BY b ORDER BY entity_id) AS lrank
+      FROM bucketed
+    ),
+    offs AS (
+      SELECT b, coalesce(sum(cnt) OVER (ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b)
+    ),
+    ents AS (
+      SELECT l.entity_id, o.off + l.lrank - 1 AS idx
+      FROM lranks l JOIN offs o ON l.b = o.b
+    ),
+    n AS (SELECT count(*) AS n FROM ents),
+    ks AS (SELECT unnest(generate_series(1, {_NEG_K})) AS k),
+    cand AS (
+      SELECT e.subj, e.obj, ks.k,
+        {md5_long_sql("e.subj || '|' || e.obj || '#' || CAST(ks.k AS VARCHAR)")} % n.n AS neg_idx
+      FROM edges e CROSS JOIN ks CROSS JOIN n
+    )
+    SELECT c.subj, 'co_mentioned_with' AS pred, c.obj, CAST(c.k AS INTEGER) AS k,
+           x.entity_id AS obj_neg
+    FROM cand c JOIN ents x ON c.neg_idx = x.idx
+    WHERE x.entity_id <> c.obj AND x.entity_id <> c.subj
+    """,
+)
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training:
+    per positive edge, K corrupted-object candidates drawn by
+    hashing the edge key into a dense entity index (collisions with
+    the true pair are filtered — 'filtered negatives'). The dense
+    index is built DISTRIBUTED: rank within fixed hash buckets
+    (window partitioned by bucket — each partition holds ~1/64 of
+    the dictionary) plus per-bucket offsets from one tiny 64-row
+    cumulative agg. No unpartitioned window ever sees the entity
+    dictionary, so a 10^9-entity vocabulary never lands on one
+    task. The corruption itself is a hash join by index, no
+    randomness, no driver loops, reproducible across engines."""
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    edges = comention_pairs(p["links"]).select("subj", "obj").distinct()
+    bucketed = (
+        edges.select(F.col("subj").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj").alias("entity_id")))
+        .distinct()
+        .withColumn("b", md5_long(F.col("entity_id")) % _NEG_BUCKETS)
+    )
+    lranks = bucketed.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("b").orderBy("entity_id")),
+    )
+    offs = (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("b", "off")
+    )
+    ents = lranks.join(F.broadcast(offs), "b").select(
+        "entity_id", (F.col("off") + F.col("lrank") - 1).cast("long").alias("idx")
+    )
+    n = ents.select(F.count(F.lit(1)).alias("n"))
+    ks = spark.range(1, _NEG_K + 1).select(F.col("id").cast("int").alias("k"))
+    cand = (
+        edges.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "subj",
+            "obj",
+            "k",
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.col("subj"), F.lit("|"), F.col("obj"),
+                        F.lit("#"), F.col("k").cast("string"),
+                    )
+                ),
+                F.col("n"),
+            ).alias("neg_idx"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(ents), cand["neg_idx"] == ents["idx"])
+        .where(
+            (F.col("entity_id") != F.col("obj"))
+            & (F.col("entity_id") != F.col("subj"))
+        )
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            "k",
+            F.col("entity_id").alias("obj_neg"),
+        )
+    )
+
+
+@register(
+    "web_robots_gate",
+    oracle="""
+    SELECT
+      CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+      count(*) AS n_pages,
+      CAST(sum(CASE WHEN doc_id % 23 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_noindex,
+      CAST(sum(CASE WHEN doc_id % 23 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_indexable
+    FROM documents GROUP BY 1
+    """,
+)
+def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/noindex gate: honor <meta name="robots"
+    content="noindex"> BEFORE extraction — the politeness filter
+    every compliant crawl pipeline applies first. The probe is a
+    native substring test on the html bytes in the scan projection
+    (the cheap pre-filter that saves the expensive extract on gated
+    rows at 100 TB); the rollup is the per-host compliance report.
+    The oracle mirrors the synthesis formula (doc_id % 23 = 1), the
+    Spark side probes the bytes honestly."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    ni = (
+        F.col("html")
+        .cast("string")
+        .contains('<meta name="robots" content="noindex">')
+        .cast("long")
+    )
+    return (
+        pages.select(url_host(F.col("url")).alias("host"), ni.alias("ni"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("ni").alias("n_noindex"),
+            F.sum(1 - F.col("ni")).alias("n_indexable"),
+        )
+    )
+
+
+from multiomics_biocypher_kg_spark.functions import pii as _pii  # noqa: E402
+
+_PII_COUNTS = _pii.counts_sql("text")
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+      CAST({_PII_COUNTS['n_emails']} AS INTEGER) AS n_emails,
+      CAST({_PII_COUNTS['n_ips']} AS INTEGER) AS n_ips,
+      CAST({_PII_COUNTS['n_phones']} AS INTEGER) AS n_phones,
+      md5({_pii.scrub_sql('text')}) AS masked_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions.pii): per-doc email/ip/phone counts
+    and the md5 of the masked text. Native regexp chain in the scan
+    projection — the masking itself adds zero shuffles. The driver
+    corpus contains no PII by construction, so this query gates the
+    zero-count path and the masked-text identity; detection and
+    masking semantics are pinned on fixtures in tests/test_pii.py
+    (including Spark/DuckDB pattern agreement)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        _pii.email_count(t).alias("n_emails"),
+        _pii.ip_count(t).alias("n_ips"),
+        _pii.phone_count(t).alias("n_phones"),
+        F.md5(_pii.scrub(t)).alias("masked_md5"),
+    )
+
+
+_VOCAB_TOP = 256
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    ranked AS (
+      SELECT token, n,
+        row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+        sum(n) OVER (ORDER BY n DESC, token ASC
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, n,
+      round(CAST(n AS DOUBLE) / tot.total, 6) AS frac,
+      round(CAST(cum AS DOUBLE) / tot.total, 6) AS cum_frac
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= {_VOCAB_TOP}
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (the tokenizer-training precursor): corpus
+    token counts, rank, and cumulative coverage for the top tokens.
+    One map-side-combined count shuffle; top-K selection is a
+    distributed TakeOrderedAndProject (per-partition heaps, no
+    global sort — a 10^9-term vocabulary never lands on one task),
+    and only the K survivors see the rank/coverage window. The
+    cumulative coverage of rank r<=K depends only on rows ranked
+    above it, all of which are in the top-K, so the two-phase plan
+    is exact."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).select(F.lower("tok").alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.select(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    wc = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("n").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("frac"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_frac"),
+        )
+    )
+
+
+@register(
+    "web_snapshot_diff",
+    oracle=f"""
+    WITH snaps AS (
+      SELECT d.doc_id, d.text, s.url, s.ts_epoch
+      FROM documents d JOIN ({_SNAPS_SQL}) s ON d.doc_id = s.doc_id
+    ),
+    seq AS (
+      SELECT url, doc_id, ts_epoch,
+        list_sort(list_distinct(string_split(text, ' '))) AS toks,
+        lag(list_sort(list_distinct(string_split(text, ' '))))
+          OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS prev_toks
+      FROM snaps
+    )
+    SELECT url, doc_id, CAST(ts_epoch AS BIGINT) AS ts_epoch,
+      CAST(len(list_filter(toks, t -> NOT list_contains(prev_toks, t))) AS INTEGER)
+        AS n_added,
+      CAST(len(list_filter(prev_toks, t -> NOT list_contains(toks, t))) AS INTEGER)
+        AS n_removed,
+      round(CAST(len(list_filter(toks, t -> list_contains(prev_toks, t))) AS DOUBLE)
+        / len(list_distinct(toks || prev_toks)), 6) AS jaccard_prev
+    FROM seq WHERE prev_toks IS NOT NULL
+    """,
+)
+def web_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl change detection: token-set diff between CONSECUTIVE
+    snapshots of the same url (added / removed counts + Jaccard to
+    the previous capture) — the change-rate signal recrawl
+    scheduling consumes. One window keyed by url (the natural
+    partition: snapshot history per page is small even at 10^12
+    docs), array ops per row, no self-join of the snapshot table."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), F.lpad(fam.cast("string"), 6, "0")
+    )
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    snaps = docs.select(
+        "doc_id",
+        url.alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        toks.alias("toks"),
+    )
+    w = Window.partitionBy("url").orderBy("ts_epoch", "doc_id")
+    seq = snaps.withColumn("prev_toks", F.lag("toks").over(w)).where(
+        F.col("prev_toks").isNotNull()
+    )
+    inter = F.size(F.array_intersect("toks", "prev_toks"))
+    return seq.select(
+        "url",
+        "doc_id",
+        "ts_epoch",
+        F.size(F.array_except("toks", "prev_toks")).alias("n_added"),
+        F.size(F.array_except("prev_toks", "toks")).alias("n_removed"),
+        F.round(
+            inter / F.size(F.array_union("toks", "prev_toks")), 6
+        ).alias("jaccard_prev"),
+    )
+
+
+_POSTINGS_TOP = 32
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    top AS (
+      SELECT term, df,
+        row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+      FROM df
+    )
+    SELECT t.term, CAST(t.rank AS BIGINT) AS rank, t.df,
+      string_agg(CAST(x.doc_id AS VARCHAR), '|' ORDER BY CAST(x.doc_id AS VARCHAR)) AS postings
+    FROM top t JOIN toks x ON t.term = x.term
+    WHERE t.rank <= {_POSTINGS_TOP}
+    GROUP BY t.term, t.rank, t.df
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-side product of a corpus
+    pipeline): sorted posting lists for the top document-frequency
+    terms. Top-K selection is a distributed TakeOrderedAndProject
+    (per-partition heaps — the vocabulary never lands on a single
+    sort task); only the K survivors see the rank window. Posting
+    lists assemble with one sorted collect per term — at corpus
+    scale the postings column is written as the index segment,
+    partitioned by term hash."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.lower("tok").alias("term"))
+        .distinct()
+    )
+    df_ = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    top = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(_POSTINGS_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("term", "rank", "df")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), "|"
+            ).alias("postings")
+        )
+        .select("term", "rank", "df", "postings")
+    )
+
+# Re-apply the driver-window order after this module's registrations:
+# if this module is imported FIRST, registry's own bottom-of-file
+# ordering pass runs before these queries exist. Idempotent.
+from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
+    _apply_driver_window_order,
+)
+
+_apply_driver_window_order()

@@ -12,7 +12,7 @@ from multiomics_biocypher_kg_spark.operators.simsearch import (
     cosine_topk,
     lsh_bucketed_topk,
 )
-from multiomics_biocypher_kg_spark.registry import _dedup_corpus
+from multiomics_biocypher_kg_spark.registry_dedup_text import _dedup_corpus
 from tests.conftest import SF_TINY
 
 
