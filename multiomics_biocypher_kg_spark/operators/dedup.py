@@ -232,10 +232,10 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Wide signatures -> per-band signature strings (pure column
-    concat, no extra shuffle — the frame is already one row per id)
-    -> bucket equi-join -> distinct candidate pairs."""
+def banded_buckets(sigs: DataFrame) -> DataFrame:
+    """Wide signatures -> (id, band, sig) bucket rows: per-band
+    signature strings are pure column concat (no extra shuffle — the
+    frame is already one row per id), then a narrow explode."""
     n_hashes = len(MINHASH_COEFFS)
     bands = [
         F.struct(
@@ -253,9 +253,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         )
         for band in range(BANDS)
     ]
-    banded = sigs.select("id", F.explode(F.array(*bands)).alias("bb")).select(
+    return sigs.select("id", F.explode(F.array(*bands)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Signatures -> band-bucket equi-join -> distinct candidate
+    pairs (id_a < id_b)."""
+    banded = banded_buckets(sigs)
     a = banded.select(F.col("id").alias("id_a"), "band", "sig")
     b = banded.select(F.col("id").alias("id_b"), "band", "sig")
     return (
@@ -263,6 +269,77 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_candidate_pairs_cross(
+    sigs_base: DataFrame, sigs_batch: DataFrame
+) -> DataFrame:
+    """CROSS-CORPUS candidates: batch signatures band-join against
+    the (stored) base signature index — (id_a = base id, id_b =
+    batch id). The base corpus is touched only through its signature
+    table, and batch x batch pairs are never generated: the
+    incremental-dedup shape, where yesterday's corpus is an index
+    segment and only today's batch is new work."""
+    a = banded_buckets(sigs_base).select(
+        F.col("id").alias("id_a"), "band", "sig"
+    )
+    b = banded_buckets(sigs_batch).select(
+        F.col("id").alias("id_b"), "band", "sig"
+    )
+    return a.join(b, ["band", "sig"]).select("id_a", "id_b").distinct()
+
+
+def incremental_neardup_pairs(
+    base_docs: DataFrame,
+    batch_docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash dedup of a NEW batch against an EXISTING
+    corpus: signatures per side, cross band-bucket candidates, exact
+    Jaccard verify on candidates only (the set-algebra verify of
+    ``minhash_neardup_pairs``). Never a base x base or batch x batch
+    comparison — cost is linear in the batch plus the candidate
+    fraction of the base. In production the base side is the
+    persisted signature/ shingle index (``text_minhash_doc_signature``
+    is the export of exactly that table), so the base corpus text is
+    not re-read at all.
+
+    -> (id_a = base id, id_b = batch id, jaccard >= threshold)
+    """
+    raw_base = shingles(base_docs, id_col=id_col, text_col=text_col, distinct=False)
+    raw_batch = shingles(batch_docs, id_col=id_col, text_col=text_col, distinct=False)
+    cands = lsh_candidate_pairs_cross(
+        minhash_signatures(raw_base), minhash_signatures(raw_batch)
+    ).localCheckpoint()
+    sets_a = (
+        raw_base.join(cands.select(F.col("id_a").alias("id")).distinct(), "id", "leftsemi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sa"))
+        .select(F.col("id").alias("id_a"), "sa")
+    )
+    sets_b = (
+        raw_batch.join(cands.select(F.col("id_b").alias("id")).distinct(), "id", "leftsemi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sb"))
+        .select(F.col("id").alias("id_b"), "sb")
+    )
+    scored = (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -635,6 +635,9 @@ _DRIVER_WINDOW_FIRST = [
     "web_incremental_crawl_merge",
     "text_minhash_doc_signature",
     "kg_blocking_keys",
+    "dedup_incremental_lsh",
+    "text_unigram_perplexity",
+    "web_reciprocity",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

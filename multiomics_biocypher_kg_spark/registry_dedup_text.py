@@ -814,6 +814,48 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_value", 6).alias("mean_value"),
     )
 
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
+    sigs AS (
+      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
+      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
+      GROUP BY id, h.i
+    ),
+    banded AS (
+      SELECT id, i // {ROWS_PER_BAND} AS band,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.id < 1000000 AND b.id >= 1000000
+    ),
+    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5)
+    SELECT c.id_a, c.id_b, v.jaccard
+    FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: the synthetic recrawl batch (ids >= 10^6 —
+    the near/exact dup synthesis plays the role of today's crawl)
+    deduped against the existing corpus (ids < 10^6) through the
+    cross band-bucket join (operators.dedup.incremental_neardup_
+    pairs). The base side is touched only via its signature/shingle
+    index — never a base x base comparison — which is how a 10^12-doc
+    corpus absorbs a daily batch: signatures are the persisted
+    segment (text_minhash_doc_signature), batch work is linear in
+    the batch. The oracle replays the identical band math with the
+    base/batch split predicate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    base = corpus.where(F.col("doc_id") < 1000000)
+    batch = corpus.where(F.col("doc_id") >= 1000000)
+    return dd.incremental_neardup_pairs(base, batch, 0.5)
+
+
 # Re-apply the driver-window order after this module's registrations:
 # if this module is imported FIRST, registry's own bottom-of-file
 # ordering pass runs before these queries exist. Idempotent.

@@ -834,6 +834,68 @@ def kg_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (model-based quality gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    model AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t,
+             CAST(count(DISTINCT token) AS DOUBLE) AS v
+      FROM toks
+    ),
+    scored AS (
+      SELECT tk.doc_id, -log2((m.c + 1) / (st.t + st.v)) AS bits
+      FROM toks tk JOIN model m ON tk.token = m.token CROSS JOIN st
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+      round(avg(bits), 6) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: per-doc bits-per-token under an
+    add-one-smoothed unigram language model trained on the corpus
+    itself — the perplexity-filtering signal (CCNet-style) that
+    separates fluent text from gibberish/boilerplate. Two passes:
+    the model is one map-side-combined token count (a dictionary,
+    not the corpus), then each token scores via a dictionary join
+    and one per-doc avg. Corpus totals stay broadcast 1-row
+    aggregates. At 10^12 docs the model table is the only state and
+    it is vocabulary-sized; swapping in an externally-trained
+    KenLM-style model changes the join source, not the plan."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    st = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.countDistinct("token").cast("double").alias("v"),
+    )
+    scored = (
+        toks.join(model, "token")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("c") + 1) / (F.col("t") + F.col("v")))).alias(
+                "bits"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("bits"), 6).alias("bits_per_token"),
+    )
+
+
 # If this module is imported FIRST (registry's own bottom import then
 # sees it half-initialized), registry applies its window order before
 # these registrations exist — re-apply here so the final ordering is

@@ -354,6 +354,63 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(href_edges(pages))
 
 
+@register(
+    "web_reciprocity",
+    oracle=f"""
+    WITH g AS (
+      SELECT src_host, dst_host, n_links FROM ({_HOST_GRAPH_SQL})
+      WHERE src_host <> dst_host
+    )
+    SELECT a.src_host AS host,
+      CAST(count(*) AS BIGINT) AS n_out_hosts,
+      CAST(sum(CASE WHEN b.src_host IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_reciprocal,
+      round(CAST(sum(CASE WHEN b.src_host IS NOT NULL THEN 1 ELSE 0 END)
+        AS DOUBLE) / count(*), 6) AS reciprocity
+    FROM g a LEFT JOIN g b
+      ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+    GROUP BY a.src_host
+    """,
+)
+def web_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-reciprocity profile per host: the fraction of a host's
+    distinct outbound host-edges that are reciprocated — a classic
+    link-farm / mutual-linking spam signal (organic webs are mostly
+    asymmetric; link rings reciprocate heavily). Runs ENTIRELY on
+    the host graph (hosts x hosts, already aggregated — never the
+    page-level edge stream), so the self-join is dictionary-sized at
+    any corpus scale and keyed for a plain shuffle join."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    g = (
+        host_graph(href_edges(pages_from_documents(spark, sf_dir)))
+        .where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+    )
+    rev = g.select(
+        F.col("src_host").alias("r_src"), F.col("dst_host").alias("r_dst")
+    )
+    marked = g.join(
+        rev,
+        (F.col("src_host") == F.col("r_dst"))
+        & (F.col("dst_host") == F.col("r_src")),
+        "left",
+    ).select(
+        "src_host",
+        F.when(F.col("r_src").isNotNull(), 1).otherwise(0).alias("recip"),
+    )
+    return marked.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_out_hosts"),
+        F.sum("recip").cast("long").alias("n_reciprocal"),
+        F.round(
+            F.sum("recip").cast("double") / F.count(F.lit(1)), 6
+        ).alias("reciprocity"),
+    )
+
+
 def _pagerank_oracle_sql(
     iters: int,
     damping: float,

@@ -24,6 +24,20 @@ EVENTS_SCHEMA = (
 )
 
 
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: content-hash ``dropDuplicates`` whose
+    seen-hash state persists ACROSS micro-batches — a duplicate
+    arriving hours after its original is still dropped, which is the
+    property batch dedup-by-partition cannot give an incremental
+    crawl. State is one row per distinct hash (the streaming twin of
+    the dedup_incremental_lsh signature index); with an event-time
+    column, ``dropDuplicatesWithinWatermark`` bounds that state for
+    true-infinite streams."""
+    return docs.withColumn("text_md5", F.md5("text")).dropDuplicates(
+        ["text_md5"]
+    )
+
+
 def windowed_counts(events: DataFrame) -> DataFrame:
     """Watermarked 1-hour tumbling windows per event_type."""
     return (

@@ -119,6 +119,41 @@ def test_minhash_signature_export_matches_lsh_internals(spark):
     assert exported == internal
 
 
+def test_incremental_dedup_never_compares_batch_to_batch(spark):
+    """Cross-corpus LSH: every returned pair is (base, batch) —
+    base-base and batch-batch pairs are structurally impossible —
+    and the recall on the synthetic exact-dup batch is total."""
+    rows = QUERIES["dedup_incremental_lsh"](spark, SF_TINY).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["id_a"] < 1000000 <= r["id_b"], (r["id_a"], r["id_b"])
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    exact = {(d, d + 2000000) for d in docs if d % 5 == 0}
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    assert exact <= found  # identical signatures: LSH recall 1.0
+
+
+def test_unigram_perplexity_orders_fluency(spark):
+    """In-model docs score below the corpus-wide uniform bound
+    (log2(V) bits); the score is deterministic across runs."""
+    import math
+
+    rows = QUERIES["text_unigram_perplexity"](spark, SF_SMALL).collect()
+    toks = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    )
+    v = toks.distinct().count()
+    assert all(0 < r["bits_per_token"] < math.log2(v) + 1 for r in rows)
+    again = QUERIES["text_unigram_perplexity"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 def test_blocking_keys_bound_candidate_pairs(spark):
     """Sum of within-block pairs is far below the all-pairs count —
     the whole point of blocking — and the pair formula is exact."""

@@ -76,3 +76,50 @@ def test_stateful_user_counts(spark):
     )
     expect = {r.user_id: (r.n, r.s) for r in batch}
     assert got == expect
+
+
+def test_streaming_dedup_state_spans_micro_batches(spark):
+    """Streaming exact dedup drops duplicates that arrive in LATER
+    micro-batches: the seen-hash state is cross-batch, not per-batch
+    — the property an incremental crawl needs from its dedup stage."""
+    import tempfile
+
+    from multiomics_biocypher_kg_spark.streaming.events import dedup_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        schema = "doc_id long, text string"
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/docs")
+        stream = spark.readStream.schema(schema).parquet(f"{d}/docs")
+        q = (
+            dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_stream_dedup")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = spark.sql(
+                "SELECT text FROM t_stream_dedup"
+            ).collect()
+            assert sorted(r.text for r in first) == [
+                "alpha beta",
+                "gamma delta",
+            ]
+            # second micro-batch: one genuinely new doc + one dup of
+            # a batch-1 doc -> only the new one survives
+            spark.createDataFrame(
+                [(4, "epsilon zeta"), (5, "gamma delta")], schema
+            ).coalesce(1).write.mode("append").parquet(f"{d}/docs")
+            q.processAllAvailable()
+            rows = spark.sql("SELECT text FROM t_stream_dedup").collect()
+        finally:
+            q.stop()
+        assert sorted(r.text for r in rows) == [
+            "alpha beta",
+            "epsilon zeta",
+            "gamma delta",
+        ]
