@@ -165,3 +165,43 @@ def test_blocking_keys_bound_candidate_pairs(spark):
     for r in rows:
         assert r["n_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
         assert r["oversized"] == (1 if r["n_pairs"] > 1000 else 0)
+
+
+def test_warc_writer_reader_roundtrip_hostile_bodies(tmp_path):
+    """The WARC parser is framing-exact: bodies containing the
+    record marker, CRLFs, or binary bytes round-trip byte-identically
+    because the reader consumes Content-Length bytes, never splits
+    on markers."""
+    from multiomics_biocypher_kg_spark.sources.warc import (
+        parse_warc_file,
+        write_warc_files,
+    )
+
+    recs = [
+        ("https://a/1", "2026-01-01T00:00:00Z", b"WARC/1.0\r\n\r\nfake"),
+        ("https://a/2", "2026-01-01T00:00:01Z", bytes(range(256))),
+        ("https://a/3", "2026-01-01T00:00:02Z", b""),
+    ]
+    paths = write_warc_files(recs, str(tmp_path / "w"), n_files=1)
+    got = list(parse_warc_file(paths[0]))
+    assert got == recs
+
+
+def test_warc_datasource_partitions_per_file(spark, tmp_path):
+    """spark.read.format('warc'): one InputPartition per archive
+    file, all records surfaced with their headers and bodies."""
+    from multiomics_biocypher_kg_spark.sources.warc import (
+        register_warc_source,
+        write_warc_files,
+    )
+
+    recs = [
+        (f"https://h/{i}", "2026-01-01T00:00:00Z", f"body {i}".encode())
+        for i in range(10)
+    ]
+    write_warc_files(recs, str(tmp_path / "w"), n_files=3)
+    register_warc_source(spark)
+    df = spark.read.format("warc").option("path", str(tmp_path / "w")).load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = {(r.url, bytes(r.content)) for r in df.collect()}
+    assert rows == {(u, b) for u, _, b in recs}
