@@ -704,6 +704,8 @@ _DRIVER_WINDOW_FIRST = [
     "text_unigram_perplexity",
     "web_reciprocity",
     "kg_warc_scan",
+    "text_chunk_windows",
+    "text_pack_sequences",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

@@ -896,6 +896,155 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking + token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+_CHUNK_K = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+        arr[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_K}] AS ch
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(CAST(greatest(n - {_CHUNK_K}, 0) AS DOUBLE)
+                       / {_CHUNK_STRIDE}) AS BIGINT))) AS i
+      ) s
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      CAST(len(ch) AS INTEGER) AS n_chunk_tokens,
+      md5(array_to_string(ch, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the training-example splitter):
+    overlapping 32-token windows at stride 24
+    per document, entirely with native array expressions — sequence
+    + transform + slice in the scan projection, zero Python, zero
+    shuffles (the explode is narrow). Every token is covered, ends
+    included (last window may be short). chunk_md5 pins the chunk
+    CONTENT cross-engine without hauling the text through the
+    compare."""
+    arr = F.split("text", " ")
+    t = _docs(spark, sf_dir).select(
+        "doc_id", arr.alias("arr"), F.size(arr).alias("n")
+    )
+    n_last = F.ceil(
+        F.greatest(F.col("n") - _CHUNK_K, F.lit(0)).cast("double")
+        / _CHUNK_STRIDE
+    ).cast("long")
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_last),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.slice(
+                        F.col("arr"), (i * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_K
+                    ).alias("ch"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.ch").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.ch", " ")).alias("chunk_md5"),
+    )
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 16
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        {md5_long_sql("CAST(doc_id AS VARCHAR) || '#pack'")} AS pri,
+        {md5_long_sql("CAST(doc_id AS VARCHAR) || '#pack'")} % {_PACK_SHARDS}
+          AS shard,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n,
+        sum(n) OVER (PARTITION BY shard ORDER BY pri, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    assigned AS (
+      SELECT shard,
+        shard * 1000000 + CAST(floor(CAST(cum - n AS DOUBLE)
+          / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+        n
+      FROM packed
+    )
+    SELECT seq_id, count(*) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS total_tokens,
+      round(CAST(sum(n) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill_ratio
+    FROM assigned GROUP BY seq_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assembling fixed-token-budget training
+    sequences from variable-length docs. Distributed first-fit: docs
+    hash into 16 shards (packing is embarrassingly
+    parallel across shards; each shard's running token total is a
+    window PARTITIONED by shard — never a global cumsum, which is
+    the single-task trap), ordered by hash priority for mixing, and
+    each doc joins the sequence where its running total STARTS
+    (quota first-fit: a sequence may overflow its budget by at most
+    one doc — the standard pack-then-truncate contract; tight
+    packing needs doc-level splitting, which text_chunk_windows
+    provides upstream). Output is the per-sequence manifest the
+    dataloader consumes."""
+    from pyspark.sql import Window
+
+    pri = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#pack")))
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        pri.alias("pri"),
+        (pri % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = t.withColumn("cum", F.sum("n").over(w)).select(
+        (
+            F.col("shard") * 1000000
+            + F.floor(
+                (F.col("cum") - F.col("n")).cast("double") / _PACK_BUDGET
+            ).cast("long")
+        ).alias("seq_id"),
+        "n",
+    )
+    return assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.round(F.sum("n").cast("double") / _PACK_BUDGET, 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
 # If this module is imported FIRST (registry's own bottom import then
 # sees it half-initialized), registry applies its window order before
 # these registrations exist — re-apply here so the final ordering is

@@ -205,3 +205,53 @@ def test_warc_datasource_partitions_per_file(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3
     rows = {(r.url, bytes(r.content)) for r in df.collect()}
     assert rows == {(u, b) for u, _, b in recs}
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Chunks tile each doc: first chunk starts at token 1, strides
+    are 24, every token appears in >= 1 chunk, all full chunks are
+    exactly 32 tokens and only the last may be short."""
+    rows = QUERIES["text_chunk_windows"](spark, SF_TINY).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = docs[did]
+        assert chunks[0]["chunk_idx"] == 0
+        last_start = chunks[-1]["chunk_idx"] * 24
+        assert last_start + chunks[-1]["n_chunk_tokens"] == n  # ends covered
+        for c in chunks[:-1]:
+            assert c["n_chunk_tokens"] == 32
+
+
+def test_pack_sequences_respect_quota_contract(spark):
+    """First-fit-by-quota: total tokens per sequence lands in
+    (budget - max_doc, budget + max_doc); every doc is packed
+    exactly once; sequences are deterministic across runs."""
+    rows = QUERIES["text_pack_sequences"](spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    n_docs, total = len(docs), sum(r["n"] for r in docs)
+    max_doc = max(r["n"] for r in docs)
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == total
+    # every non-terminal sequence of a shard starts at its quota
+    # boundary, so it holds > budget - max_doc tokens; terminal
+    # sequences may be near-empty, so bound only the upper side and
+    # the AGGREGATE fill (shards = 16 terminal sequences at most)
+    for r in rows:
+        assert r["total_tokens"] < 256 + max_doc
+    assert total / sum(1 for _ in rows) > 256 - max_doc - 256 * 16 / len(rows)
+    again = QUERIES["text_pack_sequences"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
