@@ -706,6 +706,9 @@ _DRIVER_WINDOW_FIRST = [
     "kg_warc_scan",
     "text_chunk_windows",
     "text_pack_sequences",
+    "data_split_assign",
+    "data_split_leakage",
+    "emb_quantize_int8",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

@@ -33,6 +33,7 @@ from multiomics_biocypher_kg_spark.functions.hashing import (
 )
 from multiomics_biocypher_kg_spark.oracle_fragments import (
     COMENTION_PAIRS_SQL,
+    SHINGLES_SQL,
     _SNAPS_SQL,
 )
 from multiomics_biocypher_kg_spark.registry import _pipeline, register
@@ -1042,6 +1043,214 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n").cast("double") / _PACK_BUDGET, 6).alias(
             "fill_ratio"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splits + leakage audit + embedding quantization
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = (
+    "CASE WHEN " + md5_long_sql("CAST(doc_id AS VARCHAR) || '#split'")
+    + " % 100 < 90 THEN 'train' WHEN "
+    + md5_long_sql("CAST(doc_id AS VARCHAR) || '#split'")
+    + " % 100 < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col():
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))) % 100
+    return (
+        F.when(h < 90, F.lit("train"))
+        .when(h < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "data_split_assign",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SPLIT_SQL} AS split,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_all FROM s)
+    SELECT split, count(*) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS total_tokens,
+      round(CAST(count(*) AS DOUBLE) / tot.n_all, 6) AS frac
+    FROM s CROSS JOIN tot GROUP BY split, tot.n_all
+    """,
+)
+def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content-
+    stable hash — the split is a pure scan projection: reproducible
+    across runs, engines, and corpus repartitions, no RNG, no state.
+    A doc's split NEVER changes when the corpus grows (hash of its
+    own id), which is what makes eval sets stable across crawl
+    versions. Output is the split manifest (counts, token totals,
+    achieved fractions)."""
+    s = _docs(spark, sf_dir).select(
+        _split_col().alias("split"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("n_all"), 6).alias(
+                "frac"
+            ),
+        )
+    )
+
+
+@register(
+    "data_split_leakage",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM (
+        WITH sh AS ({SHINGLES_SQL}),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        )
+        SELECT i.id_a, i.id_b
+        FROM inter i JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+      )
+    ),
+    splits AS (
+      SELECT doc_id, {_SPLIT_SQL} AS split
+      FROM (SELECT doc_id FROM documents
+            UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 4 = 0
+            UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 5 = 0)
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+      greatest(sa.split, sb.split) AS split_b,
+      count(*) AS n_pairs,
+      CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_leaking
+    FROM pairs p
+    JOIN splits sa ON p.id_a = sa.doc_id
+    JOIN splits sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: near-dup pairs (exact n-gram
+    Jaccard >= 0.5 over the recrawl-synthesis corpus) bucketed by
+    the splits of their two sides — a train/test near-dup pair IS
+    leaked benchmark data. The pair set comes from the standard
+    candidates-first machinery; the split is the same pure hash
+    projection as data_split_assign, so the audit composes from
+    already-persisted artifacts (dedup pairs + split manifest) with
+    two dictionary joins — no new corpus pass at 100 TB."""
+    corpus = _dedup_corpus_scale(spark, sf_dir)
+    from multiomics_biocypher_kg_spark.operators import dedup as dd
+
+    pairs = dd.jaccard_pairs(dd.shingles(corpus), 0.5).select("id_a", "id_b")
+    splits = corpus.select("doc_id", _split_col().alias("split"))
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_l")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_r")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("split_l", "split_r").alias("split_a"),
+            F.greatest("split_l", "split_r").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("split_l") != F.col("split_r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_leaking"),
+        )
+    )
+
+
+def _dedup_corpus_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multiomics_biocypher_kg_spark.registry_dedup_text import _dedup_corpus
+
+    return _dedup_corpus(spark, sf_dir)
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+        list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+      FROM v
+    )
+    SELECT vec_id, CAST(len(e) AS INTEGER) AS n_dims,
+      round(scale, 6) AS scale,
+      round(list_max(list_transform(e,
+        x -> abs(x - floor(x / scale + 0.5) * scale))), 6) AS max_abs_err
+    FROM scaled
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the
+    index-size/bandwidth lever every billion-vector ANN deployment
+    pulls (4x smaller, SIMD-friendly dot products). Per-vector
+    symmetric scale = max|x|/127, quantize-dequantize round-trip
+    error reported per vector; all pure array expressions in the
+    scan projection (transform/aggregate — zero Python, zero
+    shuffles). The quantizer is floor(x/s + 0.5) — half-up toward
+    +inf — because floor is IEEE-exact in both engines while
+    engine round() on doubles diverges at representation boundaries
+    (Spark's BigDecimal shortest-string path). The oracle recomputes
+    the identical arithmetic, so
+    scale choice AND reconstruction error are value-gated, bounding
+    the quantization noise the ANN recall tests tolerate."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # the raw scale keeps its own name: aliasing the ROUNDED value
+    # back to "scale" in the same select would let resolution bind
+    # the error expression to the rounded column (observed — a 2e-6
+    # cross-engine skew), so raw and display columns never share a name
+    v = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", e.alias("e"))
+        .withColumn(
+            "s_raw",
+            F.array_max(F.transform(F.col("e"), F.abs)) / 127,
+        )
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                x - F.floor(x / F.col("s_raw") + 0.5) * F.col("s_raw")
+            ),
+        )
+    )
+    return v.select(
+        "vec_id",
+        F.size("e").alias("n_dims"),
+        F.round("s_raw", 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
     )
 
 

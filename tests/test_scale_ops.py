@@ -255,3 +255,37 @@ def test_pack_sequences_respect_quota_contract(spark):
     assert total / sum(1 for _ in rows) > 256 - max_doc - 256 * 16 / len(rows)
     again = QUERIES["text_pack_sequences"](spark, SF_SMALL).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_split_assign_is_stable_and_exhaustive(spark):
+    """Hash split: fractions near 90/5/5, all docs assigned, and the
+    assignment of any given doc never changes across runs."""
+    rows = {r["split"]: r for r in QUERIES["data_split_assign"](spark, SF_SMALL).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == 500
+    assert 0.8 < rows["train"]["frac"] < 0.97
+    again = {r["split"]: r["n_docs"] for r in QUERIES["data_split_assign"](spark, SF_SMALL).collect()}
+    assert again == {k: v["n_docs"] for k, v in rows.items()}
+
+
+def test_split_leakage_detects_cross_split_neardups(spark):
+    """The recrawl synthesis guarantees near-dup pairs whose two
+    sides hash into different splits — the audit must surface them
+    (n_leaking > 0 in at least one cross bucket), and same-split
+    buckets must report zero leaking."""
+    rows = QUERIES["data_split_leakage"](spark, SF_SMALL).collect()
+    cross = [r for r in rows if r["split_a"] != r["split_b"]]
+    assert sum(r["n_leaking"] for r in cross) > 0
+    for r in rows:
+        if r["split_a"] == r["split_b"]:
+            assert r["n_leaking"] == 0
+        else:
+            assert r["n_leaking"] == r["n_pairs"]
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """int8 round-trip error is at most scale/2 (+1 ulp); scale is
+    positive for every non-zero vector."""
+    for r in QUERIES["emb_quantize_int8"](spark, SF_SMALL).collect():
+        assert r["scale"] > 0
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, r
