@@ -12,6 +12,12 @@ verbatim, oracles byte-identical.
 
 from __future__ import annotations
 
+from multiomics_biocypher_kg_spark.functions.hashing import (
+    R as MH_R,
+    ROWS_PER_BAND,
+    md5_long_sql,
+    minhash_coeffs_sql,
+)
 from multiomics_biocypher_kg_spark.sources.vocab import vocab_values_sql
 
 # url formula must match sources.pages.url_of
@@ -173,4 +179,41 @@ SHINGLES_SQL = f"""
     arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM ({DEDUP_CORPUS_SQL})) d,
        LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+"""
+
+JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+"""
+
+MINHASH_PAIRS_CTES = f"""
+    sh AS ({SHINGLES_SQL}),
+    hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
+    sigs AS (
+      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
+      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
+      GROUP BY id, h.i
+    ),
+    banded AS (
+      SELECT id, i // {ROWS_PER_BAND} AS band,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5),
+    pairs AS (
+      SELECT c.id_a, c.id_b, v.jaccard
+      FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    )
 """

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from multiomics_biocypher_kg_spark.operators.canonicalize import connected_components
 from multiomics_biocypher_kg_spark.oracle_fragments import (  # noqa: F401
     DEDUP_CORPUS_SQL,
+    JACCARD_SQL,
+    MINHASH_PAIRS_CTES,
     SHINGLES_SQL,
 )
 from multiomics_biocypher_kg_spark.registry import register
@@ -35,18 +37,7 @@ from multiomics_biocypher_kg_spark.functions.hashing import (  # noqa: E402
 from multiomics_biocypher_kg_spark.operators import dedup as dd  # noqa: E402
 from multiomics_biocypher_kg_spark.functions import textstats as ts  # noqa: E402
 
-JACCARD_SQL = f"""
-WITH sh AS ({SHINGLES_SQL}),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT i.id_a, i.id_b,
-  round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
-"""
+
 
 
 def _dedup_corpus(
@@ -103,29 +94,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(dd.shingles(corpus), 0.5)
 
 
-MINHASH_PAIRS_CTES = f"""
-    sh AS ({SHINGLES_SQL}),
-    hashed AS (SELECT id, {md5_long_sql('shingle')} % {MH_R} AS x FROM sh),
-    sigs AS (
-      SELECT id, h.i AS i, min((h.a * x + h.b) % {MH_R}) AS mh
-      FROM hashed CROSS JOIN {minhash_coeffs_sql()} h
-      GROUP BY id, h.i
-    ),
-    banded AS (
-      SELECT id, i // {ROWS_PER_BAND} AS band,
-        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-      FROM sigs GROUP BY id, i // {ROWS_PER_BAND}
-    ),
-    cands AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-    ),
-    verified AS (SELECT * FROM ({JACCARD_SQL}) WHERE jaccard >= 0.5),
-    pairs AS (
-      SELECT c.id_a, c.id_b, v.jaccard
-      FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
-    )
-"""
+
 
 
 @register(

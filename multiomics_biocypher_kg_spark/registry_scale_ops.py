@@ -33,7 +33,7 @@ from multiomics_biocypher_kg_spark.functions.hashing import (
 )
 from multiomics_biocypher_kg_spark.oracle_fragments import (
     COMENTION_PAIRS_SQL,
-    SHINGLES_SQL,
+    MINHASH_PAIRS_CTES,
     _SNAPS_SQL,
 )
 from multiomics_biocypher_kg_spark.registry import _pipeline, register
@@ -1116,21 +1116,7 @@ def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "data_split_leakage",
     oracle=f"""
-    WITH pairs AS (
-      SELECT id_a, id_b FROM (
-        WITH sh AS ({SHINGLES_SQL}),
-        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        inter AS (
-          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY a.id, b.id
-        )
-        SELECT i.id_a, i.id_b
-        FROM inter i JOIN sizes sa ON i.id_a = sa.id
-        JOIN sizes sb ON i.id_b = sb.id
-        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
-      )
-    ),
+    WITH {MINHASH_PAIRS_CTES},
     splits AS (
       SELECT doc_id, {_SPLIT_SQL} AS split
       FROM (SELECT doc_id FROM documents
@@ -1149,18 +1135,19 @@ def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-contamination audit: near-dup pairs (exact n-gram
-    Jaccard >= 0.5 over the recrawl-synthesis corpus) bucketed by
+    """Eval-contamination audit: near-dup pairs (MinHash-LSH candidates
+    verified at Jaccard >= 0.5 over the recrawl-synthesis corpus —
+    the candidates-first path, never the quadratic co-shingle join) bucketed by
     the splits of their two sides — a train/test near-dup pair IS
-    leaked benchmark data. The pair set comes from the standard
-    candidates-first machinery; the split is the same pure hash
+    leaked benchmark data. The pair set is minhash_neardup_pairs
+    (the same plan dedup_minhash_lsh ships); the split is the same pure hash
     projection as data_split_assign, so the audit composes from
     already-persisted artifacts (dedup pairs + split manifest) with
     two dictionary joins — no new corpus pass at 100 TB."""
     corpus = _dedup_corpus_scale(spark, sf_dir)
     from multiomics_biocypher_kg_spark.operators import dedup as dd
 
-    pairs = dd.jaccard_pairs(dd.shingles(corpus), 0.5).select("id_a", "id_b")
+    pairs = dd.minhash_neardup_pairs(corpus, 0.5).select("id_a", "id_b")
     splits = corpus.select("doc_id", _split_col().alias("split"))
     sa = splits.select(
         F.col("doc_id").alias("id_a"), F.col("split").alias("split_l")
