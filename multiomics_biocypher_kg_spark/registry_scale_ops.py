@@ -34,6 +34,7 @@ from multiomics_biocypher_kg_spark.functions.hashing import (
 from multiomics_biocypher_kg_spark.oracle_fragments import (
     COMENTION_PAIRS_SQL,
     MINHASH_PAIRS_CTES,
+    VOCAB_SQL,
     _SNAPS_SQL,
 )
 from multiomics_biocypher_kg_spark.registry import _pipeline, register
@@ -1238,6 +1239,88 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("e").alias("n_dims"),
         F.round("s_raw", 6).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary match (typo-tolerant gazetteer linking)
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "kg_fuzzy_vocab_match",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT DISTINCT lower(surface) AS surface FROM {VOCAB_SQL}
+      WHERE surface NOT LIKE '% %'
+    ),
+    scored AS (
+      SELECT t.token, v.surface, levenshtein(t.token, v.surface) AS dist
+      FROM toks t JOIN vocab v
+        ON abs(length(t.token) - length(v.surface)) <= {_FUZZY_MAX_DIST}
+      WHERE length(t.token) >= 3
+        AND levenshtein(t.token, v.surface) <= {_FUZZY_MAX_DIST}
+    )
+    SELECT token,
+      CAST(min(dist) AS BIGINT) AS best_dist,
+      min(CASE WHEN dist = bd THEN surface END) AS best_surface,
+      count(*) AS n_candidates
+    FROM (SELECT *, min(dist) OVER (PARTITION BY token) AS bd FROM scored)
+    GROUP BY token
+    """,
+)
+def kg_fuzzy_vocab_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant gazetteer linking: every distinct corpus token
+    (len >= 3) matched against the vocabulary within Levenshtein
+    distance 2 — the recovery pass for OCR/typo surface forms the
+    exact cascade misses. The vocab side is a BROADCAST dim
+    (gazetteers are dictionary-sized), the length-difference
+    pre-filter prunes the candidate product before the edit-distance
+    evaluates, and the corpus side is the distinct TOKEN dictionary,
+    not the token stream — so cost is |token dict| x |length-
+    compatible vocab|, independent of corpus size. Deterministic
+    best match: min distance, ties to the lexicographically first
+    surface."""
+    from multiomics_biocypher_kg_spark.sources.vocab import vocab_df
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.length("token") >= 3)
+        .distinct()
+    )
+    vocab = (
+        vocab_df(spark)
+        .where(~F.col("surface").contains(" "))
+        .select(F.lower("surface").alias("surface"))
+        .distinct()
+    )
+    scored = (
+        toks.join(
+            F.broadcast(vocab),
+            F.abs(F.length("token") - F.length("surface")) <= _FUZZY_MAX_DIST,
+        )
+        .withColumn("dist", F.levenshtein("token", "surface"))
+        .where(F.col("dist") <= _FUZZY_MAX_DIST)
+    )
+    bd = F.min("dist").over(Window.partitionBy("token"))
+    return (
+        scored.withColumn("bd", bd)
+        .groupBy("token")
+        .agg(
+            F.min("dist").cast("long").alias("best_dist"),
+            F.min(
+                F.when(F.col("dist") == F.col("bd"), F.col("surface"))
+            ).alias("best_surface"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
     )
 
 

@@ -289,3 +289,16 @@ def test_quantization_error_bounded_by_half_step(spark):
     for r in QUERIES["emb_quantize_int8"](spark, SF_SMALL).collect():
         assert r["scale"] > 0
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, r
+
+
+def test_fuzzy_vocab_match_recovers_typos(spark):
+    """Exact vocabulary tokens score distance 0 to themselves; the
+    deterministic tie rule picks the lexicographically first surface
+    among equal-distance candidates."""
+    rows = {r["token"]: r for r in QUERIES["kg_fuzzy_vocab_match"](spark, SF_TINY).collect()}
+    assert len(rows) > 0
+    exact = [r for r in rows.values() if r["best_dist"] == 0]
+    assert exact, "vocabulary tokens occur in the corpus"
+    for r in exact:
+        assert r["best_surface"] == r["token"]
+    assert all(r["best_dist"] <= 2 for r in rows.values())
