@@ -116,6 +116,33 @@ def test_dictionary_topk_is_distributed_not_global_sort(spark):
         assert "rangepartitioning" not in plan, q
 
 
+def test_round4_ops_broadcast_their_dictionaries(spark):
+    """The bloom bit-set, the fuzzy-match vocabulary, and the
+    unigram corpus totals are broadcast dims — no SortMergeJoin
+    against a dictionary-sized side."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    for q in ("web_bloom_revisit", "kg_fuzzy_vocab_match"):
+        plan = _plan(QUERIES[q](spark, SF_TINY))
+        assert "Broadcast" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """Sequence packing's running token total is a window
+    PARTITIONED by the shard — a global cumulative sum would be a
+    single-task sort of the corpus."""
+    import re
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_pack_sequences"](spark, SF_TINY))
+    assert re.search(r"sum\(n#\d+\).*?\], \[shard#\d+L?\]", plan), (
+        "pack cumsum must partition by shard"
+    )
+    assert "rangepartitioning" not in plan
+
+
 def test_negative_sample_index_rank_is_bucket_partitioned(spark):
     """kg_negative_samples builds its dense entity index with a
     row_number window PARTITIONED BY the fixed hash bucket (each
