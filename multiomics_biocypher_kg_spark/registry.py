@@ -710,6 +710,7 @@ _DRIVER_WINDOW_FIRST = [
     "data_split_leakage",
     "emb_quantize_int8",
     "kg_fuzzy_vocab_match",
+    "web_redirect_chains",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

@@ -354,6 +354,95 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(href_edges(pages))
 
 
+# fam-indexed url (the snapshot-family url space; one url per fam)
+_FAM_URL_SQL = (
+    "('https://' || CASE WHEN fam % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'h' || CAST(fam % 50 AS VARCHAR) || '.example.org' END "
+    "|| '/doc/' || lpad(CAST(fam AS VARCHAR), 6, '0'))"
+)
+
+
+def _fam_url_col(fam):
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/doc/"),
+        F.lpad(fam.cast("string"), 6, "0"),
+    )
+
+
+@register(
+    "web_redirect_chains",
+    oracle=f"""
+    WITH RECURSIVE fams AS (
+      SELECT DISTINCT doc_id % 125 AS fam FROM documents
+    ),
+    redirects AS (
+      SELECT fam AS src, fam + 1 AS dst FROM fams WHERE fam % 9 IN (1, 2, 3)
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM redirects
+      UNION ALL
+      SELECT w.src, r.dst, w.hops + 1
+      FROM walk w JOIN redirects r ON w.cur = r.src
+    ),
+    final AS (
+      SELECT src, cur AS dst, hops FROM walk
+      WHERE cur NOT IN (SELECT src FROM redirects)
+    )
+    SELECT {_FAM_URL_SQL.replace("fam", "f.src")} AS url,
+      {_FAM_URL_SQL.replace("fam", "f.dst")} AS final_url,
+      CAST(f.hops AS INTEGER) AS n_hops
+    FROM final f
+    """,
+)
+def web_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution — the crawl canonicalization step
+    that maps every redirecting url to its FINAL destination before
+    any url-keyed stage (synthetic chains: url families with
+    fam % 9 in (1,2,3) redirect one family forward, producing
+    multi-hop chains ending at a non-redirect). Resolution is
+    POINTER-JUMP DOUBLING on the functional redirect graph: each
+    round composes the mapping with itself, so an L-hop chain
+    resolves in ceil(log2 L) self-joins — never L sequential passes
+    (a crawl's worst chains are bounded, so the fixed 3 rounds cover
+    length 8; the same shape as the connected-components shortcut).
+    The recursive-CTE oracle walks hop by hop, so the doubling's
+    terminal urls AND hop counts are value-gated."""
+    fams = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 125).alias("fam"))
+        .distinct()
+    )
+    red = fams.where((F.col("fam") % 9).isin(1, 2, 3)).select(
+        F.col("fam").alias("src"), (F.col("fam") + 1).alias("dst")
+    )
+    chains = red.select("src", "dst", F.lit(1).alias("hops"))
+    for _ in range(3):  # doubling: round k covers chains of 2^k hops
+        right = chains.select(
+            F.col("src").alias("j_src"),
+            F.col("dst").alias("j_dst"),
+            F.col("hops").alias("j_hops"),
+        )
+        chains = chains.join(
+            right, chains["dst"] == right["j_src"], "left"
+        ).select(
+            "src",
+            F.coalesce("j_dst", "dst").alias("dst"),
+            F.when(
+                F.col("j_dst").isNotNull(), F.col("hops") + F.col("j_hops")
+            )
+            .otherwise(F.col("hops"))
+            .alias("hops"),
+        )
+    return chains.select(
+        _fam_url_col(F.col("src")).alias("url"),
+        _fam_url_col(F.col("dst")).alias("final_url"),
+        F.col("hops").cast("int").alias("n_hops"),
+    )
+
+
 @register(
     "web_reciprocity",
     oracle=f"""

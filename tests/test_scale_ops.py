@@ -302,3 +302,18 @@ def test_fuzzy_vocab_match_recovers_typos(spark):
     for r in exact:
         assert r["best_surface"] == r["token"]
     assert all(r["best_dist"] <= 2 for r in rows.values())
+
+
+def test_redirect_chains_resolve_to_terminals(spark):
+    """Every resolved destination is a NON-redirecting url; multi-hop
+    chains report their true hop count (fams 1->2->3->4 gives a
+    3-hop resolution for fam 1)."""
+    rows = QUERIES["web_redirect_chains"](spark, SF_SMALL).collect()
+    finals = {r["url"]: r for r in rows}
+    assert rows
+    srcs = set(finals)
+    for r in rows:
+        assert r["final_url"] not in srcs  # terminal
+        assert 1 <= r["n_hops"] <= 3
+    three = [r for r in rows if r["n_hops"] == 3]
+    assert three, "the fam%9 in (1,2,3) synthesis makes 3-hop chains"
