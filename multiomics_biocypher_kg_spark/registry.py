@@ -711,6 +711,7 @@ _DRIVER_WINDOW_FIRST = [
     "emb_quantize_int8",
     "kg_fuzzy_vocab_match",
     "web_redirect_chains",
+    "web_scd2_history",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

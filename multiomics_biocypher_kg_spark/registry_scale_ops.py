@@ -1324,6 +1324,79 @@ def kg_fuzzy_vocab_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD-2 content history over crawl snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "web_scd2_history",
+    oracle=f"""
+    WITH s AS (
+      SELECT sn.url, sn.ts_epoch, sn.doc_id, md5(d.text) AS content_md5
+      FROM ({_SNAPS_SQL}) sn JOIN documents d ON sn.doc_id = d.doc_id
+    ),
+    seq AS (
+      SELECT *, lag(content_md5)
+        OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS prev
+      FROM s
+    ),
+    vers AS (
+      SELECT url, ts_epoch, doc_id, content_md5 FROM seq
+      WHERE prev IS NULL OR prev <> content_md5
+    )
+    SELECT url, content_md5,
+      CAST(ts_epoch AS BIGINT) AS valid_from,
+      CAST(lead(ts_epoch)
+        OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS BIGINT)
+        AS valid_to,
+      CAST(CASE WHEN lead(ts_epoch)
+        OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) IS NULL
+        THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM vers
+    """,
+)
+def web_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) content history per url:
+    consecutive snapshots with identical content collapse into one
+    version row carrying a [valid_from, valid_to) interval, the open
+    interval marking the current version — the warehouse-standard
+    point-in-time shape that lets any downstream query ask "what did
+    this page say at time T" with one range predicate. Two windows,
+    both PARTITIONED by url (per-page history is small at any corpus
+    size — the snapshot-diff argument), content compared by hash so
+    version detection never re-reads page bytes twice."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fam = F.col("doc_id") % 125
+    url = F.concat(
+        F.lit("https://"),
+        _fam_host_col(),
+        F.lit("/doc/"),
+        F.lpad(fam.cast("string"), 6, "0"),
+    )
+    s = docs.select(
+        url.alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+    )
+    w = Window.partitionBy("url").orderBy("ts_epoch", "doc_id")
+    vers = s.withColumn("prev", F.lag("content_md5").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("content_md5"))
+    )
+    w2 = Window.partitionBy("url").orderBy("ts_epoch", "doc_id")
+    nxt = F.lead("ts_epoch").over(w2)
+    return vers.select(
+        "url",
+        "content_md5",
+        F.col("ts_epoch").cast("long").alias("valid_from"),
+        nxt.cast("long").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
 # If this module is imported FIRST (registry's own bottom import then
 # sees it half-initialized), registry applies its window order before
 # these registrations exist — re-apply here so the final ordering is

@@ -317,3 +317,21 @@ def test_redirect_chains_resolve_to_terminals(spark):
         assert 1 <= r["n_hops"] <= 3
     three = [r for r in rows if r["n_hops"] == 3]
     assert three, "the fam%9 in (1,2,3) synthesis makes 3-hop chains"
+
+
+def test_scd2_intervals_tile_and_close(spark):
+    """Per url: exactly one open (current) version; intervals are
+    disjoint and ordered (each valid_to equals the next valid_from);
+    consecutive identical content never splits a version."""
+    rows = QUERIES["web_scd2_history"](spark, SF_SMALL).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert by_url
+    for url, vs in by_url.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in vs if r["is_current"] == 1) == 1
+        assert vs[-1]["is_current"] == 1 and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["content_md5"] != b["content_md5"]
