@@ -221,3 +221,65 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs & authorities over ``edges(src, dst)`` — fixed
+    iterations, L1-normalized each round (deterministic, so the
+    DuckDB oracle unrolls the identical updates as CTEs).
+
+    Update order per round (must match the oracle exactly):
+    authority' = sum of hub over in-edges, normalize; THEN
+    hub' = sum of the NEW authority over out-edges, normalize.
+    Nodes without in/out edges keep exact 0.0 via the left join back
+    onto the node set.
+
+    Scale shape mirrors ``pagerank``: the distinct edge list and
+    node set are loop invariants (localCheckpoint()ed once), each
+    round is two keyed joins + two map-side-combined sums + two
+    broadcast 1-row totals, and scores' lineage is truncated per
+    round — the O(3^iters) re-derivation trap is the same one.
+    Swap localCheckpoint for reliable checkpoints on a cluster.
+
+    -> (node, hub, authority), unrounded (consumers round).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = nodes.select("node", F.lit(1.0).alias("authority"))
+    for i in range(iters):
+        raw_a = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a = nodes.join(raw_a, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        ta = a.agg(F.sum("raw").alias("t"))
+        a = (
+            a.crossJoin(F.broadcast(ta))
+            .select("node", (F.col("raw") / F.col("t")).alias("authority"))
+        )
+        raw_h = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("raw"))
+        )
+        h = nodes.join(raw_h, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        th = h.agg(F.sum("raw").alias("t"))
+        h = (
+            h.crossJoin(F.broadcast(th))
+            .select("node", (F.col("raw") / F.col("t")).alias("hub"))
+        )
+        if i + 1 < iters:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    return h.join(a, "node").select("node", "hub", "authority")

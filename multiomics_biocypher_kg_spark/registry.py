@@ -712,6 +712,7 @@ _DRIVER_WINDOW_FIRST = [
     "kg_fuzzy_vocab_match",
     "web_redirect_chains",
     "web_scd2_history",
+    "web_hits",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

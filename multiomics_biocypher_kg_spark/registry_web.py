@@ -500,6 +500,90 @@ def web_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle_sql(iters: int) -> str:
+    """Unrolled fixed-iteration HITS as MATERIALIZED DuckDB CTEs
+    (the _pagerank_oracle_sql pattern; same O(3^iters) inlining
+    rationale). Mirrors operators.linkgraph.hits exactly: per round,
+    authorities from PREVIOUS hubs, then hubs from the NEW
+    authorities, each L1-normalized."""
+    parts = [
+        f"hg AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst FROM ({_HOST_GRAPH_SQL}))",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM hg)",
+        (
+            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"
+        ),
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)",
+        "a0 AS MATERIALIZED (SELECT node, 1.0 AS authority FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            (
+                f"rawa{k} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS raw "
+                f"FROM e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst)"
+            ),
+            (
+                f"fa{k} AS MATERIALIZED (SELECT n.node, coalesce(r.raw, 0.0) AS raw "
+                f"FROM nodes n LEFT JOIN rawa{k} r ON n.node = r.node)"
+            ),
+            f"ta{k} AS MATERIALIZED (SELECT sum(raw) AS t FROM fa{k})",
+            (
+                f"a{k} AS MATERIALIZED (SELECT node, raw / ta{k}.t AS authority "
+                f"FROM fa{k} CROSS JOIN ta{k})"
+            ),
+            (
+                f"rawh{k} AS MATERIALIZED (SELECT e.src AS node, sum(a.authority) AS raw "
+                f"FROM e JOIN a{k} a ON e.dst = a.node GROUP BY e.src)"
+            ),
+            (
+                f"fh{k} AS MATERIALIZED (SELECT n.node, coalesce(r.raw, 0.0) AS raw "
+                f"FROM nodes n LEFT JOIN rawh{k} r ON n.node = r.node)"
+            ),
+            f"th{k} AS MATERIALIZED (SELECT sum(raw) AS t FROM fh{k})",
+            (
+                f"h{k} AS MATERIALIZED (SELECT node, raw / th{k}.t AS hub "
+                f"FROM fh{k} CROSS JOIN th{k})"
+            ),
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT h.node AS host, round(h.hub, 6) AS hub,
+      round(a.authority, 6) AS authority
+    FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+    )
+
+
+_HITS_ITERS = 3
+
+
+@register("web_hits", oracle=_hits_oracle_sql(_HITS_ITERS))
+def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the host link graph — the
+    complementary salience measure to PageRank (a page can be a
+    weak authority but a strong hub; crawl scheduling and spam
+    triage use both). Fixed 3 L1-normalized iterations
+    (operators.linkgraph.hits): loop invariants checkpointed once,
+    two keyed joins + two map-side sums + two broadcast totals per
+    round, lineage truncated per iteration — the same discipline as
+    the PageRank loop, value-gated by the unrolled-CTE oracle."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        hits,
+        host_graph,
+        href_edges,
+    )
+
+    g = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    out = hits(g, iters=_HITS_ITERS)
+    return out.select(
+        F.col("node").alias("host"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def _pagerank_oracle_sql(
     iters: int,
     damping: float,

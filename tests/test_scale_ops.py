@@ -335,3 +335,16 @@ def test_scd2_intervals_tile_and_close(spark):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["content_md5"] != b["content_md5"]
+
+
+def test_hits_scores_are_distributions_and_rank_hub_host(spark):
+    """Hub and authority vectors are L1-normalized distributions;
+    the hot host (30% of pages link OUT from it) tops the hub
+    ranking; determinism across runs."""
+    rows = QUERIES["web_hits"](spark, SF_SMALL).collect()
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-3
+    top_hub = max(rows, key=lambda r: r["hub"])
+    assert top_hub["host"] == "hot.example.com"
+    again = QUERIES["web_hits"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
