@@ -283,3 +283,191 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             a = a.localCheckpoint(eager=True)
             h = h.localCheckpoint(eager=True)
     return h.join(a, "node").select("node", "hub", "authority")
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection over
+    ``edges(src, dst)`` — the near-linear community algorithm
+    (Raghavan et al. 2007) that web-graph pipelines use to find link
+    farms / mirror families because it needs no target cluster count
+    and each round is one shuffle join + one keyed count.
+
+    Determinism (SQL-oracle-able by unrolling): SYNCHRONOUS updates
+    (every node reads round-``i`` labels only), labels initialized to
+    the node's own id, and the per-node argmax tie-broken by MIN
+    label — encoded as ``min(struct(-cnt, label))`` so the whole pick
+    is a map-side-combinable aggregate, no window. The classic LPA
+    oscillation of synchronous updates on bipartite-ish structures is
+    bounded by the fixed iteration count (both engines run the exact
+    same rounds, so oscillation cannot diverge the oracle).
+
+    Scale shape mirrors ``pagerank``: the symmetrized distinct edge
+    list is the loop invariant (localCheckpoint()ed once), each round
+    is one join keyed by neighbor + one (node, label) count with
+    partial aggregation, and label lineage is truncated per round.
+
+    -> (node, label) after ``iters`` rounds.
+    """
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iters):
+        nbr_labels = und.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("nbr_label")
+            ),
+            "dst",
+        )
+        counts = nbr_labels.groupBy(
+            F.col("src").alias("node"), F.col("nbr_label").alias("label")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        # argmax(cnt) tie-broken by min(label): min over (-cnt, label)
+        picked = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), "label")).alias("s")
+        )
+        labels = picked.select("node", F.col("s.label").alias("label"))
+        if i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling over undirected ``edges(src, dst)``:
+    each round drops every node whose current degree is below ``k``
+    (and all its incident edges), ``rounds`` times. The k-core is the
+    fixpoint; a FIXED round count keeps the computation deterministic
+    and oracle-unrollable, and both engines run the identical rounds,
+    so a not-yet-converged intermediate state still hash-matches.
+    (Web pipelines use the core number as a spam/importance feature:
+    link farms have anomalously dense cores.)
+
+    Each round = one degree aggregation + one semi-join edge filter
+    (both keyed shuffles with map-side partials); the surviving edge
+    set is localCheckpoint()ed per round — it SHRINKS monotonically,
+    so truncation also bounds the replay cost on a cluster
+    (reliable-checkpoint switch as in ``pagerank``).
+
+    -> (node, degree) of nodes alive after ``rounds`` (degree within
+    the surviving subgraph).
+    """
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = und.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        alive = deg.where(F.col("degree") >= k).select("node")
+        und = (
+            und.join(alive.withColumnRenamed("node", "src"), "src", "leftsemi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "leftsemi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004): PageRank whose teleport mass
+    goes ONLY to a trusted seed set, so trust decays with link
+    distance from the seeds — the standard web-spam demotion signal
+    next to vanilla PageRank. ``seeds`` is a 1-column (node)
+    DataFrame; teleport is uniform over seeds:
+
+        rank' = (1-d) * t + d * (sum_in(p * rank) + dangling * t)
+
+    with t = 1/|seeds| on seed nodes, 0 elsewhere (dangling mass is
+    also re-injected through t, keeping sum(rank) == 1 exactly).
+
+    Scale shape is ``pagerank``'s: normalized edges / node set /
+    teleport vector are loop invariants (localCheckpoint()ed once —
+    the seed set is dictionary-sized, so its join is broadcast), each
+    round is one keyed join + one map-side-combined sum + one
+    broadcast dangling scalar, lineage truncated per round.
+
+    -> (node, rank), unrounded (consumers round).
+    """
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = seeds.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    teleport = (
+        nodes.join(
+            F.broadcast(seeds.select(F.col("node").alias("seed"))),
+            nodes["node"] == F.col("seed"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            F.when(F.col("seed").isNotNull(), F.lit(1.0) / F.col("ns"))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    has_out = edges.select("src").distinct().localCheckpoint(eager=False)
+    ranks = teleport.select("node", F.col("t").alias("rank"))
+    for i in range(iters):
+        dangling = (
+            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        ranks = (
+            teleport.crossJoin(F.broadcast(dangling))
+            .join(contrib, teleport["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") * F.col("t")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -713,6 +713,9 @@ _DRIVER_WINDOW_FIRST = [
     "web_redirect_chains",
     "web_scd2_history",
     "web_hits",
+    "web_communities",
+    "web_kcore",
+    "web_trustrank",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

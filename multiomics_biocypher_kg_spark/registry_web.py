@@ -1982,3 +1982,255 @@ from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
 )
 
 _apply_driver_window_order()
+
+
+# --------------------------------------------------------------------------
+# Round-4b graph additions: LPA communities, k-core, TrustRank
+# --------------------------------------------------------------------------
+
+# symmetrized distinct host edges (no self-loops) — shared by the
+# LPA and k-core oracles
+_UND_HOST_SQL = f"""
+    und AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src_host AS src, dst_host AS dst FROM ({_HOST_GRAPH_SQL})
+        WHERE src_host <> dst_host
+        UNION ALL
+        SELECT dst_host, src_host FROM ({_HOST_GRAPH_SQL})
+        WHERE src_host <> dst_host
+      )
+    )"""
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous label propagation as MATERIALIZED CTEs —
+    mirrors operators.linkgraph.label_propagation exactly: per round,
+    count round-(k-1) neighbor labels, argmax tie-broken by MIN
+    label."""
+    parts = [
+        _UND_HOST_SQL,
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und)",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            (
+                f"cnt{k} AS MATERIALIZED (SELECT e.src AS node, l.label, "
+                f"count(*) AS cnt FROM und e "
+                f"JOIN l{k - 1} l ON e.dst = l.node GROUP BY e.src, l.label)"
+            ),
+            (
+                f"l{k} AS MATERIALIZED (SELECT node, label FROM ("
+                f"SELECT node, label, row_number() OVER (PARTITION BY node "
+                f"ORDER BY cnt DESC, label ASC) AS rn FROM cnt{k}) WHERE rn = 1)"
+            ),
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+    sizes AS (SELECT label, count(*) AS community_size FROM l{iters} GROUP BY label)
+    SELECT l.node AS host, l.label AS community,
+      CAST(s.community_size AS BIGINT) AS community_size
+    FROM l{iters} l JOIN sizes s ON l.label = s.label"""
+    )
+
+
+_LPA_ITERS = 4
+
+
+@register("web_communities", oracle=_lpa_oracle_sql(_LPA_ITERS))
+def web_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm / mirror-family detection via synchronous label
+    propagation over the host graph (fixed 4 rounds, min-label
+    tie-break — operators.linkgraph.label_propagation). The per-node
+    argmax is a map-side-combinable min(struct(-cnt, label))
+    aggregate, NOT a window; each round is one keyed join + one
+    count. Oracle unrolls the identical rounds as MATERIALIZED CTEs,
+    so the community assignment is value-gated, not just counted."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        label_propagation,
+    )
+
+    g = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    labels = label_propagation(g, iters=_LPA_ITERS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("host"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled fixed-round k-core peeling as MATERIALIZED CTEs —
+    mirrors operators.linkgraph.kcore: per round, drop nodes with
+    degree < k and their incident edges."""
+    parts = [_UND_HOST_SQL.replace("und AS", "e0 AS")]
+    for r in range(1, rounds + 1):
+        parts += [
+            (
+                f"deg{r} AS MATERIALIZED (SELECT src AS node, count(*) AS degree "
+                f"FROM e{r - 1} GROUP BY src)"
+            ),
+            (
+                f"alive{r} AS MATERIALIZED (SELECT node FROM deg{r} "
+                f"WHERE degree >= {k})"
+            ),
+            (
+                f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e "
+                f"JOIN alive{r} a ON e.src = a.node "
+                f"JOIN alive{r} b ON e.dst = b.node)"
+            ),
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT src AS host, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src"""
+    )
+
+
+_KCORE_K = 9
+_KCORE_ROUNDS = 2
+
+
+@register("web_kcore", oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))
+def web_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the host graph (k=9, 2 bounded peel
+    rounds — operators.linkgraph.kcore): iteratively drop hosts with
+    fewer than k distinct neighbor hosts. Dense-core membership is a
+    link-farm signal and a crawl-frontier prioritizer. On this corpus
+    the k=9 peel genuinely cascades (37 -> 32 -> 22 hosts), so the
+    semi-join edge filtering is exercised, and the BOUNDED round
+    count — the determinism trade this repo makes for every iterative
+    operator (cf. fixed-iteration PageRank/HITS) — keeps both engines
+    byte-identical even mid-cascade. Each round is one
+    map-side-combined degree count + two semi-joins on a
+    monotonically SHRINKING edge set (checkpointed per round)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        kcore,
+    )
+
+    g = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return kcore(g, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
+        F.col("node").alias("host"), F.col("degree").cast("long").alias("degree")
+    )
+
+
+def _trustrank_oracle_sql(iters: int, damping: float) -> str:
+    """Unrolled TrustRank (seed-personalized PageRank) as
+    MATERIALIZED CTEs — mirrors operators.linkgraph.trustrank:
+    teleport uniform over the md5-selected seed hosts, dangling mass
+    re-injected through the teleport vector."""
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    seed_pred = md5_long_sql("node") + " % 3 = 0"
+    parts = [
+        (
+            f"hg AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, "
+            f"CAST(n_links AS DOUBLE) AS w FROM ({_HOST_GRAPH_SQL}))"
+        ),
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM hg GROUP BY 1)",
+        (
+            "norm AS MATERIALIZED (SELECT hg.src, hg.dst, "
+            "CAST(hg.w AS DOUBLE) / outw.out_w AS p "
+            "FROM hg JOIN outw ON hg.src = outw.src)"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM hg UNION ALL SELECT dst FROM hg))"
+        ),
+        f"seeds AS MATERIALIZED (SELECT node FROM nodes WHERE {seed_pred})",
+        (
+            "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns "
+            "FROM seeds)"
+        ),
+        (
+            "tp AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL "
+            "THEN 1.0 / ns.ns ELSE 0.0 END AS t "
+            "FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN ns)"
+        ),
+        "it0 AS MATERIALIZED (SELECT node, t AS rank FROM tp)",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            (
+                f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dang "
+                f"FROM it{k - 1} WHERE node NOT IN (SELECT src FROM hg))"
+            ),
+            (
+                f"contrib{k} AS MATERIALIZED (SELECT norm.dst, "
+                f"sum(norm.p * r.rank) AS contrib "
+                f"FROM norm JOIN it{k - 1} r ON norm.src = r.node GROUP BY norm.dst)"
+            ),
+            (
+                f"it{k} AS MATERIALIZED (SELECT tp.node, "
+                f"{t} * tp.t + {d} * (coalesce(c.contrib, 0.0) "
+                f"+ dang{k}.dang * tp.t) AS rank "
+                f"FROM tp LEFT JOIN contrib{k} c ON tp.node = c.dst "
+                f"CROSS JOIN dang{k})"
+            ),
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT i.node AS host, round(i.rank, 6) AS trustrank,
+      CASE WHEN s.node IS NOT NULL THEN TRUE ELSE FALSE END AS is_seed
+    FROM it{iters} i LEFT JOIN seeds s ON i.node = s.node"""
+    )
+
+
+_TR_ITERS = 5
+_TR_DAMPING = 0.85
+
+
+@register("web_trustrank", oracle=_trustrank_oracle_sql(_TR_ITERS, _TR_DAMPING))
+def web_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the host graph: PageRank whose teleport mass
+    goes only to a trusted seed set (here md5(host) % 3 == 0 — a
+    deterministic stand-in for a human-curated whitelist), so trust
+    decays with link distance from the seeds; the standard spam-
+    demotion companion to web_pagerank (Gyongyi et al., VLDB 2004).
+    Same per-iteration shape as the PageRank loop (one keyed join +
+    one map-side sum + one broadcast dangling scalar; invariants
+    checkpointed once); the seed join is broadcast. Oracle unrolls
+    the identical iterations, value-gated after round(6)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        trustrank,
+    )
+
+    hg = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    nodes = (
+        hg.select(F.col("src").alias("node"))
+        .union(hg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(md5_long(F.col("node")) % 3 == 0)
+    ranks = trustrank(hg, seeds, iters=_TR_ITERS, damping=_TR_DAMPING)
+    return (
+        ranks.join(
+            F.broadcast(seeds.select(F.col("node").alias("seed"))),
+            ranks["node"] == F.col("seed"),
+            "left",
+        )
+        .select(
+            F.col("node").alias("host"),
+            F.round("rank", 6).alias("trustrank"),
+            F.col("seed").isNotNull().alias("is_seed"),
+        )
+    )

@@ -152,3 +152,61 @@ def test_anchor_profile_tie_breaks_lexicographically(spark):
     )
     row = anchor_text_profile(anchor_pairs(pages)).collect()[0]
     assert row["top_anchor"] == "alpha" and row["n_texts"] == 2
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_label_propagation_two_cliques(spark):
+    """Disjoint triangles resolve into separate communities, each
+    labeled by its clique's min node id (the deterministic
+    tie-break: every neighbor label ties at count 1, min wins)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        label_propagation,
+    )
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(_edges(spark, tri1 + tri2), iters=4).collect()
+    }
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["x"] == labels["y"] == labels["z"] == "x"
+
+
+def test_kcore_peels_tail_and_cascades(spark):
+    """A 4-clique with a pendant chain: k=3 peels the chain AND the
+    cascade (chain node adjacent to the clique goes too), keeping
+    exactly the clique at degree 3."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import kcore
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f")]
+    out = {r["node"]: r["degree"] for r in
+           kcore(_edges(spark, clique + chain), k=3, rounds=3).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_trustrank_mass_conserved_and_decays_from_seeds(spark):
+    """sum(rank) == 1 exactly each run; a node unreachable from the
+    seed set gets rank 0 under seed-only teleport (the TrustRank
+    demotion property)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import trustrank
+
+    edges = spark.createDataFrame(
+        [("s", "m", 1.0), ("m", "t", 1.0), ("u", "s", 1.0)],
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    # damping 0.5: the s->m->t->(dangling reinject)->s cycle's
+    # power-iteration oscillation dies at 0.5^k, so 10 rounds is
+    # converged to ~1e-3 and the chain ordering is strict
+    ranks = {r["node"]: r["rank"] for r in
+             trustrank(edges, seeds, iters=10, damping=0.5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # u never receives teleport and has no in-edges -> exactly 0
+    assert ranks["u"] == 0.0
+    # trust decays along the chain s -> m -> t
+    assert ranks["s"] > ranks["m"] > ranks["t"] > 0.0
