@@ -94,3 +94,110 @@ def fingerprint(text: Column, n_keep: int = 8) -> Column:
     return F.array_join(
         F.transform(F.slice(hashes, 1, n_keep), lambda h: h.cast("string")), "|"
     )
+
+
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", n_buckets: int = 256
+) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the average
+    log-likelihood ratio of its tokens under a TARGET distribution
+    vs the RAW corpus distribution, with tokens reduced to
+    ``n_buckets`` hashed unigram features (md5 % n_buckets — the
+    cross-engine-deterministic stand-in for DSIR's hashed n-grams)
+    and +1/(T+B) Laplace smoothing on both sides.
+
+    Documents whose token mix looks like the target (here: the
+    ``target_lang`` subcorpus) get weight > 0 and are upsampled by a
+    downstream curation pass; off-target documents get < 0.
+
+    Scale shape: the entire model state is TWO ``n_buckets``-row
+    aggregate tables (map-side-combined counts) broadcast back onto
+    the token stream, plus two 1-row totals — no per-token state, no
+    shuffle larger than the bucket dictionary, so the corpus is
+    scanned exactly twice regardless of size.
+
+    -> (doc_id, lang, n_tokens, dsir_weight[round 6]).
+    """
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).withColumn("bucket", md5_long(F.col("token")) % n_buckets)
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = (
+        toks.where(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("t_r"),
+        F.sum((F.col("lang") == target_lang).cast("long"))
+        .cast("double")
+        .alias("t_t"),
+    )
+    table = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_t") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cnt_r") + F.lit(1.0))
+                    / (F.col("t_r") + F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(table), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def char_entropy_profile(
+    docs: DataFrame, low_threshold: float = 4.0
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap junk gate: keyboard mashing, repeated-character
+    padding, and template boilerplate all sit well below natural
+    text's ~4 bits/char, while base64/binary junk sits above ~5.
+
+    Computed from the per-(doc, char) histogram: one explode + one
+    map-side-combined count, then -sum(p*log2 p) per doc — no window,
+    no Python. The explode is the same linear-in-corpus cost as
+    tokenization; state per doc is its alphabet (<= a few hundred
+    rows), so the agg partials stay tiny at any scale.
+
+    -> (doc_id, n_chars, char_entropy[round 6], is_low_entropy).
+    """
+    freq = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = freq.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        freq.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_chars"),
+            F.round(
+                -F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6
+            ).alias("char_entropy"),
+        )
+        .withColumn(
+            "is_low_entropy", F.col("char_entropy") < low_threshold
+        )
+    )

@@ -431,3 +431,68 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.6,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + WITHIN-CLUSTER pairwise
+    cosine — the scale trick that makes embedding dedup tractable is
+    that the quadratic comparison is bounded per cluster, never
+    corpus-wide. Reuses the deterministic fixed-init Lloyd index
+    (``ivf_index``), so the clustering itself is oracle-gated.
+
+    Keep rule (deterministic, engine-independent): a vector is a
+    semantic duplicate iff some LOWER-id vector in the same cluster
+    has cosine >= threshold — i.e. keep the lowest id of each
+    near-dup family, the same greedy-by-id convention as the
+    MinHash/SimHash dedup family.
+
+    At 100 TB: bucket the corpus by ``list_id`` and the pair join is
+    cluster-co-located (no corpus-wide shuffle); cluster sizes are
+    balanced by the k-means objective, and a hot cluster can be
+    re-split by raising n_lists (or salting on a secondary hash).
+
+    -> (vec_id, list_id, is_dup, max_cos_prior) — one row per input
+    vector; ``max_cos_prior`` is the strongest lower-id same-cluster
+    cosine at/above threshold (NULL for keepers).
+    """
+    assigned, _ = ivf_index(
+        vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        "list_id",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        "list_id",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .groupBy("id_b")
+        .agg(F.max("cosine").alias("mx"))
+    )
+    return (
+        assigned.join(dups, assigned["id"] == dups["id_b"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.col("id_b").isNotNull().alias("is_dup"),
+            F.round("mx", 6).alias("max_cos_prior"),
+        )
+    )

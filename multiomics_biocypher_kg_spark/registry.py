@@ -716,6 +716,9 @@ _DRIVER_WINDOW_FIRST = [
     "web_communities",
     "web_kcore",
     "web_trustrank",
+    "text_semdedup",
+    "text_dsir_weights",
+    "text_char_entropy",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

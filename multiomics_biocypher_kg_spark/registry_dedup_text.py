@@ -509,9 +509,10 @@ def _lsh_cands_sql(n_tables: int, n_planes: int) -> str:
 # previous centroid (the `coalesce` — mirrors ivf_index's
 # `if i in new else cents[i]`). Iterations are unrolled as CTE pairs
 # (the _lsh_cands_sql rendering trick).
-def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
-    def assign(cent: str, out: str) -> str:
-        return f"""
+def _lloyd_assign_sql(cent: str, out: str) -> str:
+    """One nearest-centroid assignment CTE pair (squared-L2 argmin,
+    ties -> smallest list id)."""
+    return f"""
     {out}_d AS (
       SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
       FROM exploded e JOIN {cent} c ON e.dim = c.dim
@@ -525,6 +526,11 @@ def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
         FROM {out}_d) WHERE rn = 1
     )"""
 
+
+def _lloyd_prefix_parts(n_lists: int, iters: int) -> list[str]:
+    """CTE parts for the full fixed-init Lloyd chain, ending at
+    ``afinal(vec_id, list_id)`` — shared by the IVF and SemDeDup
+    oracles so the k-means mirror lives in exactly one place."""
     parts = [
         f"""
     exploded AS (
@@ -546,7 +552,7 @@ def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
     )"""
     ]
     for i in range(iters):
-        parts.append(assign(f"cent{i}", f"a{i + 1}"))
+        parts.append(_lloyd_assign_sql(f"cent{i}", f"a{i + 1}"))
         parts.append(f"""
     m{i + 1} AS (
       SELECT a.list_id, e.dim, avg(e.x) AS c
@@ -558,7 +564,12 @@ def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
       FROM cent{i} c0
       LEFT JOIN m{i + 1} m ON c0.list_id = m.list_id AND c0.dim = m.dim
     )""")
-    parts.append(assign(f"cent{iters}", "afinal"))
+    parts.append(_lloyd_assign_sql(f"cent{iters}", "afinal"))
+    return parts
+
+
+def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
+    parts = _lloyd_prefix_parts(n_lists, iters)
     parts.append(f"""
     probes AS (
       SELECT vec_id AS query_id, list_id FROM (
@@ -591,6 +602,56 @@ def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:
         ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
       FROM ccos) WHERE rank <= {k}""")
     return "WITH " + ",".join(parts)
+
+
+def _semdedup_sql(n_lists: int, iters: int, threshold: float) -> str:
+    """SemDeDup oracle: the shared Lloyd chain + within-cluster
+    pairwise cosine + the keep-lowest-id rule."""
+    parts = _lloyd_prefix_parts(n_lists, iters)
+    parts.append(f"""
+    sd_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM afinal a JOIN afinal b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    sd_dots AS (
+      SELECT p.id_a, p.id_b, sum(qa.x * qb.x) AS dot
+      FROM sd_pairs p
+      JOIN exploded qa ON qa.vec_id = p.id_a
+      JOIN exploded qb ON qb.vec_id = p.id_b AND qb.dim = qa.dim
+      GROUP BY p.id_a, p.id_b
+    ),
+    sd_cos AS (
+      SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
+      FROM sd_dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+    ),
+    sd_dups AS (
+      SELECT id_b AS vec_id, max(cosine) AS mx
+      FROM sd_cos WHERE cosine >= {threshold} GROUP BY id_b
+    )
+    SELECT a.vec_id, CAST(a.list_id AS INTEGER) AS list_id,
+      (d.vec_id IS NOT NULL) AS is_dup, round(d.mx, 6) AS max_cos_prior
+    FROM afinal a LEFT JOIN sd_dups d ON a.vec_id = d.vec_id""")
+    return "WITH " + ",".join(parts)
+
+
+@register("text_semdedup", oracle=_semdedup_sql(n_lists=8, iters=2, threshold=0.35))
+def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023):
+    deterministic fixed-init k-means clusters (the ivf_index Lloyd
+    chain, oracle-shared with ann_ivf_topk) bound the pairwise cosine
+    comparison WITHIN clusters, and a vector is dropped iff a
+    lower-id cluster-mate is >= 0.35 cosine — keep-lowest-id, the
+    same greedy convention as the MinHash/SimHash family. The scale
+    property is the point: the quadratic term is per-cluster, so
+    bucketing the corpus by list_id makes the pair join co-located
+    and the cross-cluster comparison count exactly zero."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, threshold=0.35, n_lists=8, iters=2)
 
 
 @register("ann_ivf_topk", oracle=_ivf_topk_sql(n_lists=8, n_probe=3, iters=2, k=5))
@@ -833,3 +894,86 @@ from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
 )
 
 _apply_driver_window_order()
+
+
+# --------------------------------------------------------------------------
+# Round-4b curation additions: DSIR importance weights, char entropy
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = "en"
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        {md5_long_sql("unnest(string_split(text, ' '))")} % {_DSIR_BUCKETS}
+          AS bucket
+      FROM documents
+    ),
+    raw AS (SELECT bucket, count(*) AS cnt_r FROM toks GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS cnt_t FROM toks
+            WHERE lang = '{_DSIR_TARGET}' GROUP BY bucket),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t_r,
+        CAST(sum(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS t_t
+      FROM toks
+    ),
+    tab AS (
+      SELECT r.bucket,
+        ln((coalesce(t.cnt_t, 0) + 1.0) / (tot.t_t + {_DSIR_BUCKETS}.0))
+        - ln((r.cnt_r + 1.0) / (tot.t_r + {_DSIR_BUCKETS}.0)) AS lr
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+    )
+    SELECT k.doc_id, k.lang, CAST(count(*) AS INTEGER) AS n_tokens,
+      round(avg(tab.lr), 6) AS dsir_weight
+    FROM toks k JOIN tab ON k.bucket = tab.bucket
+    GROUP BY k.doc_id, k.lang
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023): per-doc average
+    log-likelihood ratio of hashed unigram buckets under the target
+    (English subcorpus) vs raw distribution, Laplace-smoothed — the
+    importance-resampling score used to select pretraining data that
+    matches a target domain. Model state is two 256-row bucket tables
+    + two scalars, broadcast onto the token stream (functions.
+    textstats.dsir_weights): two corpus scans total, map-side-combined
+    counts, no token-level shuffle wider than the bucket dictionary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts.dsir_weights(
+        docs, target_lang=_DSIR_TARGET, n_buckets=_DSIR_BUCKETS
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY doc_id, c
+    ),
+    n AS (SELECT doc_id, sum(cnt) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id, CAST(sum(cnt) AS INTEGER) AS n_chars,
+      round(-sum((cnt / n.n) * ln(cnt / n.n) / ln(2)), 6) AS char_entropy,
+      (round(-sum((cnt / n.n) * ln(cnt / n.n) / ln(2)), 6) < 4.0)
+        AS is_low_entropy
+    FROM freq f JOIN n ON f.doc_id = n.doc_id
+    GROUP BY f.doc_id, n.n
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy junk gate (functions.textstats.
+    char_entropy_profile): Shannon bits/char from the per-(doc, char)
+    histogram — repeated-char padding and template boilerplate score
+    low, base64/binary junk scores high; natural text sits ~4. On
+    this corpus the 4.0 threshold flags the low-entropy ~10% tail.
+    One explode + two map-side-combined aggs; per-doc state is its
+    alphabet, so partials stay tiny at any corpus size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts.char_entropy_profile(docs, low_threshold=4.0)

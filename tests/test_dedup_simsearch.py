@@ -336,3 +336,90 @@ def test_containment_candidates_path_matches_exhaustive(spark):
     cands = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
     via_cands = sorted(map(tuple, containment_pairs(sh, 0.5, candidates=cands).collect()))
     assert exhaustive == via_cands and len(exhaustive) == 1
+
+
+def test_semdedup_keeps_lowest_id_per_family(spark):
+    """Two near-identical vectors + one orthogonal: the higher id of
+    the near-dup pair is flagged, the lowest id and the orthogonal
+    vector are kept."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import semdedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0]),   # ~cos 1.0 with vec 1
+            (3, [0.0, 1.0, 0.0]),       # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=0.9, n_lists=1, iters=1).collect()}
+    assert not out[1]["is_dup"] and out[1]["max_cos_prior"] is None
+    assert out[2]["is_dup"] and out[2]["max_cos_prior"] >= 0.999
+    assert not out[3]["is_dup"]
+
+
+def test_semdedup_cross_cluster_pairs_never_compared(spark):
+    """Identical vectors in different k-means clusters are NOT
+    flagged — the within-cluster bound is the SemDeDup contract
+    (recall is traded for the per-cluster quadratic bound)."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import semdedup
+
+    # seeds are the 2 lowest ids: vec 1 -> cluster of [1,0], vec 2 ->
+    # cluster of [0,1]; vec 3 == vec 1 but lands in vec 1's cluster;
+    # vec 4 == vec 2 lands in vec 2's cluster.
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["is_dup"] for r in
+           semdedup(emb, threshold=0.9, n_lists=2, iters=1).collect()}
+    # dups detected within each cluster only
+    assert out == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_dsir_weight_sign_tracks_target_likeness(spark):
+    """Docs made of target-corpus tokens score positive; docs of
+    off-target tokens score negative (the DSIR selection property)."""
+    from multiomics_biocypher_kg_spark.functions.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", "en"),
+            (2, "alpha beta beta", "en"),
+            (3, "gamma delta gamma", "fr"),
+            (4, "delta gamma delta", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # n_buckets=256: alpha/beta/gamma/delta land in distinct buckets
+    # (at 64, alpha and gamma collide — hashed features trade exactly
+    # this kind of collision for bounded state, which would mute the
+    # sign signal on this 4-token fixture)
+    w = {r["doc_id"]: r["dsir_weight"] for r in
+         dsir_weights(docs, target_lang="en", n_buckets=256).collect()}
+    assert w[1] > 0 and w[2] > 0
+    assert w[3] < 0 and w[4] < 0
+
+
+def test_char_entropy_closed_forms(spark):
+    """Entropy 0 for a single-char doc, exactly 1 bit for a 50/50
+    two-char doc; thresholding flags the degenerate one."""
+    from multiomics_biocypher_kg_spark.functions.textstats import (
+        char_entropy_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           char_entropy_profile(docs, low_threshold=0.5).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["is_low_entropy"]
+    assert out[2]["char_entropy"] == 1.0 and not out[2]["is_low_entropy"]
+    assert out[1]["n_chars"] == out[2]["n_chars"] == 8
