@@ -719,6 +719,8 @@ _DRIVER_WINDOW_FIRST = [
     "text_semdedup",
     "text_dsir_weights",
     "text_char_entropy",
+    "ev_funnel",
+    "web_sitemap_coverage",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

@@ -1314,3 +1314,119 @@ from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
 )
 
 _apply_driver_window_order()
+
+
+@register(
+    "ev_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT
+        (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS n1,
+        (SELECT count(*) FROM s2) AS n2,
+        (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS step_name, CAST(n1 AS BIGINT) AS n_users,
+        round(1.0, 6) AS conv_from_prev FROM c
+      UNION ALL
+      SELECT 2, 'view', CAST(n2 AS BIGINT),
+        round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        round(CAST(n3 AS DOUBLE) / n2, 6) FROM c
+    )
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> view -> purchase): a user
+    counts at step k only if the step-k event happened strictly AFTER
+    their step-(k-1) entry time — the product-analytics primitive
+    behind conversion dashboards (Trino/ClickHouse ship windowFunnel
+    for this).
+
+    Plan shape: the three step times are STACKED window aggregates
+    over the SAME user partitioning — Catalyst runs them in one
+    shuffle + one sort (no per-step re-shuffle, asserted by the
+    single-Exchange structure), then one map-side-combined global
+    count collapses to the 3-row funnel. No per-user collect, no
+    pandas.
+    """
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    d1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        d2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.first("t3").alias("t3"),
+        )
+    )
+    c = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit("signup").alias("step_name"),
+                    F.col("n1").alias("n_users"),
+                    F.round(F.lit(1.0), 6).alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit("view").alias("step_name"),
+                    F.col("n2").alias("n_users"),
+                    F.round(
+                        F.col("n2").cast("double") / F.col("n1"), 6
+                    ).alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit("purchase").alias("step_name"),
+                    F.col("n3").alias("n_users"),
+                    F.round(
+                        F.col("n3").cast("double") / F.col("n2"), 6
+                    ).alias("conv_from_prev"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.step", "r.step_name", "r.n_users", "r.conv_from_prev")

@@ -2234,3 +2234,78 @@ def web_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seed").isNotNull().alias("is_seed"),
         )
     )
+
+
+@register(
+    "web_sitemap_coverage",
+    oracle=f"""
+    WITH declared AS (
+      SELECT {URL_SQL} AS url FROM documents WHERE doc_id % 3 <> 2
+      UNION ALL
+      SELECT {url_sql('doc_id + 500000')} FROM documents WHERE doc_id % 11 = 0
+    ),
+    crawled AS (SELECT {URL_SQL} AS url FROM documents),
+    j AS (
+      SELECT coalesce(d.url, c.url) AS url,
+        (d.url IS NOT NULL) AS is_declared, (c.url IS NOT NULL) AS is_crawled
+      FROM declared d FULL OUTER JOIN crawled c ON d.url = c.url
+    )
+    SELECT {_host_sql('url')} AS host,
+      CAST(sum(CASE WHEN is_declared THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+      CAST(sum(CASE WHEN is_crawled THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+      CAST(sum(CASE WHEN is_declared AND is_crawled THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both,
+      round(CAST(sum(CASE WHEN is_declared AND is_crawled THEN 1 ELSE 0 END)
+        AS DOUBLE) / nullif(sum(CASE WHEN is_declared THEN 1 ELSE 0 END), 0), 6)
+        AS coverage
+    FROM j GROUP BY 1
+    """,
+)
+def web_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl reconciliation per host: full-outer join the
+    host's DECLARED url set (its sitemap — synthesized here as 2/3 of
+    corpus urls plus a band of declared-but-never-crawled phantoms)
+    against the CRAWLED set, then roll up declared/crawled/overlap
+    counts and coverage. The crawl-ops dashboard query: low coverage
+    = crawler missing declared content; crawled-not-declared =
+    discovery beyond the sitemap.
+
+    Scale shape: both sides are scan projections keyed by url before
+    the single full-outer shuffle join (url is the natural co-
+    partition key; at 100 TB both sides bucket by url and the join is
+    co-located); the host rollup is map-side combined. No windows."""
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+    from multiomics_biocypher_kg_spark.sources.pages import url_of
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    declared = (
+        docs.where(F.col("doc_id") % 3 != 2)
+        .select(url_of(F.col("doc_id")).alias("url"))
+        .unionAll(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                url_of(F.col("doc_id") + 500000).alias("url")
+            )
+        )
+        .withColumn("is_declared", F.lit(True))
+    )
+    crawled = docs.select(url_of(F.col("doc_id")).alias("url")).withColumn(
+        "is_crawled", F.lit(True)
+    )
+    j = declared.join(crawled, "url", "full_outer").select(
+        "url",
+        F.coalesce("is_declared", F.lit(False)).alias("is_declared"),
+        F.coalesce("is_crawled", F.lit(False)).alias("is_crawled"),
+    )
+    return j.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.sum(F.col("is_declared").cast("long")).alias("n_declared"),
+        F.sum(F.col("is_crawled").cast("long")).alias("n_crawled"),
+        F.sum(
+            (F.col("is_declared") & F.col("is_crawled")).cast("long")
+        ).alias("n_both"),
+        F.round(
+            F.sum((F.col("is_declared") & F.col("is_crawled")).cast("long"))
+            .cast("double")
+            / F.nullif(F.sum(F.col("is_declared").cast("long")), F.lit(0)),
+            6,
+        ).alias("coverage"),
+    )

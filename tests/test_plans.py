@@ -311,3 +311,21 @@ def test_aqe_skew_join_splits_hot_host(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_windows_share_one_user_shuffle(spark):
+    """ev_funnel stacks its three step-time windows over the SAME
+    user partitioning: exactly one hashpartitioning(user_id) Exchange
+    feeds all three Window nodes (the per-user agg reuses it), plus
+    the SinglePartition collapse for the 3-row result — any third
+    Exchange means a step re-shuffled and the funnel would scan-sort
+    the event log per step at scale."""
+    import re
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_funnel"](spark, SF_TINY))
+    assert plan.count("Window ") == 3
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan
+    assert plan.count("Exchange ") == 2, plan
