@@ -721,6 +721,8 @@ _DRIVER_WINDOW_FIRST = [
     "text_char_entropy",
     "ev_funnel",
     "web_sitemap_coverage",
+    "ev_rolling_window",
+    "web_session_paths",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

@@ -1430,3 +1430,143 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.step", "r.step_name", "r.n_users", "r.conv_from_prev")
+
+
+@register(
+    "ev_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+      round(sum(value) OVER w, 6) AS sum_value_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-RANGE window: for every event, the count and
+    value-sum of the same user's events in the trailing hour — the
+    rate-limit / burst-detection primitive (and the one window-frame
+    kind the registry lacked: RANGE frames bound by VALUE distance,
+    not row offsets, so all ts-ties are frame peers and the result is
+    deterministic without a row tiebreak).
+
+    One shuffle keyed by user + one sort; the frame is evaluated by
+    a sliding two-pointer over each partition — no self-join, no
+    per-event re-scan (the naive equi-join-on-user + ts-range filter
+    would be quadratic in the per-user event count at scale)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_value_hour"),
+    )
+
+
+@register(
+    "web_session_paths",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+        date_diff('second',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 21600 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        AS session_id
+      FROM g
+    ),
+    firstn AS (
+      SELECT * FROM (
+        SELECT user_id, session_id, event_type, ts, event_id,
+          row_number() OVER (PARTITION BY user_id, session_id
+                             ORDER BY ts, event_id) AS rn
+        FROM s) WHERE rn <= 5
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM firstn GROUP BY user_id, session_id
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+      CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT path, n_sessions,
+        row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+      FROM counted)
+    WHERE rank <= 20
+    """,
+)
+def web_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session navigation paths: the first five event types of
+    each 6h-gap session (ev_sessionize's session rule), joined into a
+    'signup>view>purchase' path string, counted across sessions — the
+    clickstream-mining staple behind funnel discovery (which ordered
+    journeys actually happen, before ev_funnel measures a chosen
+    one).
+
+    Path assembly is sort_array(collect_list(struct(ts, event_id,
+    type))) per session — a map-side-combinable aggregate, no second
+    window pass; the global top-20 goes through orderBy().limit()
+    (TakeOrderedAndProject — distributed partial top-k, never a
+    single-task full sort of the path dictionary), with the tiny
+    20-row window for the rank column."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    top = counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(20)
+    w20 = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.select(
+        "path",
+        "n_sessions",
+        F.row_number().over(w20).cast("int").alias("rank"),
+    )
