@@ -496,3 +496,63 @@ def semdedup(
             F.round("mx", 6).alias("max_cos_prior"),
         )
     )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou et al., TPAMI 2011) — the
+    compressed-vector representation IVF systems pair with inverted
+    lists (IVF-PQ): split each vector into ``m`` contiguous
+    subspaces, learn a ``k``-codebook per subspace with the SAME
+    deterministic fixed-init Lloyd used by ``ivf_index``, and emit
+    each vector's per-subspace code + squared reconstruction error.
+    m codes of log2(k) bits replace the float vector (here 4x3 bits
+    vs 64 doubles) for in-memory distance tables.
+
+    Scale shape: each subspace's codebook fit runs on the SLICED
+    column (slice() in the scan projection — no copy of the full
+    vector shuffles anywhere); codebooks are k x (dim/m) literals
+    collected driver-side (bounded, like ivf_index's centroids), and
+    encoding is a map-only literal-argmin pass. The m fits are
+    independent jobs over the same cached scan.
+
+    -> (vec_id, subspace, code, sq_err) — m rows per vector;
+    ``sq_err`` rounded to 6 (sum over the subspace's dims).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("full"),
+    )
+    dim = len(v.select("full").first()["full"])
+    if dim % m != 0:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    outs = []
+    for s in range(m):
+        sub = v.select(
+            "id", F.slice("full", s * sub_d + 1, sub_d).alias("v")
+        )
+        assigned, cents = ivf_index(
+            sub, n_lists=k, iters=iters, id_col="id", vec_col="v"
+        )
+        dist_arr = F.array(*[_sq_dist_lit(F.col("v"), c) for c in cents])
+        outs.append(
+            assigned.select(
+                F.col("id").alias(id_col),
+                F.lit(s).alias("subspace"),
+                F.col("list_id").alias("code"),
+                F.round(
+                    F.element_at(dist_arr, F.col("list_id") + 1), 6
+                ).alias("sq_err"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

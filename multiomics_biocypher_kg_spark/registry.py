@@ -723,6 +723,7 @@ _DRIVER_WINDOW_FIRST = [
     "web_sitemap_coverage",
     "ev_rolling_window",
     "web_session_paths",
+    "emb_pq_codes",
     # round-4 reimplementations (plans changed; re-verify)
     "kg_negative_samples",
     "text_vocabulary",

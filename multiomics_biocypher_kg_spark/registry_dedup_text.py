@@ -977,3 +977,88 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet, so partials stay tiny at any corpus size."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ts.char_entropy_profile(docs, low_threshold=4.0)
+
+
+def _pq_sql(m: int, k: int, sub_d: int) -> str:
+    """Product-quantization oracle: per subspace, the same
+    fixed-init Lloyd chain as _lloyd_prefix_parts but restricted to
+    the subspace's dim range (1 refine iteration), then code + sq
+    reconstruction error per vector."""
+
+    def assign(s: int, cent: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+      SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
+      FROM pq{s}_ex e JOIN {cent} c ON e.dim = c.dim
+      GROUP BY e.vec_id, c.list_id
+    ),
+    {out} AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, list_id ASC) AS rn
+        FROM {out}_d) WHERE rn = 1
+    )"""
+
+    parts = [
+        """
+    exploded AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS list_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT %d)
+    )""" % k
+    ]
+    selects = []
+    for s in range(m):
+        lo = s * sub_d
+        parts.append(f"""
+    pq{s}_ex AS (
+      SELECT vec_id, dim, x FROM exploded
+      WHERE dim > {lo} AND dim <= {lo + sub_d}
+    ),
+    pq{s}_cent0 AS (
+      SELECT se.list_id, e.dim, e.x AS c
+      FROM seeds se JOIN pq{s}_ex e ON se.vec_id = e.vec_id
+    )""")
+        parts.append(assign(s, f"pq{s}_cent0", f"pq{s}_a1"))
+        parts.append(f"""
+    pq{s}_m1 AS (
+      SELECT a.list_id, e.dim, avg(e.x) AS c
+      FROM pq{s}_a1 a JOIN pq{s}_ex e ON a.vec_id = e.vec_id
+      GROUP BY a.list_id, e.dim
+    ),
+    pq{s}_cent1 AS (
+      SELECT c0.list_id, c0.dim, coalesce(mm.c, c0.c) AS c
+      FROM pq{s}_cent0 c0
+      LEFT JOIN pq{s}_m1 mm ON c0.list_id = mm.list_id AND c0.dim = mm.dim
+    )""")
+        parts.append(assign(s, f"pq{s}_cent1", f"pq{s}_af"))
+        selects.append(
+            f"SELECT a.vec_id, {s} AS subspace, "
+            f"CAST(a.list_id AS INTEGER) AS code, round(d.d, 6) AS sq_err "
+            f"FROM pq{s}_af a JOIN pq{s}_af_d d "
+            f"ON a.vec_id = d.vec_id AND a.list_id = d.list_id"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("emb_pq_codes", oracle=_pq_sql(m=4, k=8, sub_d=16))
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators.simsearch.pq_codes): 4
+    subspaces x 8-entry codebooks learned per subspace with the same
+    deterministic fixed-init Lloyd as the IVF index — the IVF-PQ
+    compressed representation (4x3-bit codes replace 64 doubles for
+    in-RAM distance tables at billion-vector scale). Codebook fits
+    run on slice() projections (no full-vector shuffle), codebooks
+    are driver-bounded literals, encoding is map-only. The oracle
+    re-derives every per-subspace Lloyd step, so codes AND
+    reconstruction errors are value-gated."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb, m=4, k=8, iters=1)

@@ -423,3 +423,24 @@ def test_char_entropy_closed_forms(spark):
     assert out[1]["char_entropy"] == 0.0 and out[1]["is_low_entropy"]
     assert out[2]["char_entropy"] == 1.0 and not out[2]["is_low_entropy"]
     assert out[1]["n_chars"] == out[2]["n_chars"] == 8
+
+
+def test_pq_codes_exact_on_duplicated_codewords(spark):
+    """Two distinct vectors duplicated: after one Lloyd refinement
+    each subspace codebook lands exactly on the two points, so
+    reconstruction error is 0 and duplicates share codes."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import pq_codes
+
+    a, b = [1.0, 2.0, 3.0, 4.0], [-1.0, -2.0, -3.0, -4.0]
+    emb = spark.createDataFrame(
+        [(1, a), (2, b), (3, a), (4, b)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pq_codes(emb, m=2, k=2, iters=1).collect()
+    assert len(rows) == 8  # m rows per vector
+    assert all(r["sq_err"] == 0.0 for r in rows)
+    codes = {(r["vec_id"], r["subspace"]): r["code"] for r in rows}
+    for s in (0, 1):
+        assert codes[(1, s)] == codes[(3, s)]
+        assert codes[(2, s)] == codes[(4, s)]
+        assert codes[(1, s)] != codes[(2, s)]
