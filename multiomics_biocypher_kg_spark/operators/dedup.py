@@ -526,3 +526,124 @@ def simhash_banded_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def keep_best_per_cluster(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection: collapse each near-duplicate
+    cluster (connected components over ``pairs``) to the single
+    member worth keeping — the longest document, ties broken by
+    smallest id — and report what was dropped. This is the step a
+    curation pipeline runs AFTER pair discovery: dedup does not just
+    find duplicates, it must pick which copy survives (reference
+    analog: the adapters' min-id canonicalisation discipline,
+    e.g. ``multiomics_kg/adapters/uniprot_adapter.py`` dedup of
+    accessions; here the keep rule is quality-aware rather than
+    id-min).
+
+    Scale: components come from pointer-jump CC (O(log n) rounds);
+    the quality join touches only clustered docs (semi-join-sized,
+    a tiny fraction of the corpus after LSH), and the per-cluster
+    argmax is one map-side-combinable ``max(struct(...))`` — no
+    window, no sort. Singletons never enter ``pairs`` and are kept
+    implicitly; output covers clusters of size >= 2 only.
+
+    -> (cluster_id, kept_doc_id, kept_n_tokens, n_members,
+    n_dropped)
+    """
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    quality = docs.select(
+        F.col(id_col).alias("node"),
+        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+    )
+    m = comp.join(quality, "node")
+    best = F.max(
+        F.struct(F.col("n_tokens"), (-F.col("node")).alias("neg_id"))
+    ).alias("best")
+    return m.groupBy(F.col("component").alias("cluster_id")).agg(
+        best, F.count(F.lit(1)).cast("bigint").alias("n_members")
+    ).select(
+        "cluster_id",
+        (-F.col("best.neg_id")).alias("kept_doc_id"),
+        F.col("best.n_tokens").alias("kept_n_tokens"),
+        "n_members",
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level deduplication: hash every line of
+    every document, count how many distinct documents each line
+    appears in, and drop lines shared by more than ``max_doc_freq``
+    documents — the boilerplate-stripping pass (nav bars, cookie
+    banners, footers) that document-level dedup cannot express
+    because it operates above line granularity. The synthetic corpus
+    has no newlines, so a "line" here is a fixed non-overlapping
+    ``line_tokens``-token segment — the segmentation is injective
+    per document, which is all the algorithm needs.
+
+    Scale: two shuffles — one distinct-doc count keyed by line hash
+    (the line-frequency table is boilerplate-vocabulary-sized after
+    map-side combine, far smaller than the corpus) and one per-doc
+    regroup of the surviving lines. The retained text is pinned by
+    md5 so the cross-engine compare never hauls full documents.
+
+    -> (doc_id, n_lines, n_dropped, kept_md5)
+    """
+    arr = F.split(F.col(text_col), " ")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), arr.alias("arr"), F.size(arr).alias("n")
+    )
+    n_seg = F.ceil(F.col("n").cast("double") / line_tokens).cast("long")
+    lines = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_seg - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("line_idx"),
+                    F.array_join(
+                        F.slice(
+                            F.col("arr"),
+                            (i * line_tokens + 1).cast("int"),
+                            line_tokens,
+                        ),
+                        " ",
+                    ).alias("line"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.line_idx", "s.line", F.md5(F.col("s.line")).alias("h"))
+    freq = lines.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("line_df")
+    )
+    j = lines.join(freq, "h")
+    kept = F.when(F.col("line_df") <= max_doc_freq, F.struct("line_idx", "line"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            (F.col("line_df") > max_doc_freq).cast("long")
+        ).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )

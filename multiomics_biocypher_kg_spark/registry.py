@@ -684,6 +684,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # r01-r03 driver rows and stay oracle-gated by
 # tests/test_queries_oracle.py, which sweeps the whole registry.
 _DRIVER_WINDOW_FIRST = [
+    # round-4e additions (newest, never driver-checked)
+    "dedup_keep_best",
+    "text_line_dedup",
+    "web_mirror_hosts",
+    "text_heavy_hitters_cms",
+    "text_bigram_perplexity",
     # never driver-checked (registered post-rotation in round 3)
     "web_snapshot_diff",
     "text_inverted_index",

@@ -1062,3 +1062,86 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_codes(emb, m=4, k=8, iters=1)
+
+
+# --------------------------------------------------------------------------
+# Round-4e curation additions: canonical selection + line-level dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id AS node,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      FROM ({DEDUP_CORPUS_SQL})
+    ),
+    m AS (SELECT c.node, c.component, q.n_tokens
+          FROM comp c JOIN quality q ON c.node = q.node)
+    SELECT component AS cluster_id,
+      (list(node ORDER BY n_tokens DESC, node))[1] AS kept_doc_id,
+      max(n_tokens) AS kept_n_tokens,
+      CAST(count(*) AS BIGINT) AS n_members,
+      CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM m GROUP BY component
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection on top of the LSH + CC dedup chain: each
+    near-dup cluster keeps its longest member (ties -> smallest id).
+    See :func:`operators.dedup.keep_best_per_cluster` for the scale
+    contract (argmax as max(struct), no window/sort)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = dd.minhash_neardup_pairs(corpus, 0.5)
+    return dd.keep_best_per_cluster(pairs, corpus)
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM ({DEDUP_CORPUS_SQL})
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS line_idx,
+        array_to_string(arr[i * 8 + 1 : i * 8 + 8], ' ') AS line
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(
+          0, CAST(ceil(CAST(n AS DOUBLE) / 8) AS BIGINT) - 1)) AS i
+      ) s
+    ),
+    freq AS (
+      SELECT md5(line) AS h, count(DISTINCT doc_id) AS line_df
+      FROM lines GROUP BY md5(line)
+    ),
+    j AS (SELECT l.*, f.line_df FROM lines l JOIN freq f ON md5(l.line) = f.h)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CASE WHEN line_df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      md5(coalesce(array_to_string(
+        list(line ORDER BY line_idx) FILTER (WHERE line_df <= 2), ' '
+      ), '')) AS kept_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal over the dedup
+    corpus (8-token segments stand in for newline-delimited lines;
+    exact-dup docs keep their lines at doc-freq 2, docs with BOTH an
+    exact and a near copy cross the >2 threshold on their aligned
+    head lines and lose them). See :func:`operators.dedup.line_dedup`."""
+    return dd.line_dedup(_dedup_corpus(spark, sf_dir))

@@ -1406,3 +1406,213 @@ from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
 )
 
 _apply_driver_window_order()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (bounded-state frequency estimation)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 512    # buckets per row
+_CMS_TOPK = 20
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT token, c, {r} AS r, "
+    + md5_long_sql(f"token || '#cms{r}'")
+    + f" % {_CMS_W} AS bucket FROM counts"
+    for r in range(_CMS_D)
+)
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    hashed AS ({_CMS_ROWS_SQL}),
+    cms AS (SELECT r, bucket, sum(c) AS cell FROM hashed GROUP BY r, bucket),
+    est AS (
+      SELECT h.token, min(h.c) AS exact_count, min(m.cell) AS cms_estimate
+      FROM hashed h JOIN cms m ON h.r = m.r AND h.bucket = m.bucket
+      GROUP BY h.token
+    )
+    SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+      CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY exact_count DESC, token LIMIT {_CMS_TOPK}
+    """,
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (d={d} rows x w={w}
+    buckets, deterministic MD5 row hashes), validated against exact
+    counts: for the top-{k} tokens by true frequency, report the CMS
+    estimate and its (always non-negative) overestimate. The sketch
+    is the bounded-state path a 10^12-token stream needs — d*w
+    counters combine map-side regardless of vocabulary size, and
+    the estimate for any probe key is min over rows of its cell.
+    Here the per-token exact counts both feed the sketch cells
+    (sum of colliding token counts == sum of colliding occurrences)
+    and serve as ground truth, so the sketch math itself is
+    oracle-pinned value-for-value, not just sampled. Top-k ordered
+    by the exact count (unrounded), token tiebreak."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    hashed = counts.select(
+        "token",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            md5_long(
+                                F.concat(F.col("token"), F.lit(f"#cms{r}"))
+                            )
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "c", "rb.r", "rb.bucket")
+    cms = hashed.groupBy("r", "bucket").agg(F.sum("c").alias("cell"))
+    est = (
+        hashed.join(cms, ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.min("c").alias("exact_count"),
+            F.min("cell").alias("cms_estimate"),
+        )
+    )
+    return (
+        est.orderBy(F.col("exact_count").desc(), "token")
+        .limit(_CMS_TOPK)
+        .select(
+            "token",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+text_heavy_hitters_cms.__doc__ = text_heavy_hitters_cms.__doc__.format(
+    d=_CMS_D, w=_CMS_W, k=_CMS_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity (sequence-aware quality gate)
+# ---------------------------------------------------------------------------
+
+_BG_LAMBDA = 0.7
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, arr[i] AS token
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n)) AS i) s
+    ),
+    bg AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) s
+    ),
+    bgm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    pref AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    uni AS (SELECT token, count(*) AS c2 FROM toks GROUP BY token),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t,
+             CAST(count(DISTINCT token) AS DOUBLE) AS v
+      FROM toks
+    ),
+    scored AS (
+      SELECT g.doc_id,
+        -log2({_BG_LAMBDA} * m.c12 / p.c1
+              + {1 - _BG_LAMBDA} * (u.c2 + 1) / (st.t + st.v)) AS bits
+      FROM bg g
+      JOIN bgm m ON g.w1 = m.w1 AND g.w2 = m.w2
+      JOIN pref p ON g.w1 = p.w1
+      JOIN uni u ON g.w2 = u.token
+      CROSS JOIN st
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(avg(bits), 6) AS bits_per_bigram
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware quality gate: per-doc bits-per-bigram under a
+    Jelinek-Mercer-interpolated bigram LM trained on the corpus
+    itself — p(w2|w1) = {lam} * c(w1,w2)/c(w1) + {one_m_lam} *
+    add-one-unigram(w2). The unigram gate (text_unigram_perplexity)
+    cannot see scrambled word order; this one can. Model state is
+    two dictionary-sized tables (bigram counts, prefix counts) built
+    with one map-side-combined agg each; scoring is three
+    dictionary joins plus a broadcast 1-row totals table, then one
+    per-doc avg — the corpus is scanned twice and never self-joined.
+    Docs with fewer than two tokens have no bigrams and drop out,
+    same as the oracle's empty generate_series."""
+    arr = F.split(F.lower("text"), " ")
+    t = _docs(spark, sf_dir).select(
+        "doc_id", arr.alias("arr"), F.size(arr).alias("n")
+    )
+    toks = t.select("doc_id", F.explode("arr").alias("token"))
+    bg = t.where(F.col("n") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("arr"), 1, F.col("n") - 1),
+                F.slice(F.col("arr"), 2, F.col("n") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pref = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumnRenamed("token", "w2")
+    )
+    st = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.countDistinct("token").cast("double").alias("v"),
+    )
+    p = (
+        F.lit(_BG_LAMBDA) * F.col("c12") / F.col("c1")
+        + F.lit(1 - _BG_LAMBDA)
+        * (F.col("c2") + 1)
+        / (F.col("t") + F.col("v"))
+    )
+    scored = (
+        bg.join(bgm, ["w1", "w2"])
+        .join(pref, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", (-F.log2(p)).alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("bits"), 6).alias("bits_per_bigram"),
+    )
+
+
+text_bigram_perplexity.__doc__ = text_bigram_perplexity.__doc__.format(
+    lam=_BG_LAMBDA, one_m_lam=round(1 - _BG_LAMBDA, 1)
+)

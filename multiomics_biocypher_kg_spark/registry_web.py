@@ -2309,3 +2309,116 @@ def web_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mirror-host detection (content-hash Jaccard between hosts)
+# --------------------------------------------------------------------------
+
+# deterministic mirror synthesis: every doc maps to a host (the
+# snapshot-family mapping used across the web queries); a subset of
+# each host's docs is additionally served from 'mirror-<host>' with
+# byte-identical content, at a family-dependent coverage (1/2, 1/3
+# or 1/4) so measured Jaccard varies by pair.
+_MIRROR_SH_SQL = """
+  WITH hosted AS (
+    SELECT doc_id, doc_id % 125 AS fam,
+      CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'
+           ELSE 'h' || CAST(doc_id % 125 % 50 AS VARCHAR) || '.example.org'
+      END AS host,
+      md5(text) AS h
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT host, h FROM hosted
+    UNION
+    SELECT DISTINCT 'mirror-' || host, h FROM hosted
+    WHERE doc_id % (2 + fam % 3) = 0
+  ),
+  hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 64),
+  shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot))
+"""
+
+
+@register(
+    "web_mirror_hosts",
+    oracle=f"""
+    {_MIRROR_SH_SQL},
+    sizes AS (SELECT host, count(*) AS sz FROM shc GROUP BY host),
+    inter AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+      FROM shc a JOIN shc b ON a.h = b.h AND a.host < b.host
+      GROUP BY a.host, b.host
+    )
+    SELECT i.host_a, i.host_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+      CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+      round(CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared), 6)
+        AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.host_a = sa.host
+    JOIN sizes sb ON i.host_b = sb.host
+    WHERE CAST(i.n_shared AS DOUBLE) / (sa.sz + sb.sz - i.n_shared) >= 0.2
+    """,
+)
+def web_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: Jaccard similarity between hosts over
+    their sets of distinct content hashes, candidates-first — hosts
+    are paired ONLY where they share at least one content hash (an
+    equi-join on the hash), never all-pairs. Hashes served by > 64
+    hosts (blank/boilerplate pages) are dropped before pairing: at
+    web scale one empty page on a million hosts would otherwise
+    expand quadratically in the hash join, and such content carries
+    no mirror signal. The per-host distinct-hash sets are
+    exact-dedup-sized state; everything after the first distinct is
+    host-cardinality, not corpus-cardinality. Reports pairs with
+    Jaccard >= 0.2 (reference analog: host-level grouping
+    discipline of the crawl adapters; mirror coverage 1/2, 1/3, 1/4
+    by family in the synthetic input)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    hosted = docs.select(
+        "doc_id", fam.alias("fam"), host.alias("host"), F.md5("text").alias("h")
+    )
+    base = hosted.select("host", "h")
+    mirror = hosted.where(
+        F.col("doc_id") % (F.lit(2) + F.col("fam") % 3) == 0
+    ).select(F.concat(F.lit("mirror-"), F.col("host")).alias("host"), "h")
+    sh = base.unionByName(mirror).distinct()
+    hot = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nh")).where(
+        F.col("nh") > 64
+    )
+    shc = sh.join(hot.select("h"), "h", "left_anti")
+    sizes = shc.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
+    a = shc.select(F.col("host").alias("host_a"), "h")
+    b = shc.select(F.col("host").alias("host_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        inter.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("n_b")),
+            "host_b",
+        )
+        .where(jac >= 0.2)
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
