@@ -50,6 +50,8 @@ EXTRA = [
     "text_hll_host_cardinality",  # 32-register sketch agg
     "web_bloom_revisit",       # broadcast bit-set probe
     "emb_quantize_int8",       # array-expression quantization
+    "text_line_dedup",         # line-hash boilerplate strip
+    "text_bigram_perplexity",  # interpolated bigram LM gate
 ]
 
 

@@ -329,3 +329,30 @@ def test_funnel_windows_share_one_user_shuffle(spark):
     user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(user_exchanges) == 1, plan
     assert plan.count("Exchange ") == 2, plan
+
+
+def test_mirror_hosts_no_cartesian_candidates_first(spark):
+    """Mirror detection must discover host pairs through the
+    content-hash equi-join only — a CartesianProduct (or
+    BroadcastNestedLoopJoin) would be hosts x hosts and die at web
+    scale."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_mirror_hosts"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_has_no_global_sort(spark):
+    """Per-doc line regroup and the line-frequency count are keyed
+    aggs; nothing in the plan may be a single-partition global sort
+    (the document-order join inside each doc is a sort_array over
+    the per-doc collected lines, not a Sort operator over the
+    corpus)."""
+    from multiomics_biocypher_kg_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(line_dedup(docs))
+    assert "Sort " not in plan.replace("sort_array", "")

@@ -133,3 +133,54 @@ def test_bigram_perplexity_counts_and_positivity(spark):
         if r["n"] >= 2:
             assert out[r["doc_id"]]["n_bigrams"] == r["n"] - 1
     assert all(r["bits_per_bigram"] > 0 for r in out.values())
+
+
+def test_line_dedup_matches_python_mirror_on_random_corpus(spark):
+    """Seeded random corpus with engineered duplicate lines: the
+    Spark plan agrees with a straight-Python mirror of the CCNet
+    semantics on every (n_lines, n_dropped, kept_md5) triple —
+    segmentation edges (short tails, doc length % line_tokens == 0)
+    included."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(60):
+        n = rng.randint(1, 37)
+        toks = [vocab[rng.randrange(40)] for _ in range(n)]
+        if d % 7 == 0:
+            toks[:4] = ["b0", "b1", "b2", "b3"]  # 9 docs share a head line
+        docs.append((d, " ".join(toks)))
+
+    L, K = 4, 2
+
+    def segs(text):
+        t = text.split(" ")
+        return [
+            " ".join(t[i : i + L]) for i in range(0, len(t), L)
+        ]
+
+    df_count: dict[str, set] = {}
+    for d, text in docs:
+        for line in segs(text):
+            df_count.setdefault(line, set()).add(d)
+    expect = {}
+    for d, text in docs:
+        lines = segs(text)
+        kept = [ln for ln in lines if len(df_count[ln]) <= K]
+        dropped = sum(1 for ln in lines if len(df_count[ln]) > K)
+        expect[d] = (
+            len(lines),
+            dropped,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dropped"], r["kept_md5"])
+        for r in dd.line_dedup(sdf, line_tokens=L, max_doc_freq=K).collect()
+    }
+    assert got == expect
+    # the engineered boilerplate line really crossed the threshold
+    assert len(df_count["b0 b1 b2 b3"]) > K
