@@ -597,10 +597,14 @@ def line_dedup(
     per document, which is all the algorithm needs.
 
     Scale: two shuffles — one distinct-doc count keyed by line hash
-    (the line-frequency table is boilerplate-vocabulary-sized after
-    map-side combine, far smaller than the corpus) and one per-doc
-    regroup of the surviving lines. The retained text is pinned by
-    md5 so the cross-engine compare never hauls full documents.
+    and one per-doc regroup of the surviving lines. The doc-frequency
+    table is DISTINCT-LINE-sized (one row per distinct line — the
+    same state contract as document-level exact dedup, one
+    granularity down), not vocabulary-sized; the join back is an
+    equi-join on the line hash, co-partitioned with the agg's own
+    exchange, and column pruning keeps the counting subtree to
+    (hash, doc_id). The retained text is pinned by md5 so the
+    cross-engine compare never hauls full documents.
 
     -> (doc_id, n_lines, n_dropped, kept_md5)
     """
