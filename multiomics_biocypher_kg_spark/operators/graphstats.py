@@ -297,3 +297,64 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def adamic_adar_topk(
+    edges: DataFrame, k: int = 100, max_degree: int | None = None
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge set — the
+    common-neighbor score KG completion uses to propose same-as /
+    related-to candidate edges that the corpus never asserts
+    directly: score(a,b) = sum over shared neighbors z of
+    1/ln(deg(z)), so low-degree (informative) shared neighbors count
+    more than hubs.
+
+    edges(a, b), a < b, distinct. Returns the top-``k`` NON-adjacent
+    pairs: (subj, obj, n_common, adamic_adar, rank).
+
+    Scale contract: candidates come ONLY from the wedge equi-join
+    through the shared neighbor (never nodes x nodes); deg(z) >= 2
+    for any shared neighbor so ln(deg) never divides by zero. Wedge
+    fan-out is quadratic in deg(z) — the same hub exposure as
+    triangle counting, but here hub wedges cannot be skipped (they
+    carry real score mass); ``max_degree`` optionally DROPS
+    apexes above the cap (a documented approximation: hubs
+    contribute at most wedges/ln(cap) each — standard practice since
+    1/ln(deg) already damps them). The global top-k goes through
+    orderBy().limit() (TakeOrderedAndProject), never a single-task
+    sort of the full candidate set; the rank column is a window over
+    the k survivors only.
+    """
+    und = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("d"))
+    apex = und.select(F.col("a").alias("z"), F.col("b").alias("n")).join(deg, "z")
+    if max_degree is not None:
+        apex = apex.where(F.col("d") <= max_degree)
+    w1 = apex.select("z", "d", F.col("n").alias("a"))
+    w2 = apex.select(F.col("z").alias("z2"), F.col("n").alias("b"))
+    wedges = w1.join(w2, w1["z"] == w2["z2"]).where(F.col("a") < F.col("b"))
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").alias("n_common"),
+        F.sum(F.lit(1.0) / F.log("d")).alias("aa_raw"),
+    )
+    cand = scored.join(edges.select("a", "b"), ["a", "b"], "left_anti")
+    # Order by the ROUNDED score: AA scores are sums of identical
+    # 1/ln(d) terms, so 6dp-ties are exact ties in real arithmetic
+    # and the unrounded float carries engine-specific summation-order
+    # ulp noise that would shuffle the tie blocks cross-engine (the
+    # opposite regime from tf-idf, where scores genuinely differ and
+    # the unrounded value is the stable key).
+    aa6 = F.round("aa_raw", 6)
+    top = cand.orderBy(aa6.desc(), "a", "b").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(aa6.desc(), "a", "b")
+    return top.select(
+        F.col("a").alias("subj"),
+        F.col("b").alias("obj"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round("aa_raw", 6).alias("adamic_adar"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

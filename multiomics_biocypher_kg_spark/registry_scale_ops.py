@@ -1616,3 +1616,73 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bigram_perplexity.__doc__ = text_bigram_perplexity.__doc__.format(
     lam=_BG_LAMBDA, one_m_lam=round(1 - _BG_LAMBDA, 1)
 )
+
+
+# --------------------------------------------------------------------------
+# Registered AFTER the round-4 driver-window freeze (see the twin
+# comment in registry_web) — local oracle sweep this round, rotate
+# into _DRIVER_WINDOW_FIRST in round 5.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "data_lang_sampling_weights",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per_lang),
+    raw AS (
+      SELECT p.lang, p.n_docs, p.n_tokens,
+        p.n_tokens / tot.t AS p_nat,
+        pow(p.n_tokens / tot.t, 0.3) AS w_raw
+      FROM per_lang p CROSS JOIN tot
+    ),
+    wt AS (SELECT sum(w_raw) AS s FROM raw)
+    SELECT lang, n_docs, n_tokens,
+      round(p_nat, 6) AS p_natural,
+      round(w_raw / wt.s, 6) AS sample_weight,
+      round((w_raw / wt.s) / p_nat, 6) AS upsample_factor
+    FROM raw CROSS JOIN wt
+    """,
+)
+def data_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (the mT5 /
+    UNIMAX data-mixing rule): per-language token mass p_l is
+    re-weighted to p_l^alpha (alpha=0.3) and renormalized, so
+    low-resource languages are upsampled for training without
+    swamping the mix — the knob every multilingual pretraining run
+    sets. Output: (lang, n_docs, n_tokens, p_natural, sample_weight,
+    upsample_factor).
+
+    Scale contract: one map-side-combined groupBy over the corpus
+    (token counting is size(split()) in the scan projection — no
+    token explode, no Python); both normalizers are 1-row broadcast
+    aggregates crossJoined back onto the language-cardinality table.
+    State never exceeds n_languages rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("t"))
+    raw = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t")).alias("p_nat"),
+        F.pow(F.col("n_tokens") / F.col("t"), F.lit(0.3)).alias("w_raw"),
+    )
+    wt = raw.agg(F.sum("w_raw").alias("s"))
+    return raw.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("p_nat", 6).alias("p_natural"),
+        F.round(F.col("w_raw") / F.col("s"), 6).alias("sample_weight"),
+        F.round((F.col("w_raw") / F.col("s")) / F.col("p_nat"), 6).alias(
+            "upsample_factor"
+        ),
+    )

@@ -2422,3 +2422,76 @@ def web_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Registered AFTER the round-4 driver-window freeze (the first-50
+# slots are exactly filled by the 43 never-driver-checked round-4
+# queries + the 7 reimplemented veterans). These run in the local
+# sf0.001 oracle sweep (pytest) this round and MUST be rotated to
+# the top of _DRIVER_WINDOW_FIRST in round 5.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "web_adamic_adar",
+    oracle=f"""
+    WITH hg AS ({_HOST_GRAPH_SQL}),
+    e AS (
+      SELECT DISTINCT least(src_host, dst_host) AS a,
+        greatest(src_host, dst_host) AS b
+      FROM hg WHERE src_host <> dst_host
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    deg AS (SELECT a AS z, count(*) AS d FROM und GROUP BY a),
+    wedge AS (
+      SELECT u1.b AS a, u2.b AS b, u1.a AS z
+      FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+    ),
+    scored AS (
+      SELECT w.a, w.b, count(*) AS n_common,
+        sum(1.0 / ln(deg.d)) AS aa_raw
+      FROM wedge w JOIN deg ON w.z = deg.z
+      GROUP BY w.a, w.b
+    ),
+    cand AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = s.a AND e.b = s.b)
+    )
+    SELECT a AS subj, b AS obj, CAST(n_common AS BIGINT) AS n_common,
+      round(aa_raw, 6) AS adamic_adar, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT a, b, n_common, aa_raw,
+        row_number() OVER (ORDER BY round(aa_raw, 6) DESC, a, b) AS rank
+      FROM cand)
+    WHERE rank <= 100
+    """,
+)
+def web_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected host link
+    graph: the top-100 non-adjacent host pairs ranked by
+    shared-neighbor information (operators.graphstats.
+    adamic_adar_topk) — the graph-completion primitive that proposes
+    candidate edges the crawl never observed directly (reference
+    analog: its same-as candidate expansion, gene_id_utils.py
+    expand_list, generalized from string variants to graph
+    structure). The entity co-mention graph is unusable here — the
+    synthetic corpus makes it complete, so every pair is already
+    adjacent — while the host graph has 460 non-adjacent wedge
+    candidates. Candidates come only from the wedge equi-join;
+    top-k via TakeOrderedAndProject."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import adamic_adar_topk
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).where(
+        F.col("src_host") != F.col("dst_host")
+    )
+    edges = hg.select(
+        F.least("src_host", "dst_host").alias("a"),
+        F.greatest("src_host", "dst_host").alias("b"),
+    ).distinct()
+    return adamic_adar_topk(edges, k=100)

@@ -163,3 +163,44 @@ def test_comention_pairs_consumers_scan_checkpoint_not_pipeline(spark):
     assert "ExistingRDD" in plan
     # the upstream collect_set/explode pipeline must NOT be re-inlined
     assert "collect_set" not in plan and "Generate" not in plan
+
+
+def test_adamic_adar_topk_known_graph(spark):
+    """Hand-computed AA scores on a 5-node graph.
+
+    Edges: a-b, b-c, a-c (triangle) plus c-d, d-e (tail).
+    Degrees: a=2, b=2, c=3, d=2, e=1.
+    Non-adjacent pairs with shared neighbors:
+      (b,d) share c          -> 1/ln(3)
+      (a,d) share c          -> 1/ln(3)
+      (c,e) share d          -> 1/ln(2)
+      (a,e),(b,e): none shared (e's only neighbor d is not theirs).
+    Adjacent pairs (a,b),(a,c),(b,c),(c,d),(d,e) must be excluded
+    even though e.g. (a,b) share c.
+    """
+    import math
+
+    from multiomics_biocypher_kg_spark.operators.graphstats import adamic_adar_topk
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    rows = adamic_adar_topk(edges, k=10).collect()
+    got = {(r["subj"], r["obj"]): (r["n_common"], r["adamic_adar"]) for r in rows}
+    inv_ln2 = round(1 / math.log(2), 6)
+    inv_ln3 = round(1 / math.log(3), 6)
+    assert got == {
+        ("c", "e"): (1, inv_ln2),
+        ("a", "d"): (1, inv_ln3),
+        ("b", "d"): (1, inv_ln3),
+    }
+    # rank: unrounded score desc, then (a,b) asc
+    assert [(r["rank"], r["subj"], r["obj"]) for r in rows] == [
+        (1, "c", "e"),
+        (2, "a", "d"),
+        (3, "b", "d"),
+    ]
+    # max_degree cap drops apex c (deg 3): only the d-wedge survives
+    capped = adamic_adar_topk(edges, k=10, max_degree=2).collect()
+    assert {(r["subj"], r["obj"]) for r in capped} == {("c", "e")}
