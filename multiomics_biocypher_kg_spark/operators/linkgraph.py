@@ -471,3 +471,59 @@ def trustrank(
         if i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def deterministic_walks(edges: DataFrame, n_steps: int = 4) -> DataFrame:
+    """DeepWalk-style graph->sequence export with derandomized hops:
+    one walk per start node, the next hop at step t chosen as the
+    neighbor minimizing md5(start|cur|neighbor|t) — the same
+    replace-randomness-with-MD5 trick the sampling/sketch family
+    uses, so the walk corpus is reproducible AND cross-engine
+    verifiable (node2vec/DeepWalk itself feeds these sequences to a
+    skip-gram model; the export is the Spark-side part).
+
+    edges(a, b): one row per undirected edge in either or both
+    directions. Returns (start_host, walk) with walk the '>'-joined
+    node path of length n_steps+1. Walks may backtrack, as in
+    DeepWalk.
+
+    Scale contract: each step is ONE equi-join of the frontier
+    against the adjacency list keyed by the current node plus a
+    map-side-combinable min(struct(hash, neighbor)) argmin per walk
+    — n_steps shuffles total, no per-node Python, no collect. State
+    is one row per walk. Hash ties cannot reorder hops: the struct
+    tiebreak falls back to the neighbor id on both engines only via
+    the 60-bit hash, whose collision odds over host-scale
+    neighborhoods are negligible (and the id tiebreak in the struct
+    makes Spark deterministic regardless).
+    """
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    walks = (
+        sym.select(F.col("a").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.col("start").alias("cur"),
+            F.col("start").cast("string").alias("path"),
+        )
+    )
+    for step in range(1, n_steps + 1):
+        cand = walks.join(sym, walks["cur"] == sym["a"])
+        score = md5_long(
+            F.concat_ws("|", "start", "cur", "b", F.lit(str(step)))
+        )
+        nxt = cand.groupBy("start").agg(
+            F.min(F.struct(score.alias("s"), F.col("b").alias("nxt"))).alias("m")
+        ).select("start", F.col("m.nxt").alias("nxt"))
+        walks = walks.join(nxt, "start").select(
+            "start",
+            F.col("nxt").alias("cur"),
+            F.concat_ws(">", "path", "nxt").alias("path"),
+        )
+    return walks.select(
+        F.col("start").alias("start_host"), F.col("path").alias("walk")
+    )

@@ -2495,3 +2495,75 @@ def web_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("src_host", "dst_host").alias("b"),
     ).distinct()
     return adamic_adar_topk(edges, k=100)
+
+
+def _walks_sql(n_steps: int = 4) -> str:
+    """Unrolled deterministic-walk CTEs (DuckDB twin of
+    operators.linkgraph.deterministic_walks). Each step CTE is
+    MATERIALIZED: w{t} is referenced by both s{t+1} and w{t+1}, and
+    chained re-inlining would cost O(2^steps) expansions."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT least(src_host, dst_host) AS a,
+        greatest(src_host, dst_host) AS b
+      FROM hg WHERE src_host <> dst_host
+    )""",
+        "und AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e)",
+        """w0 AS MATERIALIZED (
+      SELECT a AS start, a AS cur, CAST(a AS VARCHAR) AS path
+      FROM (SELECT DISTINCT a FROM und)
+    )""",
+    ]
+    for t in range(1, n_steps + 1):
+        h = md5_long_sql(
+            f"w.start || '|' || w.cur || '|' || u.b || '|' || '{t}'"
+        )
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT w.start, arg_min(u.b, {h}) AS nxt
+      FROM w{t - 1} w JOIN und u ON w.cur = u.a GROUP BY w.start
+    )"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT w.start, s.nxt AS cur, w.path || '>' || s.nxt AS path
+      FROM w{t - 1} w JOIN s{t} s ON w.start = s.start
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT start AS start_host, path AS walk FROM w{n_steps}"
+    )
+
+
+@register(
+    "web_random_walks",
+    oracle=f"""
+    WITH hg AS MATERIALIZED ({_HOST_GRAPH_SQL}),
+    {_walks_sql(4)}
+    """,
+)
+def web_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized DeepWalk corpus export over the host link graph
+    (operators.linkgraph.deterministic_walks): one 4-hop walk per
+    host, next hop = argmin md5(start|cur|neighbor|step) — the
+    graph->sequence training-data primitive KG/graph-embedding
+    pipelines (DeepWalk, node2vec) consume, with randomness replaced
+    by MD5 so the corpus is reproducible and value-gated
+    cross-engine. Each hop is one frontier equi-join + one
+    map-side-combinable argmin; no Python, no collect."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        deterministic_walks,
+        host_graph,
+        href_edges,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).where(
+        F.col("src_host") != F.col("dst_host")
+    )
+    edges = hg.select(
+        F.least("src_host", "dst_host").alias("a"),
+        F.greatest("src_host", "dst_host").alias("b"),
+    ).distinct()
+    return deterministic_walks(edges, n_steps=4)

@@ -210,3 +210,29 @@ def test_trustrank_mass_conserved_and_decays_from_seeds(spark):
     assert ranks["u"] == 0.0
     # trust decays along the chain s -> m -> t
     assert ranks["s"] > ranks["m"] > ranks["t"] > 0.0
+
+
+def test_deterministic_walks_structure_and_reproducibility(spark):
+    """Every hop follows an actual edge, walks have n_steps+1 nodes,
+    the start column matches the first path node, and a second
+    invocation returns byte-identical walks (the derandomization
+    contract)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        deterministic_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")], "a string, b string"
+    )
+    rows = {r["start_host"]: r["walk"] for r in deterministic_walks(edges, 3).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    adj = {("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")}
+    adj |= {(y, x) for x, y in adj}
+    for start, walk in rows.items():
+        nodes = walk.split(">")
+        assert len(nodes) == 4 and nodes[0] == start
+        assert all((u, v) in adj for u, v in zip(nodes, nodes[1:]))
+    again = {
+        r["start_host"]: r["walk"] for r in deterministic_walks(edges, 3).collect()
+    }
+    assert again == rows
