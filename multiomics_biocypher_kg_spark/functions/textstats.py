@@ -201,3 +201,30 @@ def char_entropy_profile(
             "is_low_entropy", F.col("char_entropy") < low_threshold
         )
     )
+
+
+def quality_logit_milli(text: Column) -> Column:
+    """fastText-style hashed-feature linear quality classifier, the
+    shape of the CCNet / GPT-3 "looks like reference text" filter:
+    every whitespace token is hashed into a weight bucket and the
+    document logit is the SUM of its token weights. With no
+    pretrained weights shippable here, the weight table is the
+    deterministic hash itself — w(tok) = md5_long(tok) % 2001 - 1000,
+    an integer in [-1000, 1000] (milli-units, so the whole
+    computation stays in exact int64 and is bit-identical across
+    engines; the caller divides by n_tokens for the mean logit and
+    thresholds for the keep decision). Swapping in real learned
+    weights is a broadcast-join against a (bucket, weight) table —
+    the hashing, the per-token map, and the aggregate are the
+    production plan.
+
+    Scale: evaluates entirely inside the scan projection via
+    ``F.aggregate`` over the token array — zero shuffle, zero UDF,
+    whole-stage codegen end to end. A 100 TB corpus scores in one
+    map-only pass.
+    """
+    return F.aggregate(
+        F.split(text, " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (md5_long(t) % 2001 - 1000),
+    )

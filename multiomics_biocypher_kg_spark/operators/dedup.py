@@ -651,3 +651,289 @@ def line_dedup(
             )
         ).alias("kept_md5"),
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact repeated-span detection (the ExactSubstr pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): slide a ``span_tokens``-token window over every
+    document (stride 1), hash each window, and mark a window
+    DUPLICATED when it occurs in >= ``min_doc_freq`` distinct
+    documents. Because stride-1 windows overlap, per-document
+    coverage is the INTERVAL UNION of the duplicated windows
+    (gaps-and-islands merge), not ``n_dup_spans * span_tokens`` —
+    partially-overlapping near-copies are counted exactly once per
+    token. This is the span-granular pass document-level dedup and
+    line-level dedup both miss: a quoted paragraph inside an
+    otherwise-unique page shows up here as a high ``dup_frac`` band,
+    while the page survives both other passes.
+
+    Scale: the window stream is ``~n_tokens`` rows per document (the
+    same order as the shingle stream the MinHash path already
+    materializes); frequency state is DISTINCT-SPAN-sized with
+    map-side combine, and the join back is an equi-join on the span
+    hash, co-partitioned with the agg's exchange. The island merge is
+    one window function PARTITIONED BY document (per-doc sort of the
+    doc's own duplicated spans — bounded by document length, never a
+    global sort). Within-document repetition does NOT count: the
+    frequency is ``countDistinct(doc)`` (the repetition gates already
+    cover intra-doc loops).
+
+    -> (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac),
+    one row per input document (docs shorter than ``span_tokens``
+    or with no duplicated span report zeros).
+    """
+    from pyspark.sql import Window
+
+    arr = F.split(F.col(text_col), " ")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), arr.alias("arr"), F.size(arr).alias("n")
+    )
+    spans = t.where(F.col("n") >= span_tokens).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"), (F.col("n") - span_tokens).cast("long")
+                ),
+                lambda i: F.struct(
+                    i.alias("start_idx"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("arr"), (i + 1).cast("int"), span_tokens),
+                            " ",
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.start_idx", "s.h")
+    freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("span_df"))
+    dup = (
+        spans.join(freq.where(F.col("span_df") >= min_doc_freq), "h")
+        .select(
+            "doc_id",
+            F.col("start_idx"),
+            (F.col("start_idx") + span_tokens - 1).alias("end_idx"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "new_island",
+        (
+            F.col("start_idx")
+            > F.coalesce(F.max("end_idx").over(w_prev), F.lit(-1).cast("long"))
+        ).cast("long"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = isl.withColumn("island", F.sum("new_island").over(w_run))
+    per_doc = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            (F.max("end_idx") - F.min("start_idx") + 1).alias("covered"),
+            F.count(F.lit(1)).alias("spans"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").cast("long").alias("dup_tokens"),
+            F.sum("spans").cast("long").alias("n_dup_spans"),
+        )
+    )
+    return (
+        t.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def prefix_filter_pairs(
+    items: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs /
+    PPJoin candidate scheme of Bayardo et al. 2007 / Xiao et al.
+    2008) — the classic exact alternative to MinHash-LSH: no false
+    negatives BY THEOREM, no signature/band tuning. Order every set's
+    elements by ascending global frequency (rarest first, ties by
+    element string — one total order shared by all sets); a pair with
+    ``J >= t`` MUST share an element within each side's first
+    ``sz - ceil(t * sz) + 1`` elements, so only prefix elements
+    generate candidates, and the rare-element-first prefix keeps
+    candidate buckets small exactly where shared-element buckets
+    would explode. Candidates are then verified with the exact
+    intersection count.
+
+    ``items`` carries DISTINCT (id, tok) rows — the set elements
+    (e.g. the 3-gram shingle stream from :func:`shingles`, renamed).
+    Same precondition as :func:`jaccard_pairs`: multiset input
+    inflates sizes and intersections.
+
+    -> (id_a, id_b, inter, sz_a, sz_b, jaccard) with id_a < id_b,
+    jaccard >= threshold (rounded to 6 before the filter, matching
+    ``jaccard_pairs``). Identical result set to the brute-force
+    all-pairs join, at a fraction of the candidate volume.
+
+    Scale: the frequency "ordering" is a JOIN against the element-
+    frequency table (no global rank, no single-task sort); the
+    per-set position window partitions by id (bounded by set size);
+    candidate generation touches only prefix elements, whose buckets
+    are the RAREST elements' postings. The verify join is candidates
+    x elements-per-set, same contract as :func:`jaccard_pairs`.
+    """
+    from pyspark.sql import Window
+
+    toks = items.select("id", "tok")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    sized = toks.join(freq, "tok")
+    w = Window.partitionBy("id").orderBy(F.asc("tf"), F.asc("tok"))
+    pos = sized.select(
+        "id",
+        "tok",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
+    )
+    pref = pos.where(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    cands = (
+        pref.select(F.col("id").alias("id_a"), "tok")
+        .join(pref.select(F.col("id").alias("id_b"), "tok"), "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def ngram_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark-contamination audit (the GPT-3 appendix-C / PaLM
+    decontamination rule): an eval document is contaminated when any
+    of its ``ngram``-token stride-1 windows appears verbatim in the
+    training corpus. 13 tokens is the published operating point —
+    long enough that chance collisions are negligible, short enough
+    to catch partial quotes document-level dedup misses.
+
+    -> one row per eval document:
+    (doc_id, n_grams, n_contaminated, contam_frac, is_contaminated)
+    where ``n_grams`` counts the doc's DISTINCT 13-gram hashes and
+    ``n_contaminated`` the ones found anywhere in train. Eval docs
+    shorter than ``ngram`` tokens report zeros.
+
+    Scale: the asymmetry is the whole design. Eval sets are
+    fixed-size benchmarks (thousands of docs) while train is the
+    100 TB side, so the DISTINCT eval gram set is BROADCAST and the
+    training corpus is consumed as a STREAM — its gram stream is
+    map-generated in the scan projection, hash-probed against the
+    broadcast, and only collisions (tiny) ever reach a shuffle
+    (the per-doc distinct + count). No train-side groupBy, no
+    train-side distinct, one pass over the corpus.
+    """
+    def grams(docs: DataFrame) -> DataFrame:
+        arr = F.split(F.col(text_col), " ")
+        t = docs.select(
+            F.col(id_col).alias("doc_id"),
+            arr.alias("arr"),
+            F.size(arr).alias("n"),
+        )
+        return t.where(F.col("n") >= ngram).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        (F.col("n") - ngram).cast("long"),
+                    ),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice(F.col("arr"), (i + 1).cast("int"), ngram),
+                            " ",
+                        )
+                    ),
+                )
+            ).alias("h"),
+        )
+
+    eval_grams = grams(eval_docs).distinct()
+    per_eval = eval_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        grams(train_docs)
+        .select("h")
+        .join(F.broadcast(eval_grams), "h")
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    base = eval_docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_eval, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_contaminated").cast("double") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_contaminated", F.col("n_contaminated") > 0)
+    )

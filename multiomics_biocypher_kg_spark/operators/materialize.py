@@ -283,3 +283,119 @@ def merge_into(
     if os.path.isdir(target_path):
         shutil.rmtree(target_path)
     os.rename(tmp, target_path)
+
+
+def shacl_report(triples: DataFrame) -> DataFrame:
+    """SHACL-style shape validation over the (subj, pred, obj) triple
+    table — the conformance report a KG build publishes alongside the
+    graph (the reference's analog is its per-sink dedup +
+    referential-integrity discipline, post-import constraint pass;
+    pySHACL is the single-node tool this re-expresses over Spark).
+    Five shapes:
+
+    - mentions_domain_url  (domain):   mentions.subj is an http(s) url
+    - mentions_range_curie (range):    mentions.obj is a CURIE
+    - sameas_irreflexive   (irreflexive): same_as_canonical never
+      self-loops
+    - sameas_max_card_1    (max_cardinality, per NODE): at most one
+      canonical per subject
+    - mentions_min_support_2 (min_support, per NODE): an object
+      entity is supported by >= 2 distinct subjects (weakly-supported
+      entities are flagged for curation, the SHACL sh:minCount shape)
+
+    -> one row per constraint:
+    (constraint_id, pred, kind, unit, n_checked, n_violations,
+    violation_frac). Row-level shapes count triples; cardinality /
+    support shapes count focus NODES (SHACL semantics).
+
+    Scale: the three row-level shapes are conditional aggregates in
+    ONE map-side-combined pass over the triple scan (no shuffle
+    beyond the 1-row agg); the two node-level shapes are keyed aggs
+    on (subj) / (obj) whose state is node-sized with map-side
+    combine. Nothing collects, nothing sorts globally; the report is
+    5 rows regardless of corpus size.
+    """
+    men = F.col("pred") == "mentions"
+    sam = F.col("pred") == "same_as_canonical"
+    row = triples.agg(
+        F.sum(men.cast("long")).alias("c1_n"),
+        F.sum((men & ~F.col("subj").rlike("^https?://")).cast("long")).alias(
+            "c1_v"
+        ),
+        F.sum(men.cast("long")).alias("c2_n"),
+        F.sum((men & ~F.col("obj").rlike("^[a-z]+:")).cast("long")).alias(
+            "c2_v"
+        ),
+        F.sum(sam.cast("long")).alias("c3_n"),
+        F.sum((sam & (F.col("subj") == F.col("obj"))).cast("long")).alias(
+            "c3_v"
+        ),
+    )
+    row_rows = row.selectExpr(
+        """stack(3,
+          'mentions_domain_url', 'mentions', 'domain', c1_n, c1_v,
+          'mentions_range_curie', 'mentions', 'range', c2_n, c2_v,
+          'sameas_irreflexive', 'same_as_canonical', 'irreflexive', c3_n, c3_v
+        ) AS (constraint_id, pred, kind, n_checked, n_violations)"""
+    ).select(
+        "constraint_id", "pred", "kind",
+        F.lit("triples").alias("unit"), "n_checked", "n_violations",
+    )
+    card = (
+        triples.where(sam)
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum((F.col("k") > 1).cast("long")).alias("n_violations"),
+        )
+        .select(
+            F.lit("sameas_max_card_1").alias("constraint_id"),
+            F.lit("same_as_canonical").alias("pred"),
+            F.lit("max_cardinality").alias("kind"),
+            F.lit("nodes").alias("unit"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    supp = (
+        triples.where(men)
+        .groupBy("obj")
+        .agg(F.countDistinct("subj").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum((F.col("k") < 2).cast("long")).alias("n_violations"),
+        )
+        .select(
+            F.lit("mentions_min_support_2").alias("constraint_id"),
+            F.lit("mentions").alias("pred"),
+            F.lit("min_support").alias("kind"),
+            F.lit("nodes").alias("unit"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return (
+        row_rows.unionByName(card)
+        .unionByName(supp)
+        .select(
+            "constraint_id",
+            "pred",
+            "kind",
+            "unit",
+            F.coalesce(F.col("n_checked"), F.lit(0)).cast("long").alias("n_checked"),
+            F.coalesce(F.col("n_violations"), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.when(
+                F.coalesce(F.col("n_checked"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_violations"), F.lit(0)).cast("double")
+                    / F.col("n_checked"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("violation_frac"),
+        )
+    )

@@ -556,3 +556,64 @@ def pq_codes(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def matryoshka_eval(
+    vectors: DataFrame,
+    dims: tuple[int, ...] = (64, 32, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much cosine structure
+    survives keeping only the first k dimensions — the measurement
+    that decides whether an index can serve d/2- or d/4-dim
+    prefixes of its embeddings (Kusupati et al. 2022). Pairs are the
+    deterministic adjacent-id chain (vec i vs i+1): a fixed,
+    synthesis-free probe set with one pair per vector.
+
+    -> one row per truncation level:
+    (trunc_dim, n_pairs, avg_cos, avg_abs_delta, avg_norm_frac)
+    where avg_abs_delta averages |cos_k - cos_full| over pairs and
+    avg_norm_frac averages the retained-norm fraction of the pair's
+    first vector.
+
+    Scale: the pair join is a co-partitioned equi-join on the id
+    chain; every per-pair metric is a pure array expression in the
+    join projection (zip_with/aggregate — zero Python); the final
+    state is len(dims) rows via map-side-combined avg. Summation
+    order inside each dot product is the array order in BOTH
+    engines, so values match before rounding.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = vectors.select(F.col(id_col).alias("vid"), e.alias("e"))
+    b = v.select((F.col("vid") - 1).alias("vid"), F.col("e").alias("eb"))
+    pairs = v.join(b, "vid").select("e", "eb")
+    kdf = pairs.select(
+        "e",
+        "eb",
+        F.explode(F.array(*[F.lit(k) for k in dims])).alias("trunc_dim"),
+    )
+    sa = F.slice(F.col("e"), F.lit(1), F.col("trunc_dim"))
+    sb = F.slice(F.col("eb"), F.lit(1), F.col("trunc_dim"))
+    cos_k = _dot(sa, sb) / (_norm(sa) * _norm(sb))
+    cos_full = _dot(F.col("e"), F.col("eb")) / (
+        _norm(F.col("e")) * _norm(F.col("eb"))
+    )
+    nf = _norm(sa) / _norm(F.col("e"))
+    return (
+        kdf.select(
+            "trunc_dim",
+            cos_k.alias("ck"),
+            cos_full.alias("cf"),
+            nf.alias("nf"),
+        )
+        .groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("ck"), 6).alias("avg_cos"),
+            F.round(F.avg(F.abs(F.col("ck") - F.col("cf"))), 6).alias(
+                "avg_abs_delta"
+            ),
+            F.round(F.avg("nf"), 6).alias("avg_norm_frac"),
+        )
+    )

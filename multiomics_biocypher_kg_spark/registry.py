@@ -683,12 +683,15 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # order with green veterans. All rotated-out queries hold green
 # r01-r03 driver rows and stay oracle-gated by
 # tests/test_queries_oracle.py, which sweeps the whole registry.
-# NOTE: web_adamic_adar, data_lang_sampling_weights and
-# web_random_walks were registered after this window froze (its 50 slots are exactly
-# filled by the 43 never-driver-checked round-4 queries + the 7
-# reimplemented veterans); they are INTENTIONALLY deferred —
-# local-sweep-verified this round; rotate them to the top of this
-# list in round 5.
+# NOTE: web_adamic_adar, data_lang_sampling_weights,
+# web_random_walks, text_span_dedup, text_quality_classifier,
+# text_tokenizer_fertility, data_contamination, dedup_prefix_filter,
+# kg_shacl_check, emb_matryoshka_eval, data_epoch_order and
+# web_quality_calibration were registered after this window froze
+# (its 50 slots are exactly filled by the 43 never-driver-checked
+# round-4 queries + the 7 reimplemented veterans); they are
+# INTENTIONALLY deferred — local-sweep-verified this round; rotate
+# them to the top of this list in round 5.
 _DRIVER_WINDOW_FIRST = [
     # round-4e additions (newest, never driver-checked)
     "dedup_keep_best",

@@ -1145,3 +1145,191 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and a near copy cross the >2 threshold on their aligned
     head lines and lose them). See :func:`operators.dedup.line_dedup`."""
     return dd.line_dedup(_dedup_corpus(spark, sf_dir))
+
+
+_SPAN = 8  # span window length (tokens); stride 1
+
+
+@register(
+    "text_span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM ({DEDUP_CORPUS_SQL})
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start_idx,
+        md5(array_to_string(arr[i + 1 : i + {_SPAN}], ' ')) AS h
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(0, n - {_SPAN})) AS i
+      ) s
+    ),
+    freq AS (
+      SELECT h, count(DISTINCT doc_id) AS span_df FROM spans GROUP BY h
+    ),
+    dup AS (
+      SELECT sp.doc_id, sp.start_idx, sp.start_idx + {_SPAN} - 1 AS end_idx
+      FROM spans sp JOIN freq f ON sp.h = f.h WHERE f.span_df >= 2
+    ),
+    isl AS (
+      SELECT doc_id, start_idx, end_idx,
+        CASE WHEN start_idx > coalesce(max(end_idx) OVER (
+          PARTITION BY doc_id ORDER BY start_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT *, sum(new_island) OVER (
+        PARTITION BY doc_id ORDER BY start_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, island,
+        max(end_idx) - min(start_idx) + 1 AS covered,
+        count(*) AS spans
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    per AS (
+      SELECT doc_id, sum(covered) AS dup_tokens, sum(spans) AS n_dup_spans
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+      CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n AS dup_frac
+    FROM t LEFT JOIN per p ON t.doc_id = p.doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022) over the dedup
+    corpus: stride-1 8-token windows, duplicated when shared by >= 2
+    distinct docs, per-doc coverage as the exact interval union of
+    overlapping duplicated windows. Exact copies land at dup_frac
+    1.0; the every-10th-token-dropped near copies land in a partial
+    band (only the windows that fit between two deletions survive in
+    both) — the gradient document-level dedup can't see. See
+    :func:`operators.dedup.span_dedup` for the scale contract."""
+    return dd.span_dedup(_dedup_corpus(spark, sf_dir), span_tokens=_SPAN)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          t -> {md5_long_sql('t')} % 2001 - 1000)) AS BIGINT) AS logit_milli
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, logit_milli,
+      CAST(logit_milli AS DOUBLE) / n_tokens AS mean_logit_milli,
+      (CAST(logit_milli AS DOUBLE) / n_tokens > 25.0) AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality filter (the fastText-style
+    CCNet / GPT-3 "looks like reference text" gate): per-token hashed
+    weights summed in exact int64 milli-units, mean-logit threshold
+    for the keep decision. Runs entirely in the scan projection —
+    zero shuffle, zero UDF (see
+    :func:`functions.textstats.quality_logit_milli`); production
+    weights would arrive as a broadcast (bucket, weight) dim join
+    with the identical plan shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = F.size(F.split("text", " ")).cast("long")
+    logit = ts.quality_logit_milli(F.col("text"))
+    mean = logit.cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        logit.alias("logit_milli"),
+        mean.alias("mean_logit_milli"),
+        (mean > 25.0).alias("keep"),
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')))
+        AS BIGINT) AS n_bpe_tokens,
+      CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+      CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')))
+        AS DOUBLE) / sum(len(string_split(text, ' '))) AS fertility,
+      CAST(sum(strlen(text)) AS DOUBLE)
+        / sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')))
+        AS bytes_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: subword-tokens-per-word
+    (the multilingual-pipeline metric that decides per-language token
+    budgets) and bytes-per-token (compression rate), from one
+    map-side-combined aggregate over the corpus — the whitespace and
+    BPE-ish counters both evaluate in the scan projection
+    (functions/textstats.py BPE_TOKEN_RE), so a 100 TB corpus costs
+    one scan plus a languages-sized (tiny) shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    words = ts.token_count(F.col("text")).cast("long")
+    bpe = ts.bpe_token_count(F.col("text")).cast("long")
+    per = docs.select("lang", words.alias("w"), bpe.alias("b"),
+                      F.octet_length("text").cast("long").alias("y"))
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("b").cast("long").alias("n_bpe_tokens"),
+        F.sum("y").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens", "n_bytes",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias("fertility"),
+        (F.col("n_bytes").cast("double") / F.col("n_bpe_tokens")).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=f"""
+    SELECT * FROM (
+      WITH sh AS ({SHINGLES_SQL}),
+      sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+      )
+      SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+        CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+          AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.id
+      JOIN sizes sb ON i.id_b = sb.id
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard >= 0.8 join via PREFIX FILTERING
+    (AllPairs/PPJoin) — the deterministic exact counterpart to the
+    MinHash-LSH candidate scheme: rarest-first global element order,
+    candidates only from each set's length-derived prefix, exact
+    verify. The ORACLE is the brute-force all-pairs join — prefix
+    filtering must reproduce it identically (its no-false-negative
+    guarantee, value-checked). See
+    :func:`operators.dedup.prefix_filter_pairs` for the scale
+    contract."""
+    sh = dd.shingles(_dedup_corpus(spark, sf_dir))
+    return dd.prefix_filter_pairs(
+        sh.select(F.col("id"), F.col("shingle").alias("tok")), 0.8
+    )

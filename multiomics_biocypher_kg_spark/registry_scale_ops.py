@@ -1686,3 +1686,189 @@ def data_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upsample_factor"
         ),
     )
+
+
+_CONTAM_N = 13  # GPT-3 appendix-C operating point
+
+
+@register(
+    "data_contamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, {_SPLIT_SQL} AS split,
+        string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    eval_grams AS (
+      SELECT DISTINCT doc_id,
+        md5(array_to_string(arr[i + 1 : i + {_CONTAM_N}], ' ')) AS h
+      FROM s, LATERAL (
+        SELECT unnest(generate_series(0, n - {_CONTAM_N})) AS i
+      ) g
+      WHERE split <> 'train'
+    ),
+    train_h AS (
+      SELECT DISTINCT
+        md5(array_to_string(arr[i + 1 : i + {_CONTAM_N}], ' ')) AS h
+      FROM s, LATERAL (
+        SELECT unnest(generate_series(0, n - {_CONTAM_N})) AS i
+      ) g
+      WHERE split = 'train'
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_grams FROM eval_grams GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_contaminated
+      FROM eval_grams e JOIN train_h t ON e.h = t.h
+      GROUP BY e.doc_id
+    )
+    SELECT s.doc_id,
+      CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      CASE WHEN coalesce(p.n_grams, 0) > 0
+        THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / p.n_grams
+        ELSE 0.0 END AS contam_frac,
+      coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
+    FROM s LEFT JOIN per p ON s.doc_id = p.doc_id
+    LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.split <> 'train'
+    """,
+)
+def data_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination over the deterministic
+    90/5/5 split: an eval (val/test) document is contaminated when
+    any of its 13-token stride-1 windows appears verbatim anywhere
+    in the train split. Complements ``data_split_leakage`` (MinHash
+    NEAR-dup across splits) with the exact-substring rule the
+    published decontamination pipelines actually apply. Eval gram
+    set is broadcast; the train corpus is a one-pass map-side gram
+    stream probed against it — no train-side shuffle (see
+    :func:`operators.dedup.ngram_contamination`)."""
+    from multiomics_biocypher_kg_spark.operators import dedup as dd
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    return dd.ngram_contamination(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") != "train"),
+        ngram=_CONTAM_N,
+    )
+
+
+@register(
+    "emb_matryoshka_eval",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.e AS ea, b.e AS eb
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+    ),
+    k AS (SELECT unnest([64, 32, 16]) AS trunc_dim),
+    x AS (
+      SELECT trunc_dim,
+        list_dot_product(ea[1:trunc_dim], eb[1:trunc_dim]) /
+          (sqrt(list_dot_product(ea[1:trunc_dim], ea[1:trunc_dim])) *
+           sqrt(list_dot_product(eb[1:trunc_dim], eb[1:trunc_dim]))) AS ck,
+        list_dot_product(ea, eb) /
+          (sqrt(list_dot_product(ea, ea)) *
+           sqrt(list_dot_product(eb, eb))) AS cf,
+        sqrt(list_dot_product(ea[1:trunc_dim], ea[1:trunc_dim])) /
+          sqrt(list_dot_product(ea, ea)) AS nf
+      FROM p CROSS JOIN k
+    )
+    SELECT trunc_dim, CAST(count(*) AS BIGINT) AS n_pairs,
+      round(avg(ck), 6) AS avg_cos,
+      round(avg(abs(ck - cf)), 6) AS avg_abs_delta,
+      round(avg(nf), 6) AS avg_norm_frac
+    FROM x GROUP BY trunc_dim
+    """,
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit over the embedding table: cosine
+    preservation and retained-norm fraction at d, d/2, d/4 prefixes
+    (the MRL serving decision — can the ANN index answer from
+    truncated prefixes?). Deterministic adjacent-id pair chain, all
+    metrics as array expressions in the join projection, three-row
+    result. See :func:`operators.simsearch.matryoshka_eval`."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        matryoshka_eval,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return matryoshka_eval(vecs, dims=(64, 32, 16))
+
+
+_N_EPOCH_SHARDS = 8
+
+
+@register(
+    "data_epoch_order",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+    ),
+    h AS (
+      SELECT doc_id, epoch,
+        {md5_long_sql("CAST(doc_id AS VARCHAR) || '#ep' || CAST(epoch AS VARCHAR)")} AS h
+      FROM e
+    ),
+    p AS (
+      SELECT doc_id, epoch, h % {_N_EPOCH_SHARDS} AS shard,
+        row_number() OVER (
+          PARTITION BY epoch, h % {_N_EPOCH_SHARDS} ORDER BY h, doc_id
+        ) - 1 AS pos
+      FROM h
+    )
+    SELECT epoch, shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(pos) AS BIGINT) AS sum_pos,
+      CAST(sum(pos * ({md5_long_sql("CAST(doc_id AS VARCHAR)")} % 997))
+        AS BIGINT) AS order_checksum
+    FROM p GROUP BY epoch, shard
+    """,
+)
+def data_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch dataloader ordering: each epoch gets
+    its own hash-derived permutation (seed = epoch in the hash
+    preimage — no RNG, reproducible across runs/engines/restarts),
+    docs are hash-assigned to shards and positioned 0..m-1 within
+    (epoch, shard). ``sum_pos`` must equal m(m-1)/2 (permutation
+    proof, pytest-asserted) and ``order_checksum`` value-gates the
+    ORDER itself, not just membership.
+
+    Scale: shard count scales with the corpus (a shard is an output
+    file, ~1 GB by construction), so the per-(epoch, shard) position
+    window sorts one file's worth of ids per task — never a global
+    sort. Assignment and both checksums are scan projections +
+    map-side-combined aggs."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    h = md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#ep"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    withh = e.select("doc_id", "epoch", h.alias("h"))
+    shard = F.pmod(F.col("h"), F.lit(_N_EPOCH_SHARDS))
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    p = withh.select(
+        "doc_id", "epoch", shard.alias("shard"), F.col("h")
+    ).withColumn("pos", F.row_number().over(w) - 1)
+    chk = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(997))
+    return p.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").cast("long").alias("sum_pos"),
+        F.sum(F.col("pos") * chk).cast("long").alias("order_checksum"),
+    )

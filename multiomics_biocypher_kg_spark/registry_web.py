@@ -2567,3 +2567,150 @@ def web_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("src_host", "dst_host").alias("b"),
     ).distinct()
     return deterministic_walks(edges, n_steps=4)
+
+
+@register(
+    "kg_shacl_check",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL})
+    SELECT 'mentions_domain_url' AS constraint_id, 'mentions' AS pred,
+      'domain' AS kind, 'triples' AS unit,
+      CAST(count(*) AS BIGINT) AS n_checked,
+      CAST(coalesce(sum(CASE WHEN NOT regexp_matches(subj, '^https?://')
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+      CASE WHEN count(*) > 0 THEN round(
+        CAST(coalesce(sum(CASE WHEN NOT regexp_matches(subj, '^https?://')
+          THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*), 6)
+        ELSE 0.0 END AS violation_frac
+    FROM t WHERE pred = 'mentions'
+    UNION ALL
+    SELECT 'mentions_range_curie', 'mentions', 'range', 'triples',
+      CAST(count(*) AS BIGINT),
+      CAST(coalesce(sum(CASE WHEN NOT regexp_matches(obj, '^[a-z]+:')
+        THEN 1 ELSE 0 END), 0) AS BIGINT),
+      CASE WHEN count(*) > 0 THEN round(
+        CAST(coalesce(sum(CASE WHEN NOT regexp_matches(obj, '^[a-z]+:')
+          THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*), 6)
+        ELSE 0.0 END
+    FROM t WHERE pred = 'mentions'
+    UNION ALL
+    SELECT 'sameas_irreflexive', 'same_as_canonical', 'irreflexive',
+      'triples',
+      CAST(count(*) AS BIGINT),
+      CAST(coalesce(sum(CASE WHEN subj = obj THEN 1 ELSE 0 END), 0)
+        AS BIGINT),
+      CASE WHEN count(*) > 0 THEN round(
+        CAST(coalesce(sum(CASE WHEN subj = obj THEN 1 ELSE 0 END), 0)
+          AS DOUBLE) / count(*), 6)
+        ELSE 0.0 END
+    FROM t WHERE pred = 'same_as_canonical'
+    UNION ALL
+    SELECT 'sameas_max_card_1', 'same_as_canonical', 'max_cardinality',
+      'nodes',
+      CAST(count(*) AS BIGINT),
+      CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+      CASE WHEN count(*) > 0 THEN round(
+        CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0)
+          AS DOUBLE) / count(*), 6)
+        ELSE 0.0 END
+    FROM (SELECT subj, count(*) AS k FROM t
+          WHERE pred = 'same_as_canonical' GROUP BY subj)
+    UNION ALL
+    SELECT 'mentions_min_support_2', 'mentions', 'min_support', 'nodes',
+      CAST(count(*) AS BIGINT),
+      CAST(coalesce(sum(CASE WHEN k < 2 THEN 1 ELSE 0 END), 0) AS BIGINT),
+      CASE WHEN count(*) > 0 THEN round(
+        CAST(coalesce(sum(CASE WHEN k < 2 THEN 1 ELSE 0 END), 0)
+          AS DOUBLE) / count(*), 6)
+        ELSE 0.0 END
+    FROM (SELECT obj, count(DISTINCT subj) AS k FROM t
+          WHERE pred = 'mentions' GROUP BY obj)
+    """,
+)
+def kg_shacl_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style conformance report over the materialized triple
+    table: domain/range regex shapes, same-as irreflexivity, per-node
+    max-cardinality, and min-support (weakly-evidenced entities
+    flagged for curation). Row-level shapes run as conditional
+    aggregates in one pass over the triple scan; node-level shapes
+    are node-sized keyed aggs — the report is 5 rows at any corpus
+    size. See :func:`operators.materialize.shacl_report`."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    from multiomics_biocypher_kg_spark.operators.materialize import (
+        shacl_report,
+    )
+
+    return shacl_report(QUERIES["kg_triples"](spark, sf_dir))
+
+
+_CALIB_MLOGIT_SQL = (
+    "(CAST(list_sum(list_transform(string_split(text, ' '), "
+    f"t -> {md5_long_sql('t')} % 2001 - 1000)) AS DOUBLE) "
+    "/ len(string_split(text, ' ')))"
+)
+
+
+@register(
+    "web_quality_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_host_sql(URL_SQL)} AS host, doc_id,
+        {_CALIB_MLOGIT_SQL} AS mlogit
+      FROM documents
+    ),
+    r AS (
+      SELECT host, doc_id, mlogit,
+        percent_rank() OVER (
+          PARTITION BY host ORDER BY mlogit DESC, doc_id
+        ) AS pr
+      FROM s
+    )
+    SELECT host,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      round(min(CASE WHEN pr <= 0.5 THEN mlogit END), 6) AS min_kept_mlogit,
+      round(max(CASE WHEN pr > 0.5 THEN mlogit END), 6) AS max_dropped_mlogit
+    FROM r GROUP BY host
+    """,
+)
+def web_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality calibration (the CCNet per-domain discipline):
+    a single global quality threshold systematically deletes whole
+    hosts whose register differs, so the keep gate is the PER-HOST
+    percentile — here top-50% by mean hashed-logit score
+    (functions.textstats.quality_logit_milli / n_tokens), ties
+    broken by doc_id. The report is the per-host calibration curve:
+    how many survive and where the cut landed.
+
+    Scale: the score is a scan projection; percent_rank partitions
+    by HOST — per-host doc counts (10^2-10^6 on real crawls) bound
+    each sort task, never a global sort; the rollup is
+    map-side-combined. Hot-host skew is the same distribution the
+    salted-rollup pattern (kg_host_rollup_salted) already covers."""
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.functions.urls import url_host
+
+    pages = pages_from_documents(spark, sf_dir)
+    n = F.size(F.split("text", " "))
+    s = pages.select(
+        url_host(F.col("url")).alias("host"),
+        "doc_id",
+        (ts.quality_logit_milli(F.col("text")).cast("double") / n).alias(
+            "mlogit"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("mlogit"), F.asc("doc_id"))
+    r = s.withColumn("pr", F.percent_rank().over(w))
+    kept = F.col("pr") <= 0.5
+    return r.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.round(F.min(F.when(kept, F.col("mlogit"))), 6).alias(
+            "min_kept_mlogit"
+        ),
+        F.round(F.max(F.when(~kept, F.col("mlogit"))), 6).alias(
+            "max_dropped_mlogit"
+        ),
+    )
