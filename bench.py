@@ -214,15 +214,35 @@ def _scaling_child(cpus: int, iters: int) -> None:
 def run_scaling(iters: int = 5) -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     if not os.path.isdir(SCALING_CORPUS):
-        _gen_scaling_corpus()
+        # Generate in a SUBPROCESS, exactly like the measurement
+        # children: the r4j session caught the in-process corpus-gen
+        # JVM (local[32]) surviving spark.stop() with live task
+        # threads, burning ~14 cores INTO the 2-core leg — process
+        # exit is the only reliable teardown, and a stray generator
+        # JVM self-contaminates the very measurement this harness
+        # exists to take.
+        subprocess.run(
+            [sys.executable, __file__, "--scaling-gen"], check=True
+        )
     results = {}
     for cpus in (2, 8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus), str(iters)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
+        # stderr goes to a per-leg file, NOT a pipe: when a child
+        # dies (the r4k 2-core leg did, after 40 min), the captured
+        # pipe is lost with the CalledProcessError and the failure
+        # is undiagnosable. A file survives the crash.
+        err_path = f"/tmp/scaling_child_{cpus}.stderr"
+        with open(err_path, "w") as err:
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus), str(iters)],
+                stdout=subprocess.PIPE,
+                stderr=err,
+                text=True,
+            )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"scaling child cpus={cpus} exited {out.returncode}; "
+                f"see {err_path}"
+            )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
         print(line)
@@ -274,5 +294,7 @@ if __name__ == "__main__":
         run_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 5)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-gen":
+        _gen_scaling_corpus()
     else:
         run_headline()
