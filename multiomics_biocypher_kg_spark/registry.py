@@ -686,8 +686,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # NOTE: web_adamic_adar, data_lang_sampling_weights,
 # web_random_walks, text_span_dedup, text_quality_classifier,
 # text_tokenizer_fertility, data_contamination, dedup_prefix_filter,
-# kg_shacl_check, emb_matryoshka_eval, data_epoch_order and
-# web_quality_calibration were registered after this window froze
+# kg_shacl_check, emb_matryoshka_eval, data_epoch_order,
+# web_quality_calibration and data_budget_select were registered
+# after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are
 # INTENTIONALLY deferred — local-sweep-verified this round; rotate

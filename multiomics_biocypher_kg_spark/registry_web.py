@@ -2714,3 +2714,81 @@ def web_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dropped_mlogit"
         ),
     )
+
+
+_BUDGET_TOKENS = 15000
+_BUDGET_BINS = 1000
+
+
+@register(
+    "data_budget_select",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS toks,
+        least(CAST(floor({quality_score_sql('text')} / 3.0 * {_BUDGET_BINS})
+          AS INTEGER), {_BUDGET_BINS} - 1) AS bin
+      FROM documents
+    ),
+    h AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS bin_tokens
+      FROM s GROUP BY bin
+    )
+    SELECT bin, n_docs, bin_tokens,
+      CAST(sum(bin_tokens) OVER (
+        ORDER BY bin DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS cum_tokens,
+      sum(bin_tokens) OVER (
+        ORDER BY bin DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) <= {_BUDGET_TOKENS} AS kept
+    FROM h
+    """,
+)
+def data_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: select the highest-quality documents
+    whose token total fits a training budget. The naive plan — sort
+    the corpus by score, cumulative-sum tokens, cut at the budget —
+    is a GLOBAL ordered window (single-task sort at corpus scale).
+    This operator replaces it with the histogram-threshold plan:
+    quality scores land in {_BUDGET_BINS} fixed bins (scan
+    projection), one map-side-combined aggregate builds the
+    (bin, token-mass) histogram, and the budget cut is a cumulative
+    window over the HISTOGRAM — at most {_BUDGET_BINS} rows by
+    construction, a constant independent of corpus size. Selection
+    keeps whole bins from the top down while the running total fits
+    (budget resolution = one bin's token mass; published curation
+    pipelines accept exactly this granularity). Output is the
+    per-bin decision table: (bin, n_docs, bin_tokens, cum_tokens,
+    kept)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split("text", " "))
+    bin_ = F.least(
+        F.floor(ts.quality_score(F.col("text")) / 3.0 * _BUDGET_BINS),
+        F.lit(_BUDGET_BINS - 1),
+    ).cast("int")
+    h = (
+        docs.select(bin_.alias("bin"), toks.alias("toks"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("bin_tokens"),
+        )
+    )
+    # window over the HISTOGRAM (<= _BUDGET_BINS rows, a constant) —
+    # the whole point of the operator; never over the corpus
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("bin_tokens").over(w)
+    return h.select(
+        "bin",
+        "n_docs",
+        "bin_tokens",
+        cum.cast("long").alias("cum_tokens"),
+        (cum <= _BUDGET_TOKENS).alias("kept"),
+    )
