@@ -919,9 +919,12 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     base = eval_docs.select(F.col(id_col).alias("doc_id"))
+    # both report joins are eval-set-sized (per-doc aggregates of the
+    # fixed benchmark side) — broadcast them so the whole plan stays
+    # SortMergeJoin-free (plan-asserted in tests/test_plans.py)
     return (
-        base.join(per_eval, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        base.join(F.broadcast(per_eval), "doc_id", "left")
+        .join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0).cast("long")).cast("long").alias("n_grams"),

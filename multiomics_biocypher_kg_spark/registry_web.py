@@ -2641,7 +2641,15 @@ def kg_shacl_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         shacl_report,
     )
 
-    return shacl_report(QUERIES["kg_triples"](spark, sf_dir))
+    # materialize the triple stage ONCE (same contract as the
+    # co-mention stage, graphstats.py:116): the report has three
+    # consumers (row-level agg + two node-level aggs) and the
+    # upstream mention/link path is all-broadcast with no reusable
+    # exchange; on a real deployment this is the already-written
+    # triple TABLE, read three times from parquet.
+    return shacl_report(
+        QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 _CALIB_MLOGIT_SQL = (

@@ -356,3 +356,56 @@ def test_line_dedup_has_no_global_sort(spark):
     )
     plan = _plan(line_dedup(docs))
     assert "Sort " not in plan.replace("sort_array", "")
+
+
+def test_contamination_probe_is_broadcast(spark):
+    """data_contamination probes the TRAIN gram stream against a
+    broadcast of the eval gram set: the corpus-sized side must hit a
+    BroadcastHashJoin, never a SortMergeJoin (which would shuffle
+    every train gram) and never a nested loop."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_contamination"](spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_no_cartesian(spark):
+    """The prefix-filter similarity join generates candidates through
+    the shared-prefix-element equi-join — all-pairs shapes must not
+    appear anywhere in the plan."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["dedup_prefix_filter"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_select_window_is_over_histogram(spark):
+    """data_budget_select's only window runs over the post-aggregate
+    score histogram (<= 1000 rows by construction), never the corpus:
+    the Window's child subtree must contain the HashAggregate, and
+    at runtime the windowed input is bin-bounded."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    df = QUERIES["data_budget_select"](spark, SF_TINY)
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    # the aggregate (histogram build) happens BELOW the window in the
+    # tree printout (deeper = later in the string for a linear chain)
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert df.count() <= 1000
+
+
+def test_shacl_report_triples_materialized_once(spark):
+    """kg_shacl_check checkpoints the triple stage before its three
+    report consumers — the executed plan's scan side must read the
+    checkpoint, not re-run the extract cascade three times."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_shacl_check"](spark, SF_TINY))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    # no html-scan leak into the report side
+    assert plan.count("Scan parquet") == 0
