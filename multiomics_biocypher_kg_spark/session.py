@@ -74,6 +74,15 @@ def build_session(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # freeze tolerance: this sandbox VM exhibits whole-machine
+        # stalls of 1-3 minutes under co-tenant load (the r4l 8-core
+        # scaling leg died when a 161 s stall blew the default 120 s
+        # heartbeat window and the driver deregistered its own
+        # executor). A long-haul batch job should ride out transient
+        # stalls rather than fail the leg; same setting is standard
+        # practice on preemptible/spot clusters.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
