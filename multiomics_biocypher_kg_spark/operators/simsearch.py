@@ -617,3 +617,107 @@ def matryoshka_eval(
             F.round(F.avg("nf"), 6).alias("avg_norm_frac"),
         )
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    coarse_iters: int = 2,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN with asymmetric distance computation (ADC) — the
+    billion-vector search shape (Jegou et al., TPAMI 2011): a coarse
+    IVF index routes each query to ``n_probe`` inverted lists, and
+    candidate distances are approximated from m-subspace PQ codes
+    via per-query lookup tables instead of touching raw vectors.
+
+    Scale shape (the point of IVF-PQ): the database side carries
+    ONLY (id, list_id, m small int codes) — the raw vectors never
+    shuffle. Codebooks (coarse + per-subspace) are driver-bounded
+    literals compiled into expressions, so code assignment and the
+    per-query LUT (pq_k literal distances per subspace) are map-only
+    projections in whole-stage codegen; the single shuffle is the
+    probe equi-join on list_id. approx distance = sum over subspaces
+    of LUT[code] — a fixed-order chain of element_at adds, mirrored
+    left-associatively by the oracle.
+
+    -> (query_id, neighbor_id, approx_sq_dist, rank), top-k per
+    query by (unrounded approx asc, neighbor_id asc).
+    """
+    assigned, coarse_cents = ivf_index(
+        vectors, n_lists=n_lists, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    dim = len(assigned.select("v").first()["v"])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    codebooks = []
+    for s in range(m):
+        sub = assigned.select("id", F.slice("v", s * sub_d + 1, sub_d).alias("v"))
+        _, cents_s = ivf_index(sub, n_lists=pq_k, iters=pq_iters, id_col="id", vec_col="v")
+        codebooks.append(cents_s)
+
+    def _sub(col, s):
+        return F.slice(col, s * sub_d + 1, sub_d)
+
+    # db side: coarse list + m codes, all literal-argmin map-only
+    code_cols = []
+    for s, cents_s in enumerate(codebooks):
+        dist_arr = F.array(*[_sq_dist_lit(_sub(F.col("v"), s), c) for c in cents_s])
+        code_cols.append(
+            (F.array_position(dist_arr, F.array_min(dist_arr)) - 1)
+            .cast("int")
+            .alias(f"code{s}")
+        )
+    db = assigned.select(F.col("id").alias("neighbor_id"), "list_id", *code_cols)
+
+    # query side: probe lists + per-subspace LUT arrays (pq_k literal
+    # squared distances each), also map-only
+    dist_structs = F.array(
+        *[
+            F.struct(_sq_dist_lit(F.col("v"), c).alias("d"), F.lit(i).alias("l"))
+            for i, c in enumerate(coarse_cents)
+        ]
+    )
+    probes = F.slice(
+        F.transform(F.array_sort(dist_structs), lambda s: s["l"]), 1, n_probe
+    )
+    lut_cols = [
+        F.array(*[_sq_dist_lit(_sub(F.col("v"), s), c) for c in cents_s]).alias(
+            f"lut{s}"
+        )
+        for s, cents_s in enumerate(codebooks)
+    ]
+    q = assigned.select(
+        F.col("id").alias("query_id"), F.explode(probes).alias("list_id"), *lut_cols
+    )
+    approx = F.element_at(F.col("lut0"), F.col("code0") + 1)
+    for s in range(1, m):
+        approx = approx + F.element_at(F.col(f"lut{s}"), F.col(f"code{s}") + 1)
+    # no dedup needed: each db vector lives in exactly one inverted
+    # list and the probe set per query is distinct, so (query_id,
+    # neighbor_id) pairs are unique by construction
+    cand = (
+        q.join(db, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx", approx)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx", 6).alias("approx_sq_dist"),
+            "rank",
+        )
+    )

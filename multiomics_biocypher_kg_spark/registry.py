@@ -687,7 +687,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # web_random_walks, text_span_dedup, text_quality_classifier,
 # text_tokenizer_fertility, data_contamination, dedup_prefix_filter,
 # kg_shacl_check, emb_matryoshka_eval, data_epoch_order,
-# web_quality_calibration and data_budget_select were registered
+# web_quality_calibration, data_budget_select, and the
+# registry_kg_embed batch (emb_ivfpq_adc, kg_transe_score,
+# kg_path_2hop, kg_nt_export, kg_reify_statements,
+# web_seed_distance, text_zipf_fit, kg_entity_salience,
+# text_ccnet_buckets, kg_neo4j_export) were registered
 # after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are
@@ -778,5 +782,6 @@ from multiomics_biocypher_kg_spark import registry_dedup_text  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_adapter  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_web  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_scale_ops  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_kg_embed  # noqa: E402,F401
 
 _apply_driver_window_order()

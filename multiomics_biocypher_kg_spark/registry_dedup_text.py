@@ -509,63 +509,10 @@ def _lsh_cands_sql(n_tables: int, n_planes: int) -> str:
 # previous centroid (the `coalesce` — mirrors ivf_index's
 # `if i in new else cents[i]`). Iterations are unrolled as CTE pairs
 # (the _lsh_cands_sql rendering trick).
-def _lloyd_assign_sql(cent: str, out: str) -> str:
-    """One nearest-centroid assignment CTE pair (squared-L2 argmin,
-    ties -> smallest list id)."""
-    return f"""
-    {out}_d AS (
-      SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
-      FROM exploded e JOIN {cent} c ON e.dim = c.dim
-      GROUP BY e.vec_id, c.list_id
-    ),
-    {out} AS (
-      SELECT vec_id, list_id FROM (
-        SELECT vec_id, list_id,
-          row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d ASC, list_id ASC) AS rn
-        FROM {out}_d) WHERE rn = 1
-    )"""
-
-
-def _lloyd_prefix_parts(n_lists: int, iters: int) -> list[str]:
-    """CTE parts for the full fixed-init Lloyd chain, ending at
-    ``afinal(vec_id, list_id)`` — shared by the IVF and SemDeDup
-    oracles so the k-means mirror lives in exactly one place."""
-    parts = [
-        f"""
-    exploded AS (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    ),
-    norms AS (
-      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exploded GROUP BY vec_id
-    ),
-    seeds AS (
-      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-               AS list_id
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_lists})
-    ),
-    cent0 AS (
-      SELECT s.list_id, e.dim, e.x AS c
-      FROM seeds s JOIN exploded e ON s.vec_id = e.vec_id
-    )"""
-    ]
-    for i in range(iters):
-        parts.append(_lloyd_assign_sql(f"cent{i}", f"a{i + 1}"))
-        parts.append(f"""
-    m{i + 1} AS (
-      SELECT a.list_id, e.dim, avg(e.x) AS c
-      FROM a{i + 1} a JOIN exploded e ON a.vec_id = e.vec_id
-      GROUP BY a.list_id, e.dim
-    ),
-    cent{i + 1} AS (
-      SELECT c0.list_id, c0.dim, coalesce(m.c, c0.c) AS c
-      FROM cent{i} c0
-      LEFT JOIN m{i + 1} m ON c0.list_id = m.list_id AND c0.dim = m.dim
-    )""")
-    parts.append(_lloyd_assign_sql(f"cent{iters}", "afinal"))
-    return parts
+from multiomics_biocypher_kg_spark.oracle_fragments import (  # noqa: E402
+    _lloyd_assign_sql,
+    _lloyd_prefix_parts,
+)
 
 
 def _ivf_topk_sql(n_lists: int, n_probe: int, iters: int, k: int) -> str:

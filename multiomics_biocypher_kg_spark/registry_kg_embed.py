@@ -1,0 +1,997 @@
+"""Round-4 post-freeze batch 2: KG-embedding scoring, IVF-PQ ADC
+search, RDF export/reification, path composition, seed-distance BFS,
+and two corpus-statistics gates (Zipf fit, CCNet-style perplexity
+buckets).
+
+These extend the KG-construction surface the reference's BioCypher
+ETL implies but never distributes (reference analogs cited per
+operator): once triples are materialized at 10^12-document scale,
+the next pipeline stages are embedding-based triple plausibility
+(TransE), compressed-vector search over entity embeddings (IVF-PQ),
+serialization to an interchange format (N-Triples; the reference's
+analog is its Neo4j admin-import CSV emit, create_knowledge_graph.py),
+and link-distance curation over the crawl's host graph.
+
+Registered AFTER the round-4 driver-window freeze (the first-50
+slots are exactly filled by the 43 never-driver-checked round-4
+queries + the 7 reimplemented veterans — see registry.py). Every
+query here is oracle-paired and runs in the local sf0.001 sweep
+(tests/test_queries_oracle.py) this round; rotate all of them to the
+top of _DRIVER_WINDOW_FIRST in round 5 alongside the batch-1
+post-freeze list in registry_web/registry_scale_ops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from multiomics_biocypher_kg_spark.oracle_fragments import TRIPLES_SQL
+from multiomics_biocypher_kg_spark.registry import _pipeline, register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multiomics_biocypher_kg_spark.registry import kg_triples
+
+    return kg_triples(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_SUB_D = 16
+_IVF_LISTS = 8
+_IVF_PROBE = 3
+_IVF_ITERS = 2
+_ADC_TOPK = 5
+
+
+def _pq_sub_assign_sql(s: int, cent: str, out: str) -> str:
+    """One nearest-codeword assignment CTE pair restricted to
+    subspace ``s`` (squared-L2 argmin, ties -> smallest code)."""
+    return f"""
+    {out}_d AS (
+      SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
+      FROM pq{s}_ex e JOIN {cent} c ON e.dim = c.dim
+      GROUP BY e.vec_id, c.list_id
+    ),
+    {out} AS (
+      SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, list_id ASC) AS rn
+        FROM {out}_d) WHERE rn = 1
+    )"""
+
+
+def _ivfpq_adc_sql() -> str:
+    """DuckDB mirror of simsearch.ivfpq_topk: the coarse Lloyd chain
+    (shared _lloyd_prefix_parts — ends at afinal/afinal_d), one
+    fixed-init Lloyd refine per PQ subspace (the _pq_sql chain), then
+    ADC: probe the n_probe nearest lists and approximate each
+    candidate's distance as the left-associative sum of the query's
+    per-subspace LUT entries at the candidate's codes. ``pq{s}_af_d``
+    — every vector's distance to every final codeword — IS the
+    per-query lookup table, so the oracle value-gates codes, LUTs,
+    and the ADC ranking in one statement."""
+    from multiomics_biocypher_kg_spark.oracle_fragments import (
+        _lloyd_prefix_parts,
+    )
+
+    parts = _lloyd_prefix_parts(_IVF_LISTS, _IVF_ITERS)
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB_D
+        parts.append(f"""
+    pq{s}_ex AS (
+      SELECT vec_id, dim, x FROM exploded
+      WHERE dim > {lo} AND dim <= {lo + _PQ_SUB_D}
+    ),
+    pq{s}_cent0 AS (
+      SELECT se.list_id, e.dim, e.x AS c
+      FROM seeds se JOIN pq{s}_ex e ON se.vec_id = e.vec_id
+    )""")
+        parts.append(_pq_sub_assign_sql(s, f"pq{s}_cent0", f"pq{s}_a1"))
+        parts.append(f"""
+    pq{s}_m1 AS (
+      SELECT a.list_id, e.dim, avg(e.x) AS c
+      FROM pq{s}_a1 a JOIN pq{s}_ex e ON a.vec_id = e.vec_id
+      GROUP BY a.list_id, e.dim
+    ),
+    pq{s}_cent1 AS (
+      SELECT c0.list_id, c0.dim, coalesce(mm.c, c0.c) AS c
+      FROM pq{s}_cent0 c0
+      LEFT JOIN pq{s}_m1 mm ON c0.list_id = mm.list_id AND c0.dim = mm.dim
+    )""")
+        parts.append(_pq_sub_assign_sql(s, f"pq{s}_cent1", f"pq{s}_af"))
+    code_joins = "\n".join(
+        f"      JOIN pq{s}_af c{s} ON c{s}.vec_id = c.neighbor_id\n"
+        f"      JOIN pq{s}_af_d d{s} ON d{s}.vec_id = c.query_id"
+        f" AND d{s}.list_id = c{s}.list_id"
+        for s in range(_PQ_M)
+    )
+    approx = " + ".join(f"d{s}.d" for s in range(_PQ_M))
+    parts.append(f"""
+    probes AS (
+      SELECT vec_id AS query_id, list_id FROM (
+        SELECT vec_id, list_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, list_id ASC) AS rn
+        FROM afinal_d) WHERE rn <= {_IVF_PROBE}
+    ),
+    cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN afinal a ON p.list_id = a.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, {approx} AS approx
+      FROM cands c
+{code_joins}
+    )
+    SELECT query_id, neighbor_id,
+      round(approx, 6) AS approx_sq_dist, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY approx ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM adc) WHERE rank <= {_ADC_TOPK}""")
+    return "WITH " + ",".join(parts)
+
+
+@register("emb_ivfpq_adc", oracle=_ivfpq_adc_sql())
+def emb_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation
+    (operators.simsearch.ivfpq_topk) — the composition of the
+    existing IVF coarse index (ann_ivf_topk) and PQ codebooks
+    (emb_pq_codes) into the billion-vector ANN architecture: raw
+    vectors never shuffle; the database side is (id, list_id, m
+    3-bit codes), codebooks are literal expressions, and approx
+    distance is a per-query LUT sum. One equi-join on list_id is the
+    only shuffle before the per-query top-k window."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb,
+        k=_ADC_TOPK,
+        n_lists=_IVF_LISTS,
+        n_probe=_IVF_PROBE,
+        coarse_iters=_IVF_ITERS,
+        m=_PQ_M,
+        pq_k=_PQ_K,
+        pq_iters=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TransE triple plausibility scoring (hash-derived embeddings)
+# ---------------------------------------------------------------------------
+
+_TE_DIM = 8
+_TE_MOD = 1000
+
+
+def _emb_dim_sql(name_expr: str, tag: str, j: int) -> str:
+    h = md5_long_sql(f"{name_expr} || '#{tag}{j}'")
+    return f"(CAST({h} % {_TE_MOD} AS DOUBLE) / {_TE_MOD}.0 - 0.5)"
+
+
+def _emb_dim_col(col, tag: str, j: int):
+    h = md5_long(F.concat(col, F.lit(f"#{tag}{j}")))
+    return (h % _TE_MOD).cast("double") / _TE_MOD - F.lit(0.5)
+
+
+def _transe_sql() -> str:
+    def sq_sum(t_tag: str, t_expr: str) -> str:
+        terms = [
+            f"(({_emb_dim_sql('subj', 'e', j)} + {_emb_dim_sql('pred', 'r', j)}"
+            f" - {_emb_dim_sql(t_expr, t_tag, j)})"
+            f" * ({_emb_dim_sql('subj', 'e', j)} + {_emb_dim_sql('pred', 'r', j)}"
+            f" - {_emb_dim_sql(t_expr, t_tag, j)}))"
+            for j in range(_TE_DIM)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH t AS ({TRIPLES_SQL}),
+    scored AS (
+      SELECT subj, pred, obj,
+        -sqrt({sq_sum('e', 'obj')}) AS pos_raw,
+        -sqrt({sq_sum('n', 'obj')}) AS neg_raw
+      FROM t
+    )
+    SELECT subj, pred, obj,
+      round(pos_raw, 6) AS transe_score,
+      round(neg_raw, 6) AS neg_score,
+      round(pos_raw - neg_raw, 6) AS margin,
+      (pos_raw - neg_raw) > 0 AS plausible
+    FROM scored
+    """
+
+
+@register("kg_transe_score", oracle=_transe_sql())
+def kg_transe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE triple plausibility (Bordes et al., NIPS 2013): score
+    -||h + r - t||_2 per materialized triple, against a corrupted-
+    tail negative (tail embedding re-derived under a different hash
+    tag — deterministic negative sampling, same convention as
+    kg_negative_samples). Embeddings are DERIVED per dim from md5 of
+    the node/relation name, so the whole scorer is a pure map-side
+    expression chain — no parameter table, no shuffle, and (unlike a
+    trained-model join) the oracle can re-derive every component.
+    Swapping in trained vectors changes the embedding source to a
+    broadcast dictionary join; the scoring expression — the fixed-
+    order add chain both engines mirror — is unchanged. At 10^12
+    triples this is the shape of scoring: embeddings resolved in the
+    scan projection, one pass, no aggregation."""
+    trip = _triples(spark, sf_dir).select("subj", "pred", "obj")
+
+    def sq_sum(col_tag: str):
+        terms = [
+            (
+                _emb_dim_col(F.col("subj"), "e", j)
+                + _emb_dim_col(F.col("pred"), "r", j)
+                - _emb_dim_col(F.col("obj"), col_tag, j)
+            )
+            for j in range(_TE_DIM)
+        ]
+        return reduce(lambda a, b: a + b, [t * t for t in terms])
+
+    pos = -F.sqrt(sq_sum("e"))
+    neg = -F.sqrt(sq_sum("n"))
+    return trip.select(
+        "subj",
+        "pred",
+        "obj",
+        F.round(pos, 6).alias("transe_score"),
+        F.round(neg, 6).alias("neg_score"),
+        F.round(pos - neg, 6).alias("margin"),
+        ((pos - neg) > 0).alias("plausible"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop path composition over the heterogeneous KG edge union
+# ---------------------------------------------------------------------------
+
+
+def _path_2hop_sql() -> str:
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_ctes
+
+    return f"""
+    WITH {hetero_edges_ctes()}
+    SELECT t1.subj, t1.pred || '>' || t2.pred AS pred_path,
+      t2.obj AS obj, CAST(count(DISTINCT t1.obj) AS BIGINT) AS n_mid
+    FROM edges t1 JOIN edges t2 ON t1.obj = t2.subj
+    GROUP BY t1.subj, t1.pred || '>' || t2.pred, t2.obj
+    """
+
+
+@register("kg_path_2hop", oracle=_path_2hop_sql())
+def kg_path_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-composed 2-hop paths over the HETEROGENEOUS edge
+    union — materialized triples (mentions / same_as_canonical) plus
+    the web-locality edges (host -hosts-> page, host -links_to->
+    host) — the relation-composition primitive KG completion and
+    rule mining start from (reference analog: the post-import
+    Cypher's multi-hop MATCH patterns, scripts/post-import.cypher).
+    The mention/same-as id spaces are deliberately disjoint in this
+    corpus, so composition happens ACROSS edge types
+    (links_to>links_to, links_to>hosts, hosts>mentions) — the
+    typed-path shape Biolink association chains take. The self-join
+    is one equi-join on the shared node id — co-partitioned when the
+    edge table is bucketed by subj/obj (SCALE.md) — and the composed
+    edge count is one groupBy. Hub nodes fan out quadratically
+    across the join; at 100 TB the same AQE-skew / salt discipline
+    as kg_host_rollup_salted applies on the join key."""
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_df
+
+    edges = hetero_edges_df(spark, sf_dir)
+    t1 = edges.select(
+        F.col("subj"), F.col("pred").alias("p1"), F.col("obj").alias("mid")
+    )
+    t2 = edges.select(
+        F.col("subj").alias("mid"), F.col("pred").alias("p2"), F.col("obj")
+    )
+    return (
+        t1.join(t2, "mid")
+        .groupBy(
+            "subj",
+            F.concat("p1", F.lit(">"), "p2").alias("pred_path"),
+            "obj",
+        )
+        .agg(F.countDistinct("mid").alias("n_mid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-Triples export + statement reification (RDF interchange surface)
+# ---------------------------------------------------------------------------
+
+_NT_ENT_PREFIX = "http://kg.example.org/entity/"
+_NT_PROP_PREFIX = "http://kg.example.org/prop/"
+_NT_SHARDS = 16
+
+
+def _iri_sql(x: str) -> str:
+    return (
+        f"CASE WHEN {x} LIKE 'https://%' THEN {x} "
+        f"ELSE '{_NT_ENT_PREFIX}' || replace({x}, ':', '%3A') END"
+    )
+
+
+def _iri_col(c):
+    return F.when(c.startswith("https://"), c).otherwise(
+        F.concat(F.lit(_NT_ENT_PREFIX), F.replace(c, F.lit(":"), F.lit("%3A")))
+    )
+
+
+@register(
+    "kg_nt_export",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL}),
+    lines AS (
+      SELECT edge_id,
+        '<' || {_iri_sql('subj')} || '> <{_NT_PROP_PREFIX}' || pred
+          || '> <' || {_iri_sql('obj')} || '> .' AS nt_line
+      FROM t
+    )
+    SELECT edge_id, nt_line,
+      CAST({md5_long_sql('nt_line')} % {_NT_SHARDS} AS INTEGER) AS shard
+    FROM lines
+    """,
+)
+def kg_nt_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the materialized triple table —
+    the RDF interchange sink (reference analog: the Neo4j
+    admin-import CSV emit in create_knowledge_graph.py — same role,
+    W3C format). IRIs: page subjects are already https urls; entity
+    ids percent-encode the CURIE colon under a fixed entity
+    namespace. Shard assignment is a content-hash mod — the
+    write-side partitioning column (partitionBy('shard')) that keeps
+    output files balanced regardless of subject skew, exactly the
+    curation_shards discipline. Pure map: serialization and shard
+    live in the scan projection; at 10^12 triples the only cost is
+    the write."""
+    t = _triples(spark, sf_dir)
+    line = F.concat(
+        F.lit("<"),
+        _iri_col(F.col("subj")),
+        F.lit("> <" + _NT_PROP_PREFIX),
+        F.col("pred"),
+        F.lit("> <"),
+        _iri_col(F.col("obj")),
+        F.lit("> ."),
+    )
+    return t.select(
+        "edge_id",
+        line.alias("nt_line"),
+        (md5_long(line) % _NT_SHARDS).cast("int").alias("shard"),
+    )
+
+
+@register(
+    "kg_reify_statements",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL}),
+    s AS (
+      SELECT 'stmt:' || substr(md5(edge_id), 1, 12) AS stmt_id,
+        subj, pred, obj
+      FROM t
+    )
+    SELECT stmt_id, 'rdf:subject' AS role, subj AS value FROM s
+    UNION ALL
+    SELECT stmt_id, 'rdf:predicate', pred FROM s
+    UNION ALL
+    SELECT stmt_id, 'rdf:object', obj FROM s
+    """,
+)
+def kg_reify_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF statement reification: each (subj, pred, obj) becomes a
+    statement node (deterministic content-hash id) with
+    rdf:subject/predicate/object role edges — the provenance-ready
+    modeling the reference's evidence-bearing edges imply (its edge
+    property dicts carry per-statement metadata; reification is the
+    RDF-native equivalent). Map-only 3x explode via a literal
+    role/value array — no shuffle; qualifier edges (timestamps,
+    sources) attach to stmt_id downstream exactly like
+    kg_triple_temporal's evidence rows."""
+    t = _triples(spark, sf_dir)
+    stmt = F.concat(F.lit("stmt:"), F.substring(F.md5("edge_id"), 1, 12))
+    pairs = F.array(
+        F.struct(F.lit("rdf:subject").alias("role"), F.col("subj").alias("value")),
+        F.struct(F.lit("rdf:predicate").alias("role"), F.col("pred").alias("value")),
+        F.struct(F.lit("rdf:object").alias("role"), F.col("obj").alias("value")),
+    )
+    return t.select(stmt.alias("stmt_id"), F.explode(pairs).alias("rv")).select(
+        "stmt_id", F.col("rv.role").alias("role"), F.col("rv.value").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seed-distance BFS over the host link graph
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 6
+
+
+def _seed_distance_sql() -> str:
+    from multiomics_biocypher_kg_spark.registry_web import _HOST_GRAPH_SQL
+
+    seed_pred = md5_long_sql("node") + " % 3 = 0"
+    parts = [
+        f"hg AS ({_HOST_GRAPH_SQL})",
+        "nodes AS (SELECT DISTINCT src_host AS node FROM hg "
+        "UNION SELECT DISTINCT dst_host FROM hg)",
+        f"d0 AS (SELECT node, 0 AS dist FROM nodes WHERE {seed_pred})",
+    ]
+    for i in range(_BFS_ROUNDS):
+        parts.append(f"""
+    d{i + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT hg.dst_host AS node, d.dist + 1 AS dist
+        FROM d{i} d JOIN hg ON hg.src_host = d.node
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT d.node AS host, CAST(d.dist AS INTEGER) AS dist,
+      ({seed_pred.replace('node', 'd.node')}) AS is_seed
+    FROM d{_BFS_ROUNDS} d"""
+    )
+
+
+@register("web_seed_distance", oracle=_seed_distance_sql())
+def web_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed BFS hop distance from the md5-selected seed hosts
+    (same seed convention as web_trustrank) over the host link graph
+    — the crawl-frontier curation signal ("how many link hops from a
+    trusted seed") that complements TrustRank's mass propagation
+    with an interpretable integer. Fixed horizon of {rounds}
+    relaxation rounds (hosts farther than the horizon are excluded
+    by contract, like the fixed-iteration PageRank family); each
+    round is one frontier equi-join + a min groupBy, all integers —
+    no float drift, no convergence probe. At web scale the frontier
+    join broadcasts while the frontier is small and the horizon
+    bounds total rounds regardless of graph size."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+    from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+
+    hg = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        "src_host", "dst_host"
+    )
+    nodes = (
+        hg.select(F.col("src_host").alias("node"))
+        .union(hg.select("dst_host"))
+        .distinct()
+    )
+    is_seed = md5_long(F.col("node")) % 3 == 0
+    d = nodes.where(is_seed).select("node", F.lit(0).alias("dist"))
+    for _ in range(_BFS_ROUNDS):
+        step = d.join(hg, d["node"] == hg["src_host"]).select(
+            F.col("dst_host").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        d = d.union(step).groupBy("node").agg(F.min("dist").alias("dist"))
+    return d.select(
+        F.col("node").alias("host"),
+        F.col("dist").cast("int").alias("dist"),
+        (md5_long(F.col("node")) % 3 == 0).alias("is_seed"),
+    )
+
+
+web_seed_distance.__doc__ = web_seed_distance.__doc__.format(rounds=_BFS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit per language (frequency-histogram regression)
+# ---------------------------------------------------------------------------
+
+_ZIPF_MIN_FREQ = 2
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    tf AS (SELECT lang, token, count(*) AS f FROM toks GROUP BY lang, token),
+    hist AS (
+      SELECT lang, f, CAST(count(*) AS DOUBLE) AS n_terms
+      FROM tf WHERE f >= {_ZIPF_MIN_FREQ} GROUP BY lang, f
+    ),
+    ranked AS (
+      SELECT lang, f, n_terms,
+        coalesce(sum(n_terms) OVER (PARTITION BY lang ORDER BY f DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rank_before
+      FROM hist
+    ),
+    pts AS (
+      SELECT lang, n_terms AS w,
+        ln(rank_before + (n_terms + 1) / 2.0) AS x,
+        ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_freq_bins,
+        CAST(sum(w) AS BIGINT) AS n_terms,
+        sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+        sum(w * x * x) AS swxx, sum(w * x * y) AS swxy
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n_terms, n_freq_bins,
+      round((swxy - swx * swy / sw) / (swxx - swx * swx / sw), 6)
+        AS zipf_slope,
+      round((swy - (swxy - swx * swy / sw) / (swxx - swx * swx / sw) * swx)
+        / sw, 6) AS zipf_intercept
+    FROM agg
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: weighted least-squares slope of
+    log(freq) on log(rank) — the corpus-health diagnostic (natural
+    language sits near slope -1; scraped boilerplate and generated
+    spam deviate). The scale trick: regression points are the
+    FREQUENCY HISTOGRAM (lang, freq, n_terms) — Zipf itself bounds
+    distinct frequency values at roughly sqrt(total tokens), so the
+    cumulative-rank window runs over thousands of rows per language,
+    never the vocabulary (the text_vocabulary lesson from round 3's
+    VERDICT applied at design time). Ties share their block's
+    average rank (midpoint), the standard treatment. Everything else
+    is two map-side-combined aggs."""
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("f"))
+    hist = (
+        tf.where(F.col("f") >= _ZIPF_MIN_FREQ)
+        .groupBy("lang", "f")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_terms"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("f").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pts = hist.select(
+        "lang",
+        F.col("n_terms").alias("w"),
+        F.log(
+            F.coalesce(F.sum("n_terms").over(w_cum), F.lit(0.0))
+            + (F.col("n_terms") + 1) / 2.0
+        ).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    agg = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_freq_bins"),
+        F.sum("w").cast("long").alias("n_terms"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+    )
+    slope = (F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")) / (
+        F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw")
+    )
+    return agg.select(
+        "lang",
+        "n_terms",
+        "n_freq_bins",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("swy") - slope * F.col("swx")) / F.col("sw"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity salience per document (position + frequency)
+# ---------------------------------------------------------------------------
+
+
+def _salience_oracle() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import LINKS_SQL
+
+    return f"""
+    WITH links AS ({LINKS_SQL}),
+    m AS (
+      SELECT doc_id, entity_id, count(*) AS n_mentions,
+        min(pos) AS first_pos
+      FROM links WHERE entity_id IS NOT NULL
+      GROUP BY doc_id, entity_id
+    ),
+    ntok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT m.doc_id, m.entity_id,
+        CAST(m.n_mentions AS BIGINT) AS n_mentions,
+        CAST(m.first_pos AS INTEGER) AS first_pos,
+        CAST(n.n_tokens AS INTEGER) AS n_tokens,
+        ln(1 + m.n_mentions)
+          * (1 - CAST(m.first_pos AS DOUBLE) / n.n_tokens) AS sal
+      FROM m JOIN ntok n ON m.doc_id = n.doc_id
+    )
+    SELECT doc_id, entity_id, n_mentions, first_pos, n_tokens,
+      round(sal, 6) AS salience,
+      CAST(row_number() OVER (PARTITION BY doc_id
+        ORDER BY sal DESC, entity_id ASC) AS INTEGER) AS salience_rank
+    FROM s
+    """
+
+
+@register("kg_entity_salience", oracle=_salience_oracle())
+def kg_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document entity salience: earlier first mention and more
+    repetitions -> higher score (ln(1+count) * (1 - first_pos/len))
+    — the aboutness signal entity-centric corpus curation ranks
+    documents by (reference analog: the mention-count edge
+    properties its adapters emit). One groupBy over the resolved
+    mention stream, a co-keyed join against per-doc token counts,
+    and a PER-DOCUMENT window (bounded by entities-per-doc, never
+    corpus-global). The score components are bit-identical across
+    engines (integer-derived doubles, fixed-order ops), so ranking
+    on the unrounded score is deterministic."""
+    p = _pipeline(spark, sf_dir)
+    m = (
+        p["links"]
+        .where(F.col("entity_id").isNotNull())
+        .groupBy("doc_id", "entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+    ntok = p["docs"].select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sal = F.log(1 + F.col("n_mentions")) * (
+        1 - F.col("first_pos").cast("double") / F.col("n_tokens")
+    )
+    s = m.join(ntok, "doc_id").withColumn("sal", sal)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sal").desc(), F.col("entity_id").asc()
+    )
+    return s.select(
+        "doc_id",
+        "entity_id",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("first_pos").cast("int").alias("first_pos"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("sal", 6).alias("salience"),
+        F.row_number().over(w).alias("salience_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (histogram-derived per-lang terciles)
+# ---------------------------------------------------------------------------
+
+_PPL_BIN_SCALE = 64
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    model AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t,
+             CAST(count(DISTINCT token) AS DOUBLE) AS v
+      FROM toks
+    ),
+    scored AS (
+      SELECT tk.doc_id, -log2((m.c + 1) / (st.t + st.v)) AS bits
+      FROM toks tk JOIN model m ON tk.token = m.token CROSS JOIN st
+    ),
+    perdoc AS (
+      SELECT s.doc_id, d.lang, count(*) AS n_tokens,
+        round(avg(s.bits), 6) AS bpt
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      GROUP BY s.doc_id, d.lang
+    ),
+    binned AS (
+      SELECT doc_id, lang, n_tokens, bpt,
+        CAST(floor(bpt * {_PPL_BIN_SCALE}) AS INTEGER) AS ppl_bin
+      FROM perdoc
+    ),
+    hist AS (
+      SELECT lang, ppl_bin, count(*) AS n FROM binned GROUP BY lang, ppl_bin
+    ),
+    cum AS (
+      SELECT lang, ppl_bin,
+        sum(n) OVER (PARTITION BY lang ORDER BY ppl_bin ASC) AS cum,
+        sum(n) OVER (PARTITION BY lang) AS total
+      FROM hist
+    ),
+    bounds AS (
+      SELECT lang,
+        min(CASE WHEN cum >= total / 3.0 THEN ppl_bin END) AS b1,
+        min(CASE WHEN cum >= 2.0 * total / 3.0 THEN ppl_bin END) AS b2
+      FROM cum GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+      b.bpt AS bits_per_token, b.ppl_bin,
+      CASE WHEN b.ppl_bin <= bo.b1 THEN 'head'
+           WHEN b.ppl_bin <= bo.b2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM binned b JOIN bounds bo ON b.lang = bo.lang
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    per-language head/middle/tail terciles of the unigram-LM
+    bits-per-token score (text_unigram_perplexity's model) — the
+    quality-stratification step that decides which web text enters
+    pretraining. The tercile boundaries come from a fixed-width
+    HISTOGRAM of the rounded score (bin = floor(bits*{scale}),
+    integer state, bounded bins per language) with a cumulative
+    window over the bin dictionary — never a per-document rank sort
+    (the data_budget_select histogram-threshold pattern; at 10^12
+    docs the per-lang window sorts thousands of bins, not billions
+    of documents). Boundary comparisons are integer-vs-integer, so
+    bucket assignment is engine-exact. Binning on the ROUNDED score
+    keeps the floor stable: x64 is exact (power of two) and rounded
+    values sit >= 6.4e-5 away from the next integer boundary."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    st = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.countDistinct("token").cast("double").alias("v"),
+    )
+    scored = (
+        toks.join(model, "token")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("c") + 1) / (F.col("t") + F.col("v")))).alias("bits"),
+        )
+    )
+    perdoc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("bpt"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    binned = perdoc.withColumn(
+        "ppl_bin", F.floor(F.col("bpt") * _PPL_BIN_SCALE).cast("int")
+    )
+    hist = binned.groupBy("lang", "ppl_bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.partitionBy("lang").orderBy(F.col("ppl_bin").asc())
+    w_tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "ppl_bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.col("total") / 3.0, F.col("ppl_bin"))
+        ).alias("b1"),
+        F.min(
+            F.when(F.col("cum") >= 2.0 * F.col("total") / 3.0, F.col("ppl_bin"))
+        ).alias("b2"),
+    )
+    return binned.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bpt").alias("bits_per_token"),
+        "ppl_bin",
+        F.when(F.col("ppl_bin") <= F.col("b1"), "head")
+        .when(F.col("ppl_bin") <= F.col("b2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+text_ccnet_buckets.__doc__ = text_ccnet_buckets.__doc__.format(
+    scale=_PPL_BIN_SCALE
+)
+
+
+# ---------------------------------------------------------------------------
+# Neo4j admin-import CSV export (the reference's actual output format)
+# ---------------------------------------------------------------------------
+
+_N4J_SHARDS = 4
+_N4J_HEADERS = [
+    ("Page-header.csv", ":ID,n_mentions:long,:LABEL"),
+    ("Entity-header.csv", ":ID,n_pages:long,:LABEL"),
+    ("MENTIONS-header.csv", ":START_ID,:END_ID,:TYPE"),
+    ("SAME_AS_CANONICAL-header.csv", ":START_ID,:END_ID,:TYPE"),
+]
+_N4J_CALL = (
+    "neo4j-admin database import full"
+    ' --delimiter="," --array-delimiter="|"'
+    ' --nodes="Page-header.csv,Page-part.*"'
+    ' --nodes="Entity-header.csv,Entity-part.*"'
+    ' --relationships="MENTIONS-header.csv,MENTIONS-part.*"'
+    ' --relationships="SAME_AS_CANONICAL-header.csv,SAME_AS_CANONICAL-part.*"'
+    " neo4j"
+)
+
+
+def _csvq(c):
+    """RFC-4180 quote a string field (always-quote keeps the mirror
+    trivially identical: `"` doubles, field wrapped in quotes)."""
+    return F.concat(F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"'))
+
+
+def _n4j_file(label: str, id_col) -> F.Column:
+    return F.concat(
+        F.lit(f"{label}-part"),
+        F.lpad(
+            F.pmod(md5_long(id_col), F.lit(_N4J_SHARDS)).cast("string"), 3, "0"
+        ),
+        F.lit(".csv"),
+    )
+
+
+def _neo4j_export_sql() -> str:
+    def q(expr: str) -> str:
+        return f"""'"' || replace({expr}, '"', '""') || '"'"""
+
+    def fn(label: str, id_expr: str) -> str:
+        return (
+            f"'{label}-part' || lpad(CAST({md5_long_sql(id_expr)} % {_N4J_SHARDS}"
+            f" AS VARCHAR), 3, '0') || '.csv'"
+        )
+
+    literals = " UNION ALL ".join(
+        f"SELECT '{f}' AS csv_file, '{ln}' AS line"
+        for f, ln in _N4J_HEADERS + [("neo4j-admin-import-call.sh", _N4J_CALL)]
+    )
+    return f"""
+    WITH t AS ({TRIPLES_SQL}),
+    m AS (SELECT subj AS url, obj AS ent FROM t WHERE pred = 'mentions'),
+    sa AS (SELECT subj, obj FROM t WHERE pred = 'same_as_canonical'),
+    pages AS (SELECT url, count(*) AS n FROM m GROUP BY url),
+    eids AS (
+      SELECT ent AS id FROM m
+      UNION SELECT subj FROM sa
+      UNION SELECT obj FROM sa
+    ),
+    ep AS (SELECT ent AS id, count(*) AS n FROM m GROUP BY ent),
+    enodes AS (
+      SELECT e.id, COALESCE(ep.n, 0) AS n
+      FROM eids e LEFT JOIN ep ON e.id = ep.id
+    )
+    SELECT {fn("Page", "url")} AS csv_file,
+      {q("url")} || ',' || CAST(n AS VARCHAR) || ',"Page"' AS line
+    FROM pages
+    UNION ALL
+    SELECT {fn("Entity", "id")} AS csv_file,
+      {q("id")} || ',' || CAST(n AS VARCHAR) || ',"Entity"' AS line
+    FROM enodes
+    UNION ALL
+    SELECT {fn("MENTIONS", "url")} AS csv_file,
+      {q("url")} || ',' || {q("ent")} || ',"MENTIONS"' AS line
+    FROM m
+    UNION ALL
+    SELECT {fn("SAME_AS_CANONICAL", "subj")} AS csv_file,
+      {q("subj")} || ',' || {q("obj")} || ',"SAME_AS_CANONICAL"' AS line
+    FROM sa
+    UNION ALL {literals}
+    """
+
+
+@register("kg_neo4j_export", oracle=_neo4j_export_sql())
+def kg_neo4j_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BioCypher-shaped Neo4j admin-import CSV emit — the reference's
+    ACTUAL output surface (create_knowledge_graph.py:59 bc.write_nodes
+    -> per-label header + part CSVs; scripts/import.sh runs the
+    generated neo4j-admin-import-call). -> (csv_file, line): one row
+    per CSV line, plus the four header files and the import-call
+    script line.
+
+    Per-label layout (BioCypher's convention): `<Label>-header.csv`
+    declares `:ID,prop:type,:LABEL` (nodes) / `:START_ID,:END_ID,
+    :TYPE` (edges); data rows live in hash-sharded `<Label>-partNNN`
+    files. Sharding is pmod(md5, {shards}) on the node/start id — at
+    100 TB each part file is an independent write task (the real sink
+    is partitionBy(csv_file) text write), no global order, no
+    single-writer bottleneck, and neo4j-admin consumes parts in any
+    order. Fields are always-quoted RFC-4180 (quote doubling), so
+    arbitrary page text/urls can't break the CSV.
+
+    Everything is scan -> two map-side-combined aggs (page fanout,
+    entity fanout) -> format projections; the only joins are the
+    entity-id union (dedup) and a left join of two entity-keyed
+    aggregates."""
+    t = _triples(spark, sf_dir)
+    m = t.where(F.col("pred") == "mentions").select(
+        F.col("subj").alias("url"), F.col("obj").alias("ent")
+    )
+    sa = t.where(F.col("pred") == "same_as_canonical").select("subj", "obj")
+    pages = m.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+    eids = (
+        m.select(F.col("ent").alias("id"))
+        .unionByName(sa.select(F.col("subj").alias("id")))
+        .unionByName(sa.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    ep = m.groupBy(F.col("ent").alias("id")).agg(F.count(F.lit(1)).alias("n"))
+    enodes = eids.join(ep, "id", "left").select(
+        "id", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    page_rows = pages.select(
+        _n4j_file("Page", F.col("url")).alias("csv_file"),
+        F.concat(
+            _csvq(F.col("url")),
+            F.lit(","),
+            F.col("n").cast("string"),
+            F.lit(',"Page"'),
+        ).alias("line"),
+    )
+    ent_rows = enodes.select(
+        _n4j_file("Entity", F.col("id")).alias("csv_file"),
+        F.concat(
+            _csvq(F.col("id")),
+            F.lit(","),
+            F.col("n").cast("string"),
+            F.lit(',"Entity"'),
+        ).alias("line"),
+    )
+    m_rows = m.select(
+        _n4j_file("MENTIONS", F.col("url")).alias("csv_file"),
+        F.concat(
+            _csvq(F.col("url")),
+            F.lit(","),
+            _csvq(F.col("ent")),
+            F.lit(',"MENTIONS"'),
+        ).alias("line"),
+    )
+    sa_rows = sa.select(
+        _n4j_file("SAME_AS_CANONICAL", F.col("subj")).alias("csv_file"),
+        F.concat(
+            _csvq(F.col("subj")),
+            F.lit(","),
+            _csvq(F.col("obj")),
+            F.lit(',"SAME_AS_CANONICAL"'),
+        ).alias("line"),
+    )
+    literals = spark.createDataFrame(
+        _N4J_HEADERS + [("neo4j-admin-import-call.sh", _N4J_CALL)],
+        "csv_file string, line string",
+    )
+    return (
+        page_rows.unionByName(ent_rows)
+        .unionByName(m_rows)
+        .unionByName(sa_rows)
+        .unionByName(literals)
+    )
+
+
+kg_neo4j_export.__doc__ = kg_neo4j_export.__doc__.format(shards=_N4J_SHARDS)

@@ -32,7 +32,6 @@ from multiomics_biocypher_kg_spark.functions.hashing import (
     minhash_coeffs_sql,
 )
 from multiomics_biocypher_kg_spark.oracle_fragments import (
-    COMENTION_PAIRS_SQL,
     MINHASH_PAIRS_CTES,
     VOCAB_SQL,
     _SNAPS_SQL,
@@ -494,41 +493,45 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "kg_degree_distribution",
-    oracle=f"""
-    WITH pairs AS ({COMENTION_PAIRS_SQL}),
-    edges AS (SELECT DISTINCT subj, obj FROM pairs),
-    deg AS (
-      SELECT entity_id, count(*) AS degree FROM (
-        SELECT subj AS entity_id, obj AS nb FROM edges
-        UNION
-        SELECT obj AS entity_id, subj AS nb FROM edges
-      ) GROUP BY entity_id
+def _degree_distribution_sql() -> str:
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_ctes
+
+    return f"""
+    WITH {hetero_edges_ctes()},
+    und AS (
+      SELECT subj AS node, obj AS nb FROM edges
+      UNION
+      SELECT obj AS node, subj AS nb FROM edges
     ),
+    deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node),
     tot AS (SELECT count(*) AS n FROM deg)
     SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_entities,
       round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS frac
     FROM deg CROSS JOIN tot GROUP BY degree, tot.n
-    """,
-)
+    """
+
+
+@register("kg_degree_distribution", oracle=_degree_distribution_sql())
 def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution of the co-mention graph — the first
+    """Degree distribution of the heterogeneous KG (mention, same-as,
+    hosts, links_to edges — hetero.hetero_edges_df) — the first
     KG-quality diagnostic after materialization (hub detection, the
     skew signal that decides salting). Undirected degree = distinct
     neighbors over both edge directions; the histogram groups by
     degree (a dictionary of tens of values however big the graph),
-    with the entity-count total as a broadcast 1-row aggregate —
+    with the node-count total as a broadcast 1-row aggregate —
     nothing here is proportional to graph size except the two
-    map-side-combined aggs."""
-    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+    map-side-combined aggs. (Originally computed over the co-mention
+    graph, which this synthetic corpus makes complete — every entity
+    at the same degree, a one-row histogram that gated nothing; the
+    heterogeneous union has real variance at every scale.)"""
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_df
 
-    p = _pipeline(spark, sf_dir)
-    edges = comention_pairs(p["links"]).select("subj", "obj").distinct()
+    edges = hetero_edges_df(spark, sf_dir).select("subj", "obj")
     nbrs = edges.unionByName(
         edges.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
     ).distinct()
-    deg = nbrs.groupBy(F.col("subj").alias("entity_id")).agg(
+    deg = nbrs.groupBy(F.col("subj").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
     tot = deg.select(F.count(F.lit(1)).alias("n"))
