@@ -138,6 +138,33 @@ TRIPLES_SQL = f"""
     SELECT subj, pred, obj, subj || '|' || pred || '|' || obj AS edge_id FROM allt
 """
 
+# byte-identical SQL twin of sources.pages html synthesis
+# (functions.text.synth_html_col as composed by
+# pages_from_documents_df: nav outlinks/anchors, ~1/23 noindex meta,
+# ~1/17 broken trailing markup). An expression over documents
+# (doc_id, text, lang) producing the exact html STRING Spark casts
+# to binary — so any oracle can reason about raw page bytes
+# (octet_length, tag counts) without Spark in the loop.
+HTML_SQL = (
+    "('<html lang=\"' || lang || '\"><head><title>' || " + URL_SQL + " || '</title>'"
+    " || CASE WHEN doc_id % 23 = 1 THEN '<meta name=\"robots\" content=\"noindex\">' ELSE '' END"
+    " || '<script>var t=1;function f(){return ''<main>'';}</script>'"
+    " || '<style>.x{color:red}/*<main>*/</style></head>'"
+    " || '<body><!-- header for ' || " + URL_SQL + " || ' --><h1>' || " + URL_SQL + " || '</h1>'"
+    " || '<nav><a href=\"' || " + url_sql("doc_id - doc_id % 7")
+    + " || '?utm_source=nav\">hub ' || CAST(doc_id % 3 AS VARCHAR) || '</a>'"
+    " || '<a href=\"' || " + url_sql("doc_id - doc_id % 50")
+    + " || '#top\">section ' || CAST(doc_id % 5 AS VARCHAR) || '</a>'"
+    " || '<a href=\"https://partner.example.net/about\">partner '"
+    " || CAST(doc_id % 2 AS VARCHAR) || '</a></nav>'"
+    " || '<main><p>'"
+    " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    " || '</p></main>'"
+    " || '<div class=\"footer\">&copy; 2026 Example &amp; Co. &#174;</div>'"
+    " || CASE WHEN doc_id % 17 = 0 THEN '<div><span class=''unclosed'"
+    " ELSE '</body></html>' END)"
+)
+
 _SNAPS_SQL = """
   SELECT doc_id, doc_id % 125 AS fam, 1767225600 + doc_id AS ts_epoch,
     'https://' || CASE WHEN doc_id % 125 % 10 < 3 THEN 'hot.example.com'

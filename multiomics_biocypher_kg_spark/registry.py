@@ -691,7 +691,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # registry_kg_embed batch (emb_ivfpq_adc, kg_transe_score,
 # kg_path_2hop, kg_nt_export, kg_reify_statements,
 # web_seed_distance, text_zipf_fit, kg_entity_salience,
-# text_ccnet_buckets, kg_neo4j_export) were registered
+# text_ccnet_buckets, kg_neo4j_export) and the registry_pretrain
+# batch (text_bpe_train, data_bitext_mine, kg_snapshot_asof,
+# web_main_density, kg_skipgram_pairs) were registered
 # after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are
@@ -783,5 +785,6 @@ from multiomics_biocypher_kg_spark import registry_adapter  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_web  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_scale_ops  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_kg_embed  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_pretrain  # noqa: E402,F401
 
 _apply_driver_window_order()

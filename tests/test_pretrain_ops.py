@@ -1,0 +1,126 @@
+"""Tests for the registry_pretrain batch beyond the oracle sweep
+(which value-gates all five queries at sf0.001 automatically):
+html-synthesis SQL-twin byte parity, BPE merge-semantics unit
+checks, and physical-plan guards for the 100 TB shapes."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from multiomics_biocypher_kg_spark.oracle_fragments import HTML_SQL
+from multiomics_biocypher_kg_spark.registry import QUERIES
+from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+from tests.conftest import SF_TINY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_sql_twin_byte_identical(spark):
+    """The DuckDB HTML_SQL fragment reproduces the Spark page
+    synthesizer byte-for-byte on every page (md5 over the html
+    bytes) — any html-bytes-based oracle is exactly as trustworthy
+    as the synthesis parity itself."""
+    got = {
+        r["doc_id"]: r["h"]
+        for r in pages_from_documents(spark, SF_TINY)
+        .select("doc_id", F.md5(F.col("html")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_TINY}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, md5({HTML_SQL}) FROM documents"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bpe_merge_replace_semantics(spark):
+    """The '(sym)'-wrapped replace implements exact BPE merge
+    application: boundary-anchored (no match inside a larger
+    symbol) and left-to-right greedy with consecutive merges."""
+    rows = spark.createDataFrame(
+        [("(a)(a)(a)(a)",), ("(ab)(c)",), ("(b)(c)(b)(c)",)], "seg string"
+    )
+    out = [
+        r["m"]
+        for r in rows.select(
+            F.expr("replace(seg, '(b)(c)', '(bc)')").alias("m")
+        ).collect()
+    ]
+    assert out == ["(a)(a)(a)(a)", "(ab)(c)", "(bc)(bc)"]
+    out2 = [
+        r["m"]
+        for r in rows.select(
+            F.expr("replace(seg, '(a)(a)', '(aa)')").alias("m")
+        ).collect()
+    ]
+    assert out2[0] == "(aa)(aa)"  # consecutive merges, no delimiter sharing
+
+
+def test_bpe_train_monotone_and_consistent(spark):
+    """Merge freqs are non-increasing across rounds ONLY within equal
+    pair-structures is not guaranteed in general BPE, but the first
+    merge must be the global best pair: its freq bounds every later
+    round's freq from above."""
+    df = QUERIES["text_bpe_train"](spark, SF_TINY).collect()
+    assert len(df) == 4
+    by_rank = sorted(df, key=lambda r: r["merge_rank"])
+    assert all(r["merged"] == r["left_sym"] + r["right_sym"] for r in by_rank)
+    assert by_rank[0]["freq"] == max(r["freq"] for r in by_rank)
+
+
+def test_main_density_plan_is_scan_projection_only(spark):
+    """web_main_density must be a pure scan projection — the gate
+    runs inside the extraction scan at any corpus size. The ONLY
+    permitted exchange is the pages_from_documents seed-scan
+    rebalance (REPARTITION_BY_NUM, a no-op on real multi-split
+    corpora); the query itself must introduce no shuffle."""
+    plan = _plan(QUERIES["web_main_density"](spark, SF_TINY))
+    for line in plan.splitlines():
+        if "Exchange" in line and "ReusedExchange" not in line:
+            assert "REPARTITION" in line, line
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skipgram_no_cartesian(spark):
+    """kg_skipgram_pairs joins positions WITHIN a walk (equi-join on
+    the walk id) — never a cartesian across walks."""
+    plan = _plan(QUERIES["kg_skipgram_pairs"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+
+
+def test_bitext_windows_partitioned(spark):
+    """Every window in data_bitext_mine is partitioned by an
+    endpoint id — no global (unpartitioned) sort of the pair table.
+    The physical plan therefore contains hashpartitioning exchanges
+    but no SinglePartition window exchange."""
+    plan = _plan(QUERIES["data_bitext_mine"](spark, SF_TINY))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_snapshot_asof_rows_subset_of_history(spark):
+    """Every as-of row must be a version row whose interval contains
+    T, exactly one per url with any version at or before T."""
+    from multiomics_biocypher_kg_spark.registry_scale_ops import (
+        web_scd2_history,
+    )
+
+    asof = QUERIES["kg_snapshot_asof"](spark, SF_TINY).collect()
+    t = asof[0]["asof_ts"]
+    hist = web_scd2_history(spark, SF_TINY).collect()
+    urls_with_version = {
+        h["url"] for h in hist if h["valid_from"] <= t
+    }
+    assert {r["url"] for r in asof} == urls_with_version
+    assert len({r["url"] for r in asof}) == len(asof)  # one row per url
+    hkey = {(h["url"], h["content_md5"]) for h in hist}
+    assert all((r["url"], r["content_md5"]) in hkey for r in asof)
