@@ -693,7 +693,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # web_seed_distance, text_zipf_fit, kg_entity_salience,
 # text_ccnet_buckets, kg_neo4j_export) and the registry_pretrain
 # batch (text_bpe_train, data_bitext_mine, kg_snapshot_asof,
-# web_main_density, kg_skipgram_pairs) were registered
+# web_main_density, kg_skipgram_pairs, kg_rule_mining,
+# kg_truth_discovery, dedup_eval_pr) were registered
 # after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -1,7 +1,8 @@
 """Round-4 pretraining-data operators: iterative BPE merge training,
 margin-based bitext mining, point-in-time KG snapshots, extraction
-quality via text-density, and skip-gram pair generation over the
-walk corpus.
+quality via text-density, skip-gram pair generation over the walk
+corpus, AMIE-style rule mining, truth discovery over conflicting
+source claims, and a dedup P/R evaluation against provenance gold.
 
 These close the remaining gaps between "curated web corpus" and
 "tokenizer + embedding training inputs": the tokenizer's merge
@@ -521,3 +522,362 @@ def kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# AMIE-style rule mining over the heterogeneous edge union
+# ---------------------------------------------------------------------------
+
+_RULE_MIN_SUP = 5
+
+
+def _rule_mining_sql() -> str:
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_ctes
+
+    return f"""
+    WITH {hetero_edges_ctes()},
+    e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM edges),
+    body AS MATERIALIZED (
+      SELECT DISTINCT e1.pred AS p1, e2.pred AS p2,
+        e1.subj AS x, e2.obj AS z
+      FROM e e1 JOIN e e2 ON e1.obj = e2.subj
+    ),
+    bstats AS (SELECT p1, p2, count(*) AS body_size FROM body GROUP BY p1, p2),
+    hstats AS (SELECT pred AS p3, count(*) AS head_size FROM e GROUP BY pred),
+    sup AS (
+      SELECT b.p1, b.p2, h.pred AS p3, count(*) AS support
+      FROM body b JOIN e h ON b.x = h.subj AND b.z = h.obj
+      GROUP BY b.p1, b.p2, h.pred
+    )
+    SELECT s.p1, s.p2, s.p3, CAST(s.support AS BIGINT) AS support,
+      CAST(bs.body_size AS BIGINT) AS body_size,
+      CAST(hs.head_size AS BIGINT) AS head_size,
+      round(CAST(s.support AS DOUBLE) / bs.body_size, 6) AS confidence,
+      round(CAST(s.support AS DOUBLE) / hs.head_size, 6) AS head_coverage
+    FROM sup s
+    JOIN bstats bs ON s.p1 = bs.p1 AND s.p2 = bs.p2
+    JOIN hstats hs ON s.p3 = hs.p3
+    WHERE s.support >= {_RULE_MIN_SUP}
+    """
+
+
+@register("kg_rule_mining", oracle=_rule_mining_sql())
+def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style horn-rule mining: for every predicate triple
+    (p1, p2, p3), score the rule p1(x,y) AND p2(y,z) => p3(x,z) with
+    support (distinct (x,z) pairs satisfying body AND head), standard
+    confidence (support / body size) and head coverage (support /
+    head size) — the KG-completion quality signals rule-based link
+    predictors (AMIE, AnyBURL) rank by. One composition equi-join on
+    the shared node (the kg_path_2hop shape — co-partitioned under
+    subj/obj bucketing, AQE-skew discipline for hub nodes), one
+    (x,z)-keyed head join, and three map-side-combinable aggs; no
+    rule enumeration loop, every (p1,p2,p3) combination scored in
+    the same plan. min-support prunes the long tail exactly like
+    AMIE's support threshold."""
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_df
+
+    e = hetero_edges_df(spark, sf_dir).distinct()
+    e1 = e.select(
+        F.col("pred").alias("p1"), F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+    )
+    e2 = e.select(
+        F.col("pred").alias("p2"), F.col("subj").alias("y2"),
+        F.col("obj").alias("z"),
+    )
+    body = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .select("p1", "p2", "x", "z")
+        .distinct()
+    )
+    bstats = body.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("body_size")
+    )
+    hstats = e.groupBy(F.col("pred").alias("p3")).agg(
+        F.count(F.lit(1)).alias("head_size")
+    )
+    head = e.select(
+        F.col("pred").alias("p3"), F.col("subj").alias("x"),
+        F.col("obj").alias("z"),
+    )
+    sup = (
+        body.join(head, ["x", "z"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _RULE_MIN_SUP)
+    )
+    return (
+        sup.join(bstats, ["p1", "p2"])
+        .join(F.broadcast(hstats), "p3")
+        .select(
+            "p1", "p2", "p3",
+            F.col("support").cast("long").alias("support"),
+            F.col("body_size").cast("long").alias("body_size"),
+            F.col("head_size").cast("long").alias("head_size"),
+            F.round(
+                F.col("support").cast("double") / F.col("body_size"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("support").cast("double") / F.col("head_size"), 6
+            ).alias("head_coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truth discovery (source-reliability fixed point over conflicting claims)
+# ---------------------------------------------------------------------------
+
+_TRUTH_SQL = """
+  links AS MATERIALIZED ({links}),
+  claims AS MATERIALIZED (
+    SELECT DISTINCT d.source, l.entity_id, l.lang AS value
+    FROM links l JOIN documents d ON l.doc_id = d.doc_id
+    WHERE l.entity_id IS NOT NULL
+  ),
+  s1 AS (
+    SELECT entity_id, value, CAST(count(*) AS DOUBLE) AS score1
+    FROM claims GROUP BY entity_id, value
+  ),
+  n1 AS (
+    SELECT entity_id, value,
+      score1 / sum(score1) OVER (PARTITION BY entity_id) AS norm1
+    FROM s1
+  ),
+  trust AS (
+    SELECT c.source, avg(n.norm1) AS trust1
+    FROM claims c JOIN n1 n
+      ON c.entity_id = n.entity_id AND c.value = n.value
+    GROUP BY c.source
+  ),
+  s2 AS (
+    SELECT c.entity_id, c.value, round(sum(t.trust1), 6) AS score,
+      CAST(count(*) AS BIGINT) AS n_sources
+    FROM claims c JOIN trust t ON c.source = t.source
+    GROUP BY c.entity_id, c.value
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY entity_id ORDER BY score DESC, value ASC) AS rn,
+      CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_values
+    FROM s2
+  )
+  SELECT entity_id, value AS best_value, score, n_sources, n_values
+  FROM ranked WHERE rn = 1
+"""
+
+
+def _truth_oracle() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import LINKS_SQL
+
+    return "WITH " + _TRUTH_SQL.format(links=LINKS_SQL)
+
+
+@register("kg_truth_discovery", oracle=_truth_oracle())
+def kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over conflicting source claims (TruthFinder/
+    Sums-style, one unrolled fixed-point iteration): sources claim a
+    property value for each entity (here: the language an entity is
+    written about in, claimed by each document source); claim scores
+    are entity-normalized vote sums, source trust is the mean score
+    of the claims it makes, and final claim scores are trust-weighted
+    votes — the canonicalization-stage arbiter when multiple feeds
+    disagree about an entity property. Every agg is keyed by source
+    or (entity, value) — dictionary-sized state, map-side combined;
+    the normalizing window partitions by ENTITY (bounded by per-
+    entity value fanout). Winners rank on the ROUNDED score so the
+    cross-engine float ulp cannot flip a tie; ties break to the
+    lexicographically least value."""
+    from multiomics_biocypher_kg_spark.registry import _pipeline
+
+    links = _pipeline(spark, sf_dir)["links"]
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    claims = (
+        links.where(F.col("entity_id").isNotNull())
+        .join(F.broadcast(docs), "doc_id")
+        .select("source", "entity_id", F.col("lang").alias("value"))
+        .distinct()
+    )
+    s1 = claims.groupBy("entity_id", "value").agg(
+        F.count(F.lit(1)).cast("double").alias("score1")
+    )
+    n1 = s1.select(
+        "entity_id",
+        "value",
+        (
+            F.col("score1")
+            / F.sum("score1").over(Window.partitionBy("entity_id"))
+        ).alias("norm1"),
+    )
+    trust = (
+        claims.join(n1, ["entity_id", "value"])
+        .groupBy("source")
+        .agg(F.avg("norm1").alias("trust1"))
+    )
+    s2 = (
+        claims.join(F.broadcast(trust), "source")
+        .groupBy("entity_id", "value")
+        .agg(
+            F.round(F.sum("trust1"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    rn = F.row_number().over(
+        w.orderBy(F.desc("score"), F.asc("value"))
+    )
+    return (
+        s2.withColumn("rn", rn)
+        .withColumn("n_values", F.count(F.lit(1)).over(w).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("value").alias("best_value"),
+            "score",
+            "n_sources",
+            "n_values",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality evaluation against the synthetic provenance gold
+# ---------------------------------------------------------------------------
+
+
+def _dedup_eval_oracle() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import (
+        MINHASH_PAIRS_CTES,
+    )
+
+    return f"""
+    WITH {MINHASH_PAIRS_CTES},
+    gold AS (
+      SELECT doc_id AS id_a, doc_id + 2000000 AS id_b, 'exact' AS kind
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 1000000, 'near'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id + 2000000, 'cross'
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    hits AS (
+      SELECT g.kind, count(*) AS tp
+      FROM gold g JOIN pairs p ON g.id_a = p.id_a AND g.id_b = p.id_b
+      GROUP BY g.kind
+    ),
+    perkind AS (
+      SELECT g.kind, CAST(count(*) AS BIGINT) AS n_gold,
+        CAST(NULL AS BIGINT) AS n_pred,
+        CAST(coalesce(any_value(h.tp), 0) AS BIGINT) AS tp,
+        CAST(NULL AS DOUBLE) AS "precision",
+        round(CAST(coalesce(any_value(h.tp), 0) AS DOUBLE) / count(*), 6)
+          AS recall,
+        CAST(NULL AS DOUBLE) AS f1
+      FROM gold g LEFT JOIN hits h ON g.kind = h.kind
+      GROUP BY g.kind
+    ),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM gold) AS BIGINT) AS n_gold,
+        CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pred,
+        CAST((SELECT count(*) FROM gold g JOIN pairs p
+              ON g.id_a = p.id_a AND g.id_b = p.id_b) AS BIGINT) AS tp
+    ),
+    overall AS (
+      SELECT 'all' AS kind, n_gold, n_pred, tp,
+        round(CAST(tp AS DOUBLE) / n_pred, 6) AS "precision",
+        round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall,
+        round(2.0 * tp / (n_pred + n_gold), 6) AS f1
+      FROM tot
+    )
+    SELECT * FROM perkind UNION ALL SELECT * FROM overall
+    """
+
+
+@register("dedup_eval_pr", oracle=_dedup_eval_oracle())
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality evaluation against labeled truth: the
+    synthetic dedup corpus carries PROVENANCE gold (exact twins at
+    +2e6 for every 5th doc, token-dropped near-twins at +1e6 for
+    every 4th, and the near/exact cross pairs where both exist), so
+    the MinHash-LSH detector's precision/recall/F1 are measurable
+    exactly — per pair kind (recall: exact must be 1.0, near shows
+    the threshold/banding loss) and overall. This is the calibration
+    harness a production dedup threshold is chosen with; at corpus
+    scale the gold set is a labeled sample and the same two hash
+    joins score it (gold join pred on the pair key — no scan of
+    anything but the detector's own output). F1 uses the
+    2TP/(P+G) identity so no intermediate ratio feeds another
+    ratio."""
+    from multiomics_biocypher_kg_spark.operators import dedup as dd
+    from multiomics_biocypher_kg_spark.registry_dedup_text import (
+        _dedup_corpus,
+    )
+
+    pred = dd.minhash_neardup_pairs(
+        _dedup_corpus(spark, sf_dir), 0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    ids = _docs(spark, sf_dir).select("doc_id")
+    gold = (
+        ids.where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 2000000).alias("id_b"),
+            F.lit("exact").alias("kind"),
+        )
+        .unionByName(
+            ids.where(F.col("doc_id") % 4 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1000000).alias("id_b"),
+                F.lit("near").alias("kind"),
+            )
+        )
+        .unionByName(
+            ids.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 1000000).alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+                F.lit("cross").alias("kind"),
+            )
+        )
+    )
+    marked = gold.join(
+        pred.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    perkind = marked.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.lit(None).cast("long").alias("n_pred"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("tp"),
+        F.lit(None).cast("double").alias("precision"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+        F.lit(None).cast("double").alias("f1"),
+    )
+    n_pred = pred.count()
+    overall = marked.agg(
+        F.lit("all").alias("kind"),
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.lit(n_pred).cast("long").alias("n_pred"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("tp"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            / F.lit(float(n_pred)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            / (F.lit(float(n_pred)) + F.count(F.lit(1))),
+            6,
+        ).alias("f1"),
+    )
+    return perkind.unionByName(overall)

@@ -124,3 +124,48 @@ def test_snapshot_asof_rows_subset_of_history(spark):
     assert len({r["url"] for r in asof}) == len(asof)  # one row per url
     hkey = {(h["url"], h["content_md5"]) for h in hist}
     assert all((r["url"], r["content_md5"]) in hkey for r in asof)
+
+
+def test_rule_mining_metric_identities(spark):
+    """confidence = support/body_size, head_coverage =
+    support/head_size, support <= min(body_size, head_size), and the
+    hosts∘mentions => (nothing) style sanity: every emitted rule
+    meets the min-support bar."""
+    rows = QUERIES["kg_rule_mining"](spark, SF_TINY).collect()
+    assert rows, "at least one rule must clear min support"
+    for r in rows:
+        assert r["support"] >= 5
+        assert r["support"] <= r["body_size"]
+        assert r["support"] <= r["head_size"]
+        assert abs(r["confidence"] - round(r["support"] / r["body_size"], 6)) < 1e-9
+        assert (
+            abs(r["head_coverage"] - round(r["support"] / r["head_size"], 6))
+            < 1e-9
+        )
+
+
+def test_truth_discovery_winner_properties(spark):
+    """One winner per entity; its trust-weighted score is positive;
+    n_values counts the entity's distinct claimed values and the
+    winner's supporter count never exceeds the claim pool."""
+    rows = QUERIES["kg_truth_discovery"](spark, SF_TINY).collect()
+    assert rows
+    ents = [r["entity_id"] for r in rows]
+    assert len(ents) == len(set(ents))
+    for r in rows:
+        assert r["score"] > 0
+        assert r["n_values"] >= 1
+        assert r["n_sources"] >= 1
+
+
+def test_dedup_eval_exact_recall_is_one(spark):
+    """Exact twins share every shingle, so MinHash-LSH recall on the
+    'exact' kind must be 1.0 — if it is not, the detector (not the
+    eval) broke; the overall row's tp must reconcile with the
+    per-kind rows."""
+    rows = {r["kind"]: r for r in QUERIES["dedup_eval_pr"](spark, SF_TINY).collect()}
+    assert rows["exact"]["recall"] == 1.0
+    assert rows["all"]["tp"] == sum(
+        rows[k]["tp"] for k in ("exact", "near", "cross")
+    )
+    assert 0.0 <= rows["all"]["precision"] <= 1.0
