@@ -694,7 +694,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # text_ccnet_buckets, kg_neo4j_export) and the registry_pretrain
 # batch (text_bpe_train, data_bitext_mine, kg_snapshot_asof,
 # web_main_density, kg_skipgram_pairs, kg_rule_mining,
-# kg_truth_discovery, dedup_eval_pr) were registered
+# kg_truth_discovery, dedup_eval_pr, kg_mrr_eval, ann_recall_eval,
+# web_url_templates, kg_clustering_coeff, ev_burst_detect,
+# kg_window_comention, ev_retention_cohorts) were registered
 # after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -995,3 +995,287 @@ def kg_neo4j_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 kg_neo4j_export.__doc__ = kg_neo4j_export.__doc__.format(shards=_N4J_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# Filtered link-prediction ranking evaluation (MRR / Hits@k)
+# ---------------------------------------------------------------------------
+
+_MRR_SAMPLE_MOD = 3
+
+
+def _mrr_eval_sql() -> str:
+    a_cols = ",\n        ".join(
+        f"({_emb_dim_sql('subj', 'e', j)} + {_emb_dim_sql('pred', 'r', j)})"
+        f" AS a{j}"
+        for j in range(_TE_DIM)
+    )
+    c_cols = ",\n        ".join(
+        f"{_emb_dim_sql('cand', 'e', j)} AS c{j}" for j in range(_TE_DIM)
+    )
+    d2 = " + ".join(
+        f"((a{j} - c{j}) * (a{j} - c{j}))" for j in range(_TE_DIM)
+    )
+    samp = md5_long_sql("subj || '|' || pred || '|' || obj")
+    return f"""
+    WITH t AS ({TRIPLES_SQL}),
+    test AS (
+      SELECT subj, pred, obj,
+        {a_cols}
+      FROM t WHERE {samp} % {_MRR_SAMPLE_MOD} = 0
+    ),
+    cands AS (
+      SELECT pred, cand,
+        {c_cols}
+      FROM (SELECT DISTINCT pred, obj AS cand FROM t)
+    ),
+    scored AS (
+      SELECT te.subj, te.pred, te.obj, c.cand, ({d2}) AS d2
+      FROM test te
+      JOIN cands c ON te.pred = c.pred
+      LEFT JOIN t k
+        ON k.subj = te.subj AND k.pred = te.pred AND k.obj = c.cand
+      WHERE c.cand = te.obj OR k.subj IS NULL
+    ),
+    with_true AS (
+      SELECT *, max(CASE WHEN cand = obj THEN d2 END)
+          OVER (PARTITION BY subj, pred, obj) AS d2_true
+      FROM scored
+    ),
+    ranks AS (
+      SELECT subj, pred, obj,
+        1 + sum(CASE WHEN d2 < d2_true
+                       OR (d2 = d2_true AND cand < obj) THEN 1 ELSE 0 END)
+          AS rank
+      FROM with_true
+      GROUP BY subj, pred, obj
+    )
+    SELECT pred, CAST(count(*) AS BIGINT) AS n_test,
+      round(avg(1.0 / rank), 6) AS mrr,
+      round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits_at_1,
+      round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits_at_3,
+      round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6)
+        AS hits_at_10,
+      round(avg(CAST(rank AS DOUBLE)), 6) AS mean_rank
+    FROM ranks GROUP BY pred
+    """
+
+
+@register("kg_mrr_eval", oracle=_mrr_eval_sql())
+def kg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link-prediction ranking evaluation (the standard KG-
+    embedding benchmark protocol, Bordes et al. 2013): for a
+    deterministic ~1/3 sample of triples (h, r, t), rank the true
+    tail t against every candidate tail of relation r under the
+    TransE score -||h + r - c||^2, EXCLUDING candidates that form
+    another known triple (the "filtered" setting), and report
+    per-relation MRR, Hits@1/3/10 and mean rank — the acceptance
+    gate a trained-embedding deployment is judged by (here over the
+    same hash-derived embeddings as kg_transe_score, so both engines
+    re-derive every score).
+
+    Scale shape: the candidate table is the per-relation TAIL
+    DICTIONARY (distinct (pred, obj) — entity-vocabulary-sized, not
+    corpus-sized), broadcast into an equi-join on pred; h+r
+    components are precomputed per test row and candidate embeddings
+    per dictionary row, so the fan-out join does pure arithmetic
+    (zero hashing inside the join). The known-triple filter is one
+    shuffle join on (subj, pred, cand); the true-tail score is a
+    window over the PER-TRIPLE candidate group (bounded by the
+    dictionary fan-out), and the rank is a conditional count — no
+    global sort anywhere. Eval sets at 100 TB are samples by
+    construction (the md5 mod), so the fan-out is |test| x |tails|,
+    controlled by the sample modulus. Squared distance (monotonic in
+    the TransE norm) keeps the comparison exact: both engines build
+    the identical fixed-order float expression, so rank comparisons
+    cannot diverge by a ulp. If the tail dictionary outgrows the
+    broadcast threshold (10^8-entity KGs), the identical plan runs
+    as a shuffle join on pred — salt the handful of relation keys
+    (the kg_host_rollup_salted discipline) since pred is maximally
+    skewed by construction."""
+    trip = _triples(spark, sf_dir).select("subj", "pred", "obj")
+    samp = (
+        md5_long(F.concat_ws("|", "subj", "pred", "obj"))
+        % _MRR_SAMPLE_MOD
+        == 0
+    )
+    test = trip.where(samp)
+    for j in range(_TE_DIM):
+        test = test.withColumn(
+            f"a{j}",
+            _emb_dim_col(F.col("subj"), "e", j)
+            + _emb_dim_col(F.col("pred"), "r", j),
+        )
+    cands = trip.select("pred", F.col("obj").alias("cand")).distinct()
+    for j in range(_TE_DIM):
+        cands = cands.withColumn(f"c{j}", _emb_dim_col(F.col("cand"), "e", j))
+    known = trip.select(
+        "subj", "pred", F.col("obj").alias("cand"), F.lit(1).alias("known")
+    )
+    d2 = reduce(
+        lambda a, b: a + b,
+        [
+            (F.col(f"a{j}") - F.col(f"c{j}"))
+            * (F.col(f"a{j}") - F.col(f"c{j}"))
+            for j in range(_TE_DIM)
+        ],
+    )
+    scored = (
+        test.join(F.broadcast(cands), "pred")
+        .join(known, ["subj", "pred", "cand"], "left")
+        .where((F.col("cand") == F.col("obj")) | F.col("known").isNull())
+        .select("subj", "pred", "obj", "cand", d2.alias("d2"))
+    )
+    wt = Window.partitionBy("subj", "pred", "obj")
+    ranked = scored.withColumn(
+        "d2_true",
+        F.max(F.when(F.col("cand") == F.col("obj"), F.col("d2"))).over(wt),
+    )
+    better = (F.col("d2") < F.col("d2_true")) | (
+        (F.col("d2") == F.col("d2_true")) & (F.col("cand") < F.col("obj"))
+    )
+    ranks = ranked.groupBy("subj", "pred", "obj").agg(
+        (1 + F.sum(F.when(better, 1).otherwise(0))).alias("rank")
+    )
+    return ranks.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+        F.round(F.avg((F.col("rank") <= 1).cast("double")), 6).alias(
+            "hits_at_1"
+        ),
+        F.round(F.avg((F.col("rank") <= 3).cast("double")), 6).alias(
+            "hits_at_3"
+        ),
+        F.round(F.avg((F.col("rank") <= 10).cast("double")), 6).alias(
+            "hits_at_10"
+        ),
+        F.round(F.avg(F.col("rank").cast("double")), 6).alias("mean_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall calibration: IVF top-k vs exact brute-force gold
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+_RECALL_MOD = 10
+
+
+def _ann_recall_sql() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import (
+        _lloyd_prefix_parts,
+    )
+
+    parts = _lloyd_prefix_parts(_IVF_LISTS, _IVF_ITERS)
+    parts.append(f"""
+    probes AS (
+      SELECT vec_id AS query_id, list_id FROM (
+        SELECT vec_id, list_id,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, list_id ASC) AS rn
+        FROM afinal_d) WHERE rn <= {_IVF_PROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN afinal a ON p.list_id = a.list_id
+      WHERE a.vec_id <> p.query_id AND p.query_id % {_RECALL_MOD} = 0
+    ),
+    cdots AS (
+      SELECT c.query_id, c.neighbor_id, sum(q.x * b.x) AS dot
+      FROM cands c
+      JOIN exploded q ON q.vec_id = c.query_id
+      JOIN exploded b ON b.vec_id = c.neighbor_id AND b.dim = q.dim
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    ccos AS (
+      SELECT d.query_id, d.neighbor_id,
+        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
+      FROM cdots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nb ON d.neighbor_id = nb.vec_id
+    ),
+    ivf_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ccos) WHERE rank <= {_RECALL_K}
+    ),
+    g_dots AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        sum(q.x * b.x) AS dot
+      FROM exploded q JOIN exploded b
+        ON q.dim = b.dim AND q.vec_id <> b.vec_id
+      WHERE q.vec_id % {_RECALL_MOD} = 0
+      GROUP BY q.vec_id, b.vec_id
+    ),
+    g_cos AS (
+      SELECT d.query_id, d.neighbor_id,
+        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
+      FROM g_dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nb ON d.neighbor_id = nb.vec_id
+    ),
+    gold AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM g_cos) WHERE rank <= {_RECALL_K}
+    )
+    SELECT g.query_id, CAST(count(*) AS BIGINT) AS n_gold,
+      CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+      round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+    FROM gold g LEFT JOIN ivf_k i
+      ON g.query_id = i.query_id AND g.neighbor_id = i.neighbor_id
+    GROUP BY g.query_id""")
+    return "WITH " + ",".join(parts)
+
+
+@register("ann_recall_eval", oracle=_ann_recall_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index calibration: recall@k of the production IVF path
+    (ann_ivf_topk's exact configuration) against exact brute-force
+    gold, per query, on a deterministic 1/10 query sample — the
+    measurement that chooses n_probe/n_lists before a 10^9-vector
+    deployment (FAISS's recall-QPS curve, computed engine-side).
+    The gold side is exact top-k over the SAMPLED queries only
+    (broadcast query side, one corpus scan — the cosine_topk
+    contract); the IVF side is the same ivf_topk plan the production
+    query uses, filtered to the sample before ranking work happens.
+    Scoring is two hash joins on the (query, neighbor) pair key —
+    nothing rescans the corpus. Both engines rank by the identically
+    rounded cosine with id tiebreak, so the boundary of the top-k
+    set cannot diverge."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = emb.select("vec_id").where(F.col("vec_id") % _RECALL_MOD == 0)
+    gold = cosine_topk(emb, query_ids=qids, k=_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        ivf_topk(
+            emb,
+            k=_RECALL_K,
+            n_lists=_IVF_LISTS,
+            n_probe=_IVF_PROBE,
+            iters=_IVF_ITERS,
+        )
+        .where(F.col("query_id") % _RECALL_MOD == 0)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        gold.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gold"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -1570,3 +1570,149 @@ def web_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         F.row_number().over(w20).cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Burst detection over the event stream (deterministic z-scores)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ev_burst_detect",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type, count(*) AS n_days, sum(c) AS s1, sum(c * c) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    zq AS (
+      SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+        CASE WHEN m.n_days < 2
+               OR (CAST(m.s2 AS DOUBLE)
+                   - CAST(m.s1 AS DOUBLE) * m.s1 / m.n_days) <= 0
+          THEN 0.0
+          ELSE round(
+            (d.c - CAST(m.s1 AS DOUBLE) / m.n_days)
+            / sqrt((CAST(m.s2 AS DOUBLE)
+                    - CAST(m.s1 AS DOUBLE) * m.s1 / m.n_days)
+                   / (m.n_days - 1)), 6) END AS z_score
+      FROM daily d JOIN mom m ON d.event_type = m.event_type
+    )
+    SELECT *, z_score >= 2.0 AS is_burst FROM zq
+    """,
+)
+def ev_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily burst detection over the event stream — the
+    trending/anomaly gate a KG curation pipeline uses to prioritize
+    recrawl and flag coordinated activity (Kleinberg-style burst
+    surfacing, reduced to per-day z-scores against the type's own
+    history). Two map-side-combinable aggs: daily counts, then
+    per-type INTEGER moments (n, sum, sum of squares) — variance is
+    derived from integer sums with one fixed-order float expression,
+    so both engines compute bit-identical z-scores (no stddev_samp,
+    whose merge order is engine-internal). The moments table is
+    type-dictionary-sized and broadcast back onto the daily counts;
+    nothing windows or sorts the event stream."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_num = s2d - s1d * F.col("s1") / F.col("n_days")
+    z = F.when(
+        (F.col("n_days") < 2) | (var_num <= 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (F.col("c") - s1d / F.col("n_days"))
+            / F.sqrt(var_num / (F.col("n_days") - 1)),
+            6,
+        )
+    )
+    return (
+        daily.join(F.broadcast(mom), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("long").alias("n_events"),
+            z.alias("z_score"),
+        )
+        .withColumn("is_burst", F.col("z_score") >= 2.0)
+    )
+
+
+@register(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH byday AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(day) AS cohort_day FROM byday GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size
+      FROM cohorts GROUP BY cohort_day
+    ),
+    cells AS (
+      SELECT c.cohort_day, b.day - c.cohort_day AS day_offset,
+        count(DISTINCT b.user_id) AS n_active
+      FROM byday b JOIN cohorts c ON b.user_id = c.user_id
+      GROUP BY c.cohort_day, b.day - c.cohort_day
+    )
+    SELECT strftime(ce.cohort_day, '%Y-%m-%d') AS cohort_day,
+      CAST(ce.day_offset AS BIGINT) AS day_offset,
+      CAST(ce.n_active AS BIGINT) AS n_active,
+      CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      round(CAST(ce.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM cells ce JOIN sizes s ON ce.cohort_day = s.cohort_day
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream — users grouped
+    by first-active day, activity counted per (cohort, day offset):
+    the standard product-analytics rollup and, in a crawl pipeline,
+    the recurring-visitor profile per acquisition wave. Shape: one
+    distinct-projection of the event stream to (user, day), a
+    per-user min agg (map-side combined), one user-keyed join back
+    (co-partitioned on the same user hash — no extra shuffle when
+    bucketed), and a cohort-keyed count; the cohort-size table is
+    date-dictionary-sized and broadcast. Retention divides two
+    integers, rounded identically in both engines; day arithmetic is
+    integer date subtraction."""
+    ev = _read(spark, sf_dir, "events")
+    byday = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohorts = byday.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        byday.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )

@@ -2800,3 +2800,251 @@ def data_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("long").alias("cum_tokens"),
         (cum <= _BUDGET_TOKENS).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL template mining over the canonicalized messy-url corpus
+# --------------------------------------------------------------------------
+
+
+def _url_templates_sql() -> str:
+    return f"""
+    WITH canon AS ({_web_url_canonical_sql()}),
+    parts AS (
+      SELECT doc_id, url_canonical,
+        regexp_extract(url_canonical, '://([^/?]*)', 1) AS host,
+        CASE WHEN url_canonical LIKE '%://%'
+             THEN regexp_extract(url_canonical, '://[^/?]*(.*)$', 1)
+             ELSE url_canonical END AS tail
+      FROM canon
+    ),
+    templ AS (
+      SELECT doc_id, url_canonical, host,
+        regexp_replace(host, '[0-9]+', '{{n}}', 'g')
+        || regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                          '[0-9]+', '{{n}}', 'g')
+        || CASE WHEN regexp_extract(tail, '\\?(.*)$', 1) <> ''
+             THEN '?' || regexp_replace(
+                    regexp_extract(tail, '\\?(.*)$', 1), '=[^&]*', '=', 'g')
+             ELSE '' END AS template
+      FROM parts
+    )
+    SELECT template, CAST(count(*) AS BIGINT) AS n_urls,
+      CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+      min(url_canonical) AS sample_url
+    FROM templ GROUP BY template
+    """
+
+
+@register("web_url_templates", oracle=_url_templates_sql())
+def web_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: canonicalized urls collapse to crawl-
+    frontier patterns by masking digit runs in the host AND path
+    ('{n}' — sharded-host families like h1../h2..example.org and
+    non-default ports collapse into one pattern) and
+    stripping query-param VALUES (keeping the sorted name set) — the
+    inventory a crawl scheduler prioritizes with and the first
+    defense against calendar/pagination crawl traps (a trap is a
+    template whose n_urls grows without bound). Pure scan-projection
+    regexp chain on top of the shared canonicalizer (zero Python,
+    zero pre-agg shuffle), then ONE map-side-combinable groupBy on
+    the template key; at 10^12 urls the template table is the
+    pattern dictionary — orders of magnitude smaller than the url
+    stream it summarizes."""
+    from multiomics_biocypher_kg_spark.functions.urls import canonical_url
+
+    m = _messy_urls(spark, sf_dir)
+    canon = m.select(
+        "doc_id", canonical_url(F.col("url_raw")).alias("url_canonical")
+    )
+    host = F.regexp_extract("url_canonical", "://([^/?]*)", 1)
+    tail = F.when(
+        F.col("url_canonical").contains("://"),
+        F.regexp_extract("url_canonical", "://[^/?]*(.*)$", 1),
+    ).otherwise(F.col("url_canonical"))
+    parts = canon.select(
+        "doc_id",
+        "url_canonical",
+        host.alias("host"),
+        tail.alias("tail"),
+    )
+    path_t = F.regexp_replace(
+        F.regexp_extract("tail", "^([^?]*)", 1), "[0-9]+", "{n}"
+    )
+    query = F.regexp_extract("tail", r"\?(.*)$", 1)
+    query_t = F.when(
+        query != "",
+        F.concat(F.lit("?"), F.regexp_replace(query, "=[^&]*", "=")),
+    ).otherwise(F.lit(""))
+    templ = parts.select(
+        "doc_id",
+        "url_canonical",
+        "host",
+        F.concat(
+            F.regexp_replace("host", "[0-9]+", "{n}"), path_t, query_t
+        ).alias("template"),
+    )
+    return templ.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.min("url_canonical").alias("sample_url"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient over the co-mention graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kg_clustering_coeff",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    e AS (SELECT DISTINCT subj AS a, obj AS b FROM pairs),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS entity_id, count(*) AS degree FROM sym GROUP BY a),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+      SELECT n1 AS entity_id FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri
+    ),
+    pn AS (
+      SELECT entity_id, count(*) AS n_triangles
+      FROM tri_nodes GROUP BY entity_id
+    )
+    SELECT d.entity_id, CAST(d.degree AS BIGINT) AS degree,
+      CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+      CASE WHEN d.degree < 2 THEN 0.0
+        ELSE round(2.0 * coalesce(pn.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)), 6) END AS clustering
+    FROM deg d LEFT JOIN pn ON d.entity_id = pn.entity_id
+    """,
+)
+def kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per entity over the co-mention
+    graph — 2T(v) / (d(v)(d(v)-1)), the community-tightness signal
+    that separates topical hub entities (low cc, star-shaped
+    neighborhoods) from clique-like co-mention families (cc -> 1),
+    and the per-node refinement of kg_triangles. Reuses the DEGREE-
+    ORIENTED triangle counter (wedges enumerate at the lowest-
+    (degree, id) apex — hub fan-out bounded) plus one symmetric-edge
+    degree agg; the final arithmetic is a dictionary-sized join.
+    The oracle recomputes triangles with a plain id-ordered 3-way
+    join (valid: the triangle set is orientation-independent) and
+    the identical rounded quotient."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        triangle_counts,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    edges = (
+        comention_pairs(p["links"])
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tc = triangle_counts(edges)
+    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(2.0)
+            * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        )
+    )
+    return deg.join(tc, "entity_id").select(
+        "entity_id",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        cc.alias("clustering"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-window entity co-occurrence (banded range self-join)
+# --------------------------------------------------------------------------
+
+_COMENTION_WINDOW = 8
+
+
+@register(
+    "kg_window_comention",
+    oracle=f"""
+    WITH links AS ({LINKS_SQL}),
+    m AS (
+      SELECT DISTINCT doc_id, pos, entity_id
+      FROM links WHERE entity_id IS NOT NULL
+    )
+    SELECT a.entity_id AS subj, b.entity_id AS obj,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs
+    FROM m a JOIN m b
+      ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+      AND abs(a.pos - b.pos) <= {_COMENTION_WINDOW}
+    GROUP BY a.entity_id, b.entity_id
+    """,
+)
+def kg_window_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence within a +/-{w}-token window — the
+    proximity-weighted relation-extraction signal (doc-level
+    co-mention counts topical association; window-level counts
+    SENTENCE-grade association, what OpenIE-style extractors feed
+    on). The range predicate |pos_a - pos_b| <= {w} is executed as a
+    BANDED EQUI-JOIN: positions bucket to floor(pos/{w}) and the
+    left side probes its own and both adjacent buckets (any
+    qualifying pair differs by at most one bucket), so the join is
+    (doc_id, bucket)-keyed with per-bucket fan-out bounded by local
+    mention density — never a per-doc cross join, never a sort of
+    the token stream (plan-asserted: no CartesianProduct). The
+    oracle states the same semantics as the naive range self-join.
+    The entity-order filter keeps exactly one orientation per
+    unordered row pair, so n_events matches the naive count
+    exactly."""
+    p = _pipeline(spark, sf_dir)
+    w = _COMENTION_WINDOW
+    m = (
+        p["links"]
+        .where(F.col("entity_id").isNotNull())
+        .select("doc_id", "pos", "entity_id")
+        .distinct()
+    )
+    bkt = F.floor(F.col("pos") / w).cast("long")
+    a = m.select(
+        "doc_id",
+        F.col("pos").alias("pos_a"),
+        F.col("entity_id").alias("subj"),
+        F.explode(
+            F.array(bkt - 1, bkt, bkt + 1)
+        ).alias("probe"),
+    )
+    b = m.select(
+        "doc_id",
+        F.col("pos").alias("pos_b"),
+        F.col("entity_id").alias("obj"),
+        bkt.alias("probe"),
+    )
+    pairs = a.join(b, ["doc_id", "probe"]).where(
+        (F.col("subj") < F.col("obj"))
+        & (F.abs(F.col("pos_a") - F.col("pos_b")) <= w)
+    )
+    return pairs.groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+kg_window_comention.__doc__ = kg_window_comention.__doc__.format(
+    w=_COMENTION_WINDOW
+)

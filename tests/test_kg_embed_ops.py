@@ -285,3 +285,84 @@ def test_neo4j_export_admin_import_shape(spark):
     # shard files stay within the configured shard count
     for f in parts:
         assert int(f.split("-part")[1].split(".")[0]) < 4
+
+
+def test_mrr_eval_metric_identities(spark):
+    """Per-relation rows; MRR bounded by Hits@1 from below at 1/1
+    weight and 1.0 above; Hits monotone in k; mean_rank >= 1; the
+    filtered protocol can never rank the true tail below the
+    candidate-dictionary size."""
+    rows = QUERIES["kg_mrr_eval"](spark, SF_TINY).collect()
+    assert rows and len({r["pred"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["n_test"] >= 1
+        assert 0.0 < r["mrr"] <= 1.0
+        assert 0.0 <= r["hits_at_1"] <= r["hits_at_3"] <= r["hits_at_10"] <= 1.0
+        assert r["mrr"] >= r["hits_at_1"] * 1.0 - 1e-9
+        assert r["mean_rank"] >= 1.0
+
+
+def test_ann_recall_eval_bounds_and_exhaustive_probe(spark):
+    """recall in [0,1] with n_hit <= n_gold == k; and when n_probe =
+    n_lists the IVF candidate set is the whole corpus, so recall
+    must be exactly 1.0 for every query (pinned via the operator
+    composition, not the registry entry)."""
+    rows = QUERIES["ann_recall_eval"](spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gold"] == 5
+        assert 0 <= r["n_hit"] <= r["n_gold"]
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_gold"], 6)) < 1e-9
+
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    qids = emb.select("vec_id").where(F.col("vec_id") % 10 == 0)
+    gold = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, query_ids=qids, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=5, n_lists=8, n_probe=8, iters=2)
+        .where(F.col("query_id") % 10 == 0)
+        .collect()
+    }
+    assert gold == full
+
+
+def test_url_templates_mask_all_digits(spark):
+    """Digit runs are always masked: no template may contain a raw
+    digit (they appear only inside '{n}'), every url lands in
+    exactly one template, and multi-host families (the /doc/{n}
+    tier-host formula) collapse across hosts."""
+    rows = QUERIES["web_url_templates"](spark, SF_TINY).collect()
+    assert rows
+    import re as _re
+
+    for r in rows:
+        assert not _re.search(r"[0-9]", r["template"]), r["template"]
+        assert r["n_urls"] >= 1 and r["n_hosts"] >= 1
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").count()
+    assert sum(r["n_urls"] for r in rows) == docs
+    assert any(r["n_hosts"] > 1 for r in rows)
+
+
+def test_clustering_coeff_identities(spark):
+    """cc in [0,1]; cc = 2T/(d(d-1)) re-derived row by row; degree<2
+    forces cc=0; triangle participation requires degree >= 2."""
+    rows = QUERIES["kg_clustering_coeff"](spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clustering"] <= 1.0
+        assert r["degree"] >= 1
+        if r["degree"] < 2:
+            assert r["clustering"] == 0.0 and r["n_triangles"] == 0
+        else:
+            expect = round(
+                2.0 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1)), 6
+            )
+            assert abs(r["clustering"] - expect) < 1e-9

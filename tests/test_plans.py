@@ -409,3 +409,37 @@ def test_shacl_report_triples_materialized_once(spark):
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     # no html-scan leak into the report side
     assert plan.count("Scan parquet") == 0
+
+
+def test_mrr_eval_candidates_broadcast_no_cartesian(spark):
+    """The per-relation tail dictionary must enter the fan-out join
+    as a broadcast (dictionary-sized side) and nothing in the eval
+    may degenerate to a CartesianProduct."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_mrr_eval"](spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_templates_no_python_and_one_agg_shuffle(spark):
+    """Template derivation is a scan-projection regexp chain: no
+    Python workers in the plan, and the only wide operation is the
+    template groupBy (partial_count before the exchange)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_url_templates"](spark, SF_TINY))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "partial_count" in plan
+
+
+def test_window_comention_banded_join_no_cartesian(spark):
+    """The +/-w token range join must execute as the banded
+    (doc_id, bucket) equi-join — no CartesianProduct, no
+    broadcast nested loop over the mention stream."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_window_comention"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

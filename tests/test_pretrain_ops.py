@@ -169,3 +169,84 @@ def test_dedup_eval_exact_recall_is_one(spark):
         rows[k]["tp"] for k in ("exact", "near", "cross")
     )
     assert 0.0 <= rows["all"]["precision"] <= 1.0
+
+
+def test_burst_zscores_match_python_moments(spark):
+    """z-scores re-derived in Python from the daily counts (integer
+    moments, same formula) must match to the rounding; is_burst is
+    exactly the z >= 2 predicate."""
+    rows = QUERIES["ev_burst_detect"](spark, SF_TINY).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r["event_type"]].append(r)
+    for t, rs in per_type.items():
+        n = len(rs)
+        s1 = sum(r["n_events"] for r in rs)
+        s2 = sum(r["n_events"] ** 2 for r in rs)
+        var_num = float(s2) - float(s1) * s1 / n
+        for r in rs:
+            if n < 2 or var_num <= 0:
+                expect = 0.0
+            else:
+                expect = round(
+                    (r["n_events"] - float(s1) / n)
+                    / ((var_num / (n - 1)) ** 0.5),
+                    6,
+                )
+            assert abs(r["z_score"] - expect) < 1e-9, (t, r)
+            assert r["is_burst"] == (r["z_score"] >= 2.0)
+
+
+def test_window_comention_equals_naive_range_join(spark):
+    """The banded equi-join must reproduce the naive quadratic
+    range self-join exactly (pair set, event counts, doc counts)."""
+    from multiomics_biocypher_kg_spark.registry import _pipeline
+
+    got = {
+        (r["subj"], r["obj"]): (r["n_events"], r["n_docs"])
+        for r in QUERIES["kg_window_comention"](spark, SF_TINY).collect()
+    }
+    links = (
+        _pipeline(spark, SF_TINY)["links"]
+        .where(F.col("entity_id").isNotNull())
+        .select("doc_id", "pos", "entity_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in links:
+        by_doc[r["doc_id"]].append((r["pos"], r["entity_id"]))
+    events = defaultdict(int)
+    docs = defaultdict(set)
+    for doc_id, ms in by_doc.items():
+        for i, (pa, ea) in enumerate(ms):
+            for pb, eb in ms:
+                if ea < eb and abs(pa - pb) <= 8:
+                    events[(ea, eb)] += 1
+                    docs[(ea, eb)].add(doc_id)
+    expect = {k: (v, len(docs[k])) for k, v in events.items()}
+    assert got == expect
+
+
+def test_retention_cohort_identities(spark):
+    """Offset 0 is always retention 1.0 (the cohort IS the day-0
+    active set); retention in (0,1]; n_active <= cohort_size; every
+    (cohort, offset) cell unique; cohort sizes partition the user
+    base."""
+    rows = QUERIES["ev_retention_cohorts"](spark, SF_TINY).collect()
+    assert rows
+    cells = {(r["cohort_day"], r["day_offset"]) for r in rows}
+    assert len(cells) == len(rows)
+    zero = [r for r in rows if r["day_offset"] == 0]
+    assert zero and all(r["retention"] == 1.0 for r in zero)
+    for r in rows:
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert r["day_offset"] >= 0
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["cohort_size"] for r in zero) == n_users
