@@ -52,6 +52,8 @@ EXTRA = [
     "emb_quantize_int8",       # array-expression quantization
     "text_line_dedup",         # line-hash boilerplate strip
     "text_bigram_perplexity",  # interpolated bigram LM gate
+    "dedup_winnowing",         # per-doc window fingerprints + pair join
+    "web_hyperanf",            # min-register neighborhood sketch
 ]
 
 

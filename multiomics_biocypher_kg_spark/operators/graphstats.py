@@ -358,3 +358,289 @@ def adamic_adar_topk(
         F.round("aa_raw", 6).alias("adamic_adar"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# ── SimRank (structural similarity) ─────────────────────────────────
+
+
+def simrank(
+    edges: DataFrame, iters: int = 2, c: float = 0.8
+) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD'02) over a directed graph:
+    s(a,b) = c / (|I(a)||I(b)|) * sum over in-neighbor pairs of
+    s(ia, ib), s(a,a) = 1, with s_0 = identity.
+
+    The pair-state is materialized SPARSELY: iteration k only
+    carries pairs whose in-neighborhoods connect to a nonzero
+    s_{k-1} pair, so the state size tracks the realized similarity
+    structure, not |V|^2. SimRank is inherently pairwise — at
+    10^12-doc scale it runs over the HOST graph (|hosts| ~ 10^7,
+    in-neighborhoods bounded), never the page graph; the page-level
+    analog is the MinHash family. Each iteration is two keyed joins
+    (edges x edges x prior state) + one groupBy — lineage stays
+    flat because the loop is fixed-depth and unrolled.
+
+    Input: (src, dst). Output: (node_a, node_b, sim) for a < b with
+    sim > 0, rounded 6dp (diagonal rows are identically 1 and
+    omitted).
+    """
+    e = edges.select("src", "dst").distinct()
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+
+    # s1 off-diagonal: s0 is the identity, so the double sum reduces
+    # to the common-in-neighbor count.
+    common = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.src") == F.col("y.src"))
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s = (
+        common.join(indeg.select(F.col("dst").alias("a"), F.col("n_in").alias("ia")), "a")
+        .join(indeg.select(F.col("dst").alias("b"), F.col("n_in").alias("ib")), "b")
+        .select(
+            "a",
+            "b",
+            (F.lit(c) * F.col("n_common") / (F.col("ia") * F.col("ib"))).alias("sim"),
+        )
+    )
+    for _ in range(iters - 1):
+        # sum over (i in I(a), j in I(b)) of s_{k-1}(i, j): the prior
+        # state is stored for i < j only, so join both orientations.
+        prior = s.select("a", "b", "sim").union(
+            s.select(F.col("b").alias("a"), F.col("a").alias("b"), "sim")
+        )
+        contrib = (
+            prior.join(e.alias("ea"), F.col("a") == F.col("ea.src"))
+            .join(e.alias("eb"), F.col("b") == F.col("eb.src"))
+            .where(F.col("ea.dst") < F.col("eb.dst"))
+            .groupBy(F.col("ea.dst").alias("a"), F.col("eb.dst").alias("b"))
+            .agg(F.sum("sim").alias("contrib"))
+        )
+        # diagonal prior contributes the common-in-neighbor count
+        # (s(i,i) = 1 exactly, never stored).
+        s = (
+            contrib.join(common, ["a", "b"], "outer")
+            .select(
+                "a",
+                "b",
+                (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.coalesce(F.col("n_common"), F.lit(0))).alias(
+                    "raw"
+                ),
+            )
+            .join(indeg.select(F.col("dst").alias("a"), F.col("n_in").alias("ia")), "a")
+            .join(indeg.select(F.col("dst").alias("b"), F.col("n_in").alias("ib")), "b")
+            .select(
+                "a",
+                "b",
+                (F.lit(c) * F.col("raw") / (F.col("ia") * F.col("ib"))).alias("sim"),
+            )
+        )
+    return s.where(F.col("sim") > 0).select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+# ── Exact bounded-h neighborhood function ───────────────────────────
+
+
+def hop_neighborhoods(edges: DataFrame, max_h: int = 3) -> DataFrame:
+    """|N_<=h(v)| for h = 1..max_h: the exact bounded-radius
+    neighborhood function via iterated distinct frontier joins —
+    reach_h = reach_{h-1} UNION (reach_{h-1} JOIN edges), self
+    excluded.
+
+    Exact counting is for BOUNDED graphs (the host graph); at
+    10^12-doc scale the page-level answer is probabilistic counting
+    (HyperANF — the HLL-sketch discipline text_hll_host_cardinality
+    already demonstrates), because reach sets grow toward |V| per
+    node. Output: (node, n1, ..., n{max_h}).
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    reach = e
+    counts = reach.groupBy("src").agg(F.count(F.lit(1)).alias("n1"))
+    for h in range(2, max_h + 1):
+        step = (
+            reach.alias("r")
+            .join(e.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        reach = reach.union(step).distinct()
+        counts = counts.join(
+            reach.groupBy("src").agg(F.count(F.lit(1)).alias(f"n{h}")),
+            "src",
+            "outer",
+        )
+    out = counts.select(
+        F.col("src").alias("node"),
+        *[F.coalesce(F.col(f"n{h}"), F.lit(0)).alias(f"n{h}") for h in range(1, max_h + 1)],
+    )
+    return out
+
+
+# ── HyperANF-style probabilistic neighborhood function ───────────────
+
+
+def hyperanf_states(
+    edges: DataFrame, max_h: int = 3, k_trials: int = 16, modulus: int = 1_000_003
+) -> list[DataFrame]:
+    """Min-register sketch states for the neighborhood function
+    (HyperANF, Boldi-Rosa-Vigna WWW'11, with the same min-of-hash
+    registers as text_hll_host_cardinality instead of HLL bytes):
+    state_h(v)[r] = min over u in ball(v, h) of hash_r(u), advanced by
+    state_h(v) = elementwise-min(state_{h-1}(v), state_{h-1}(w) for
+    each out-neighbor w) — ONE keyed join + one min-groupBy per
+    radius, state K longs per node, never a reach-set. This is the
+    10^12-node path the exact hop_neighborhoods contract points to.
+
+    Returns [state_1, ..., state_max_h], each (node, r, m) — the ball
+    INCLUDES the node itself (state_0 is the self-hash)."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    regs = F.explode(F.array(*[F.lit(r) for r in range(k_trials)])).alias("r")
+    state = nodes.select("node", regs).select(
+        "node",
+        "r",
+        (
+            md5_long(
+                F.concat(F.col("node"), F.lit("#anf"), F.col("r").cast("string"))
+            )
+            % modulus
+        ).alias("m"),
+    )
+    out = []
+    for _ in range(max_h):
+        contrib = e.alias("e").join(
+            state.alias("s"), F.col("e.dst") == F.col("s.node")
+        ).select(F.col("e.src").alias("node"), F.col("s.r").alias("r"), F.col("s.m").alias("m"))
+        state = (
+            state.union(contrib).groupBy("node", "r").agg(F.min("m").alias("m"))
+        )
+        out.append(state)
+    return out
+
+
+def hyperanf_estimates(
+    edges: DataFrame, max_h: int = 3, k_trials: int = 16, modulus: int = 1_000_003
+) -> DataFrame:
+    """(node, h, n_exact, n_est, rel_err): the sketch estimate of the
+    ball size |B(v, h)| (self included) next to the exact count — the
+    exact side rides along (cheap on the bounded host graph) so the
+    estimator error is pinned, exactly the text_hll_host_cardinality
+    discipline. Estimator: sum of K independent min-of-n-uniforms ~
+    Gamma(K, 1/(n+1)), so (K-1)*modulus/sum - 1 is unbiased for n."""
+    states = hyperanf_states(edges, max_h, k_trials, modulus)
+    e_ns = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    exact = hop_neighborhoods(e_ns, max_h=max_h)
+    nodes = states[0].select("node").distinct()
+    parts = []
+    for h, state in enumerate(states, start=1):
+        s = state.groupBy("node").agg(F.sum("m").alias("s"))
+        est = (
+            F.lit(float(k_trials - 1)) * modulus / F.greatest(F.col("s"), F.lit(1))
+            - 1
+        )
+        n_exact = F.coalesce(F.col(f"n{h}"), F.lit(0)) + 1
+        parts.append(
+            s.join(nodes, "node")
+            .join(exact.select("node", f"n{h}"), "node", "left")
+            .select(
+                "node",
+                F.lit(h).cast("int").alias("h"),
+                n_exact.cast("long").alias("n_exact"),
+                F.round(est, 6).alias("n_est"),
+                F.round(F.abs(est - n_exact) / n_exact, 6).alias("rel_err"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ── Weisfeiler–Leman structural roles ────────────────────────────────
+
+
+def wl_roles(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """1-WL color refinement over a directed graph: every node's color
+    is iteratively re-hashed from (own color, sorted multiset of
+    in-neighbor colors, sorted multiset of out-neighbor colors).
+    After k rounds, two nodes share a color iff 1-WL cannot
+    distinguish their k-hop rooted structure — the classic structural
+    ROLE signal (mirror farms and template-generated link structures
+    collapse to one role; organic hosts spread out).
+
+    Per round: two keyed joins (in/out neighbor color lookup), two
+    collect_list aggregates keyed by node (fan-in bounded by degree —
+    the hub-degree cap guards any skew, same discipline as
+    comention_fanout_metrics), one hash projection. State is one
+    8-hex color per node. Output: (node, role, role_size).
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    colors = nodes.select("node", F.lit("x").alias("color"))
+    for _ in range(iters):
+        inn = (
+            e.join(colors.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("color"))).alias(
+                    "in_sig"
+                )
+            )
+        )
+        out = (
+            e.join(colors.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("color"))).alias(
+                    "out_sig"
+                )
+            )
+        )
+        colors = (
+            colors.join(inn, "node", "left")
+            .join(out, "node", "left")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("color"),
+                            F.lit("|i:"),
+                            F.coalesce(F.col("in_sig"), F.lit("")),
+                            F.lit("|o:"),
+                            F.coalesce(F.col("out_sig"), F.lit("")),
+                        )
+                    ),
+                    1,
+                    8,
+                ).alias("color"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("color")
+    return colors.select(
+        "node",
+        F.col("color").alias("role"),
+        F.count(F.lit(1)).over(w).alias("role_size"),
+    )

@@ -721,3 +721,49 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+# ── Per-label centroid-distance outliers ─────────────────────────────
+
+
+def label_outliers(
+    vectors: DataFrame,
+    z: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding outliers: distance of every vector to its
+    label centroid, flagged when dist > mean + z * stddev within the
+    label — the mislabeled-example / embedding-drift audit a training
+    pipeline runs before a fine-tune batch ships.
+
+    Shape: posexplode -> per-(label, dim) mean (vocabulary-sized:
+    |labels| x dim rows) joined back on (label, dim) — the centroid
+    table broadcasts; per-vector distances re-aggregate by id; the
+    per-label mean/stddev is a second tiny aggregate joined back on
+    label. Two corpus passes over the exploded stream, zero Python.
+    Output: (vec_id, label, dist, is_outlier).
+    """
+    exploded = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    cent = exploded.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    dists = (
+        exploded.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))).alias("dist"))
+    )
+    stats = dists.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    return dists.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round("dist", 6).alias("dist"),
+        (F.col("dist") > F.col("mu") + F.lit(z) * F.col("sd")).cast("int").alias(
+            "is_outlier"
+        ),
+    )

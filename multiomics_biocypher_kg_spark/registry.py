@@ -696,8 +696,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # web_main_density, kg_skipgram_pairs, kg_rule_mining,
 # kg_truth_discovery, dedup_eval_pr, kg_mrr_eval, ann_recall_eval,
 # web_url_templates, kg_clustering_coeff, ev_burst_detect,
-# kg_window_comention, ev_retention_cohorts) were registered
-# after this window froze
+# kg_window_comention, ev_retention_cohorts) and the
+# registry_mining batch (kg_fellegi_sunter, dedup_winnowing,
+# web_simrank, text_rake_keywords, emb_label_outliers,
+# web_hop_neighborhood, web_hyperanf, data_k_anonymity,
+# data_split_by_cluster, web_wl_roles) were registered after this
+# window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are
 # INTENTIONALLY deferred — local-sweep-verified this round; rotate
@@ -789,5 +793,6 @@ from multiomics_biocypher_kg_spark import registry_web  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_scale_ops  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_kg_embed  # noqa: E402,F401
 from multiomics_biocypher_kg_spark import registry_pretrain  # noqa: E402,F401
+from multiomics_biocypher_kg_spark import registry_mining  # noqa: E402,F401
 
 _apply_driver_window_order()

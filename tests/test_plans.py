@@ -443,3 +443,76 @@ def test_window_comention_banded_join_no_cartesian(spark):
     plan = _plan(QUERIES["kg_window_comention"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fellegi_sunter_no_cartesian_u_broadcast(spark):
+    """FS candidates must come from the block-key equi-join only, and
+    the per-field u-probability 1-row aggregates must broadcast into
+    the scorer — a CartesianProduct over the record table would be
+    corpus^2."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_fellegi_sunter"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row u-probability
+    # broadcasts (3 fields -> 3 of them, each building a 1-row side)
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_winnowing_windows_partition_by_doc(spark):
+    """Both winnowing window passes (k-gram lead, window-min frame)
+    must partition by doc_id — a global-order window would funnel the
+    token stream through one task."""
+    from multiomics_biocypher_kg_spark.operators.mining import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(winnowing_fingerprints(docs))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line
+
+
+def test_rake_topk_is_take_ordered(spark):
+    """RAKE's top-20 must compile to TakeOrderedAndProject
+    (distributed top-k), never a global Sort + Limit pipeline."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_rake_keywords"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_label_outliers_stats_broadcast(spark):
+    """Centroid and per-label stat joins must broadcast (labels x dim
+    and labels-sized sides) — no SortMergeJoin over the exploded
+    vector stream."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_label_outliers"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hyperanf_keyed_joins_only(spark):
+    """Every HyperANF radius must advance through keyed joins on the
+    register table — no CartesianProduct / nested loop over nodes."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_hyperanf"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wl_roles_keyed_joins_only(spark):
+    """WL color refinement: neighbor-color lookups are equi-joins,
+    multiset signatures are degree-bounded aggs — never a node x node
+    product."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_wl_roles"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
