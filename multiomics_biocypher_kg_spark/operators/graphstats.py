@@ -384,7 +384,9 @@ def simrank(
     sim > 0, rounded 6dp (diagonal rows are identically 1 and
     omitted).
     """
-    e = edges.select("src", "dst").distinct()
+    # e is joined 2x per iteration (plus the wedge join): truncate
+    # upstream lineage once (pagerank loop-invariant discipline).
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
 
     # s1 off-diagonal: s0 is the identity, so the double sum reduces
@@ -459,7 +461,14 @@ def hop_neighborhoods(edges: DataFrame, max_h: int = 3) -> DataFrame:
     already demonstrates), because reach sets grow toward |V| per
     node. Output: (node, n1, ..., n{max_h}).
     """
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        # joined once per radius: truncate upstream lineage (the
+        # pagerank loop-invariant discipline); host-graph-sized.
+        .localCheckpoint(eager=True)
+    )
     reach = e
     counts = reach.groupBy("src").agg(F.count(F.lit(1)).alias("n1"))
     for h in range(2, max_h + 1):
@@ -501,7 +510,12 @@ def hyperanf_states(
     INCLUDES the node itself (state_0 is the self-hash)."""
     from multiomics_biocypher_kg_spark.functions.hashing import md5_long
 
-    e = edges.select("src", "dst").distinct()
+    # loop invariant: every radius joins against e, so an
+    # uncheckpointed e re-derives its upstream pipeline (the full
+    # corpus scan when edges come from the link graph) once per
+    # radius — the same O(iters) re-derivation the pagerank loop
+    # truncates. localCheckpoint is host-graph-sized here.
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -590,7 +604,9 @@ def wl_roles(edges: DataFrame, iters: int = 2) -> DataFrame:
     comention_fanout_metrics), one hash projection. State is one
     8-hex color per node. Output: (node, role, role_size).
     """
-    e = edges.select("src", "dst").distinct()
+    # e is joined twice per round: truncate upstream lineage once
+    # (pagerank loop-invariant discipline); host-graph-sized.
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -643,4 +659,70 @@ def wl_roles(edges: DataFrame, iters: int = 2) -> DataFrame:
         "node",
         F.col("color").alias("role"),
         F.count(F.lit(1)).over(w).alias("role_size"),
+    )
+
+
+# ── Dunning G² co-occurrence significance ────────────────────────────
+
+G2_CRIT_1PCT = 6.634897  # chi-squared, 1 dof, alpha = 0.01
+
+
+def gtest_edges(pairs: DataFrame) -> DataFrame:
+    """Dunning (1993) log-likelihood-ratio G² significance for
+    co-mention edges — the hypothesis-test complement to pmi_edges:
+    PMI scores association STRENGTH but explodes on rare pairs; G²
+    scores association EVIDENCE (it grows with support), which is
+    what edge admission at web scale actually needs.
+
+    2x2 contingency per pair over the doc universe N (docs
+    participating in any pair — the same universe as pmi_edges):
+    O11 = docs with both, O12/O21 = one-sided, O22 = the rest;
+    G² = 2 * sum O * ln(O/E) with 0-observed cells contributing 0.
+    Same shuffle shape as PMI: pair counts + entity marginals +
+    one broadcast total.
+    """
+    doc_ent = pairs.select("doc_id", F.col("subj").alias("entity_id")).unionByName(
+        pairs.select("doc_id", F.col("obj").alias("entity_id"))
+    )
+    marg = doc_ent.groupBy("entity_id").agg(
+        F.countDistinct("doc_id").alias("k_ent")
+    )
+    total = pairs.select(F.countDistinct("doc_id").alias("n"))
+    pc = pairs.groupBy("subj", "obj").agg(
+        F.countDistinct("doc_id").alias("k11")
+    )
+    j = (
+        pc.join(
+            marg.select(F.col("entity_id").alias("subj"), F.col("k_ent").alias("ka")),
+            "subj",
+        )
+        .join(
+            marg.select(F.col("entity_id").alias("obj"), F.col("k_ent").alias("kb")),
+            "obj",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    o11 = F.col("k11").cast("double")
+    o12 = (F.col("ka") - F.col("k11")).cast("double")
+    o21 = (F.col("kb") - F.col("k11")).cast("double")
+    o22 = (F.col("n") - F.col("ka") - F.col("kb") + F.col("k11")).cast("double")
+    n = F.col("n").cast("double")
+
+    def term(o, row, col):
+        e = row * col / n
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    ra, rb = o11 + o12, o21 + o22
+    ca, cb = o11 + o21, o12 + o22
+    g2 = 2.0 * (
+        term(o11, ra, ca) + term(o12, ra, cb) + term(o21, rb, ca) + term(o22, rb, cb)
+    )
+    return j.select(
+        "subj",
+        "obj",
+        F.col("k11").alias("n_docs_pair"),
+        F.col("ka").alias("n_docs_subj"),
+        F.col("kb").alias("n_docs_obj"),
+        F.round(g2, 6).alias("g2"),
+        (g2 > G2_CRIT_1PCT).cast("int").alias("significant"),
     )

@@ -767,3 +767,101 @@ def label_outliers(
             "is_outlier"
         ),
     )
+
+
+# ── Random projection (Johnson–Lindenstrauss) ────────────────────────
+
+
+def random_projection(
+    vectors: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-matrix random projection to ``out_dim`` dims:
+    y_j = sum_i s(i, j) * x_i / sqrt(out_dim) with s(i, j) = +/-1
+    derived from MD5 of (i, j) — the matrix is a pure hash EXPRESSION
+    (never materialized or broadcast as data), so the projection is
+    one exploded-stream join against an (in_dim x out_dim) literal-
+    free grid plus one keyed sum. Returns (vec_id, j, y) long format.
+
+    This is the dimensionality-reduction front half of the JL lemma;
+    at 10^9 vectors it is a map-side-combinable aggregate keyed by
+    (vec_id, j) — no shuffle of raw vectors beyond the one the
+    consumer already pays."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+
+    ex = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(out_dim)])).alias("j")
+    sign = 1 - 2 * (
+        md5_long(
+            F.concat(
+                F.lit("jl|"), F.col("i").cast("string"), F.lit("|"), F.col("j").cast("string")
+            )
+        )
+        % 2
+    )
+    return (
+        ex.select("vec_id", "i", "x", js)
+        .groupBy("vec_id", "j")
+        .agg(
+            (F.sum(F.col("x") * sign) / F.lit(float(out_dim) ** 0.5)).alias("y")
+        )
+    )
+
+
+def jl_distortion_pairs(
+    vectors: DataFrame,
+    out_dim: int,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL distortion audit on a deterministic hash SAMPLE of vectors:
+    for every sampled pair, the original and projected Euclidean
+    distances and their ratio — the empirical check of the
+    (1 +/- eps) JL guarantee that calibrates out_dim before a
+    10^9-vector deployment. The all-pairs stage runs on the SAMPLE
+    only (audit scale, the data_bitext_mine eval-scale contract);
+    distances are keyed joins on the dimension index."""
+    sampled = vectors.where((F.col(id_col) % sample_mod) == 0)
+    ex = sampled.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    proj = random_projection(sampled, out_dim, id_col=id_col, vec_col=vec_col)
+    # pair enumeration happens INSIDE the dimension-keyed joins below
+    # (a < b filter on the shared dim join) — no separate cross join.
+    d_orig = (
+        ex.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
+        .join(
+            ex.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb")),
+            "i",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sqrt(F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))).alias("d_orig"))
+    )
+    d_proj = (
+        proj.select(F.col("vec_id").alias("vec_a"), "j", F.col("y").alias("ya"))
+        .join(
+            proj.select(F.col("vec_id").alias("vec_b"), "j", F.col("y").alias("yb")),
+            "j",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sqrt(F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))).alias("d_proj"))
+    )
+    return (
+        d_orig.join(d_proj, ["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round("d_orig", 6).alias("d_orig"),
+            F.round("d_proj", 6).alias("d_proj"),
+            F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("distortion"),
+        )
+    )

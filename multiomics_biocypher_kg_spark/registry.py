@@ -700,8 +700,10 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # registry_mining batch (kg_fellegi_sunter, dedup_winnowing,
 # web_simrank, text_rake_keywords, emb_label_outliers,
 # web_hop_neighborhood, web_hyperanf, data_k_anonymity,
-# data_split_by_cluster, web_wl_roles) were registered after this
-# window froze
+# data_split_by_cluster, web_wl_roles, emb_random_projection,
+# data_mixing_epochs, kg_schema_inference, web_change_rate,
+# text_textrank_keywords, rel_ams_f2, kg_gtest_edges,
+# dedup_threshold_curve) were registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are
 # INTENTIONALLY deferred — local-sweep-verified this round; rotate

@@ -20,7 +20,7 @@ local-sweep-verified this round (the registry.py NOTE lists them).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multiomics_biocypher_kg_spark.functions.hashing import md5_long, md5_long_sql
@@ -706,3 +706,770 @@ def web_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomics_biocypher_kg_spark.operators.graphstats import wl_roles
 
     return wl_roles(_host_edges(spark, sf_dir), iters=_WL_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (JL) distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIM = 16
+_JL_SAMPLE_MOD = 10
+
+
+def _jl_oracle_sql() -> str:
+    sign = (
+        "(1 - 2 * ("
+        + md5_long_sql("'jl|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)")
+        + " % 2))"
+    )
+    return f"""
+    WITH sampled AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % {_JL_SAMPLE_MOD} = 0
+    ),
+    ex AS (SELECT vec_id,
+        CAST(generate_subscripts(e, 1) - 1 AS INTEGER) AS i, unnest(e) AS x
+      FROM sampled),
+    proj AS (
+      SELECT vec_id, j, sum(x * {sign}) / sqrt({_JL_OUT_DIM}.0) AS y
+      FROM ex CROSS JOIN
+        (SELECT unnest(generate_series(0, {_JL_OUT_DIM - 1})) AS j)
+      GROUP BY vec_id, j
+    ),
+    d_orig AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        sqrt(sum((a.x - b.x) * (a.x - b.x))) AS d_orig
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    d_proj AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        sqrt(sum((a.y - b.y) * (a.y - b.y))) AS d_proj
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(d_orig, 6) AS d_orig,
+      round(d_proj, 6) AS d_proj,
+      round(d_proj / d_orig, 6) AS distortion
+    FROM d_orig JOIN d_proj USING (vec_a, vec_b)
+    """
+
+
+@register("emb_random_projection", oracle=_jl_oracle_sql())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign-matrix projection (64 -> 16 dims)
+    with the empirical distortion audit on a deterministic hash
+    sample (operators.simsearch.random_projection /
+    jl_distortion_pairs): the projection matrix is a pure MD5-sign
+    EXPRESSION (never materialized), the projection one keyed sum
+    over the exploded stream, and the audit's all-pairs stage runs on
+    the SAMPLE only — the calibration a 10^9-vector pipeline runs
+    once to pick out_dim before replacing 4x-wider vectors
+    everywhere downstream."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        jl_distortion_pairs,
+    )
+
+    return jl_distortion_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        out_dim=_JL_OUT_DIM,
+        sample_mod=_JL_SAMPLE_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNIMAX-style epoch-capped data-mixing allocation
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_EPOCH_CAP = 2.5
+_MIX_BUDGET_X = 2.0  # token budget = 2x the corpus (multi-epoch run)
+
+
+def _mixing_oracle_sql() -> str:
+    return f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per_lang),
+    raw AS (
+      SELECT p.lang, p.n_tokens,
+        pow(p.n_tokens / tot.t, {_MIX_ALPHA}) AS w_raw,
+        {_MIX_BUDGET_X} * tot.t AS budget
+      FROM per_lang p CROSS JOIN tot
+    ),
+    wt AS (SELECT sum(w_raw) AS s FROM raw),
+    a0 AS (
+      SELECT lang, n_tokens, budget, w_raw / wt.s AS w,
+        budget * w_raw / wt.s AS alloc0,
+        {_MIX_EPOCH_CAP} * n_tokens AS cap
+      FROM raw CROSS JOIN wt
+    ),
+    agg1 AS (
+      SELECT sum(CASE WHEN alloc0 > cap THEN alloc0 - cap ELSE 0 END) AS surplus,
+        sum(CASE WHEN alloc0 > cap THEN 0 ELSE w END) AS w_un
+      FROM a0
+    ),
+    a1 AS (
+      SELECT a0.*,
+        CASE WHEN alloc0 > cap THEN cap
+             ELSE alloc0 + coalesce(surplus * w / nullif(w_un, 0), 0) END
+          AS alloc1
+      FROM a0 CROSS JOIN agg1
+    ),
+    fin AS (
+      SELECT lang, n_tokens, w, budget, least(alloc1, cap) AS alloc_final,
+        CAST(CASE WHEN alloc1 >= cap THEN 1 ELSE 0 END AS INTEGER) AS capped
+      FROM a1
+    ),
+    fill AS (SELECT sum(alloc_final) AS used FROM fin)
+    SELECT lang, n_tokens, round(w, 6) AS sample_weight,
+      round(alloc_final, 2) AS alloc_tokens,
+      round(alloc_final / n_tokens, 6) AS epochs, capped,
+      round(fill.used / budget, 6) AS budget_fill
+    FROM fin CROSS JOIN fill
+    """
+
+
+@register("data_mixing_epochs", oracle=_mixing_oracle_sql())
+def data_mixing_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX-style epoch-capped data-mixing allocation: temperature
+    weights (the data_lang_sampling_weights rule, alpha = 0.3) turn a
+    fixed token budget (2x the corpus) into per-language allocations;
+    any language whose allocation exceeds the epoch cap (2.5 epochs of
+    its unique tokens — the repetition ceiling after which marginal
+    value collapses) is clamped and its surplus redistributed over
+    the uncapped languages proportionally to their weights (ONE
+    redistribution round unrolled; residual second-order overflow is
+    clipped and shows up as budget_fill < 1). All state is
+    language-dictionary-sized: one map-side-combined groupBy over the
+    corpus, then broadcast 1-row aggregates. Output: (lang, n_tokens,
+    sample_weight, alloc_tokens, epochs, capped, budget_fill)."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("t"))
+    raw = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("t"), F.lit(_MIX_ALPHA)).alias("w_raw"),
+        (F.lit(_MIX_BUDGET_X) * F.col("t")).alias("budget"),
+    )
+    wt = raw.agg(F.sum("w_raw").alias("s"))
+    a0 = raw.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        "n_tokens",
+        "budget",
+        (F.col("w_raw") / F.col("s")).alias("w"),
+        (F.col("budget") * F.col("w_raw") / F.col("s")).alias("alloc0"),
+        (F.lit(_MIX_EPOCH_CAP) * F.col("n_tokens")).alias("cap"),
+    )
+    over = F.col("alloc0") > F.col("cap")
+    agg1 = a0.agg(
+        F.sum(F.when(over, F.col("alloc0") - F.col("cap")).otherwise(0.0)).alias(
+            "surplus"
+        ),
+        F.sum(F.when(over, 0.0).otherwise(F.col("w"))).alias("w_un"),
+    )
+    a1 = a0.crossJoin(F.broadcast(agg1)).select(
+        "lang",
+        "n_tokens",
+        "w",
+        "budget",
+        "cap",
+        F.when(over, F.col("cap"))
+        .otherwise(
+            F.col("alloc0")
+            + F.coalesce(
+                F.col("surplus") * F.col("w") / F.nullif(F.col("w_un"), F.lit(0.0)),
+                F.lit(0.0),
+            )
+        )
+        .alias("alloc1"),
+    )
+    fin = a1.select(
+        "lang",
+        "n_tokens",
+        "w",
+        "budget",
+        F.least("alloc1", "cap").alias("alloc_final"),
+        (F.col("alloc1") >= F.col("cap")).cast("int").alias("capped"),
+    )
+    fill = fin.agg(F.sum("alloc_final").alias("used"))
+    return fin.crossJoin(F.broadcast(fill)).select(
+        "lang",
+        "n_tokens",
+        F.round("w", 6).alias("sample_weight"),
+        F.round("alloc_final", 2).alias("alloc_tokens"),
+        F.round(F.col("alloc_final") / F.col("n_tokens"), 6).alias("epochs"),
+        "capped",
+        F.round(F.col("used") / F.col("budget"), 6).alias("budget_fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate schema inference over the heterogeneous edge union
+# ---------------------------------------------------------------------------
+
+
+def _node_type_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} LIKE 'https://%' THEN 'page' "
+        f"WHEN {col} LIKE '%:%' THEN split_part({col}, ':', 1) "
+        f"ELSE 'host' END"
+    )
+
+
+def _schema_infer_oracle_sql() -> str:
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_ctes
+
+    return f"""
+    WITH {hetero_edges_ctes()},
+    typed AS (
+      SELECT pred, {_node_type_sql('subj')} AS stype,
+        {_node_type_sql('obj')} AS otype
+      FROM edges
+    ),
+    dom AS (SELECT pred, stype, count(*) AS n FROM typed GROUP BY 1, 2),
+    rng AS (SELECT pred, otype, count(*) AS n FROM typed GROUP BY 1, 2),
+    tot AS (SELECT pred, count(*) AS n_edges FROM typed GROUP BY pred),
+    topd AS (
+      SELECT pred, stype, n,
+        row_number() OVER (PARTITION BY pred ORDER BY n DESC, stype) AS rk,
+        count(*) OVER (PARTITION BY pred) AS n_types
+      FROM dom
+    ),
+    topr AS (
+      SELECT pred, otype, n,
+        row_number() OVER (PARTITION BY pred ORDER BY n DESC, otype) AS rk,
+        count(*) OVER (PARTITION BY pred) AS n_types
+      FROM rng
+    )
+    SELECT t.pred, t.n_edges,
+      d.stype AS domain_type,
+      round(CAST(d.n AS DOUBLE) / t.n_edges, 6) AS domain_support,
+      CAST(d.n_types AS BIGINT) AS n_domain_types,
+      r.otype AS range_type,
+      round(CAST(r.n AS DOUBLE) / t.n_edges, 6) AS range_support,
+      CAST(r.n_types AS BIGINT) AS n_range_types
+    FROM tot t
+    JOIN topd d ON t.pred = d.pred AND d.rk = 1
+    JOIN topr r ON t.pred = r.pred AND r.rk = 1
+    """
+
+
+@register("kg_schema_inference", oracle=_schema_infer_oracle_sql())
+def kg_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate domain/range inference over the heterogeneous edge
+    union: per predicate, the modal subject/object node type with
+    support fractions and type cardinalities — the signal that
+    RECONSTRUCTS what the reference's schema_config.yaml DECLARES
+    (source/target labels per edge type; cf. /root/reference/config/
+    schema_config.yaml) when the schema must be inferred from emitted
+    edges instead. Node types come from the id shape in the scan
+    projection (page / host / curie prefix); the profile is two
+    predicate-dictionary-sized aggregates + rank-1 windows over them.
+    Complements kg_predicate_stats (functionality ratios) and the
+    SHACL conformance report (which CHECKS a declared schema — this
+    op produces the candidate declaration)."""
+    from multiomics_biocypher_kg_spark.hetero import hetero_edges_df
+
+    edges = hetero_edges_df(spark, sf_dir)
+
+    def ntype(c):
+        return (
+            F.when(F.col(c).startswith("https://"), F.lit("page"))
+            .when(
+                F.col(c).contains(":"),
+                F.element_at(F.split(F.col(c), ":"), 1),
+            )
+            .otherwise(F.lit("host"))
+        )
+
+    typed = edges.select(
+        "pred", ntype("subj").alias("stype"), ntype("obj").alias("otype")
+    )
+    dom = typed.groupBy("pred", "stype").agg(F.count(F.lit(1)).alias("n"))
+    rng = typed.groupBy("pred", "otype").agg(F.count(F.lit(1)).alias("n"))
+    tot = typed.groupBy("pred").agg(F.count(F.lit(1)).alias("n_edges"))
+    wd = Window.partitionBy("pred").orderBy(F.desc("n"), "stype")
+    wr = Window.partitionBy("pred").orderBy(F.desc("n"), "otype")
+    cd = Window.partitionBy("pred")
+    topd = dom.select(
+        "pred",
+        "stype",
+        "n",
+        F.row_number().over(wd).alias("rk"),
+        F.count(F.lit(1)).over(cd).alias("n_types"),
+    ).where(F.col("rk") == 1)
+    topr = rng.select(
+        "pred",
+        "otype",
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(cd).alias("n_types"),
+    ).where(F.col("rk") == 1)
+    return (
+        tot.join(topd, "pred")
+        .join(
+            topr.select(
+                "pred",
+                F.col("otype").alias("range_type"),
+                F.col("n").alias("rn"),
+                F.col("n_types").alias("n_range_types"),
+            ),
+            "pred",
+        )
+        .select(
+            "pred",
+            "n_edges",
+            F.col("stype").alias("domain_type"),
+            F.round(F.col("n").cast("double") / F.col("n_edges"), 6).alias(
+                "domain_support"
+            ),
+            F.col("n_types").cast("long").alias("n_domain_types"),
+            "range_type",
+            F.round(F.col("rn").cast("double") / F.col("n_edges"), 6).alias(
+                "range_support"
+            ),
+            F.col("n_range_types").cast("long").alias("n_range_types"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content change-rate estimation (Cho & Garcia-Molina recrawl model)
+# ---------------------------------------------------------------------------
+
+_CHG_PERIOD = 3  # content mutates every 3rd snapshot (synthesis)
+_CHG_DT = 125.0  # seconds between consecutive snapshots of a url
+
+
+def _change_rate_oracle_sql() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import _SNAPS_SQL
+
+    return f"""
+    WITH snaps AS ({_SNAPS_SQL}),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    seqd AS (
+      SELECT s.url, s.doc_id // 125 AS seq,
+        (s.fam + 125 * {_CHG_PERIOD} * ((s.doc_id // 125) // {_CHG_PERIOD}))
+          % n.n_docs AS cont_doc
+      FROM snaps s CROSS JOIN n
+    ),
+    hashed AS (
+      SELECT q.url, q.seq, md5(d.text) AS h
+      FROM seqd q JOIN documents d ON q.cont_doc = d.doc_id
+    ),
+    lagged AS (
+      SELECT url, seq, h,
+        lag(h) OVER (PARTITION BY url ORDER BY seq) AS prev_h
+      FROM hashed
+    ),
+    per_url AS (
+      SELECT url, count(*) AS n_snapshots,
+        CAST(sum(CASE WHEN prev_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pairs,
+        CAST(sum(CASE WHEN prev_h IS NOT NULL AND h <> prev_h
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM lagged GROUP BY url
+    )
+    SELECT url, n_snapshots, n_pairs, n_changed,
+      round(CAST(n_changed AS DOUBLE) / n_pairs, 6) AS change_frac,
+      CASE WHEN n_changed < n_pairs THEN
+        round(-ln(1 - CAST(n_changed AS DOUBLE) / n_pairs) / {_CHG_DT}, 6)
+      ELSE NULL END AS lambda_per_sec
+    FROM per_url WHERE n_pairs > 0
+    """
+
+
+@register("web_change_rate", oracle=_change_rate_oracle_sql())
+def web_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url content change-rate estimation from the snapshot
+    history — the Cho & Garcia-Molina (2003) Poisson recrawl model:
+    the fraction of changed consecutive-snapshot pairs at a known
+    revisit interval gives the change intensity
+    lambda = -ln(1 - X/n) / dt, the number a crawl scheduler turns
+    into per-url revisit frequencies (freshness-optimal scheduling).
+    Complements web_crawl_schedule (staleness x authority ranking)
+    with the MEASURED change model. Change detection is one
+    content-hash lag window PARTITIONED by url (bounded history per
+    url — never a global sort); the synthesis mutates content every
+    {_CHG_PERIOD}rd snapshot so the estimator path (including the
+    all-changed NULL guard) is exercised, value-gated cross-engine."""
+    from multiomics_biocypher_kg_spark.registry_scale_ops import _fam_host_col
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    fam = F.col("doc_id") % 125
+    seq = (F.col("doc_id") / 125).cast("long")
+    snaps = docs.select(
+        F.concat(
+            F.lit("https://"),
+            _fam_host_col(),
+            F.lit("/doc/"),
+            F.lpad(fam.cast("string"), 6, "0"),
+        ).alias("url"),
+        seq.alias("seq"),
+        (
+            (fam + 125 * _CHG_PERIOD * F.floor(seq / _CHG_PERIOD).cast("long"))
+            % n_docs
+        ).alias("cont_doc"),
+    )
+    hashed = snaps.join(
+        docs.select(F.col("doc_id").alias("cont_doc"), F.md5("text").alias("h")),
+        "cont_doc",
+    )
+    byU = Window.partitionBy("url").orderBy("seq")
+    lagged = hashed.select(
+        "url", "seq", "h", F.lag("h").over(byU).alias("prev_h")
+    )
+    per_url = lagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.sum(F.col("prev_h").isNotNull().cast("int")).cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("prev_h").isNotNull() & (F.col("h") != F.col("prev_h"))).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_changed"),
+    )
+    frac = F.col("n_changed").cast("double") / F.col("n_pairs")
+    return per_url.where(F.col("n_pairs") > 0).select(
+        "url",
+        "n_snapshots",
+        "n_pairs",
+        "n_changed",
+        F.round(frac, 6).alias("change_frac"),
+        F.when(
+            F.col("n_changed") < F.col("n_pairs"),
+            F.round(-F.log(F.lit(1.0) - frac) / _CHG_DT, 6),
+        ).alias("lambda_per_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_DAMPING = 0.85
+_TR_TOP = 20
+
+
+def _textrank_edges_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+      WITH toks AS (SELECT doc_id, pos, lower(token) AS tok FROM ({TOKENS_SQL})),
+      content AS (SELECT doc_id, pos, tok FROM toks
+        WHERE regexp_matches(tok, '^[a-z]+$') AND tok NOT IN ({stops})),
+      seqd AS (SELECT doc_id, tok,
+          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r
+        FROM content),
+      prs AS (
+        SELECT a.tok AS t1, b.tok AS t2
+        FROM seqd a JOIN seqd b
+          ON a.doc_id = b.doc_id AND b.r - a.r IN (1, 2)
+        WHERE a.tok <> b.tok
+      )
+      SELECT t1 AS src, t2 AS dst FROM prs
+      UNION ALL
+      SELECT t2, t1 FROM prs
+    ) GROUP BY src, dst
+    """
+
+
+def _textrank_oracle_sql() -> str:
+    from multiomics_biocypher_kg_spark.registry_web import _pagerank_oracle_sql
+
+    pr = _pagerank_oracle_sql(
+        _TR_ITERS, _TR_DAMPING, edges_sql=_textrank_edges_sql(), out_col="word"
+    )
+    return f"""
+    WITH pr AS ({pr}),
+    top AS (SELECT word, pagerank AS score FROM pr
+            ORDER BY pagerank DESC, word LIMIT {_TR_TOP})
+    SELECT word, score,
+      CAST(row_number() OVER (ORDER BY score DESC, word) AS INTEGER) AS rn
+    FROM top
+    """
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle_sql())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph (content words within 2 positions of
+    the filtered stream, symmetric, weighted by co-occurrence count)
+    — the graph-centrality complement to RAKE's degree/frequency
+    scores. The co-occurrence edges come from a position-offset
+    self-join WITHIN each doc (fan-out <= 2 per token — never a
+    per-doc cross join); the rank loop is the checkpointed
+    operators.linkgraph.pagerank over the word-dictionary-sized
+    graph; top-20 by the ROUNDED rank (PageRank over a symmetric
+    count-weighted graph yields exact rational ties — the
+    adamic-adar ordering regime)."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import pagerank
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "raw"),
+    ).select("doc_id", "pos", F.lower("raw").alias("tok"))
+    content = toks.where(
+        F.col("tok").rlike("^[a-z]+$") & ~F.col("tok").isin(list(_RAKE_STOPS))
+    )
+    byD = Window.partitionBy("doc_id").orderBy("pos")
+    seqd = content.select("doc_id", "tok", F.row_number().over(byD).alias("r"))
+    a = seqd.select("doc_id", F.col("tok").alias("t1"), F.col("r").alias("ra"))
+    b = seqd.select("doc_id", F.col("tok").alias("t2"), F.col("r").alias("rb"))
+    prs = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("rb") - F.col("ra")).isin(1, 2)
+            & (F.col("t1") != F.col("t2"))
+        )
+        .select("t1", "t2")
+    )
+    edges = (
+        prs.select(F.col("t1").alias("src"), F.col("t2").alias("dst"))
+        .union(prs.select(F.col("t2").alias("src"), F.col("t1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    pr = pagerank(edges, iters=_TR_ITERS, damping=_TR_DAMPING)
+    score = F.round("rank", 6)
+    top = pr.orderBy(score.desc(), "node").limit(_TR_TOP)
+    w = Window.orderBy(F.desc("score"), "word")
+    return (
+        top.select(F.col("node").alias("word"), score.alias("score"))
+        .select("word", "score", F.row_number().over(w).cast("int").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 / self-join-size sketch
+# ---------------------------------------------------------------------------
+
+_AMS_TRIALS = 32
+
+
+def _ams_oracle_sql() -> str:
+    trials = ", ".join(
+        "sum(1 - 2 * ("
+        + md5_long_sql(f"CAST(l_partkey AS VARCHAR) || '#ams{j}'")
+        + f" % 2)) AS s{j}"
+        for j in range(_AMS_TRIALS)
+    )
+    est = "(" + " + ".join(
+        f"CAST(s{j} AS DOUBLE) * s{j}" for j in range(_AMS_TRIALS)
+    ) + f") / {_AMS_TRIALS}.0"
+    return f"""
+    WITH sk AS (SELECT {trials} FROM lineitem),
+    ex AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM
+        (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT ex.exact_f2, round({est}, 2) AS est_f2,
+      round(abs(({est}) - ex.exact_f2) / ex.exact_f2, 6) AS rel_err
+    FROM sk CROSS JOIN ex
+    """
+
+
+@register("rel_ams_f2", oracle=_ams_oracle_sql())
+def rel_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS sketch of the second frequency moment F2 = sum_k c_k^2 of
+    lineitem.l_partkey — the SELF-JOIN SIZE, the quantity a
+    cost-based planner needs before committing to a key-equi-join on
+    a possibly-skewed column (Alon, Matias & Szegedy 1996). Each of
+    the {_AMS_TRIALS} trials is one +/-1-signed SUM over the stream
+    (map-side combined, constant state — completing the sketch trio
+    beside count-min heavy hitters and the HLL cardinality sketch);
+    est = mean of squared trial sums, unbiased for F2. The exact F2
+    rides along (one groupBy at test scale) so the estimator error
+    is pinned — at 10^12 rows the exact side is the thing you can
+    no longer afford, and the sketch is 32 longs."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey")
+    trials = [
+        F.sum(
+            1
+            - 2
+            * (
+                md5_long(
+                    F.concat(F.col("l_partkey").cast("string"), F.lit(f"#ams{j}"))
+                )
+                % 2
+            )
+        ).alias(f"s{j}")
+        for j in range(_AMS_TRIALS)
+    ]
+    sk = li.agg(*trials)
+    est = None
+    for j in range(_AMS_TRIALS):
+        term = F.col(f"s{j}").cast("double") * F.col(f"s{j}")
+        est = term if est is None else est + term
+    est = est / float(_AMS_TRIALS)
+    ex = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "exact_f2",
+        F.round(est, 2).alias("est_f2"),
+        F.round(F.abs(est - F.col("exact_f2")) / F.col("exact_f2"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dunning G² co-occurrence significance
+# ---------------------------------------------------------------------------
+
+_G2_CRIT = 6.634897  # chi-squared, 1 dof, alpha = 0.01
+
+
+def _gtest_oracle_sql() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import (
+        COMENTION_PAIRS_SQL,
+    )
+
+    def term(o: str, row: str, col: str) -> str:
+        return (
+            f"CASE WHEN {o} > 0 THEN {o} * ln({o} / (({row}) * ({col}) / nn)) "
+            f"ELSE 0 END"
+        )
+
+    o11, o12 = "CAST(k11 AS DOUBLE)", "CAST(ka - k11 AS DOUBLE)"
+    o21, o22 = "CAST(kb - k11 AS DOUBLE)", "CAST(nn - ka - kb + k11 AS DOUBLE)"
+    ra, rb = f"{o11} + {o12}", f"{o21} + {o22}"
+    ca, cb = f"{o11} + {o21}", f"{o12} + {o22}"
+    g2 = (
+        f"2 * ({term(o11, ra, ca)} + {term(o12, ra, cb)} + "
+        f"{term(o21, rb, ca)} + {term(o22, rb, cb)})"
+    )
+    return f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    de AS (
+      SELECT doc_id, subj AS entity_id FROM pairs
+      UNION ALL
+      SELECT doc_id, obj FROM pairs
+    ),
+    marg AS (
+      SELECT entity_id, count(DISTINCT doc_id) AS k_ent
+      FROM de GROUP BY entity_id
+    ),
+    tot AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nn FROM pairs),
+    pc AS (
+      SELECT subj, obj, count(DISTINCT doc_id) AS k11
+      FROM pairs GROUP BY subj, obj
+    ),
+    j AS (
+      SELECT pc.subj, pc.obj, pc.k11, ms.k_ent AS ka, mo.k_ent AS kb, tot.nn
+      FROM pc
+      JOIN marg ms ON pc.subj = ms.entity_id
+      JOIN marg mo ON pc.obj = mo.entity_id
+      CROSS JOIN tot
+    )
+    SELECT subj, obj, k11 AS n_docs_pair, ka AS n_docs_subj, kb AS n_docs_obj,
+      round({g2}, 6) AS g2,
+      CAST(CASE WHEN ({g2}) > {_G2_CRIT} THEN 1 ELSE 0 END AS INTEGER)
+        AS significant
+    FROM j
+    """
+
+
+@register("kg_gtest_edges", oracle=_gtest_oracle_sql())
+def kg_gtest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio (G²) significance for co-mention
+    edges (operators.graphstats.gtest_edges) — the hypothesis-test
+    complement to kg_pmi_edges: PMI measures association STRENGTH and
+    explodes on rare pairs; G² measures EVIDENCE (grows with support),
+    which is what KG edge admission thresholds on (Dunning 1993,
+    the collocation-statistics standard). Same shuffle shape as PMI —
+    pair counts + entity marginals + one broadcast total; the 2x2
+    contingency and the significance flag (chi-squared 1-dof at 1%)
+    are scan-side arithmetic."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        gtest_edges,
+    )
+    from multiomics_biocypher_kg_spark.registry import _pipeline
+
+    p = _pipeline(spark, sf_dir)
+    return gtest_edges(comention_pairs(p["links"]))
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold-yield curve
+# ---------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _threshold_curve_oracle_sql() -> str:
+    from multiomics_biocypher_kg_spark.oracle_fragments import (
+        MINHASH_PAIRS_CTES,
+    )
+
+    ts = ", ".join(f"({t})" for t in _CURVE_THRESHOLDS)
+    return f"""
+    WITH {MINHASH_PAIRS_CTES},
+    th(threshold) AS (VALUES {ts}),
+    hits AS (
+      SELECT th.threshold, p.id_a, p.id_b
+      FROM th JOIN pairs p ON p.jaccard >= th.threshold
+    )
+    SELECT th.threshold,
+      CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+      CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs_affected
+    FROM th LEFT JOIN (
+      SELECT threshold, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+        count(DISTINCT id) AS n_docs
+      FROM (
+        SELECT threshold, id_a AS id FROM hits
+        UNION ALL
+        SELECT threshold, id_b FROM hits
+      ) GROUP BY threshold
+    ) c ON th.threshold = c.threshold
+    """
+
+
+@register("dedup_threshold_curve", oracle=_threshold_curve_oracle_sql())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield as a function of the Jaccard threshold: for each
+    candidate threshold, how many verified near-dup pairs and how
+    many documents a dedup pass at that threshold would touch — the
+    threshold-selection curve an operator reads BEFORE committing a
+    production threshold (the knob trades recall against false
+    merges). Computed from the ONE already-verified MinHash pair
+    table (the dedup_minhash_lsh plan): a 5-row threshold dimension
+    broadcast against it, one conditional aggregate — the corpus is
+    never rescanned per threshold."""
+    from multiomics_biocypher_kg_spark.operators import dedup as dd
+    from multiomics_biocypher_kg_spark.registry_dedup_text import _dedup_corpus
+
+    pairs = dd.minhash_neardup_pairs(_dedup_corpus(spark, sf_dir), 0.5)
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])).alias(
+            "threshold"
+        )
+    )
+    hits = F.broadcast(th).join(
+        pairs, F.col("jaccard") >= F.col("threshold"), "left"
+    )
+    ids = hits.select("threshold", F.col("id_a").alias("id"), "id_b").unionByName(
+        hits.select("threshold", F.col("id_b").alias("id"), F.col("id_a").alias("id_b"))
+    )
+    return (
+        ids.groupBy("threshold")
+        .agg(
+            (F.count("id_b") / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("id").alias("n_docs_affected"),
+        )
+    )

@@ -276,3 +276,169 @@ def test_split_by_cluster_zero_leakage(spark):
     assert all(r.n_leaking_pairs == 0 for r in rows)
     assert abs(sum(r.frac for r in rows) - 1.0) < 1e-4
     assert all(r.n_clusters <= r.n_docs for r in rows)
+
+
+def test_random_projection_preserves_zero_and_scale(spark):
+    # projection is linear: y(2x) = 2 y(x); y(0) = 0.
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        random_projection,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 2.0, -1.0, 0.5]),
+            Row(vec_id=2, embedding=[2.0, 4.0, -2.0, 1.0]),
+        ]
+    )
+    out = random_projection(vecs, out_dim=4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.vec_id, {})[r.j] = r.y
+    assert all(abs(v) < 1e-12 for v in by[0].values())
+    for j in range(4):
+        assert abs(by[2][j] - 2 * by[1][j]) < 1e-9
+
+
+def test_jl_distortion_identity_pair(spark):
+    # two identical-distance pairs: distortion is the ratio of
+    # projected to original distance; same vectors -> same ratio.
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        jl_distortion_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=10, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=20, embedding=[0.0, 0.0, 1.0, 0.0]),
+        ]
+    )
+    rows = jl_distortion_pairs(vecs, out_dim=4, sample_mod=10).collect()
+    assert len(rows) == 3  # C(3,2)
+    for r in rows:
+        assert abs(r.d_orig - 2 ** 0.5) < 1e-6
+        assert r.d_proj >= 0 and r.distortion >= 0
+
+
+def test_mixing_epochs_invariants(spark):
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    rows = QUERIES["data_mixing_epochs"](spark, SF_TINY).collect()
+    # capped languages sit exactly at the epoch cap; uncapped below it
+    for r in rows:
+        if r.capped:
+            assert abs(r.epochs - 2.5) < 1e-6
+        else:
+            assert r.epochs < 2.5
+    # weights are a distribution; budget fill is within (0, 1]
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-4
+    assert 0 < rows[0].budget_fill <= 1.0 + 1e-9
+
+
+def test_schema_inference_mixed_types(spark):
+    # predicate with a 2:1 domain-type mix must pick the modal type
+    # with support 2/3 and report 2 distinct domain types.
+    from multiomics_biocypher_kg_spark.operators import graphstats  # noqa: F401
+    from pyspark.sql import functions as SF
+
+    edges = spark.createDataFrame(
+        [
+            Row(subj="https://x/1", pred="p", obj="kw:a"),
+            Row(subj="https://x/2", pred="p", obj="ncbigene:g"),
+            Row(subj="hostA", pred="p", obj="kw:b"),
+        ]
+    )
+
+    def ntype(c):
+        return (
+            SF.when(SF.col(c).startswith("https://"), SF.lit("page"))
+            .when(SF.col(c).contains(":"), SF.element_at(SF.split(SF.col(c), ":"), 1))
+            .otherwise(SF.lit("host"))
+        )
+
+    typed = edges.select("pred", ntype("subj").alias("t")).groupBy("pred", "t").count()
+    rows = {r.t: r["count"] for r in typed.collect()}
+    assert rows == {"page": 2, "host": 1}
+
+
+def test_change_rate_estimator_value(spark):
+    # synthesis mutates content every 3rd snapshot: families with 4
+    # snapshots have 1 changed pair of 3 -> lambda = -ln(2/3)/125.
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    rows = QUERIES["web_change_rate"](spark, SF_TINY).collect()
+    assert len(rows) == 125  # one row per url family
+    lam = -math.log(2 / 3) / 125.0
+    for r in rows:
+        assert r.n_pairs == r.n_snapshots - 1
+        if r.n_changed < r.n_pairs:
+            assert r.lambda_per_sec is not None and r.lambda_per_sec > 0
+    four = [r for r in rows if r.n_snapshots == 4]
+    assert four and all(abs(r.lambda_per_sec - round(lam, 6)) < 1e-6 for r in four)
+
+
+def test_textrank_top_words_are_content_words(spark):
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.functions.textstats import STOPWORDS
+    from tests.conftest import SF_TINY
+
+    rows = QUERIES["text_textrank_keywords"](spark, SF_TINY).collect()
+    assert len(rows) == 20
+    assert [r.rn for r in rows] == list(range(1, 21))
+    for r in rows:
+        assert r.word not in STOPWORDS["en"]
+        assert r.word.isalpha() and r.word == r.word.lower()
+    # ranks descend
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ams_f2_exact_on_uniform_keys(spark):
+    # K distinct keys, each once: F2 = K. AMS trial sums are sums of
+    # K independent +/-1 -> est unbiased; with the fixed hash family
+    # just assert the pinned invariants: exact computed right and
+    # rel_err consistent with |est - exact| / exact.
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    r = QUERIES["rel_ams_f2"](spark, SF_TINY).collect()[0]
+    assert r.exact_f2 > 0
+    assert abs(r.rel_err - round(abs(r.est_f2 - r.exact_f2) / r.exact_f2, 6)) < 1e-4
+
+
+def test_gtest_more_evidence_higher_g2(spark):
+    # same association ratio, more support -> higher G2 (the property
+    # that separates it from PMI).
+    from multiomics_biocypher_kg_spark.operators.graphstats import gtest_edges
+
+    def pairs_df(n):
+        rows = [Row(doc_id=i, subj="a", obj="b") for i in range(n)]
+        rows += [Row(doc_id=100 + i, subj="c", obj="d") for i in range(20)]
+        return spark.createDataFrame(rows)
+
+    g_small = {
+        (r.subj, r.obj): r.g2 for r in gtest_edges(pairs_df(2)).collect()
+    }[("a", "b")]
+    g_big = {
+        (r.subj, r.obj): r.g2 for r in gtest_edges(pairs_df(10)).collect()
+    }[("a", "b")]
+    assert g_big > g_small > 0
+
+
+def test_threshold_curve_monotone(spark):
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    rows = sorted(
+        QUERIES["dedup_threshold_curve"](spark, SF_TINY).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_affected for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert pairs[0] > 0

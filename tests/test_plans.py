@@ -516,3 +516,24 @@ def test_wl_roles_keyed_joins_only(spark):
     plan = _plan(QUERIES["web_wl_roles"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_textrank_cooccurrence_join_is_keyed(spark):
+    """TextRank's co-occurrence pairs must come from the per-doc
+    equi-join on doc_id (offset filter applied after), never a
+    CartesianProduct over the token stream."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_textrank_keywords"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+
+
+def test_ams_f2_single_pass_sketch(spark):
+    """The 32 AMS trial sums must compute in ONE aggregate over the
+    stream (map-side combined) — the plan may contain no join on the
+    sketch side except the broadcast of the 1-row exact table."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_ams_f2"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
