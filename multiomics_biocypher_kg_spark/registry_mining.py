@@ -1473,3 +1473,336 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("id").alias("n_docs_affected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the host graph
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle_sql() -> str:
+    return f"""
+    WITH hg AS (SELECT src_host AS src, dst_host AS dst FROM ({_HOST_GRAPH_SQL})),
+    e AS (SELECT DISTINCT src, dst FROM hg),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ),
+    xy AS (
+      SELECT CAST(ds.d AS DOUBLE) AS x, CAST(dd.d AS DOUBLE) AS y
+      FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        AS assortativity
+    FROM m
+    """
+
+
+@register("web_assortativity", oracle=_assortativity_oracle_sql())
+def web_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host link graph (Newman 2002):
+    the Pearson correlation of endpoint total degrees over edges —
+    negative = hub-and-spoke (organic web), near +1 = hubs linking
+    hubs (the link-exchange / farm signature, a corpus-level spam
+    prior beside TrustRank). One degree aggregate joined onto the
+    edge list + one 1-row moment aggregate; all sums map-side
+    combined, nothing collected."""
+    e = _host_edges(spark, sf_dir).distinct()
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    xy = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        .select(F.col("x").cast("double").alias("x"), F.col("y").cast("double").alias("y"))
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transitive reduction of the ontology DAG
+# ---------------------------------------------------------------------------
+
+# DAG synthesis: the tree (child -> child // 4) plus redundant
+# grandparent shortcuts (child -> child // 16 for every 3rd node) —
+# the shortcuts are implied by transitivity BY CONSTRUCTION, so the
+# reduction must flag exactly them.
+_DAG_EDGES_SQL = """
+  SELECT format('n{:04d}', doc_id) AS src,
+         format('n{:04d}', doc_id // 4) AS dst
+  FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT format('n{:04d}', doc_id), format('n{:04d}', doc_id // 16)
+  FROM documents WHERE doc_id >= 16 AND doc_id % 3 = 0
+"""
+
+
+def _transitive_reduction_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_DAG_EDGES_SQL})),
+    clos(node, ancestor) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT c.node, e.dst FROM clos c JOIN e ON c.ancestor = e.src
+    )
+    SELECT e.src, e.dst,
+      CAST(CASE WHEN EXISTS (
+        SELECT 1 FROM e mid JOIN clos c
+          ON mid.src = e.src AND c.node = mid.dst AND c.ancestor = e.dst
+        WHERE mid.dst <> e.dst
+      ) THEN 1 ELSE 0 END AS INTEGER) AS redundant
+    FROM e
+    """
+
+
+@register("kg_transitive_reduction", oracle=_transitive_reduction_oracle_sql())
+def kg_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reduction of an ontology DAG: an edge (a, b) is
+    redundant iff some other out-neighbor c of a already reaches b —
+    the cleanup pass a KG build runs after merging ontology sources
+    that ship both direct and inferred is_a edges (the reference's
+    ontology adapters emit curated hierarchies; merged hierarchies
+    accumulate shortcuts). Computed as one closure (the onto_closure
+    ancestors_closure operator, bounded depth) + one edge x edge
+    keyed join + an EXISTS semi-join — no per-edge path search. The
+    synthesis plants grandparent shortcuts, so the expected flag set
+    is known by construction and value-gated."""
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    tree = docs.where(F.col("doc_id") > 0).select(
+        F.format_string("n%04d", F.col("doc_id")).alias("src"),
+        F.format_string("n%04d", F.floor(F.col("doc_id") / 4).cast("int")).alias(
+            "dst"
+        ),
+    )
+    shortcuts = docs.where(
+        (F.col("doc_id") >= 16) & (F.col("doc_id") % 3 == 0)
+    ).select(
+        F.format_string("n%04d", F.col("doc_id")).alias("src"),
+        F.format_string("n%04d", F.floor(F.col("doc_id") / 16).cast("int")).alias(
+            "dst"
+        ),
+    )
+    e = tree.unionByName(shortcuts).distinct()
+    clos = ancestors_closure(
+        e.select(F.col("src").alias("child"), F.col("dst").alias("parent")),
+        max_depth=10,
+    ).select(F.col("node"), F.col("ancestor"))
+    # mid-hop: (a, c) edge whose head c reaches b
+    mid = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    via = mid.join(
+        clos.select(F.col("node").alias("c"), F.col("ancestor").alias("b")), "c"
+    ).where(F.col("c") != F.col("b")).select("a", "b").distinct()
+    return (
+        e.join(
+            via.select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("r")
+            ),
+            ["src", "dst"],
+            "left",
+        )
+        .select("src", "dst", F.coalesce("r", F.lit(0)).cast("int").alias("redundant"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hub-removal robustness (percolation) of the host graph
+# ---------------------------------------------------------------------------
+
+_PERC_K = 5
+
+
+def _percolation_oracle_sql() -> str:
+    def cc(edges_cte: str, tag: str) -> str:
+        return f"""und{tag} AS (
+      SELECT src AS a, dst AS b FROM {edges_cte} WHERE src <> dst
+      UNION
+      SELECT dst, src FROM {edges_cte} WHERE src <> dst
+    ),
+    reach{tag}(node, lbl) AS (
+      SELECT a, a FROM und{tag}
+      UNION
+      SELECT u.a, r.lbl FROM und{tag} u JOIN reach{tag} r ON u.b = r.node
+    ),
+    comp{tag} AS (
+      SELECT node, min(lbl) AS component FROM reach{tag} GROUP BY node
+    ),
+    big{tag} AS (
+      SELECT max(n) AS largest FROM
+        (SELECT count(*) AS n FROM comp{tag} GROUP BY component)
+    )"""
+
+    return f"""
+    WITH RECURSIVE hg AS (SELECT src_host AS src, dst_host AS dst
+        FROM ({_HOST_GRAPH_SQL})),
+    e AS (SELECT DISTINCT src, dst FROM hg),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ),
+    hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_PERC_K}),
+    e2 AS (
+      SELECT src, dst FROM e
+      WHERE src NOT IN (SELECT node FROM hubs)
+        AND dst NOT IN (SELECT node FROM hubs)
+    ),
+    nodes AS (SELECT count(DISTINCT node) AS n_hosts FROM deg),
+    {cc('e', '_f')},
+    {cc('e2', '_a')}
+    SELECT nodes.n_hosts, CAST({_PERC_K} AS INTEGER) AS n_hubs_removed,
+      CAST(big_f.largest AS BIGINT) AS largest_cc_full,
+      CAST(coalesce(big_a.largest, 0) AS BIGINT) AS largest_cc_after,
+      round(CAST(coalesce(big_a.largest, 0) AS DOUBLE) / big_f.largest, 6)
+        AS frac_retained
+    FROM nodes CROSS JOIN big_f CROSS JOIN big_a
+    """
+
+
+@register("web_percolation_robustness", oracle=_percolation_oracle_sql())
+def web_percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness of the host graph (percolation
+    under hub removal, Albert-Jeong-Barabasi 2000): largest connected
+    component before and after deleting the top-{_PERC_K} hosts by
+    total degree — how much of the crawl graph's connectivity routes
+    through its hubs (a scale-free graph shatters; a mesh survives).
+    Two pointer-jump CC runs (the kg_components discipline) on the
+    full and hub-filtered edge sets + one degree top-k
+    (TakeOrderedAndProject); the hub set broadcasts into the filter."""
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    e = _host_edges(spark, sf_dir).where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)  # consumed by degree + 2 CC runs
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hubs = deg.orderBy(F.desc("d"), "node").limit(_PERC_K).select("node")
+    e2 = e.join(
+        hubs.select(F.col("node").alias("src")), "src", "left_anti"
+    ).join(hubs.select(F.col("node").alias("dst")), "dst", "left_anti")
+
+    def largest(edges):
+        comp = connected_components(edges, src="src", dst="dst")
+        return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n")).agg(
+            F.max("n").alias("largest")
+        )
+
+    n_hosts = deg.agg(F.countDistinct("node").alias("n_hosts"))
+    big_f = largest(e).select(F.col("largest").alias("largest_cc_full"))
+    big_a = largest(e2).select(F.col("largest").alias("largest_cc_after"))
+    return (
+        n_hosts.crossJoin(F.broadcast(big_f))
+        .crossJoin(F.broadcast(big_a))
+        .select(
+            "n_hosts",
+            F.lit(_PERC_K).cast("int").alias("n_hubs_removed"),
+            F.col("largest_cc_full").cast("long").alias("largest_cc_full"),
+            F.coalesce("largest_cc_after", F.lit(0))
+            .cast("long")
+            .alias("largest_cc_after"),
+            F.round(
+                F.coalesce("largest_cc_after", F.lit(0)).cast("double")
+                / F.col("largest_cc_full"),
+                6,
+            ).alias("frac_retained"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (Flesch / Flesch-Kincaid)
+# ---------------------------------------------------------------------------
+
+
+def _readability_oracle_sql() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+        CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+          AS DOUBLE) AS syl
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+      CAST(syl AS BIGINT) AS n_syllables,
+      round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 6) AS flesch_ease,
+      round(0.39 * (w / s) + 11.8 * (syl / w) - 15.59, 6) AS fk_grade
+    FROM t
+    """
+
+
+@register("text_readability", oracle=_readability_oracle_sql())
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability gates a curation pipeline adds beside the
+    length/stopword quality score (audience-level filtering and
+    curriculum bucketing). Syllables are approximated by vowel-group
+    runs and sentences by terminal-punctuation runs — both regexp
+    counts in the SCAN PROJECTION (identical RE2/Java semantics on
+    these classes); the whole operator is shuffle-free."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("([.!?]+)"), F.lit(1))),
+            F.lit(1),
+        )
+        .cast("double")
+        .alias("s"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("([aeiouy]+)"), F.lit(1))
+            ),
+            F.lit(1),
+        )
+        .cast("double")
+        .alias("syl"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("w").cast("long").alias("n_words"),
+        F.col("s").cast("long").alias("n_sentences"),
+        F.col("syl").cast("long").alias("n_syllables"),
+        F.round(
+            206.835 - 1.015 * (F.col("w") / F.col("s")) - 84.6 * (F.col("syl") / F.col("w")),
+            6,
+        ).alias("flesch_ease"),
+        F.round(
+            0.39 * (F.col("w") / F.col("s")) + 11.8 * (F.col("syl") / F.col("w")) - 15.59,
+            6,
+        ).alias("fk_grade"),
+    )
