@@ -726,3 +726,68 @@ def gtest_edges(pairs: DataFrame) -> DataFrame:
         F.round(g2, 6).alias("g2"),
         (g2 > G2_CRIT_1PCT).cast("int").alias("significant"),
     )
+
+
+def validity_intervals(
+    pairs: DataFrame, pages: DataFrame, gap_sec: int
+) -> DataFrame:
+    """Gaps-and-islands coalescing of a triple's observation
+    timestamps into MAXIMAL validity intervals.
+
+    ``temporal_edges`` collapses a triple's history to one
+    (first_seen, last_seen) span; this operator keeps the full
+    assert/retract/re-assert structure a temporal KG needs for
+    SCD-style edge maintenance: consecutive observations further
+    apart than ``gap_sec`` start a new interval, so a claim that
+    disappears from the crawl for a while and returns gets a second
+    validity row instead of one misleading mega-span (the reference's
+    analog is its versioned re-import discipline — every adapter run
+    stamps nodes/edges and supersedes stale assertions, cf.
+    /root/reference/multiomics_kg/adapters/omics_adapter.py version
+    fields).
+
+    pairs(doc_id, subj, obj) x pages(doc_id, warc_ts) ->
+    (subj, pred, obj, interval_seq, valid_from_ts, valid_to_ts,
+    n_obs).
+
+    100 TB: every window is partitioned by the (subj, obj) triple
+    key — per-key observation lists sort inside their own partition
+    (classic gaps-and-islands; no global sort, no driver state). The
+    lag-then-running-sum pair shares ONE window spec, so Catalyst
+    plans a single sort per partition; the upstream join is keyed by
+    doc_id with the pages scan pruned to two columns. Output is all
+    BIGINT/STRING — value-hash stable with no float gate.
+    """
+    from pyspark.sql import Window
+
+    ts = pages.select("doc_id", F.unix_timestamp("warc_ts").alias("ts_sec"))
+    obs = (
+        pairs.join(ts, "doc_id")
+        .select("subj", "obj", "ts_sec")
+        .distinct()
+    )
+    w = Window.partitionBy("subj", "obj").orderBy("ts_sec")
+    brk = F.when(
+        F.col("ts_sec") - F.lag("ts_sec").over(w) > gap_sec, 1
+    ).otherwise(0)
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.withColumn("grp", grp)
+        .groupBy("subj", "obj", "grp")
+        .agg(
+            F.min("ts_sec").alias("valid_from_ts"),
+            F.max("ts_sec").alias("valid_to_ts"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            (F.col("grp") + 1).cast("int").alias("interval_seq"),
+            "valid_from_ts",
+            "valid_to_ts",
+            "n_obs",
+        )
+    )

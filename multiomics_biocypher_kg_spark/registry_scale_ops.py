@@ -1875,3 +1875,120 @@ def data_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("sum_pos"),
         F.sum(F.col("pos") * chk).cast("long").alias("order_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) order-statistic sketch over per-host token vocabulary
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SALTS = 16
+# md5_long yields 60-bit positive hashes; normalize into (0, 1]
+_KMV_SPACE = float(1 << 60)
+
+
+@register(
+    "text_kmv_cardinality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT {_FAM_HOST_SQL} AS host,
+        arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+      LATERAL (SELECT unnest(generate_series(1, len(d.arr) - 2)) AS i) t
+    ),
+    hashed AS (
+      SELECT host, token, {md5_long_sql("token")} AS u FROM toks
+    ),
+    ranked AS (
+      SELECT host, u,
+        row_number() OVER (PARTITION BY host ORDER BY u, token) AS rk
+      FROM hashed
+    ),
+    agg AS (
+      SELECT host, count(*) AS n_exact,
+        max(CASE WHEN rk = {_KMV_K} THEN u END) AS kth_hash
+      FROM ranked GROUP BY host
+    )
+    SELECT host, n_exact, {_KMV_K} AS sketch_k, kth_hash,
+      round(CASE WHEN kth_hash IS NULL THEN CAST(n_exact AS DOUBLE)
+        ELSE ({_KMV_K} - 1) / ((CAST(kth_hash AS DOUBLE) + 1.0) / {_KMV_SPACE!r})
+        END, 6) AS est_distinct,
+      round(abs(CASE WHEN kth_hash IS NULL THEN CAST(n_exact AS DOUBLE)
+        ELSE ({_KMV_K} - 1) / ((CAST(kth_hash AS DOUBLE) + 1.0) / {_KMV_SPACE!r})
+        END - n_exact) / n_exact, 6) AS rel_err
+    FROM agg
+    """,
+)
+def text_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host 3-gram-shingle vocabulary cardinality via a bottom-k
+    (KMV)
+    order-statistic sketch (Bar-Yossef et al. 2002 / Beyer et al.
+    SIGMOD 2007): keep the k smallest hash values per host; the
+    unbiased estimate is (k-1)/u_(k) with u_(k) the k-th smallest
+    hash normalized into (0,1]. Complements text_hll_host_cardinality
+    (k independent min-trials, Gamma-sum estimator over doc CONTENT):
+    KMV is the MERGEABLE variant — bottom-k of a union is the
+    bottom-k of the concatenated partial sketches — which the Spark
+    plan demonstrates structurally: hashes first reduce to a bottom-k
+    PARTIAL per (host, salt-bucket) — each a bounded k-row sketch, the
+    map-side state of a sketch UDAF — and the k-th order statistic is
+    then taken over the merged {salts}*k candidate rows per host, so
+    no window ever sorts a full per-host vocabulary in one task. The
+    oracle computes the single-pass rank directly (bottom-k of a
+    partition union is identical by the merge property — the identity
+    under test). Hosts with < k distinct tokens fall back to the
+    exact count (the standard not-yet-full sketch convention);
+    n_exact rides along so rel_err is a pinned accuracy figure.
+    """
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.operators.dedup import shingles
+
+    toks = shingles(
+        _docs(spark, sf_dir).select(_fam_host_col().alias("host"), "text"),
+        id_col="host",
+        text_col="text",
+        distinct=True,
+    ).select(F.col("id").alias("host"), F.col("shingle").alias("token"))
+    hashed = toks.select(
+        "host", "token", md5_long(F.col("token")).alias("u")
+    )
+    # phase 1: bounded bottom-k partial sketch per (host, salt bucket)
+    salt = F.pmod(md5_long(F.concat(F.col("token"), F.lit("#kmv"))), F.lit(_KMV_SALTS))
+    wp = Window.partitionBy("host", "salt").orderBy("u", "token")
+    partial = (
+        hashed.withColumn("salt", salt)
+        .withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= _KMV_K)
+    )
+    # exact count per host (map-side-combined; the accuracy yardstick)
+    exact = hashed.groupBy("host").agg(F.count(F.lit(1)).alias("n_exact"))
+    # phase 2: merge partials — k-th order statistic over <= salts*k rows
+    wm = Window.partitionBy("host").orderBy("u", "token")
+    merged = (
+        partial.select("host", "u", "token")
+        .withColumn("mrk", F.row_number().over(wm))
+        .groupBy("host")
+        .agg(F.max(F.when(F.col("mrk") == _KMV_K, F.col("u"))).alias("kth_hash"))
+    )
+    est = F.when(
+        F.col("kth_hash").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / ((F.col("kth_hash").cast("double") + 1.0) / F.lit(_KMV_SPACE))
+    )
+    return exact.join(merged, "host").select(
+        "host",
+        "n_exact",
+        F.lit(_KMV_K).cast("int").alias("sketch_k"),
+        "kth_hash",
+        F.round(est, 6).alias("est_distinct"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+text_kmv_cardinality.__doc__ = text_kmv_cardinality.__doc__.format(
+    salts=_KMV_SALTS
+)

@@ -3048,3 +3048,154 @@ def kg_window_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
 kg_window_comention.__doc__ = kg_window_comention.__doc__.format(
     w=_COMENTION_WINDOW
 )
+
+
+# --------------------------------------------------------------------------
+# Temporal KG maintenance: gaps-and-islands validity intervals
+# --------------------------------------------------------------------------
+
+_VALIDITY_GAP_SEC = 4
+
+
+@register(
+    "kg_validity_intervals",
+    oracle=f"""
+    WITH pairs AS ({COMENTION_PAIRS_SQL}),
+    obs AS (
+      SELECT DISTINCT subj, obj, 1767225600 + doc_id AS ts_sec FROM pairs
+    ),
+    x AS (
+      SELECT subj, obj, ts_sec,
+        CASE WHEN ts_sec - lag(ts_sec)
+               OVER (PARTITION BY subj, obj ORDER BY ts_sec)
+             > {_VALIDITY_GAP_SEC} THEN 1 ELSE 0 END AS brk
+      FROM obs
+    ),
+    g AS (
+      SELECT subj, obj, ts_sec,
+        sum(brk) OVER (PARTITION BY subj, obj ORDER BY ts_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS grp
+      FROM x
+    )
+    SELECT subj, 'co_mentioned_with' AS pred, obj,
+      CAST(grp + 1 AS INTEGER) AS interval_seq,
+      CAST(min(ts_sec) AS BIGINT) AS valid_from_ts,
+      CAST(max(ts_sec) AS BIGINT) AS valid_to_ts,
+      count(*) AS n_obs
+    FROM g GROUP BY subj, obj, grp
+    """,
+)
+def kg_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG validity intervals via gaps-and-islands: each
+    triple's crawl observations coalesce into MAXIMAL intervals
+    separated by gaps > {gap} s, so an assert/retract/re-assert
+    history keeps its structure (kg_triple_temporal's single
+    first/last span cannot distinguish continuous presence from a
+    claim that vanished and returned — the distinction SCD-style edge
+    maintenance keys retractions on). The Spark side joins pairs to
+    the pages table's warc_ts (the honest shape — timestamps live on
+    the corpus); the oracle exploits the deterministic synthetic
+    ``warc_ts = epoch0 + doc_id``. Both windows (lag + running sum)
+    are PARTITIONED BY the triple key — per-key island numbering,
+    never a global sort — and share one window spec, so Catalyst
+    sorts each partition once. All-integer output: no float gate.
+    """
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+        validity_intervals,
+    )
+
+    p = _pipeline(spark, sf_dir)
+    return validity_intervals(
+        comention_pairs(p["links"]), p["pages"], gap_sec=_VALIDITY_GAP_SEC
+    )
+
+
+kg_validity_intervals.__doc__ = kg_validity_intervals.__doc__.format(
+    gap=_VALIDITY_GAP_SEC
+)
+
+
+# --------------------------------------------------------------------------
+# Spam mass: PageRank vs TrustRank relative-trust deficit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "web_spam_mass",
+    oracle=f"""
+    WITH pr AS ({_pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)}),
+    tr AS ({_trustrank_oracle_sql(_TR_ITERS, _TR_DAMPING)})
+    SELECT pr.host, pr.pagerank, tr.trustrank, tr.is_seed,
+      round((pr.pagerank - tr.trustrank) / pr.pagerank, 6) AS spam_mass,
+      (NOT tr.is_seed)
+        AND round((pr.pagerank - tr.trustrank) / pr.pagerank, 6) >= 0.5
+        AS is_spam_candidate
+    FROM pr JOIN tr ON pr.host = tr.host
+    """,
+)
+def web_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass per host (Gyongyi, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the
+    fraction of a host's PageRank NOT attributable to trusted
+    sources, estimated as (PR - TrustRank)/PR with both vectors from
+    the same 5-iteration damped loop (web_pagerank / web_trustrank
+    operators reused verbatim). High spam mass on a non-seed host =
+    rank acquired mostly through untrusted linkage — the standard
+    demotion signal a crawl scheduler feeds back into frontier
+    scoring. Both rank loops share the checkpointed host-graph
+    invariants; the final combine is a host-keyed join of two
+    host-dictionary-sized aggregates (broadcastable at any corpus
+    size, since hosts ~ 10^7 even at 10^12 pages). The oracle nests
+    both unrolled loops as CTEs; spam_mass and the >= 0.5 candidate
+    gate are computed from the round(6)-gated ranks IDENTICALLY in
+    both engines, so the boolean cannot straddle the rounding
+    boundary differently.
+    """
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        pagerank,
+        trustrank,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    nodes = (
+        hg.select(F.col("src").alias("node"))
+        .union(hg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(md5_long(F.col("node")) % 3 == 0)
+    pr = pagerank(hg, iters=_PR_ITERS, damping=_PR_DAMPING).select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
+    )
+    tr = trustrank(hg, seeds, iters=_TR_ITERS, damping=_TR_DAMPING)
+    tr = (
+        tr.join(
+            F.broadcast(seeds.select(F.col("node").alias("seed"))),
+            tr["node"] == F.col("seed"),
+            "left",
+        )
+        .select(
+            F.col("node").alias("host"),
+            F.round("rank", 6).alias("trustrank"),
+            F.col("seed").isNotNull().alias("is_seed"),
+        )
+    )
+    sm = F.round(
+        (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"), 6
+    )
+    return pr.join(tr, "host").select(
+        "host",
+        "pagerank",
+        "trustrank",
+        "is_seed",
+        sm.alias("spam_mass"),
+        ((~F.col("is_seed")) & (sm >= 0.5)).alias("is_spam_candidate"),
+    )
