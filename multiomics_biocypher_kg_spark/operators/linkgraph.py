@@ -527,3 +527,85 @@ def deterministic_walks(edges: DataFrame, n_steps: int = 4) -> DataFrame:
     return walks.select(
         F.col("start").alias("start_host"), F.col("path").alias("walk")
     )
+
+
+def ppr_batch(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Batched multi-seed personalized PageRank (random walk with
+    restart, Tong et al. ICDM 2006): PageRank whose teleport mass
+    returns to ONE seed per vector, run for ALL seeds in a single
+    loop. ``seeds`` is a 1-column (seed) DataFrame; the recurrence
+    per seed s is
+
+        rank'(s, v) = d * sum_in(p * rank(s, u))
+                      + [v == s] * ((1-d) + d * dangling(s))
+
+    i.e. restart AND dangling mass both re-enter at the seed, so
+    sum_v rank(s, v) == 1 for every seed every iteration. This is
+    the "related entities" primitive (what pagerank is to global
+    salience, PPR is to per-entity affinity); trustrank is the
+    special case of ONE rank vector with teleport smeared over a
+    seed SET.
+
+    Scale shape — why batched: running the loop per seed costs
+    |seeds| Spark jobs and |seeds| passes over the edge table. Here
+    the state is ONE sparse (seed, node, rank) table — only nodes
+    the walk has reached carry rows, so after i rounds the state is
+    bounded by the seeds' i-hop neighborhoods, not |seeds| x |V| —
+    and each round is ONE join of that state against the normalized
+    edges on the walk key (node == src) + ONE map-side-combined sum
+    by (seed, dst), identical cost whether there are 4 seeds or
+    4,000. Per-seed scalars (dangling mass) are a seed-keyed
+    aggregate joined back broadcast-sized, never collected. Loop
+    invariants (normalized edges, has-out set, seed set) are
+    localCheckpoint()ed once and the rank state's lineage is
+    truncated per round (the pagerank O(3^iters) lesson; swap for
+    reliable checkpoints on a cluster). At web scale the production
+    knob is FORA-style epsilon-push truncation of near-zero state
+    rows per round; it is left off here so the recurrence stays
+    exactly SQL-mirrorable.
+
+    -> (seed, node, rank), sparse, unrounded (consumers round).
+    """
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    has_out = edges.select("src").distinct().localCheckpoint(eager=False)
+    seed_tbl = seeds.select("seed").localCheckpoint(eager=False)
+    ranks = seed_tbl.select(
+        "seed", F.col("seed").alias("node"), F.lit(1.0).alias("rank")
+    )
+    for _ in range(iters):
+        dang = (
+            ranks.join(has_out, ranks["node"] == has_out["src"], "left_anti")
+            .groupBy("seed")
+            .agg(F.sum("rank").alias("dang"))
+        )
+        spread = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy("seed", "dst")
+            .agg((F.lit(damping) * F.sum(F.col("p") * F.col("rank"))).alias("rank"))
+            .select("seed", F.col("dst").alias("node"), "rank")
+        )
+        restart = seed_tbl.join(dang, "seed", "left").select(
+            "seed",
+            F.col("seed").alias("node"),
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("dang"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = (
+            spread.unionByName(restart)
+            .groupBy("seed", "node")
+            .agg(F.sum("rank").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks

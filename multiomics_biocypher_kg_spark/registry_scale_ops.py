@@ -1992,3 +1992,112 @@ def text_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_kmv_cardinality.__doc__ = text_kmv_cardinality.__doc__.format(
     salts=_KMV_SALTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram perplexity (the KenLM/CCNet estimator)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@register(
+    "text_kn_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) s
+    ),
+    bgm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    pref AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM bgm GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS nc FROM bgm GROUP BY w2),
+    ty AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM bgm),
+    scored AS (
+      SELECT g.doc_id,
+        -log2(greatest(m.c12 - {_KN_D}, 0.0) / p.c1
+              + ({_KN_D} * p.n1f / p.c1) * (c.nc / ty.nt)) AS bits
+      FROM bg g
+      JOIN bgm m ON g.w1 = m.w1 AND g.w2 = m.w2
+      JOIN pref p ON g.w1 = p.w1
+      JOIN cont c ON g.w2 = c.w2
+      CROSS JOIN ty
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(avg(bits), 6) AS kn_bits_per_bigram
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bits-per-bigram under an interpolated Kneser-Ney
+    bigram LM (Chen & Goodman 1999, absolute discount D={D}) — the
+    estimator KenLM implements and CCNet-style quality filtering
+    scores with:
+
+        p(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                   + (D * N1+(w1,.) / c(w1)) * N1+(.,w2) / N1+(.,.)
+
+    The backoff weight is exactly the discount mass removed, and the
+    lower-order term is the CONTINUATION probability — the fraction
+    of distinct bigram TYPES ending in w2, not its token frequency —
+    which fixes the "Francisco problem" the Jelinek-Mercer gate
+    (text_bigram_perplexity) inherits from its unigram backoff: a
+    word frequent only in one collocation stops inflating unseen-
+    context scores. Scoring the training corpus itself keeps every
+    c(w1,w2) >= 1 > D, so no zero-probability path exists and the
+    smoothing arithmetic is oracle-pinned value-for-value.
+
+    100 TB: ALL model state derives from the single bigram-TYPE
+    table (one map-side-combined agg over the exploded corpus);
+    prefix totals, forward continuation counts N1+(w1,.), backward
+    continuation counts N1+(.,w2) and the type total are three
+    dictionary-sized aggs + one broadcast scalar over that table.
+    Scoring is three dictionary joins and one per-doc avg; the
+    corpus is scanned once for bigrams and never self-joined. The
+    scoring expression is a fixed arithmetic tree over integer
+    counts, so Spark and DuckDB agree bit-for-bit before the final
+    round(6)-after-avg.
+    """
+    arr = F.split(F.lower("text"), " ")
+    t = _docs(spark, sf_dir).select(
+        "doc_id", arr.alias("arr"), F.size(arr).alias("n")
+    )
+    bg = t.where(F.col("n") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("arr"), 1, F.col("n") - 1),
+                F.slice(F.col("arr"), 2, F.col("n") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pref = bgm.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bgm.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    ty = bgm.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    p = F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1") + (
+        F.lit(_KN_D) * F.col("n1f") / F.col("c1")
+    ) * (F.col("nc") / F.col("nt"))
+    scored = (
+        bg.join(bgm, ["w1", "w2"])
+        .join(pref, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ty))
+        .select("doc_id", (-F.log2(p)).alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("bits"), 6).alias("kn_bits_per_bigram"),
+    )
+
+
+text_kn_perplexity.__doc__ = text_kn_perplexity.__doc__.format(D=_KN_D)

@@ -3199,3 +3199,153 @@ def web_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         sm.alias("spam_mass"),
         ((~F.col("is_seed")) & (sm >= 0.5)).alias("is_spam_candidate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batched personalized PageRank: per-seed related-entity vectors
+# --------------------------------------------------------------------------
+
+_PPR_ITERS = 5
+_PPR_DAMPING = 0.85
+_PPR_N_SEEDS = 4
+_PPR_TOPK = 5
+
+
+def _ppr_oracle_sql(
+    iters: int, damping: float, edges_sql: str, n_seeds: int, topk: int
+) -> str:
+    """Unrolled batched personalized PageRank as MATERIALIZED CTEs —
+    mirrors operators.linkgraph.ppr_batch: sparse (seed, node, rank)
+    state, restart + per-seed dangling mass re-entering at the seed,
+    seeds = the ``n_seeds`` strongest nodes by out-strength."""
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    parts = [
+        f"hg AS MATERIALIZED ({edges_sql})",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM hg GROUP BY 1)",
+        (
+            "norm AS MATERIALIZED (SELECT hg.src, hg.dst, "
+            "CAST(hg.w AS DOUBLE) / outw.out_w AS p "
+            "FROM hg JOIN outw ON hg.src = outw.src)"
+        ),
+        "hasout AS MATERIALIZED (SELECT DISTINCT src FROM hg)",
+        (
+            f"seeds AS MATERIALIZED (SELECT src AS seed FROM hg "
+            f"GROUP BY src ORDER BY sum(w) DESC, src LIMIT {n_seeds})"
+        ),
+        "it0 AS MATERIALIZED (SELECT seed, seed AS node, 1.0 AS rank FROM seeds)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT r.seed, sum(r.rank) AS dang "
+            f"FROM {p} r LEFT JOIN hasout o ON r.node = o.src "
+            f"WHERE o.src IS NULL GROUP BY r.seed)"
+        )
+        parts.append(
+            f"con{k} AS MATERIALIZED (SELECT r.seed, e.dst AS node, "
+            f"{d} * sum(e.p * r.rank) AS rank "
+            f"FROM norm e JOIN {p} r ON e.src = r.node GROUP BY r.seed, e.dst)"
+        )
+        parts.append(
+            f"it{k} AS MATERIALIZED (SELECT seed, node, sum(rank) AS rank FROM ("
+            f"SELECT seed, node, rank FROM con{k} "
+            f"UNION ALL "
+            f"SELECT s.seed, s.seed AS node, "
+            f"{t} + {d} * coalesce(g.dang, 0.0) AS rank "
+            f"FROM seeds s LEFT JOIN dang{k} g ON s.seed = g.seed"
+            f") u GROUP BY seed, node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT seed AS seed_entity, node AS related_entity,
+      round(rank, 6) AS ppr, CAST(rn AS INTEGER) AS rel_rank
+    FROM (
+      SELECT seed, node, rank, row_number() OVER (
+        PARTITION BY seed ORDER BY round(rank, 6) DESC, node) AS rn
+      FROM it{iters} WHERE node <> seed
+    ) q WHERE rn <= {topk}"""
+    )
+
+
+@register(
+    "kg_entity_ppr",
+    oracle=_ppr_oracle_sql(
+        _PPR_ITERS,
+        _PPR_DAMPING,
+        edges_sql=_COMENTION_EDGES_SQL,
+        n_seeds=_PPR_N_SEEDS,
+        topk=_PPR_TOPK,
+    ),
+)
+def kg_entity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related entities via batched personalized PageRank: for each
+    of the {n} highest-strength entities in the symmetrized
+    co-mention graph, the top-{k} other entities by random-walk-with-
+    restart affinity — the per-entity "see also" vector a KG serves
+    next to kg_entity_pagerank's single global salience score, and
+    the standard neighborhood-sampling weight for downstream GNN /
+    node2vec-style training. ALL seed vectors advance in ONE
+    {it}-iteration loop over a sparse (seed, node, rank) state
+    (operators.linkgraph.ppr_batch — one edge join + one map-side-
+    combined sum per round regardless of seed count; per-seed
+    dangling mass re-enters at its seed so every vector stays a
+    probability distribution). Seeds and top-k are fully
+    deterministic: strength sums are integer-valued doubles (exact),
+    ties broken by entity id, and the final per-seed ranking orders
+    by the round(6) score with node tiebreak — the adamic-adar
+    regime, since symmetric graph structure can make distinct nodes'
+    true PPR exactly equal. The oracle unrolls the identical sparse
+    recurrence as MATERIALIZED CTEs.
+    """
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+    from multiomics_biocypher_kg_spark.operators.linkgraph import ppr_batch
+
+    p = _pipeline(spark, sf_dir)
+    counts = (
+        comention_pairs(p["links"])
+        .groupBy("subj", "obj")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    edges = counts.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("n").cast("double").alias("weight"),
+    ).unionByName(
+        counts.select(
+            F.col("obj").alias("src"),
+            F.col("subj").alias("dst"),
+            F.col("n").cast("double").alias("weight"),
+        )
+    )
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.sum("weight").alias("st"))
+        .orderBy(F.col("st").desc(), "src")
+        .limit(_PPR_N_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    ranks = ppr_batch(
+        edges, seeds, iters=_PPR_ITERS, damping=_PPR_DAMPING
+    ).where(F.col("node") != F.col("seed"))
+    w = Window.partitionBy("seed").orderBy(
+        F.round("rank", 6).desc(), "node"
+    )
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PPR_TOPK)
+        .select(
+            F.col("seed").alias("seed_entity"),
+            F.col("node").alias("related_entity"),
+            F.round("rank", 6).alias("ppr"),
+            F.col("rn").cast("int").alias("rel_rank"),
+        )
+    )
+
+
+kg_entity_ppr.__doc__ = kg_entity_ppr.__doc__.format(
+    n=_PPR_N_SEEDS, k=_PPR_TOPK, it=_PPR_ITERS
+)

@@ -155,3 +155,168 @@ def test_final_ops_plans(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Batched personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _barbell(spark):
+    """Two triangles joined by one bridge edge (a2 - b0)."""
+    und = [
+        ("a0", "a1"), ("a1", "a2"), ("a0", "a2"),
+        ("b0", "b1"), ("b1", "b2"), ("b0", "b2"),
+        ("a2", "b0"),
+    ]
+    edges = [(s, d, 1.0) for s, d in und] + [(d, s, 1.0) for s, d in und]
+    return spark.createDataFrame(
+        edges, "src string, dst string, weight double"
+    )
+
+
+def test_ppr_batch_equals_per_seed_runs(spark):
+    """The property the batched shape relies on: advancing all seeds
+    in ONE loop is exactly the union of independent single-seed
+    runs — seed vectors never interact."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import ppr_batch
+
+    hg = _barbell(spark)
+    both = spark.createDataFrame([("a0",), ("b2",)], "seed string")
+    batched = {
+        (r["seed"], r["node"]): round(r["rank"], 12)
+        for r in ppr_batch(hg, both, iters=4).collect()
+    }
+    solo = {}
+    for s in ("a0", "b2"):
+        one = spark.createDataFrame([(s,)], "seed string")
+        for r in ppr_batch(hg, one, iters=4).collect():
+            solo[(r["seed"], r["node"])] = round(r["rank"], 12)
+    assert batched == solo
+
+
+def test_ppr_mass_conservation_and_locality(spark):
+    """Every seed vector stays a probability distribution (restart +
+    dangling mass re-enter at the seed), and a seed's own clique
+    outranks the far clique across the bridge."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import ppr_batch
+
+    hg = _barbell(spark)
+    seeds = spark.createDataFrame([("a0",), ("b2",)], "seed string")
+    rows = ppr_batch(hg, seeds, iters=5).collect()
+    mass = {}
+    ranks = {}
+    for r in rows:
+        mass[r["seed"]] = mass.get(r["seed"], 0.0) + r["rank"]
+        ranks[(r["seed"], r["node"])] = r["rank"]
+    assert all(abs(m - 1.0) < 1e-12 for m in mass.values()), mass
+    # locality: from a0, both triangle-mates beat every b-node
+    for near in ("a1", "a2"):
+        for far in ("b0", "b1", "b2"):
+            assert ranks[("a0", near)] > ranks[("a0", far)]
+
+
+def test_ppr_dangling_seed_keeps_mass(spark):
+    """A seed with no out-edges returns all its mass to itself every
+    round: rank(s, s) == 1 and no other state rows appear."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import ppr_batch
+
+    hg = spark.createDataFrame(
+        [("x", "sink", 1.0)], "src string, dst string, weight double"
+    )
+    seeds = spark.createDataFrame([("sink",)], "seed string")
+    rows = ppr_batch(hg, seeds, iters=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["node"] == "sink" and abs(rows[0]["rank"] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_kn_distribution_normalizes(spark):
+    """Interpolated KN's defining invariant: for every observed
+    prefix w1, p(.|w1) sums to exactly 1 over the continuation
+    vocabulary — the discount mass removed equals the backoff weight
+    handed to the continuation distribution."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "a cat and a dog"),
+        ],
+        "doc_id long, text string",
+    )
+    bg = []
+    for _, text in docs.collect():
+        toks = text.split(" ")
+        bg += list(zip(toks, toks[1:]))
+    from collections import Counter
+
+    D = 0.75
+    c12 = Counter(bg)
+    c1 = Counter(w1 for w1, _ in bg)
+    n1f = Counter(w1 for w1, _ in c12)  # distinct continuations of w1
+    nc = Counter(w2 for _, w2 in c12)  # distinct histories of w2
+    nt = float(len(c12))
+    cont_vocab = set(nc)
+    for w1 in c1:
+        total = sum(
+            max(c12.get((w1, w2), 0) - D, 0.0) / c1[w1]
+            + (D * n1f[w1] / c1[w1]) * (nc[w2] / nt)
+            for w2 in cont_vocab
+        )
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+def test_kn_operator_matches_hand_formula(spark, tmp_path):
+    """text_kn_perplexity on a micro corpus equals the hand-rolled
+    KN math to 6 decimals, and the continuation term demonstrably
+    diverges from token frequency (the Francisco property)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = [
+        (0, "san francisco is in california"),
+        (1, "san francisco fog rolls in"),
+        (2, "the report is due in march"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    for extra in ["lang", "host"]:
+        pdf[extra] = "en" if extra == "lang" else "h"
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_bits_per_bigram"])
+        for r in QUERIES["text_kn_perplexity"](spark, sf).collect()
+    }
+    bg_by_doc = {}
+    for doc_id, text in rows:
+        toks = text.lower().split(" ")
+        bg_by_doc[doc_id] = list(zip(toks, toks[1:]))
+    allbg = [p for v in bg_by_doc.values() for p in v]
+    D = 0.75
+    c12, c1 = Counter(allbg), Counter(w1 for w1, _ in allbg)
+    types = set(allbg)
+    n1f = Counter(w1 for w1, _ in types)
+    nc = Counter(w2 for _, w2 in types)
+    nt = float(len(types))
+    # "francisco" always follows "san": token count 2, but only ONE
+    # distinct history -> continuation count 1 (the KN correction)
+    assert sum(1 for _, w2 in allbg if w2 == "francisco") == 2
+    assert nc["francisco"] == 1
+    for doc_id, pairs in bg_by_doc.items():
+        bits = [
+            -math.log2(
+                max(c12[p] - D, 0.0) / c1[p[0]]
+                + (D * n1f[p[0]] / c1[p[0]]) * (nc[p[1]] / nt)
+            )
+            for p in pairs
+        ]
+        exp = round(sum(bits) / len(bits), 6)
+        assert got[doc_id] == (len(pairs), exp), (doc_id, got[doc_id], exp)

@@ -537,3 +537,27 @@ def test_ams_f2_single_pass_sketch(spark):
     plan = _plan(QUERIES["rel_ams_f2"](spark, SF_TINY))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ppr_state_joins_keyed_no_cartesian(spark):
+    """Batched PPR must advance all seed vectors through KEYED joins
+    on the sparse (seed, node) state — no CartesianProduct, and no
+    non-broadcast nested-loop join anywhere in the loop (the per-seed
+    dangling scalar is a seed-keyed aggregate, not a collected or
+    cross-joined value)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_entity_ppr"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+
+
+def test_kn_perplexity_dictionary_joins_only(spark):
+    """KN scoring is dictionary joins + one broadcast 1-row scalar:
+    no CartesianProduct, and the type-total enters as a broadcast
+    (BroadcastNestedLoopJoin over exactly one row is the intended
+    scalar carrier, same as the JM gate)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_kn_perplexity"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
