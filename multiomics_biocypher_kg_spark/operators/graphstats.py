@@ -791,3 +791,66 @@ def validity_intervals(
             "n_obs",
         )
     )
+
+
+def node2vec_transitions(
+    edges: DataFrame, p: float, q: float, cap: int
+) -> DataFrame:
+    """node2vec second-order biased transition table (Grover &
+    Leskovec KDD 2016) over ``edges(src, dst, w)``: for a walk at
+    cur arrived from prev, P(next | prev, cur) ∝ w(cur, next) *
+    alpha with alpha = 1/p on the return step, 1 when (prev, next)
+    is an edge, 1/q otherwise. Adjacency is capped to each node's
+    top-``cap`` out-neighbors by (w DESC, dst) BEFORE the wedge
+    join, bounding the table at |V| * cap^2 regardless of hub
+    degree; the alpha gate tests edge existence against the FULL
+    edge set, so capping limits fan-out, never the topology test.
+
+    -> (prev_node, cur_node, next_node, alpha, prob) with prob
+    normalized per (prev_node, cur_node) and round(6)-gated.
+    """
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    capped = (
+        edges.withColumn("rk", F.row_number().over(wcap))
+        .where(F.col("rk") <= cap)
+        .drop("rk")
+    )
+    a = capped.select(
+        F.col("src").alias("prev_node"), F.col("dst").alias("cur_node")
+    )
+    b = capped.select(
+        F.col("src").alias("cur_node"), F.col("dst").alias("next_node"), "w"
+    )
+    wedge = a.join(b, "cur_node")
+    e = edges.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    ).distinct()
+    biased = wedge.join(
+        e,
+        (F.col("prev_node") == F.col("e_src"))
+        & (F.col("next_node") == F.col("e_dst")),
+        "left",
+    ).select(
+        "prev_node",
+        "cur_node",
+        "next_node",
+        F.when(F.col("next_node") == F.col("prev_node"), F.lit(1.0 / p))
+        .when(F.col("e_src").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(1.0 / q))
+        .alias("alpha"),
+        "w",
+    )
+    wn = Window.partitionBy("prev_node", "cur_node")
+    return biased.select(
+        "prev_node",
+        "cur_node",
+        "next_node",
+        "alpha",
+        F.round(
+            F.col("w") * F.col("alpha")
+            / F.sum(F.col("w") * F.col("alpha")).over(wn),
+            6,
+        ).alias("prob"),
+    )

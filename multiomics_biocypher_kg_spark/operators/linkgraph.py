@@ -609,3 +609,37 @@ def ppr_batch(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def multi_source_distances(
+    edges: DataFrame, sources: DataFrame, rounds: int
+) -> DataFrame:
+    """Batched multi-source BFS: hop distances from EVERY source at
+    once over ``edges(src, dst)``, fixed ``rounds`` horizon.
+
+    State is one sparse (s, node, dist) table — the per-source twin
+    of ``web_seed_distance``'s single distance-to-seed-SET vector,
+    and the integer analog of ``ppr_batch``'s mass state: each round
+    is one frontier equi-join (state.node == edges.src) + one
+    all-integer min-groupBy for ALL sources, so the per-round cost
+    is independent of |sources|. Pairs beyond the horizon never get
+    a row (sparse by construction); lineage is truncated per round.
+    Consumers: harmonic/closeness centrality (sum of reciprocal
+    distances per node), seed-set distance (min over s).
+
+    -> (s, node, dist) with dist = exact hop distance <= rounds.
+    """
+    state = sources.select(
+        "s", F.col("s").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(rounds):
+        step = state.join(edges, state["node"] == edges["src"]).select(
+            "s", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        state = (
+            state.union(step)
+            .groupBy("s", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return state

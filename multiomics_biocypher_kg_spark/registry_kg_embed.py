@@ -1279,3 +1279,107 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased transition table
+# ---------------------------------------------------------------------------
+
+_N2V_P = 4.0
+_N2V_Q = 0.25
+_N2V_CAP = 8
+
+
+def _node2vec_oracle_sql() -> str:
+    from multiomics_biocypher_kg_spark.registry_web import _COMENTION_EDGES_SQL
+
+    rp = repr(1.0 / _N2V_P)
+    rq = repr(1.0 / _N2V_Q)
+    return f"""
+    WITH hg AS MATERIALIZED ({_COMENTION_EDGES_SQL}),
+    capped AS MATERIALIZED (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+          row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+        FROM hg
+      ) r WHERE rk <= {_N2V_CAP}
+    ),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM hg),
+    wedge AS MATERIALIZED (
+      SELECT a.src AS prev_node, a.dst AS cur_node, b.dst AS next_node,
+        b.w AS w
+      FROM capped a JOIN capped b ON a.dst = b.src
+    ),
+    biased AS MATERIALIZED (
+      SELECT wg.prev_node, wg.cur_node, wg.next_node,
+        CASE WHEN wg.next_node = wg.prev_node THEN {rp}
+             WHEN e.src IS NOT NULL THEN 1.0
+             ELSE {rq} END AS alpha,
+        wg.w
+      FROM wedge wg LEFT JOIN e
+        ON e.src = wg.prev_node AND e.dst = wg.next_node
+    )
+    SELECT prev_node, cur_node, next_node, alpha,
+      round(w * alpha / sum(w * alpha)
+        OVER (PARTITION BY prev_node, cur_node), 6) AS prob
+    FROM biased
+    """
+
+
+@register("kg_node2vec_transitions", oracle=_node2vec_oracle_sql())
+def kg_node2vec_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased transition table (Grover &
+    Leskovec, KDD 2016) over the symmetrized co-mention entity
+    graph: for a walk at cur having arrived from prev, the
+    probability of stepping to next is proportional to
+    w(cur, next) * alpha, with alpha = 1/p = {rp} for the return
+    step (next == prev), 1.0 when (prev, next) is itself an edge
+    (BFS-ish stay-local move), and 1/q = {rq} otherwise (DFS-ish
+    outward move). This is the preprocessing table the node2vec
+    walk sampler consumes — the second-order complement to the
+    first-order DeepWalk corpus (web_random_walks) and the skip-gram
+    pair extraction (kg_skipgram_pairs). Adjacency is degree-capped
+    to the top-{cap} neighbors by (weight, id) BEFORE the wedge
+    join — the standard node2vec preprocessing that bounds the
+    transition table at |V| * cap^2 rows regardless of hub degree
+    (an uncapped wedge join explodes as sum(deg_in * deg_out) on
+    hot entities); the per-node top-k window sorts only one node's
+    adjacency per task (two-phase salted bottom-k, as in
+    text_kmv_cardinality, is the hub-adjacency escape hatch at
+    10^12 docs). The alpha gate tests edge existence against the
+    FULL edge set (a keyed left join), so capping biases only the
+    candidate fan-out, never the topology test. Weights are
+    integer-valued doubles: the cap's (w DESC, id) order and the
+    three exact alpha constants are deterministic cross-engine;
+    the only inexact float is the final per-(prev, cur)
+    normalization, round(6)-gated.
+    """
+    from multiomics_biocypher_kg_spark.operators.graphstats import comention_pairs
+
+    p = _pipeline(spark, sf_dir)
+    counts = (
+        comention_pairs(p["links"])
+        .groupBy("subj", "obj")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    edges = counts.select(
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("n").cast("double").alias("w"),
+    ).unionByName(
+        counts.select(
+            F.col("obj").alias("src"),
+            F.col("subj").alias("dst"),
+            F.col("n").cast("double").alias("w"),
+        )
+    )
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        node2vec_transitions,
+    )
+
+    return node2vec_transitions(edges, p=_N2V_P, q=_N2V_Q, cap=_N2V_CAP)
+
+
+kg_node2vec_transitions.__doc__ = kg_node2vec_transitions.__doc__.format(
+    rp=1.0 / _N2V_P, rq=1.0 / _N2V_Q, cap=_N2V_CAP
+)

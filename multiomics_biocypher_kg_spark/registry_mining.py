@@ -1806,3 +1806,117 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality from sampled sources (Eppstein-Wang)
+# ---------------------------------------------------------------------------
+
+_HC_ROUNDS = 6
+_HC_SRC_MOD = 5
+
+
+def _harmonic_oracle_sql() -> str:
+    src_pred = md5_long_sql("node") + f" % {_HC_SRC_MOD} = 0"
+    parts = [
+        (
+            f"hg AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst "
+            f"FROM ({_HOST_GRAPH_SQL}))"
+        ),
+        (
+            "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM hg UNION ALL SELECT dst FROM hg))"
+        ),
+        f"srcs AS MATERIALIZED (SELECT node AS s FROM nodes WHERE {src_pred})",
+        "sc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM srcs)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "d0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist FROM srcs)",
+    ]
+    for i in range(_HC_ROUNDS):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT s, node, min(dist) AS dist FROM ("
+            f"SELECT s, node, dist FROM d{i} "
+            f"UNION ALL SELECT d.s, hg.dst AS node, d.dist + 1 AS dist "
+            f"FROM d{i} d JOIN hg ON hg.src = d.node) u GROUP BY s, node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT node AS host,
+      CAST(count(CASE WHEN dist > 0 THEN 1 END) AS INTEGER) AS n_reached,
+      round((nn.n - 1) / sc.ns *
+        coalesce(sum(CASE WHEN dist > 0 THEN 1.0 / dist END), 0.0), 6)
+        AS harmonic_centrality
+    FROM d{_HC_ROUNDS} CROSS JOIN nn CROSS JOIN sc
+    GROUP BY node, nn.n, sc.ns"""
+    )
+
+
+@register("web_harmonic_centrality", oracle=_harmonic_oracle_sql())
+def web_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host harmonic centrality estimated from a deterministic
+    source sample (Eppstein & Wang 2001 / Boldi & Vigna "Axioms for
+    Centrality"): hc(v) = (n-1)/|S| * sum over sampled sources s of
+    1 / d(s, v), distances from a BATCHED multi-source BFS — the
+    state is ONE sparse (source, node, dist) table advanced by one
+    frontier equi-join + one all-integer min-groupBy per round for
+    ALL sources at once (the ppr_batch discipline applied to
+    distances instead of mass). Harmonic centrality is the
+    closeness variant that stays well-defined on disconnected
+    graphs (unreached pairs contribute 0, not infinity), which is
+    why it is the crawl-frontier authority signal of choice next to
+    PageRank; web_hyperanf estimates ball SIZES per radius, this
+    ranks nodes by inverse-distance REACH. Fixed {h}-round horizon
+    (the BFS-family contract; the web's effective diameter), sources
+    = the md5 % {m} == 0 hosts (the Eppstein-Wang uniform sample —
+    |S| = O(log n / eps^2) bounds the state at 10^12 nodes); nodes
+    outside every source's horizon are excluded by contract. The
+    (n-1)/|S| rescale uses two broadcast 1-row aggregates; the only
+    float math is the final reciprocal sum, round(6)-gated.
+    """
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+
+    hg = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    nodes = (
+        hg.select(F.col("src").alias("node"))
+        .union(hg.select("dst"))
+        .distinct()
+    )
+    srcs = nodes.where(md5_long(F.col("node")) % _HC_SRC_MOD == 0).select(
+        F.col("node").alias("s")
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sc = srcs.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        multi_source_distances,
+    )
+
+    state = multi_source_distances(hg, srcs, rounds=_HC_ROUNDS)
+    raw = state.groupBy("node").agg(
+        F.count(F.when(F.col("dist") > 0, 1)).cast("int").alias("n_reached"),
+        F.coalesce(
+            F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))),
+            F.lit(0.0),
+        ).alias("raw"),
+    )
+    return (
+        raw.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col("node").alias("host"),
+            "n_reached",
+            F.round(
+                (F.col("n") - 1) / F.col("ns") * F.col("raw"), 6
+            ).alias("harmonic_centrality"),
+        )
+    )
+
+
+web_harmonic_centrality.__doc__ = web_harmonic_centrality.__doc__.format(
+    h=_HC_ROUNDS, m=_HC_SRC_MOD
+)

@@ -320,3 +320,111 @@ def test_kn_operator_matches_hand_formula(spark, tmp_path):
         ]
         exp = round(sum(bits) / len(bits), 6)
         assert got[doc_id] == (len(pairs), exp), (doc_id, got[doc_id], exp)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-source BFS / harmonic centrality
+# ---------------------------------------------------------------------------
+
+
+def test_multi_source_distances_chain_and_horizon(spark):
+    """Exact hop distances on a directed chain, per source; pairs
+    beyond the fixed horizon get NO row (sparse by contract), and
+    the min-relaxation picks the shorter of two paths."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        multi_source_distances,
+    )
+
+    # chain a->b->c->d->e plus shortcut a->d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "d")],
+        "src string, dst string",
+    )
+    srcs = spark.createDataFrame([("a",), ("c",)], "s string")
+    got = {
+        (r["s"], r["node"]): r["dist"]
+        for r in multi_source_distances(edges, srcs, rounds=2).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2,
+        ("a", "d"): 1,  # shortcut beats the 3-hop chain
+        ("a", "e"): 2,  # via the shortcut, inside the horizon
+        ("c", "c"): 0, ("c", "d"): 1, ("c", "e"): 2,
+    }
+
+
+# ---------------------------------------------------------------------------
+# node2vec transitions
+# ---------------------------------------------------------------------------
+
+
+def test_node2vec_alpha_classes_and_normalization(spark):
+    """On a triangle (t, v, x) plus pendant y attached to v, the walk
+    t->v sees all three alpha classes: return (t, 1/p), common
+    neighbor (x, 1.0), outward (y, 1/q) — and the transition
+    probabilities normalize to 1 per (prev, cur)."""
+    from collections import defaultdict
+
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        node2vec_transitions,
+    )
+
+    und = [("t", "v"), ("v", "x"), ("x", "t"), ("v", "y")]
+    edges = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in und] + [(d, s, 1.0) for s, d in und],
+        "src string, dst string, w double",
+    )
+    rows = node2vec_transitions(edges, p=4.0, q=0.25, cap=8).collect()
+    tv = {
+        r["next_node"]: (r["alpha"], r["prob"])
+        for r in rows
+        if r["prev_node"] == "t" and r["cur_node"] == "v"
+    }
+    assert tv["t"][0] == 0.25  # return step: 1/p
+    assert tv["x"][0] == 1.0  # (t, x) is an edge
+    assert tv["y"][0] == 4.0  # 1/q: y is 2 hops from t
+    # unit weights: probs proportional to alpha
+    tot = 0.25 + 1.0 + 4.0
+    assert tv["t"][1] == round(0.25 / tot, 6)
+    assert tv["y"][1] == round(4.0 / tot, 6)
+    sums = defaultdict(float)
+    for r in rows:
+        sums[(r["prev_node"], r["cur_node"])] += r["prob"]
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values()), sums
+
+
+def test_node2vec_cap_bounds_fanout_not_topology(spark):
+    """With cap=2, a hub's wedge fan-out is bounded by its top-2
+    neighbors, but the alpha edge-existence test still sees the FULL
+    edge set: a capped-away edge (prev, next) must still classify as
+    alpha = 1.0, not 1/q."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        node2vec_transitions,
+    )
+
+    # hub h with neighbors n1..n4 (weights 4,3,2,1), all undirected;
+    # plus edge n1 - n3 (weight 1): from prev=n1 at cur=h, n3 is cut
+    # by cap=2? no — top-2 of h is {n1, n2}; n3 appears only via the
+    # full-set alpha test on wedges that DO survive.
+    und = [
+        ("h", "n1", 4.0), ("h", "n2", 3.0), ("h", "n3", 2.0),
+        ("h", "n4", 1.0), ("n1", "n2", 1.0),
+    ]
+    edges = spark.createDataFrame(
+        [(s, d, w) for s, d, w in und] + [(d, s, w) for s, d, w in und],
+        "src string, dst string, w double",
+    )
+    rows = node2vec_transitions(edges, p=4.0, q=0.25, cap=2).collect()
+    from_h = {
+        (r["prev_node"], r["next_node"]): r["alpha"]
+        for r in rows
+        if r["cur_node"] == "h"
+    }
+    # fan-out from h capped to its top-2 neighbors {n1, n2}
+    assert {nxt for _, nxt in from_h} == {"n1", "n2"}
+    # (n3, h) wedge survives only if n3's own cap includes h (it
+    # does: h is n3's only neighbor); its step to n2 is 2 hops in
+    # the full graph -> 1/q, while n1->h->n2 closes a real triangle
+    # via the UNCAPPED edge set -> alpha 1.0
+    assert from_h[("n3", "n2")] == 4.0
+    assert from_h[("n1", "n2")] == 1.0

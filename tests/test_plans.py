@@ -561,3 +561,23 @@ def test_kn_perplexity_dictionary_joins_only(spark):
     plan = _plan(QUERIES["text_kn_perplexity"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_harmonic_centrality_keyed_joins_no_cartesian(spark):
+    """Batched multi-source BFS advances through KEYED frontier joins
+    and integer min-groupBys; the only nested-loop joins are the two
+    broadcast 1-row rescale scalars."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_harmonic_centrality"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+
+
+def test_node2vec_wedge_join_keyed_cap_partitioned(spark):
+    """The wedge join is keyed on cur_node and the top-cap window is
+    PARTITIONED by src (per-node adjacency sort, never a global
+    sort); no CartesianProduct anywhere."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_node2vec_transitions"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
