@@ -3349,3 +3349,240 @@ def kg_entity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 kg_entity_ppr.__doc__ = kg_entity_ppr.__doc__.format(
     n=_PPR_N_SEEDS, k=_PPR_TOPK, it=_PPR_ITERS
 )
+
+
+# --------------------------------------------------------------------------
+# Okapi BM25 ranking over mid-frequency probe terms
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_RANK_LO = 6
+_BM25_RANK_HI = 10
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (
+      SELECT CAST(avg(dl) AS DOUBLE) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM dl
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+          row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+      ) r WHERE rk BETWEEN {_BM25_RANK_LO} AND {_BM25_RANK_HI}
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+        ln(1.0 + (st.n - q.df + 0.5) / (q.df + 0.5))
+          * (tf.tf * {_BM25_K1 + 1.0})
+          / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+             + {_BM25_B} * dl.dl / st.avgdl)) AS w
+      FROM q JOIN tf ON tf.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
+      round(sum(w), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Robertson-Sparck Jones, k1={k1}, b={b}) document
+    scores for a deterministic probe query — the ranking function
+    TF-IDF (text_tfidf) approximates without its two defining
+    corrections: term-frequency SATURATION (the k1 denominator caps
+    a term's contribution, so keyword-stuffed pages stop winning)
+    and document-LENGTH normalization (the b * dl/avgdl term
+    deflates long documents). idf is the Lucene/ATIRE
+    ln(1 + (N - df + 0.5)/(df + 0.5)) variant — strictly positive,
+    so stop-like terms cannot produce negative scores. The probe
+    query is the corpus's df-rank {lo}..{hi} terms (mid-frequency —
+    the band real queries live in), derived as two distributed
+    top-k's (TakeOrderedAndProject) anti-joined — NEVER an
+    unpartitioned rank window over the full vocabulary (the
+    text_vocabulary lesson). Scoring is two
+    dictionary joins (query terms broadcast, doc lengths) + one
+    broadcast 1-row stats scalar + one per-doc sum; the corpus is
+    scanned once for tokens. Output keyed by doc (no top-k
+    ordering), so the only float risk is the round(6)-gated <=
+    {nq}-addend sum.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(
+        F.avg("dl").cast("double").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the rank-lo..hi band as two distributed top-k's (both
+    # TakeOrderedAndProject) anti-joined — no rank window at all,
+    # so nothing ever sorts the vocabulary in one task
+    top = df_.orderBy(F.col("df").desc(), "term").limit(_BM25_RANK_HI)
+    head = df_.orderBy(F.col("df").desc(), "term").limit(_BM25_RANK_LO - 1)
+    q = top.join(head.select("term"), "term", "left_anti").select(
+        "term", F.col("df").alias("qdf")
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("qdf") + 0.5) / (F.col("qdf") + 0.5)
+    )
+    wterm = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", wterm.alias("w"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        F.round(F.sum("w"), 6).alias("bm25"),
+    )
+
+
+text_bm25.__doc__ = text_bm25.__doc__.format(
+    k1=_BM25_K1,
+    b=_BM25_B,
+    lo=_BM25_RANK_LO,
+    hi=_BM25_RANK_HI,
+    nq=_BM25_RANK_HI - _BM25_RANK_LO + 1,
+)
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search through the postings list
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tg AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2, arr[i + 2] AS w3,
+        count(*) AS c
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n - 2)) AS i) s
+      GROUP BY 1, 2, 3
+    ),
+    ph AS (
+      SELECT w1, w2, w3 FROM tg
+      ORDER BY c DESC, w1, w2, w3 LIMIT 1
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, arr[i] AS term
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n)) AS i) s
+    ),
+    occ AS (
+      SELECT p1.doc_id, p1.pos
+      FROM ph
+      JOIN pos p1 ON p1.term = ph.w1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        AND p2.term = ph.w2
+      JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+        AND p3.term = ph.w3
+    )
+    SELECT o.doc_id,
+      ph.w1 || ' ' || ph.w2 || ' ' || ph.w3 AS phrase,
+      CAST(count(*) AS BIGINT) AS n_occurrences,
+      CAST(min(o.pos) AS INTEGER) AS first_pos
+    FROM occ o CROSS JOIN ph
+    GROUP BY o.doc_id, phrase
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query through a POSITIONAL postings list: find
+    every occurrence of the corpus's most frequent trigram by
+    self-joining (term, doc_id, pos) postings on (doc_id, pos + 1) /
+    (pos + 2) adjacency — the query path a document-level inverted
+    index (text_inverted_index) cannot answer and window co-mention
+    (kg_window_comention) only approximates (proximity is not
+    adjacency). The probe phrase is derived deterministically as a
+    distributed top-1 trigram (TakeOrderedAndProject with full
+    (count, w1, w2, w3) tiebreak), broadcast into three postings
+    filters; each adjacency step is a keyed equi-join on
+    (doc_id, pos) — at 10^12 documents the postings are
+    hash-partitioned by term (the filter step) then by doc_id (the
+    adjacency steps), both standard co-partitioned index layouts,
+    and intermediate matches shrink monotonically (w1-postings >=
+    w1w2-matches >= w1w2w3-matches). All-integer output: doc_id,
+    occurrence count, first position — no float gate anywhere.
+    """
+    arr = F.split(F.lower("text"), " ")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", arr.alias("arr"), F.size(arr).alias("n"))
+    tg = (
+        t.where(F.col("n") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 2),
+                    lambda i: F.struct(
+                        F.element_at("arr", i).alias("w1"),
+                        F.element_at("arr", i + 1).alias("w2"),
+                        F.element_at("arr", i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .groupBy("g.w1", "g.w2", "g.w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ph = tg.orderBy(F.col("c").desc(), "w1", "w2", "w3").limit(1).drop("c")
+    pos = t.select(
+        "doc_id", F.posexplode("arr").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    p1 = pos.join(
+        F.broadcast(ph.select(F.col("w1").alias("term"))), "term"
+    ).select("doc_id", "pos")
+    p2 = pos.join(
+        F.broadcast(ph.select(F.col("w2").alias("term"))), "term"
+    ).select(F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"))
+    p3 = pos.join(
+        F.broadcast(ph.select(F.col("w3").alias("term"))), "term"
+    ).select(F.col("doc_id").alias("d3"), F.col("pos").alias("pos3"))
+    occ = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("d2")) & (F.col("pos2") == F.col("pos") + 1),
+    ).join(
+        p3,
+        (F.col("doc_id") == F.col("d3")) & (F.col("pos3") == F.col("pos") + 2),
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+        .crossJoin(F.broadcast(ph))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+            "n_occurrences",
+            "first_pos",
+        )
+    )

@@ -581,3 +581,28 @@ def test_node2vec_wedge_join_keyed_cap_partitioned(spark):
 
     plan = _plan(QUERIES["kg_node2vec_transitions"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_probe_band_is_take_ordered_not_global_rank(spark):
+    """The probe-term band must come from a distributed top-k
+    (TakeOrderedAndProject) over the vocabulary — never an
+    unpartitioned rank window over every term — and scoring joins
+    must broadcast the 5-term query side."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_bm25"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_search_postings_joins_keyed(spark):
+    """Phrase adjacency must resolve through keyed postings joins
+    (term filters broadcast, then doc_id/pos equi-joins) — no
+    CartesianProduct; the phrase itself is a TakeOrderedAndProject
+    top-1."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_phrase_search"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
