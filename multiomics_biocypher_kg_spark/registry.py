@@ -707,7 +707,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # web_percolation_robustness, text_readability) and the final batch
 # (kg_validity_intervals, web_spam_mass, text_kmv_cardinality,
 # kg_entity_ppr, text_kn_perplexity, web_harmonic_centrality,
-# kg_node2vec_transitions, text_bm25, text_phrase_search) were
+# kg_node2vec_transitions, text_bm25, text_phrase_search,
+# data_rendezvous_shards, text_query_likelihood) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

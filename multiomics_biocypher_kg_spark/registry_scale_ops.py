@@ -2101,3 +2101,92 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_kn_perplexity.__doc__ = text_kn_perplexity.__doc__.format(D=_KN_D)
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) resharding: minimal-disruption shard rebalancing
+# ---------------------------------------------------------------------------
+
+_HRW_N = 8  # shard count before the scale-up
+
+
+@register(
+    "data_rendezvous_shards",
+    oracle=f"""
+    WITH cand AS (
+      SELECT d.doc_id, s.s,
+        {md5_long_sql("CAST(d.doc_id AS VARCHAR) || '#' || CAST(s.s AS VARCHAR)")} AS h
+      FROM documents d,
+      LATERAL (SELECT unnest(generate_series(0, {_HRW_N - 1})) AS s) s
+    ),
+    before AS (
+      SELECT doc_id, arg_max(s, h) AS shard_before, max(h) AS max_h
+      FROM cand GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      CAST(b.shard_before AS INTEGER) AS shard_before,
+      CAST(CASE WHEN nh.h8 > b.max_h THEN {_HRW_N}
+           ELSE b.shard_before END AS INTEGER) AS shard_after,
+      nh.h8 > b.max_h AS moved
+    FROM before b,
+    LATERAL (SELECT {md5_long_sql(
+        f"CAST(b.doc_id AS VARCHAR) || '#' || CAST({_HRW_N} AS VARCHAR)"
+    )} AS h8) nh
+    """,
+)
+def data_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler &
+    Ravishankar 1998) and its defining rebalance property: each doc
+    goes to the shard with the highest hash(doc, shard) "weight",
+    so growing {n} -> {n1} shards moves EXACTLY the docs the new
+    shard wins — expected 1/{n1} of the corpus — and every moved doc
+    moves TO the new shard (shard_after == {n}), never between old
+    shards. Hash-mod sharding (curation_shards) reshuffles ~all keys
+    on any count change; HRW is what incremental 10^12-doc pipelines
+    reshard with (consistent hashing's simpler cousin — no ring
+    state, pure computation). Because the candidate set is the
+    bounded SHARD COUNT — not data — the argmax needs no explode, no
+    aggregate, and no shuffle: all {n} weights are struct elements of
+    one array column reduced by array_max inside a single
+    whole-stage-codegen Project, so the entire reshard plan is a
+    narrow map over the corpus (plan guard asserts zero Exchange).
+    Then shard_after = (h_new > max_old) ? {n} : before — the
+    minimal-move property IS the formula, and the oracle recomputes
+    it with arg_max/max over the identical md5 weights. All
+    integer/boolean output.
+    """
+    weights = F.array(*[
+        F.struct(
+            md5_long(
+                F.concat_ws(
+                    "#", F.col("doc_id").cast("string"), F.lit(str(s))
+                )
+            ).alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(_HRW_N)
+    ])
+    before = _docs(spark, sf_dir).select(
+        "doc_id", F.array_max(weights).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.s").cast("int").alias("shard_before"),
+        F.col("m.h").alias("max_h"),
+    )
+    h_new = md5_long(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(str(_HRW_N)))
+    )
+    return before.select(
+        "doc_id",
+        "shard_before",
+        F.when(h_new > F.col("max_h"), F.lit(_HRW_N))
+        .otherwise(F.col("shard_before"))
+        .cast("int")
+        .alias("shard_after"),
+        (h_new > F.col("max_h")).alias("moved"),
+    )
+
+
+data_rendezvous_shards.__doc__ = data_rendezvous_shards.__doc__.format(
+    n=_HRW_N, n1=_HRW_N + 1
+)

@@ -3586,3 +3586,99 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_pos",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (the probabilistic-IR twin of BM25)
+# --------------------------------------------------------------------------
+
+_QL_MU = 50.0
+
+
+@register(
+    "text_query_likelihood",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS ct FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (
+      SELECT term FROM (
+        SELECT term, df,
+          row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+      ) r WHERE rk BETWEEN {_BM25_RANK_LO} AND {_BM25_RANK_HI}
+    ),
+    ctf AS (SELECT term, CAST(count(*) AS DOUBLE) AS ctf FROM toks GROUP BY term),
+    pairs AS (SELECT d.doc_id, d.dl, q.term FROM dl d CROSS JOIN q),
+    scored AS (
+      SELECT p.doc_id,
+        CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END AS present,
+        -log2((coalesce(tf.tf, 0) + {_QL_MU} * c.ctf / t.ct)
+              / (p.dl + {_QL_MU})) AS bits
+      FROM pairs p
+      LEFT JOIN tf ON tf.doc_id = p.doc_id AND tf.term = p.term
+      JOIN ctf c ON c.term = p.term
+      CROSS JOIN tot t
+    )
+    SELECT doc_id, CAST(sum(present) AS INTEGER) AS n_terms_present,
+      round(sum(bits), 6) AS ql_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval score (Zhai &
+    Lafferty, SIGIR 2001; mu = {mu}) for the same mid-frequency
+    probe band as text_bm25 — the probabilistic language-model
+    scorer next to BM25's heuristic one (the two families every
+    production IR stack ships, cf. Lucene's BM25Similarity /
+    LMDirichletSimilarity): p(t|d) = (tf + mu * p(t|C)) / (dl + mu),
+    score = sum of -log2 p over the query terms. Structurally UNLIKE
+    BM25, smoothing scores EVERY document against every query term —
+    a zero-tf doc still pays the collection-model cost — so the scan
+    is dl CROSS JOIN the 5-term broadcast band with a LEFT join onto
+    the (doc, term) tf table: the cross join is bounded by the query
+    length (never doc x doc), and all model state (collection term
+    frequencies, total token count) is one dictionary agg + one
+    broadcast scalar. n_terms_present pins the present/smoothed
+    split so the oracle cannot agree by cancellation.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = df_.orderBy(F.col("df").desc(), "term").limit(_BM25_RANK_HI)
+    head = df_.orderBy(F.col("df").desc(), "term").limit(_BM25_RANK_LO - 1)
+    q = top.join(head.select("term"), "term", "left_anti").select("term")
+    ctf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("ctf")
+    )
+    pairs = dl.crossJoin(F.broadcast(q))
+    p_td = (
+        F.coalesce(F.col("tf"), F.lit(0)) + F.lit(_QL_MU) * F.col("ctf") / F.col("ct")
+    ) / (F.col("dl") + F.lit(_QL_MU))
+    scored = (
+        pairs.join(tf, ["doc_id", "term"], "left")
+        .join(ctf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("present"),
+            (-F.log2(p_td)).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("present").cast("int").alias("n_terms_present"),
+        F.round(F.sum("bits"), 6).alias("ql_bits"),
+    )
+
+
+text_query_likelihood.__doc__ = text_query_likelihood.__doc__.format(mu=_QL_MU)

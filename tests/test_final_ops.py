@@ -538,3 +538,95 @@ def test_phrase_search_adjacency_not_proximity(spark, tmp_path):
         1: ("x y z", 2, 2),
         3: ("x y z", 1, 3),
     }
+
+
+def test_rendezvous_shards_minimal_move_property(spark, tmp_path):
+    """HRW's defining guarantee, checked against a full Python
+    mirror of the md5 weights: growing 8 -> 9 shards moves ONLY the
+    docs the new shard wins (shard_after == 8 for every moved doc,
+    shard_before preserved for every other), and the moved fraction
+    is ~1/9 of the corpus — hash-mod sharding would move ~8/9."""
+    import hashlib
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_scale_ops import _HRW_N
+
+    rows = [(i, "t") for i in range(180)]
+    sf = _docs_fixture(spark, tmp_path, rows)
+
+    def h(doc_id, s):
+        return int(
+            hashlib.md5(f"{doc_id}#{s}".encode()).hexdigest()[:15], 16
+        )
+
+    exp = {}
+    for i, _ in rows:
+        weights = {s: h(i, s) for s in range(_HRW_N)}
+        before = max(weights, key=lambda s: (weights[s], s))
+        moved = h(i, _HRW_N) > weights[before]
+        exp[i] = (before, _HRW_N if moved else before, moved)
+
+    got = {
+        r["doc_id"]: (r["shard_before"], r["shard_after"], r["moved"])
+        for r in QUERIES["data_rendezvous_shards"](spark, sf).collect()
+    }
+    assert got == exp
+    n_moved = sum(1 for _, _, m in got.values() if m)
+    # expected 180/9 = 20; allow wide hash scatter but rule out both
+    # zero-move (broken new-shard hash) and mass-move (hash-mod)
+    assert 5 <= n_moved <= 45
+    assert all(a == _HRW_N for _, a, m in got.values() if m)
+    assert all(b == a for b, a, m in got.values() if not m)
+
+
+def test_query_likelihood_smoothing_scores_absent_docs(spark, tmp_path):
+    """Dirichlet QL's defining property vs BM25: a document with
+    ZERO band-term occurrences still gets a (worse) finite score
+    from the collection model. Verified against the hand formula
+    -sum log2((tf + mu*ctf/|C|)/(dl + mu)) over the rank-6..10 df
+    band, and orderings: more matching terms -> fewer bits."""
+    import collections
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_web import _QL_MU
+
+    filler = " ".join(f"f{i:02d}" for i in range(5))
+    rows = [
+        (0, filler + " apple banana cherry"),
+        (1, filler + " apple banana date egg"),
+        (2, filler + " apple cherry date"),
+        (3, filler),  # no band terms: pure collection-model cost
+    ]
+    sf = _docs_fixture(spark, tmp_path, rows)
+
+    toks = {i: t.split(" ") for i, t in rows}
+    dfc = collections.Counter()
+    for t in toks.values():
+        dfc.update(set(t))
+    ranked = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))
+    band = [t for t, _ in ranked[5:10]]
+    assert band == ["apple", "banana", "cherry", "date", "egg"]
+    ct = sum(len(t) for t in toks.values())
+    ctf = collections.Counter()
+    for t in toks.values():
+        ctf.update(t)
+    exp = {}
+    for i, t in toks.items():
+        bits, present = 0.0, 0
+        for term in band:
+            tf = t.count(term)
+            present += 1 if tf else 0
+            bits -= math.log2(
+                (tf + _QL_MU * ctf[term] / ct) / (len(t) + _QL_MU)
+            )
+        exp[i] = (present, round(bits, 6))
+
+    got = {
+        r["doc_id"]: (r["n_terms_present"], r["ql_bits"])
+        for r in QUERIES["text_query_likelihood"](spark, sf).collect()
+    }
+    assert got == exp
+    assert got[3][0] == 0 and got[3][1] > 0  # smoothed, not dropped
+    # doc 3 (0 matches) pays more bits than doc 1 (4 matches)
+    assert got[3][1] > got[1][1]

@@ -606,3 +606,31 @@ def test_phrase_search_postings_joins_keyed(spark):
     plan = _plan(QUERIES["text_phrase_search"](spark, SF_TINY))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rendezvous_shards_is_shuffle_free_narrow_map(spark):
+    """The per-doc argmax over the 8 candidate weights is array_max
+    over struct columns — the whole reshard assignment must compile
+    to a single narrow Project over the scan: no Exchange, no Window,
+    no aggregate, no join. This is the property that lets a 10^12-doc
+    reshard run at raw scan speed."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_rendezvous_shards"](spark, SF_TINY))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_query_likelihood_band_is_topk_state_broadcast(spark):
+    """The probe band comes from distributed top-k
+    (TakeOrderedAndProject); the dl x band expansion is bounded by
+    the 5-term broadcast query side (BroadcastNestedLoopJoin over a
+    <=5-row side is the intended shape, CartesianProduct is not);
+    tf/ctf attach through keyed hash joins."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_query_likelihood"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
