@@ -2190,3 +2190,158 @@ def data_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_rendezvous_shards.__doc__ = data_rendezvous_shards.__doc__.format(
     n=_HRW_N, n1=_HRW_N + 1
 )
+
+
+# ---------------------------------------------------------------------------
+# Manifest pruning audit: hash vs range clustering -> predicate file-skipping
+# ---------------------------------------------------------------------------
+
+_PRUNE_SHARDS = 16
+_PRUNE_THRESH = 420  # predicate: n_chars >= 420 (~top quartile)
+
+
+@register(
+    "data_manifest_pruning",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+    ),
+    sharded AS (
+      SELECT d.n_chars,
+        {md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % {_PRUNE_SHARDS} AS hash_shard,
+        CAST(floor((d.n_chars - s.lo) * {_PRUNE_SHARDS}.0
+                   / (s.hi - s.lo + 1)) AS BIGINT) AS range_shard
+      FROM documents d CROSS JOIN stats s
+    ),
+    layouts AS (
+      SELECT 'hash' AS layout, hash_shard AS shard, n_chars FROM sharded
+      UNION ALL
+      SELECT 'range' AS layout, range_shard AS shard, n_chars FROM sharded
+    )
+    SELECT layout, CAST(shard AS INTEGER) AS shard,
+      count(*) AS n_docs,
+      min(n_chars) AS min_v, max(n_chars) AS max_v,
+      max(n_chars) < {_PRUNE_THRESH} AS skippable
+    FROM layouts GROUP BY layout, shard
+    """,
+)
+def data_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-manifest-style scan-pruning audit: per-shard min/max
+    column stats under two physical layouts — hash-clustered (shard =
+    md5(doc_id) % {n}) vs range-clustered on the predicate column
+    (shard = floor((v - lo) * {n} / span), the two-pass range
+    partitioner: one global min/max agg broadcast as a 1-row scalar,
+    then a narrow map) — and whether each shard is skippable for the
+    predicate ``n_chars >= {t}`` (skippable iff shard max < {t},
+    exactly the min/max file-skipping every manifest-backed format
+    does; reference analog: the resolved-file probe discipline,
+    `plans/lineage.py`). The audit quantifies the 100 TB decision a
+    table's sort order IS: under hash layout every shard spans the
+    full value range (0 skippable — every query scans everything);
+    under range layout the same predicate prunes ~3/4 of shards
+    without reading a row. One union + one map-side-combined groupBy;
+    no window, no join wider than the broadcast scalar.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    stats = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    sharded = docs.crossJoin(F.broadcast(stats)).select(
+        "n_chars",
+        (md5_long(F.col("doc_id").cast("string")) % _PRUNE_SHARDS).alias(
+            "hash_shard"
+        ),
+        F.floor(
+            (F.col("n_chars") - F.col("lo"))
+            * float(_PRUNE_SHARDS)
+            / (F.col("hi") - F.col("lo") + 1)
+        ).alias("range_shard"),
+    )
+    both = sharded.select(
+        F.lit("hash").alias("layout"),
+        F.col("hash_shard").alias("shard"),
+        "n_chars",
+    ).unionAll(
+        sharded.select(
+            F.lit("range").alias("layout"),
+            F.col("range_shard").alias("shard"),
+            "n_chars",
+        )
+    )
+    return both.groupBy("layout", F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_v"),
+        F.max("n_chars").alias("max_v"),
+        (F.max("n_chars") < _PRUNE_THRESH).alias("skippable"),
+    )
+
+
+data_manifest_pruning.__doc__ = data_manifest_pruning.__doc__.format(
+    n=_PRUNE_SHARDS, t=_PRUNE_THRESH
+)
+
+
+# ---------------------------------------------------------------------------
+# Skew audit: per-key load profile -> data-derived salt-factor recommendation
+# ---------------------------------------------------------------------------
+
+_SKEW_PARTS = 32  # target parallelism the salt recommendation is sized for
+
+
+@register(
+    "data_skew_audit",
+    oracle=f"""
+    WITH hosts AS (
+      SELECT CASE WHEN (doc_id % 125) % 10 < 3 THEN 'hot.example.com'
+        ELSE 'h' || CAST((doc_id % 125) % 50 AS VARCHAR) || '.example.org'
+        END AS host
+      FROM documents
+    ),
+    per_key AS (SELECT host, count(*) AS n_docs FROM hosts GROUP BY host),
+    tot AS (SELECT sum(n_docs) AS total FROM per_key)
+    SELECT p.host, p.n_docs,
+      round(CAST(p.n_docs AS DOUBLE) / t.total, 6) AS share,
+      CAST(ceil(p.n_docs * {_SKEW_PARTS}.0 / t.total) AS INTEGER) AS salt_factor,
+      p.n_docs * {_SKEW_PARTS} > t.total AS is_skewed
+    FROM per_key p CROSS JOIN tot t
+    """,
+)
+def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that precedes salted aggregation
+    (kg_host_rollup_salted applies a salt; this derives WHAT salt):
+    per-key load share and the minimal salt factor that levels the
+    key across {p}-way parallelism — salt = ceil(n_key * {p} /
+    total), i.e. how many partition-sized chunks the key occupies,
+    with is_skewed = (key > one partition's fair share). On the
+    synthetic host family 'hot.example.com' carries ~30% of docs →
+    salt ~10; every other host fits one partition → salt 1. The
+    profile is one map-side-combined groupBy over a key the scan
+    projection computes (dictionary-sized output) + one broadcast
+    1-row total — the cost model: a skew audit must be strictly
+    cheaper than the shuffle it tunes. AQE's runtime skew-split
+    handles joins; groupBy salting still needs this number chosen
+    from data (SCALE.md 'skew' row).
+    """
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    per_key = (
+        _docs(spark, sf_dir)
+        .select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per_key.agg(F.sum("n_docs").alias("total"))
+    return per_key.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("share"),
+        F.ceil(F.col("n_docs") * float(_SKEW_PARTS) / F.col("total"))
+        .cast("int")
+        .alias("salt_factor"),
+        (F.col("n_docs") * _SKEW_PARTS > F.col("total")).alias("is_skewed"),
+    )
+
+
+data_skew_audit.__doc__ = data_skew_audit.__doc__.format(p=_SKEW_PARTS)

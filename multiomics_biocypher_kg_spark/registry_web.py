@@ -3682,3 +3682,169 @@ def text_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_query_likelihood.__doc__ = text_query_likelihood.__doc__.format(mu=_QL_MU)
+
+
+# --------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback: expansion terms from the top-k QL docs
+# --------------------------------------------------------------------------
+
+_RM3_DOCS = 10
+_RM3_TERMS = 15
+
+
+@register(
+    "text_rm3_expansion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS ct FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+      ) r WHERE rk BETWEEN {_BM25_RANK_LO} AND {_BM25_RANK_HI}
+    ),
+    ctf AS (SELECT term, CAST(count(*) AS DOUBLE) AS ctf FROM toks GROUP BY term),
+    pairs AS (SELECT d.doc_id, d.dl, q.term FROM dl d CROSS JOIN q),
+    ql AS (
+      SELECT p.doc_id, min(p.dl) AS dl,
+        sum(-log2((coalesce(tf.tf, 0) + {_QL_MU} * c.ctf / t.ct)
+                  / (p.dl + {_QL_MU}))) AS bits
+      FROM pairs p
+      LEFT JOIN tf ON tf.doc_id = p.doc_id AND tf.term = p.term
+      JOIN ctf c ON c.term = p.term
+      CROSS JOIN tot t
+      GROUP BY p.doc_id
+    ),
+    top_docs AS (
+      SELECT doc_id, dl, power(2.0, -bits) AS p_q FROM (
+        SELECT doc_id, dl, bits,
+          row_number() OVER (ORDER BY round(bits, 6), doc_id) AS rk
+        FROM ql
+      ) r WHERE rk <= {_RM3_DOCS}
+    ),
+    contrib AS (
+      SELECT tf.term,
+        ((tf.tf + {_QL_MU} * c.ctf / t.ct) / (d.dl + {_QL_MU})) * d.p_q AS w
+      FROM top_docs d
+      JOIN tf ON tf.doc_id = d.doc_id
+      JOIN ctf c ON c.term = tf.term
+      CROSS JOIN tot t
+      WHERE tf.term NOT IN (SELECT term FROM q)
+    ),
+    norm AS (SELECT sum(w) AS z FROM contrib),
+    rm AS (
+      SELECT c.term, round(sum(c.w) / n.z, 9) AS w9,
+        round(sum(c.w) / n.z, 6) AS rm_weight,
+        count(*) AS n_top_docs
+      FROM contrib c CROSS JOIN norm n GROUP BY c.term, n.z
+    )
+    SELECT term, rm_weight, CAST(n_top_docs AS INTEGER) AS n_top_docs
+    FROM (
+      SELECT term, rm_weight, n_top_docs,
+        row_number() OVER (ORDER BY w9 DESC, term) AS rk
+      FROM rm
+    ) r WHERE rk <= {_RM3_TERMS}
+    """,
+)
+def text_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the
+    Anserini/Galago default expansion): score the corpus with the
+    Dirichlet query-likelihood model for the probe band, take the
+    top-{k} feedback docs, and weight every term they contain by the
+    relevance model p(w|R) = sum over feedback docs of
+    p(w|d) * p(q|d) — completing the IR stack's third stage
+    (index -> BM25/QL scoring -> feedback expansion). Query terms
+    are excluded (RM3's interpolation re-adds them; the expansion
+    set is what retrieval infrastructure materializes), and p(w|R)
+    is normalized over the candidate set — the distribution RM3
+    interpolates, scale-invariant in corpus size. Scale shape:
+    the ONLY corpus-sized stages are the same dictionary aggs QL
+    uses; everything after the top-k cut touches {k} docs' postings
+    — the feedback join is (10-doc tf) x dictionaries, all keyed
+    hash joins, and the top-k cuts are distributed
+    TakeOrderedAndProject, never global rank windows. Exact-tie
+    regime: distinct terms occurring once in the same feedback doc
+    have IDENTICAL real-arithmetic weights, so top-{m} selection
+    orders by the ROUNDED weight (9 dp guard digit) with the term as
+    tiebreak — deterministic on both engines.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = df_.orderBy(F.col("df").desc(), "term").limit(_BM25_RANK_HI)
+    head = df_.orderBy(F.col("df").desc(), "term").limit(_BM25_RANK_LO - 1)
+    q = top.join(head.select("term"), "term", "left_anti").select("term")
+    ctf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("ctf")
+    )
+    p_td = (
+        F.coalesce(F.col("tf"), F.lit(0)) + F.lit(_QL_MU) * F.col("ctf") / F.col("ct")
+    ) / (F.col("dl") + F.lit(_QL_MU))
+    ql = (
+        dl.crossJoin(F.broadcast(q))
+        .join(tf, ["doc_id", "term"], "left")
+        .join(ctf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.min("dl").alias("dl"),
+            F.sum(-F.log2(p_td)).alias("bits"),
+        )
+    )
+    top_docs = (
+        ql.orderBy(F.round(F.col("bits"), 6), "doc_id")
+        .limit(_RM3_DOCS)
+        .select("doc_id", "dl", F.pow(F.lit(2.0), -F.col("bits")).alias("p_q"))
+    )
+    contrib = (
+        F.broadcast(top_docs)
+        .join(tf, "doc_id")
+        .join(tf.select(F.col("term")).join(q, "term", "left_semi"),
+              "term", "left_anti")
+        .join(ctf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            (
+                (F.col("tf") + F.lit(_QL_MU) * F.col("ctf") / F.col("ct"))
+                / (F.col("dl") + F.lit(_QL_MU))
+                * F.col("p_q")
+            ).alias("w"),
+        )
+    )
+    norm = contrib.agg(F.sum("w").alias("z"))
+    rm = (
+        contrib.groupBy("term")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.count(F.lit(1)).cast("int").alias("n_top_docs"),
+        )
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "term",
+            F.round(F.col("sw") / F.col("z"), 9).alias("w9"),
+            F.round(F.col("sw") / F.col("z"), 6).alias("rm_weight"),
+            "n_top_docs",
+        )
+    )
+    return (
+        rm.orderBy(F.col("w9").desc(), "term")
+        .limit(_RM3_TERMS)
+        .select("term", "rm_weight", "n_top_docs")
+    )
+
+
+text_rm3_expansion.__doc__ = text_rm3_expansion.__doc__.format(
+    k=_RM3_DOCS, m=_RM3_TERMS
+)

@@ -630,3 +630,130 @@ def test_query_likelihood_smoothing_scores_absent_docs(spark, tmp_path):
     assert got[3][0] == 0 and got[3][1] > 0  # smoothed, not dropped
     # doc 3 (0 matches) pays more bits than doc 1 (4 matches)
     assert got[3][1] > got[1][1]
+
+
+def test_manifest_pruning_range_layout_prunes_hash_does_not(spark):
+    """The audit's point: shards partition the corpus under BOTH
+    layouts, range shards cover disjoint value intervals (monotone
+    assignment), skippable is exactly max_v < threshold, and range
+    clustering yields strictly more skippable shards than hash."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_scale_ops import (
+        _PRUNE_THRESH,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["data_manifest_pruning"](spark, sf).collect()
+    n_docs_total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+    for layout, shards in by_layout.items():
+        assert sum(r["n_docs"] for r in shards) == n_docs_total
+        for r in shards:
+            assert r["skippable"] == (r["max_v"] < _PRUNE_THRESH)
+    rng = sorted(by_layout["range"], key=lambda r: r["shard"])
+    for a, b in zip(rng, rng[1:]):
+        assert a["max_v"] <= b["min_v"]  # disjoint value intervals
+    skip = {
+        layout: sum(1 for r in shards if r["skippable"])
+        for layout, shards in by_layout.items()
+    }
+    assert skip["range"] > skip["hash"]
+    assert skip["range"] >= len(rng) // 2  # most of the table pruned
+
+
+def test_skew_audit_flags_hot_host_and_sizes_salt(spark):
+    """On the synthetic host family the hot host carries ~30% of
+    docs: it must be the one skewed key, with salt_factor =
+    ceil(n * 32 / total) ~ 10; every cold host fits a partition
+    (salt 1); counts partition the corpus."""
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_scale_ops import _SKEW_PARTS
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["data_skew_audit"](spark, sf).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == spark.read.parquet(f"{sf}/documents.parquet").count()
+    hot = [r for r in rows if r["is_skewed"]]
+    assert [r["host"] for r in hot] == ["hot.example.com"]
+    assert 0.25 < hot[0]["share"] < 0.35
+    assert hot[0]["salt_factor"] == math.ceil(
+        hot[0]["n_docs"] * _SKEW_PARTS / total
+    )
+    assert all(
+        r["salt_factor"] == 1 for r in rows if r["host"] != "hot.example.com"
+    )
+
+
+def test_rm3_expansion_matches_python_mirror(spark, tmp_path):
+    """Full hand mirror of the relevance model on a corpus small
+    enough that the feedback set is the whole corpus: per-doc QL
+    bits -> p(q|d) -> normalized p(w|R), band terms excluded, top
+    terms by rounded weight. Also pins the two RM3 contracts: no
+    query term in the expansion, and weights form a sub-distribution
+    (sum <= 1 up to the excluded-query mass)."""
+    import collections
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_web import (
+        _QL_MU,
+        _RM3_TERMS,
+    )
+
+    filler = " ".join(f"f{i:02d}" for i in range(5))
+    rows = [
+        (0, filler + " apple banana cherry kiwi kiwi"),
+        (1, filler + " apple banana date egg plum"),
+        (2, filler + " apple cherry date mango"),
+        (3, filler + " pear pear pear"),
+    ]
+    sf = _docs_fixture(spark, tmp_path, rows)
+
+    toks = {i: t.split(" ") for i, t in rows}
+    dfc = collections.Counter()
+    for t in toks.values():
+        dfc.update(set(t))
+    ranked = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))
+    band = [t for t, _ in ranked[5:10]]
+    ct = sum(len(t) for t in toks.values())
+    ctf = collections.Counter()
+    for t in toks.values():
+        ctf.update(t)
+
+    def p_td(term, doc):
+        return (toks[doc].count(term) + _QL_MU * ctf[term] / ct) / (
+            len(toks[doc]) + _QL_MU
+        )
+
+    p_q = {
+        i: math.prod(p_td(term, i) for term in band) for i in toks
+    }  # 2^-bits == product of the five p(t|d)
+    contrib = collections.defaultdict(float)
+    n_top = collections.Counter()
+    for i in toks:  # 4 docs < _RM3_DOCS: feedback set = whole corpus
+        for term in set(toks[i]):
+            if term in band:
+                continue
+            contrib[term] += p_td(term, i) * p_q[i]
+            n_top[term] += 1
+    z = sum(contrib.values())
+    rm = sorted(
+        ((round(w / z, 9), t) for t, w in contrib.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:_RM3_TERMS]
+    exp = {t: (round(w9, 6), n_top[t]) for w9, t in rm}
+
+    got = {
+        r["term"]: (r["rm_weight"], r["n_top_docs"])
+        for r in QUERIES["text_rm3_expansion"](spark, sf).collect()
+    }
+    assert set(got) == set(exp)
+    for t in exp:
+        assert abs(got[t][0] - exp[t][0]) < 2e-6, (t, got[t], exp[t])
+        assert got[t][1] == exp[t][1]
+    assert not set(band) & set(got)  # query terms never expand
+    assert 0 < sum(w for w, _ in got.values()) <= 1.0 + 1e-9

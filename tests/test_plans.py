@@ -634,3 +634,39 @@ def test_query_likelihood_band_is_topk_state_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_manifest_pruning_no_window_no_shuffle_join(spark):
+    """Both layout assignments are scan projections (hash) or a
+    broadcast-scalar map (range); the stats are one map-side-combined
+    groupBy — no rank window over shards, no shuffle join."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_manifest_pruning"](spark, SF_TINY))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_audit_dictionary_agg_broadcast_total(spark):
+    """The audit must cost one keyed agg over the scan + one
+    broadcast 1-row total — never a window over keys or a shuffle
+    join against the total."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_skew_audit"](spark, SF_TINY))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rm3_expansion_topk_cuts_and_keyed_feedback_joins(spark):
+    """Both cuts (feedback docs, expansion terms) are distributed
+    top-k (TakeOrderedAndProject); the feedback join fans the 10-doc
+    side out via broadcast hash joins, never a cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_rm3_expansion"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
