@@ -1920,3 +1920,95 @@ def web_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 web_harmonic_centrality.__doc__ = web_harmonic_centrality.__doc__.format(
     h=_HC_ROUNDS, m=_HC_SRC_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift between embedding batches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_drift_monitor",
+    oracle="""
+    WITH ex AS (SELECT vec_id, label, vec_id % 2 AS batch,
+        CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cnt AS (SELECT label, vec_id % 2 AS batch, count(*) AS n
+      FROM embeddings GROUP BY 1, 2),
+    cent AS (SELECT label, batch, dim, avg(x) AS m FROM ex GROUP BY 1, 2, 3),
+    paired AS (
+      SELECT o.label, o.dim, o.m AS m0, n.m AS m1
+      FROM cent o JOIN cent n ON o.label = n.label AND o.dim = n.dim
+      WHERE o.batch = 0 AND n.batch = 1
+    ),
+    d AS (
+      SELECT label,
+        sqrt(sum((m0 - m1) * (m0 - m1))) AS l2,
+        sum(m0 * m1) / (sqrt(sum(m0 * m0)) * sqrt(sum(m1 * m1))) AS cos
+      FROM paired GROUP BY label
+    )
+    SELECT d.label, c0.n AS n_old, c1.n AS n_new,
+      round(d.l2, 6) AS l2_drift, round(d.cos, 6) AS cos_sim
+    FROM d
+    JOIN cnt c0 ON c0.label = d.label AND c0.batch = 0
+    JOIN cnt c1 ON c1.label = d.label AND c1.batch = 1
+    """,
+)
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-label centroid shift
+    between two ingestion batches (deterministic vec_id parity split
+    stands in for yesterday/today) — L2 distance and cosine of the
+    old/new centroids plus batch sizes. This is the production gate
+    on re-embedding / encoder upgrades: emb_label_outliers flags bad
+    POINTS within one batch, the drift monitor flags a moved
+    DISTRIBUTION between batches (retrain the ANN index / recalibrate
+    thresholds when cos_sim drops). Scale shape: centroids are one
+    map-side-combined (label, batch, dim) agg over the exploded
+    stream — |labels| x 2 x dim rows regardless of corpus size; the
+    old/new pairing and the final metrics touch only that dictionary.
+    Zero Python, one corpus pass plus one count pass.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("label", "batch", "dim", F.col("xf").cast("double").alias("x"))
+    cnt = emb.groupBy("label", (F.col("vec_id") % 2).alias("batch")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cent = ex.groupBy("label", "batch", "dim").agg(F.avg("x").alias("m"))
+    old = cent.where(F.col("batch") == 0).select(
+        "label", "dim", F.col("m").alias("m0")
+    )
+    new = cent.where(F.col("batch") == 1).select(
+        "label", "dim", F.col("m").alias("m1")
+    )
+    d = (
+        old.join(new, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))).alias("l2"),
+            (
+                F.sum(F.col("m0") * F.col("m1"))
+                / (
+                    F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                    * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+                )
+            ).alias("cos"),
+        )
+    )
+    c0 = cnt.where(F.col("batch") == 0).select("label", F.col("n").alias("n_old"))
+    c1 = cnt.where(F.col("batch") == 1).select("label", F.col("n").alias("n_new"))
+    return (
+        d.join(c0, "label")
+        .join(c1, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round("l2", 6).alias("l2_drift"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )

@@ -287,3 +287,137 @@ from multiomics_biocypher_kg_spark.registry import (  # noqa: E402
 )
 
 _apply_driver_window_order()
+
+
+# --------------------------------------------------------------------------
+# Resnik / Lin semantic similarity over the ontology (IC of the LCA)
+# --------------------------------------------------------------------------
+
+_SIM_PAIR_MOD = 29  # probe pairs: (doc_id, doc_id+1) where doc_id % 29 == 1
+
+
+@register(
+    "onto_resnik_similarity",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+    clos(node, ancestor) AS (
+      SELECT child, parent FROM edges
+      UNION
+      SELECT c.node, e.parent FROM clos c JOIN edges e ON c.ancestor = e.child
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT child AS node FROM edges
+        UNION ALL SELECT parent AS node FROM edges
+      )
+    ),
+    ext AS (
+      SELECT DISTINCT node, ancestor FROM (
+        SELECT node, ancestor FROM clos
+        UNION ALL SELECT node, node AS ancestor FROM nodes
+      )
+    ),
+    dc AS (SELECT ancestor, count(*) AS n_desc FROM ext GROUP BY ancestor),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pairs AS (
+      SELECT format('n{{:04d}}', a.doc_id) AS node_a,
+             format('n{{:04d}}', b.doc_id) AS node_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % {_SIM_PAIR_MOD} = 1 AND a.doc_id > 0
+    ),
+    lca AS (
+      SELECT node_a, node_b, ancestor AS lca, n_desc AS lca_desc FROM (
+        SELECT p.node_a, p.node_b, ea.ancestor, d.n_desc,
+          row_number() OVER (PARTITION BY p.node_a, p.node_b
+                             ORDER BY d.n_desc ASC, ea.ancestor ASC) AS rn
+        FROM pairs p
+        JOIN ext ea ON ea.node = p.node_a
+        JOIN ext eb ON eb.node = p.node_b AND eb.ancestor = ea.ancestor
+        JOIN dc d ON d.ancestor = ea.ancestor
+      ) r WHERE rn = 1
+    )
+    SELECT l.node_a, l.node_b, l.lca,
+      round(log2(t.n) - log2(l.lca_desc), 6) AS resnik,
+      round(2 * (log2(t.n) - log2(l.lca_desc))
+            / ((log2(t.n) - log2(da.n_desc))
+               + (log2(t.n) - log2(db.n_desc))), 6) AS lin
+    FROM lca l
+    JOIN dc da ON da.ancestor = l.node_a
+    JOIN dc db ON db.ancestor = l.node_b
+    CROSS JOIN tot t
+    """,
+)
+def onto_resnik_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resnik and Lin semantic similarity for a deterministic probe
+    set of node pairs — THE ontology-similarity measures of the
+    reference's domain (GO-term similarity in multi-omics: Resnik =
+    IC of the most-informative common ancestor, IC(c) =
+    -log2 p(c) with p(c) = descendants(c)/N; Lin = 2·IC(lca) /
+    (IC(a)+IC(b)), the [0,1]-normalized form). LCA selection avoids
+    floats entirely: max-IC common ancestor == MIN-descendant-count
+    ancestor, so the pick is min(struct(n_desc, ancestor)) over
+    integer counts — bit-identical cross-engine regardless of libm
+    log2 ulps, which only enter the final rounded outputs. Scale
+    shape: descendant counts are ONE keyed agg over the (self-
+    extended) closure; the probe pairs are a bounded scan filter;
+    per-pair ancestor intersection is two keyed joins against the
+    closure (each node carries O(depth) ancestor rows — for a quad
+    tree ~log4 N), never a pairwise node x node expansion.
+    """
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+
+    edges = _onto_edges(spark, sf_dir)
+    clos = ancestors_closure(edges, max_depth=10).select("node", "ancestor")
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .union(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    ext = clos.union(nodes.select("node", F.col("node").alias("ancestor"))).distinct()
+    dc = ext.groupBy("ancestor").agg(F.count(F.lit(1)).alias("n_desc"))
+    tot = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = docs.where(
+        (F.col("doc_id") % _SIM_PAIR_MOD == 1) & (F.col("doc_id") > 0)
+    ).select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        F.format_string("n%04d", F.col("id_a")).alias("node_a"),
+        F.format_string("n%04d", F.col("id_b")).alias("node_b"),
+    )
+    ea = ext.select(F.col("node").alias("node_a"), "ancestor")
+    eb = ext.select(F.col("node").alias("node_b"), "ancestor")
+    lca = (
+        pairs.join(ea, "node_a")
+        .join(eb, ["node_b", "ancestor"])
+        .join(dc, "ancestor")
+        .groupBy("node_a", "node_b")
+        .agg(F.min(F.struct("n_desc", "ancestor")).alias("m"))
+        .select(
+            "node_a",
+            "node_b",
+            F.col("m.ancestor").alias("lca"),
+            F.col("m.n_desc").alias("lca_desc"),
+        )
+    )
+    ic = lambda c: F.log2(F.col("n")) - F.log2(c)  # noqa: E731
+    return (
+        lca.join(
+            dc.select(F.col("ancestor").alias("node_a"), F.col("n_desc").alias("da")),
+            "node_a",
+        )
+        .join(
+            dc.select(F.col("ancestor").alias("node_b"), F.col("n_desc").alias("db")),
+            "node_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node_a",
+            "node_b",
+            "lca",
+            F.round(ic(F.col("lca_desc")), 6).alias("resnik"),
+            F.round(
+                2 * ic(F.col("lca_desc")) / (ic(F.col("da")) + ic(F.col("db"))), 6
+            ).alias("lin"),
+        )
+    )

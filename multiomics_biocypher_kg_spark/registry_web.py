@@ -2002,11 +2002,10 @@ _UND_HOST_SQL = f"""
     )"""
 
 
-def _lpa_oracle_sql(iters: int) -> str:
-    """Unrolled synchronous label propagation as MATERIALIZED CTEs —
-    mirrors operators.linkgraph.label_propagation exactly: per round,
-    count round-(k-1) neighbor labels, argmax tie-broken by MIN
-    label."""
+def _lpa_parts(iters: int) -> list[str]:
+    """The unrolled synchronous-LPA CTE chain (shared by the
+    communities and modularity oracles): per round, count
+    round-(k-1) neighbor labels, argmax tie-broken by MIN label."""
     parts = [
         _UND_HOST_SQL,
         "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM und)",
@@ -2024,6 +2023,13 @@ def _lpa_oracle_sql(iters: int) -> str:
                 f"ORDER BY cnt DESC, label ASC) AS rn FROM cnt{k}) WHERE rn = 1)"
             ),
         ]
+    return parts
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous label propagation as MATERIALIZED CTEs —
+    mirrors operators.linkgraph.label_propagation exactly."""
+    parts = _lpa_parts(iters)
     return (
         "WITH " + ",\n".join(parts)
         + f""",
@@ -3848,3 +3854,109 @@ def text_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_rm3_expansion.__doc__ = text_rm3_expansion.__doc__.format(
     k=_RM3_DOCS, m=_RM3_TERMS
 )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA partition (the community-quality score)
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle_sql(iters: int) -> str:
+    parts = _lpa_parts(iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+    lab AS MATERIALIZED (SELECT node, label FROM l{iters}),
+    m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM und),
+    deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY src),
+    internal AS (
+      SELECT la.label AS community, count(*) AS in_pairs
+      FROM und e
+      JOIN lab la ON e.src = la.node
+      JOIN lab lb ON e.dst = lb.node
+      WHERE la.label = lb.label GROUP BY la.label
+    ),
+    cdeg AS (
+      SELECT l.label AS community, count(*) AS n_hosts,
+        sum(d.degree) AS deg_sum
+      FROM lab l JOIN deg d ON l.node = d.node GROUP BY l.label
+    )
+    SELECT c.community, CAST(c.n_hosts AS BIGINT) AS n_hosts,
+      CAST(coalesce(i.in_pairs, 0) / 2 AS BIGINT) AS internal_edges,
+      CAST(c.deg_sum AS BIGINT) AS deg_sum,
+      round(coalesce(i.in_pairs, 0) / t.m2
+            - (c.deg_sum / t.m2) * (c.deg_sum / t.m2), 6) AS q_contrib
+    FROM cdeg c
+    LEFT JOIN internal i ON c.community = i.community
+    CROSS JOIN m2 t"""
+    )
+
+
+@register("web_modularity", oracle=_modularity_oracle_sql(_LPA_ITERS))
+def web_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community:
+    q_contrib = in_c/2m - (deg_c/2m)^2, summing to the partition's Q
+    — the acceptance metric for web_communities (Q near 0 means the
+    "communities" are no better than a random degree-preserving
+    rewiring; link-farm detection that ships unscored partitions
+    ships noise). Exactly the same synchronized 4-round LPA labels
+    (oracle shares the unrolled CTE chain byte-for-byte via
+    _lpa_parts), then three label-keyed aggregates: per-node degree,
+    per-community internal directed pairs (edge stream joined to the
+    broadcast host→label map on BOTH endpoints — one pass), and
+    per-community degree mass; 2m is a broadcast 1-row scalar. At
+    10^9 hosts the label map outgrows a broadcast and the endpoint
+    joins shuffle on node — still two keyed joins, never quadratic.
+    """
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        label_propagation,
+    )
+
+    g = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    e = g.where(F.col("src") != F.col("dst"))
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = label_propagation(g, iters=_LPA_ITERS)
+    m2 = und.agg(F.count(F.lit(1)).cast("double").alias("m2"))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    lab = F.broadcast(labels)
+    internal = (
+        und.join(lab.select(F.col("node").alias("src"), F.col("label").alias("la")), "src")
+        .join(lab.select(F.col("node").alias("dst"), F.col("label").alias("lb")), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("in_pairs"))
+    )
+    cdeg = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("degree").alias("deg_sum"),
+        )
+    )
+    return (
+        cdeg.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "community",
+            "n_hosts",
+            (F.coalesce(F.col("in_pairs"), F.lit(0)) / 2)
+            .cast("long")
+            .alias("internal_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.round(
+                F.coalesce(F.col("in_pairs"), F.lit(0)) / F.col("m2")
+                - (F.col("deg_sum") / F.col("m2"))
+                * (F.col("deg_sum") / F.col("m2")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

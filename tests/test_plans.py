@@ -670,3 +670,16 @@ def test_rm3_expansion_topk_cuts_and_keyed_feedback_joins(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_round4z_ops_no_cartesian_no_global_window(spark):
+    """Resnik LCA intersection, modularity endpoint joins, and the
+    drift centroid pairing are all keyed joins over bounded sides —
+    no CartesianProduct anywhere, and no rank window (the LCA argmin
+    is a min-of-struct aggregate over integer counts)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    for q in ("onto_resnik_similarity", "web_modularity", "emb_drift_monitor"):
+        plan = _plan(QUERIES[q](spark, SF_TINY))
+        assert "CartesianProduct" not in plan, q
+        assert "Window" not in plan, q

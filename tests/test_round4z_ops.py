@@ -1,0 +1,167 @@
+"""Contract tests for the round-4z batch: ontology semantic
+similarity (Resnik/Lin), LPA-partition modularity, and the
+embedding drift monitor — each checked against an independent pure
+Python mirror, not just the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_TINY
+
+
+def test_resnik_lin_match_python_tree_mirror(spark):
+    """Recompute the quad-tree closure, descendant counts, and
+    min-descendant LCA in pure Python and pin both similarity values
+    for every probe pair."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_ontology import _SIM_PAIR_MOD
+
+    max_id = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .agg({"doc_id": "max"})
+        .collect()[0][0]
+    )
+    ids = range(max_id + 1)
+    nodes = {i for i in ids} | {i // 4 for i in ids if i > 0}
+    n = len(nodes)
+
+    def ancs(x):  # ancestors including self
+        out = [x]
+        while x > 0:
+            x //= 4
+            out.append(x)
+        return out
+
+    desc = {c: 0 for c in nodes}
+    for v in nodes:
+        for a in ancs(v):
+            desc[a] += 1
+
+    def ic(x):
+        return math.log2(n) - math.log2(desc[x])
+
+    exp = {}
+    for m in ids:
+        if m % _SIM_PAIR_MOD == 1 and m > 0 and m + 1 <= max_id:
+            common = set(ancs(m)) & set(ancs(m + 1))
+            lca = min(common, key=lambda c: (desc[c], f"n{c:04d}"))
+            exp[(f"n{m:04d}", f"n{m + 1:04d}")] = (
+                f"n{lca:04d}",
+                round(ic(lca), 6),
+                round(2 * ic(lca) / (ic(m) + ic(m + 1)), 6),
+            )
+
+    got = {
+        (r["node_a"], r["node_b"]): (r["lca"], r["resnik"], r["lin"])
+        for r in QUERIES["onto_resnik_similarity"](spark, SF_TINY).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], (k, got[k], exp[k])
+        assert abs(got[k][1] - exp[k][1]) < 2e-6
+        assert abs(got[k][2] - exp[k][2]) < 2e-6
+        assert 0 <= got[k][2] <= 1.0
+
+
+def test_modularity_matches_python_partition_mirror(spark):
+    """Collect the (small) host graph and the LPA labels, compute
+    Newman Q per community in pure Python, and pin every row; the
+    partition must also score clearly above random (Q > 0)."""
+    from collections import Counter
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    labels = {
+        r["host"]: r["community"]
+        for r in QUERIES["web_communities"](spark, SF_TINY).collect()
+    }
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+    from multiomics_biocypher_kg_spark.sources.pages import (
+        pages_from_documents,
+    )
+
+    g = host_graph(href_edges(pages_from_documents(spark, SF_TINY)))
+    e = {
+        (r["src_host"], r["dst_host"])
+        for r in g.collect()
+        if r["src_host"] != r["dst_host"]
+    }
+    und = e | {(b, a) for a, b in e}
+    m2 = len(und)
+    deg = Counter(a for a, _ in und)
+    in_pairs = Counter()
+    deg_sum = Counter()
+    n_hosts = Counter()
+    for a, b in und:
+        if labels[a] == labels[b]:
+            in_pairs[labels[a]] += 1
+    for v, c in labels.items():
+        deg_sum[c] += deg[v]
+        n_hosts[c] += 1
+    exp = {
+        c: (
+            n_hosts[c],
+            in_pairs[c] // 2,
+            deg_sum[c],
+            round(in_pairs[c] / m2 - (deg_sum[c] / m2) ** 2, 6),
+        )
+        for c in n_hosts
+    }
+    got = {
+        r["community"]: (
+            r["n_hosts"],
+            r["internal_edges"],
+            r["deg_sum"],
+            r["q_contrib"],
+        )
+        for r in QUERIES["web_modularity"](spark, SF_TINY).collect()
+    }
+    assert got == exp
+    q = sum(v[3] for v in got.values())
+    assert 0 < q <= 1.0  # real community structure, not rewiring noise
+
+
+def test_drift_monitor_matches_numpy_mirror(spark):
+    """Per-label parity-batch centroids, L2 shift, and cosine pinned
+    against a numpy mirror over the raw embeddings."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["label"], r["vec_id"] % 2), []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    labels = {lbl for lbl, _ in by}
+    exp = {}
+    for lbl in labels:
+        c0 = np.mean(by[(lbl, 0)], axis=0)
+        c1 = np.mean(by[(lbl, 1)], axis=0)
+        l2 = float(np.sqrt(((c0 - c1) ** 2).sum()))
+        cos = float(
+            (c0 * c1).sum()
+            / (np.sqrt((c0**2).sum()) * np.sqrt((c1**2).sum()))
+        )
+        exp[lbl] = (
+            len(by[(lbl, 0)]),
+            len(by[(lbl, 1)]),
+            round(l2, 6),
+            round(cos, 6),
+        )
+    got = {
+        r["label"]: (r["n_old"], r["n_new"], r["l2_drift"], r["cos_sim"])
+        for r in QUERIES["emb_drift_monitor"](spark, SF_TINY).collect()
+    }
+    assert set(got) == set(exp)
+    for lbl in exp:
+        assert got[lbl][0] == exp[lbl][0] and got[lbl][1] == exp[lbl][1]
+        assert abs(got[lbl][2] - exp[lbl][2]) < 2e-6
+        assert abs(got[lbl][3] - exp[lbl][3]) < 2e-6
+        assert -1.0 <= got[lbl][3] <= 1.0  # a valid cosine (tiny-SF
+        # synthetic centroids are near-random, so no alignment floor)
