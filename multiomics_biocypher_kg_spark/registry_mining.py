@@ -2012,3 +2012,102 @@ def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via fixed-iteration power method
+# ---------------------------------------------------------------------------
+
+_POW_ITERS = 3
+
+
+def _power_oracle_sql(iters: int = _POW_ITERS) -> str:
+    parts = [
+        """ex AS (SELECT vec_id,
+        CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings)""",
+        "mu AS (SELECT dim, avg(x) AS m FROM ex GROUP BY dim)",
+        "nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ex)",
+        """cx AS MATERIALIZED (SELECT e.vec_id, e.dim, e.x - m.m AS x
+      FROM ex e JOIN mu m ON e.dim = m.dim)""",
+        "v0 AS (SELECT dim, 1.0 AS v FROM mu)",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            (
+                f"s{k} AS MATERIALIZED (SELECT c.vec_id, sum(c.x * v.v) AS s "
+                f"FROM cx c JOIN v{k - 1} v ON c.dim = v.dim GROUP BY c.vec_id)"
+            ),
+            (
+                f"w{k} AS MATERIALIZED (SELECT c.dim, sum(c.x * s.s) / t.n AS w "
+                f"FROM cx c JOIN s{k} s ON c.vec_id = s.vec_id "
+                f"CROSS JOIN nn t GROUP BY c.dim, t.n)"
+            ),
+            f"z{k} AS (SELECT sqrt(sum(w * w)) AS z FROM w{k})",
+            (
+                f"v{k} AS (SELECT dim, w / z AS v FROM w{k} CROSS JOIN z{k})"
+            ),
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT v.dim, round(v.v, 6) AS loading, round(z.z, 6) AS eigval
+    FROM v{iters} v CROSS JOIN z{iters} z"""
+    )
+
+
+@register("emb_power_iteration", oracle=_power_oracle_sql())
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (centered) embedding cloud via
+    {k} fixed power-method iterations — the anisotropy audit every
+    embedding pipeline runs (a dominant PC with a large eigenvalue
+    means cosine similarities are inflated by a common direction;
+    the all-but-the-top-ABTT fix needs exactly this vector). The
+    distributed shape is the Krylov one — the d x d covariance is
+    NEVER materialized: each iteration is two keyed aggregates,
+    s_i = <x_i, v> (corpus join against the broadcast d-row vector)
+    then w = sum_i x_i * s_i / n (dim-keyed sum), plus one 1-row norm
+    scalar — O(nnz) work and d-sized driver-free state per round,
+    deterministic all-ones init (sign-stable, no RNG). eigval is the
+    converged Rayleigh estimate ||C v||. Mirrors the JL-audit's
+    regime (emb_random_projection): float noise is summation-order
+    ulps, gated by round(6).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    mu = ex.groupBy("dim").agg(F.avg("x").alias("m"))
+    nn = ex.agg(F.countDistinct("vec_id").cast("double").alias("n"))
+    cx = (
+        ex.join(F.broadcast(mu), "dim")
+        .select("vec_id", "dim", (F.col("x") - F.col("m")).alias("x"))
+        .localCheckpoint()  # loop invariant: truncate lineage once
+    )
+    v = mu.select("dim", F.lit(1.0).alias("v"))
+    z = None
+    for _ in range(_POW_ITERS):
+        s = (
+            cx.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("s"))
+        )
+        w = (
+            cx.join(s, "vec_id")
+            .crossJoin(F.broadcast(nn))
+            .groupBy("dim")
+            .agg((F.sum(F.col("x") * F.col("s")) / F.first("n")).alias("w"))
+        )
+        z = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("z"))
+        v = w.crossJoin(F.broadcast(z)).select(
+            "dim", (F.col("w") / F.col("z")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(z)).select(
+        "dim",
+        F.round("v", 6).alias("loading"),
+        F.round("z", 6).alias("eigval"),
+    )
+
+
+emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(k=_POW_ITERS)

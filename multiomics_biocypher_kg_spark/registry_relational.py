@@ -1716,3 +1716,62 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active") / F.col("cohort_size").cast("double"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition model over per-user event streams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, sum(n) AS t FROM trans GROUP BY prev_type)
+    SELECT tr.prev_type, tr.next_type, tr.n AS n_transitions,
+      round(CAST(tr.n AS DOUBLE) / tot.t, 6) AS p
+    FROM trans tr JOIN tot ON tr.prev_type = tot.prev_type
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next | prev) estimated from lag pairs — the
+    user-behavior model that sessionization (ev_sessionize) and path
+    mining (web_session_paths) feed into (clickstream prediction,
+    anomaly scoring of improbable transitions). Deterministic
+    ordering: the lag window orders by (ts, event_id) so equal
+    timestamps cannot flip pairs between engines. Scale shape: the
+    lag window is PARTITIONED BY user (each user's stream sorts
+    within its partition — never a global sort), the transition
+    counts are one map-side-combined |types|^2 agg, and the
+    row-normalization joins two dictionary-sized tables. All
+    downstream of one corpus scan.
+    """
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )

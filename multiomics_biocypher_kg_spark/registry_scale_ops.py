@@ -2345,3 +2345,112 @@ def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 data_skew_audit.__doc__ = data_skew_audit.__doc__.format(p=_SKEW_PARTS)
+
+
+# ---------------------------------------------------------------------------
+# Temporal consistency: overlapping claim intervals for functional predicates
+# ---------------------------------------------------------------------------
+
+_CONF_BAND = 128  # time band width; max claim span is 20 + 6*10 = 80 < band
+
+_CLAIMS_SQL = """
+  SELECT doc_id AS claim_id,
+         'e' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         's' || CAST(doc_id % 5 AS VARCHAR) AS source,
+         'v' || CAST(doc_id % 3 AS VARCHAR) AS obj,
+         (doc_id * 17) % 400 AS vfrom,
+         (doc_id * 17) % 400 + 20 + (doc_id % 7) * 10 AS vto
+  FROM documents
+"""
+
+
+@register(
+    "kg_temporal_conflicts",
+    oracle=f"""
+    WITH claims AS ({_CLAIMS_SQL})
+    SELECT a.subj, a.claim_id AS claim_a, b.claim_id AS claim_b,
+      a.source AS src_a, b.source AS src_b,
+      a.obj AS obj_a, b.obj AS obj_b,
+      CAST(greatest(a.vfrom, b.vfrom) AS BIGINT) AS overlap_from,
+      CAST(least(a.vto, b.vto) AS BIGINT) AS overlap_to
+    FROM claims a JOIN claims b
+      ON a.subj = b.subj AND a.claim_id < b.claim_id
+    WHERE a.vfrom <= b.vto AND b.vfrom <= a.vto AND a.obj <> b.obj
+    """,
+)
+def kg_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG consistency audit: for a FUNCTIONAL predicate
+    (kg_predicate_stats decides which), two claims about the same
+    subject whose validity intervals overlap while asserting
+    different objects are a contradiction — the temporal complement
+    of the static SHACL conformance report (kg_shacl_check validates
+    shapes at one instant; this validates the timeline, the check
+    SCD-style edge maintenance and truth discovery depend on). The
+    oracle states the naive interval self-join; the plan executes it
+    as a BANDED equi-join (the kg_window_comention discipline):
+    claims explode to their covered floor(t/{band}) time bands
+    (claim spans are < {band}, so <= 2 bands each), join on
+    (subj, band), and each qualifying pair survives exactly once via
+    the canonical band == floor(overlap_from/{band}) filter — fanout
+    is bounded by per-(subject, band) claim density, never
+    claims-per-subject squared across all time. All integer/string
+    output, no float gate.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    claims = docs.select(
+        F.col("doc_id").alias("claim_id"),
+        F.concat(F.lit("e"), (F.col("doc_id") % 40).cast("string")).alias("subj"),
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")).alias("source"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 3).cast("string")).alias("obj"),
+        ((F.col("doc_id") * 17) % 400).alias("vfrom"),
+        ((F.col("doc_id") * 17) % 400 + 20 + (F.col("doc_id") % 7) * 10).alias(
+            "vto"
+        ),
+    )
+
+    def banded(side: str):
+        return claims.select(
+            *[F.col(c).alias(f"{c}_{side}") for c in claims.columns if c != "subj"],
+            "subj",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("vfrom") / _CONF_BAND),
+                    F.floor(F.col("vto") / _CONF_BAND),
+                )
+            ).alias("band"),
+        )
+
+    a, b = banded("a"), banded("b")
+    return (
+        a.join(b, ["subj", "band"])
+        .where(
+            (F.col("claim_id_a") < F.col("claim_id_b"))
+            & (F.col("vfrom_a") <= F.col("vto_b"))
+            & (F.col("vfrom_b") <= F.col("vto_a"))
+            & (F.col("obj_a") != F.col("obj_b"))
+            & (
+                F.col("band")
+                == F.floor(
+                    F.greatest(F.col("vfrom_a"), F.col("vfrom_b")) / _CONF_BAND
+                )
+            )
+        )
+        .select(
+            "subj",
+            F.col("claim_id_a").alias("claim_a"),
+            F.col("claim_id_b").alias("claim_b"),
+            F.col("source_a").alias("src_a"),
+            F.col("source_b").alias("src_b"),
+            F.col("obj_a"),
+            F.col("obj_b"),
+            F.greatest(F.col("vfrom_a"), F.col("vfrom_b"))
+            .cast("long")
+            .alias("overlap_from"),
+            F.least(F.col("vto_a"), F.col("vto_b")).cast("long").alias("overlap_to"),
+        )
+    )
+
+
+kg_temporal_conflicts.__doc__ = kg_temporal_conflicts.__doc__.format(
+    band=_CONF_BAND
+)

@@ -683,3 +683,36 @@ def test_round4z_ops_no_cartesian_no_global_window(spark):
         plan = _plan(QUERIES[q](spark, SF_TINY))
         assert "CartesianProduct" not in plan, q
         assert "Window" not in plan, q
+
+
+def test_power_iteration_broadcasts_vector_no_cartesian(spark):
+    """Each power-method round joins the corpus against the
+    BROADCAST d-row vector and the per-vector dot products by key —
+    the d x d covariance must never materialize as a join of the
+    corpus with itself."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_power_iteration"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_markov_window_is_user_partitioned(spark):
+    """The lag window partitions by user — no global range sort of
+    the event stream."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_markov_transitions"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temporal_conflicts_banded_equi_join(spark):
+    """The interval self-join must key on (subj, band) — no
+    CartesianProduct, no rank window; the bounded band explode is the
+    only fan-out."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_temporal_conflicts"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

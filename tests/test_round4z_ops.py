@@ -165,3 +165,124 @@ def test_drift_monitor_matches_numpy_mirror(spark):
         assert abs(got[lbl][3] - exp[lbl][3]) < 2e-6
         assert -1.0 <= got[lbl][3] <= 1.0  # a valid cosine (tiny-SF
         # synthetic centroids are near-random, so no alignment floor)
+
+
+def test_power_iteration_matches_numpy_mirror(spark):
+    """Centered power method recomputed in numpy: 3 iterations from
+    the all-ones init, same normalization — loadings and the Rayleigh
+    eigenvalue estimate must pin, and the loading vector must be
+    unit-norm."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_mining import _POW_ITERS
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    n, d = Xc.shape
+    v = np.ones(d)
+    for _ in range(_POW_ITERS):
+        w = Xc.T @ (Xc @ v) / n
+        z = float(np.sqrt((w**2).sum()))
+        v = w / z
+    got = {
+        r["dim"]: (r["loading"], r["eigval"])
+        for r in QUERIES["emb_power_iteration"](spark, SF_TINY).collect()
+    }
+    assert set(got) == set(range(d))
+    for i in range(d):
+        assert abs(got[i][0] - round(v[i], 6)) < 2e-6, i
+        assert abs(got[i][1] - round(z, 6)) < 2e-6
+    norm = sum(l * l for l, _ in got.values())
+    assert abs(norm - 1.0) < 1e-4
+
+
+def test_markov_transitions_match_pandas_mirror(spark):
+    """Transition counts and row-normalized probabilities pinned
+    against a pandas groupby-lag mirror; each prev row's
+    probabilities sum to 1."""
+    from collections import Counter, defaultdict
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in spark.read.parquet(f"{SF_TINY}/events.parquet").collect()
+        )
+    )
+    by_user = defaultdict(list)
+    for u, ts, eid, et in ev:
+        by_user[u].append(et)
+    cnt = Counter()
+    for types in by_user.values():
+        for a, b in zip(types, types[1:]):
+            cnt[(a, b)] += 1
+    tot = Counter()
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    exp = {
+        (a, b): (n, round(n / tot[a], 6)) for (a, b), n in cnt.items()
+    }
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p"])
+        for r in QUERIES["ev_markov_transitions"](spark, SF_TINY).collect()
+    }
+    assert got == exp
+    sums = defaultdict(float)
+    for (a, _), (_, p) in got.items():
+        sums[a] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_temporal_conflicts_banded_join_equals_naive(spark):
+    """The banded equi-join must return EXACTLY the naive O(n^2)
+    interval self-join's conflicts — same pairs, same overlap spans —
+    and every returned pair must genuinely overlap with differing
+    objects."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    max_id = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .agg({"doc_id": "max"})
+        .collect()[0][0]
+    )
+    claims = []
+    for i in range(max_id + 1):
+        vfrom = (i * 17) % 400
+        claims.append(
+            (i, f"e{i % 40}", f"s{i % 5}", f"v{i % 3}", vfrom,
+             vfrom + 20 + (i % 7) * 10)
+        )
+    exp = {}
+    for ai in range(len(claims)):
+        for bi in range(ai + 1, len(claims)):
+            a, b = claims[ai], claims[bi]
+            if (
+                a[1] == b[1]
+                and a[4] <= b[5]
+                and b[4] <= a[5]
+                and a[3] != b[3]
+            ):
+                exp[(a[0], b[0])] = (
+                    a[1], a[2], b[2], a[3], b[3],
+                    max(a[4], b[4]), min(a[5], b[5]),
+                )
+    got = {
+        (r["claim_a"], r["claim_b"]): (
+            r["subj"], r["src_a"], r["src_b"], r["obj_a"], r["obj_b"],
+            r["overlap_from"], r["overlap_to"],
+        )
+        for r in QUERIES["kg_temporal_conflicts"](spark, SF_TINY).collect()
+    }
+    assert got == exp
+    for (_, _), (_, _, _, oa, ob, f, t) in got.items():
+        assert oa != ob and f <= t
