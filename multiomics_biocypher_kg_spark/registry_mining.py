@@ -31,6 +31,7 @@ from multiomics_biocypher_kg_spark.oracle_fragments import (
 )
 from multiomics_biocypher_kg_spark.registry import register
 from multiomics_biocypher_kg_spark.registry_web import _HOST_GRAPH_SQL
+from multiomics_biocypher_kg_spark.operators.linkgraph import host_graph, href_edges
 from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
 
 
@@ -2111,3 +2112,261 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(k=_POW_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Hearst-pattern hypernym extraction (KG construction from web text)
+# ---------------------------------------------------------------------------
+
+_HEARST_A = r"(\w+) such as (\w+(?:, \w+)* and \w+)"
+_HEARST_B = r"(\w+(?:, \w+)*) and other (\w+)"
+_HYPO_SPLIT = ", | and "
+
+# Deterministic Hearst-bearing page synthesis (the harness half, like
+# kg_temporal_conflicts' claims / kg_warc_scan's records): docs with
+# >= 7 tokens get a "X such as A, B and C" sentence (2 or 3 hyponyms
+# by parity, skipped entirely for doc_id % 3 == 2) and even docs also
+# get an "A, B and other X" sentence, appended AFTER the full raw
+# text so the extractor must scan past pattern-free noise.
+_HEARST_PAGES_SQL = """
+  SELECT doc_id,
+    text || CASE WHEN len(string_split(text, ' ')) >= 7 THEN
+      CASE WHEN doc_id % 3 <> 2 THEN
+        '. ' || string_split(text, ' ')[1] || ' such as ' ||
+        CASE WHEN doc_id % 2 = 0 THEN
+          string_split(text, ' ')[2] || ', ' || string_split(text, ' ')[3]
+          || ' and ' || string_split(text, ' ')[4]
+        ELSE string_split(text, ' ')[2] || ' and ' || string_split(text, ' ')[3]
+        END || '.'
+      ELSE '' END ||
+      CASE WHEN doc_id % 2 = 0 THEN
+        ' ' || string_split(text, ' ')[5] || ', ' || string_split(text, ' ')[6]
+        || ' and other ' || string_split(text, ' ')[7] || '.'
+      ELSE '' END
+    ELSE '' END AS page
+  FROM documents
+"""
+
+
+@register(
+    "kg_hearst_patterns",
+    oracle=f"""
+    WITH pages AS ({_HEARST_PAGES_SQL}),
+    a AS (
+      SELECT doc_id, 'such_as' AS pattern,
+        unnest(regexp_extract_all(page, '{_HEARST_A}', 1)) AS hypernym,
+        unnest(regexp_extract_all(page, '{_HEARST_A}', 2)) AS hypo_list
+      FROM pages
+    ),
+    b AS (
+      SELECT doc_id, 'and_other' AS pattern,
+        unnest(regexp_extract_all(page, '{_HEARST_B}', 2)) AS hypernym,
+        unnest(regexp_extract_all(page, '{_HEARST_B}', 1)) AS hypo_list
+      FROM pages
+    ),
+    u AS (
+      SELECT doc_id, pattern, hypernym,
+        unnest(string_split_regex(hypo_list, '{_HYPO_SPLIT}')) AS hyponym
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b) ab
+    )
+    SELECT pattern, hypernym, hyponym,
+      count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY 1, 2, 3
+    """,
+)
+def kg_hearst_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern hypernym mining — the classic is-a extractor
+    for KG construction from raw web text (Hearst 1992; the lexico-
+    syntactic ancestor of the reference's ontology is-a edges, which
+    it imports pre-built from OBO — here they are MINED from text).
+    Two surface patterns: "X such as A, B and C" and "A, B and other
+    X", each yielding (hypernym X, hyponym) candidate edges with
+    corpus support counts (n_docs is the confidence denominator
+    taxonomy induction thresholds on). Extraction is a native
+    regexp_extract_all in the scan projection (whole-stage codegen,
+    zero Python), fanout bounded by matches-per-doc, then ONE
+    map-side-combined (pattern, hyper, hypo) agg — a 10^12-doc
+    corpus runs this at scan speed plus a dictionary-sized shuffle.
+    The page synthesis half is the deterministic test harness
+    (claims-table discipline); the extractor never sees the formula.
+    """
+    docs = _docs(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+
+    def t(i: int):
+        return F.element_at(tk, i)
+
+    sent_a = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.concat(
+            F.lit(". "), t(1), F.lit(" such as "),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(t(2), F.lit(", "), t(3), F.lit(" and "), t(4)),
+            ).otherwise(F.concat(t(2), F.lit(" and "), t(3))),
+            F.lit("."),
+        ),
+    ).otherwise(F.lit(""))
+    sent_b = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" "), t(5), F.lit(", "), t(6),
+            F.lit(" and other "), t(7), F.lit("."),
+        ),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.size(tk) >= 7, F.concat(sent_a, sent_b)).otherwise(
+                F.lit("")
+            ),
+        ).alias("page"),
+    )
+
+    def matches(pat: str, hyper_grp: int, list_grp: int, label: str) -> DataFrame:
+        z = F.arrays_zip(
+            F.regexp_extract_all(F.col("page"), F.lit(pat), hyper_grp).alias(
+                "hyper"
+            ),
+            F.regexp_extract_all(F.col("page"), F.lit(pat), list_grp).alias(
+                "lst"
+            ),
+        )
+        return (
+            pages.select("doc_id", F.explode(z).alias("m"))
+            .select(
+                "doc_id",
+                F.lit(label).alias("pattern"),
+                F.col("m.hyper").alias("hypernym"),
+                F.explode(F.split(F.col("m.lst"), _HYPO_SPLIT)).alias(
+                    "hyponym"
+                ),
+            )
+        )
+
+    u = matches(_HEARST_A, 1, 2, "such_as").unionByName(
+        matches(_HEARST_B, 2, 1, "and_other")
+    )
+    return u.groupBy("pattern", "hypernym", "hyponym").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broder bowtie decomposition of the host link graph
+# ---------------------------------------------------------------------------
+
+_BOWTIE_ROUNDS = 8
+
+
+def _bowtie_sql(rounds: int = _BOWTIE_ROUNDS) -> str:
+    parts = [
+        f"hg AS (SELECT src_host, dst_host FROM ({_HOST_GRAPH_SQL}))",
+        "nodes AS (SELECT DISTINCT src_host AS node FROM hg "
+        "UNION SELECT DISTINCT dst_host FROM hg)",
+        "piv AS (SELECT src_host AS node FROM hg GROUP BY src_host "
+        "ORDER BY count(*) DESC, src_host LIMIT 1)",
+        "f0 AS (SELECT node, 0 AS dist FROM piv)",
+        "b0 AS (SELECT node, 0 AS dist FROM piv)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"f{i + 1} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM f{i} UNION ALL "
+            f"SELECT hg.dst_host AS node, d.dist + 1 AS dist "
+            f"FROM f{i} d JOIN hg ON hg.src_host = d.node) GROUP BY node)"
+        )
+        parts.append(
+            f"b{i + 1} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM b{i} UNION ALL "
+            f"SELECT hg.src_host AS node, d.dist + 1 AS dist "
+            f"FROM b{i} d JOIN hg ON hg.dst_host = d.node) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT n.node AS host,
+      CAST(coalesce(f.dist, -1) AS INTEGER) AS fwd_dist,
+      CAST(coalesce(b.dist, -1) AS INTEGER) AS bwd_dist,
+      CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'CORE'
+           WHEN b.node IS NOT NULL THEN 'IN'
+           WHEN f.node IS NOT NULL THEN 'OUT'
+           ELSE 'OTHER' END AS region
+    FROM nodes n
+    LEFT JOIN f{rounds} f ON n.node = f.node
+    LEFT JOIN b{rounds} b ON n.node = b.node"""
+    )
+
+
+@register("web_bowtie_structure", oracle=_bowtie_sql())
+def web_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition (Broder et al. 2000) of the host
+    link graph: forward + backward BFS reachability from a
+    deterministic pivot (max out-degree host, min-host tiebreak)
+    classifies every host as CORE (the pivot's SCC: reachable both
+    ways), IN (reaches the core), OUT (reached from the core), or
+    OTHER (tendrils/disconnected) — the macro-structure audit every
+    web-crawl corpus gets before link-based quality propagation
+    (TrustRank/spam-mass seeds must sit in CORE/IN to cover OUT).
+    Same fixed-horizon integer-BFS discipline as web_seed_distance:
+    {rounds} relaxation rounds (hosts farther than the horizon are
+    OTHER by contract), each round one frontier equi-join + an
+    all-integer min groupBy; the pivot is a 1-row
+    TakeOrderedAndProject broadcast, never a global sort. Distances
+    use -1 sentinels so the output stays null-free cross-engine.
+    """
+    hg = (
+        host_graph(href_edges(pages_from_documents(spark, sf_dir)))
+        .select("src_host", "dst_host")
+        # loop invariant: the host-graph derivation (page synthesis +
+        # canonicalization regexps) must enter the 16 BFS rounds as a
+        # LEAF, not be re-planned into every round's subtree
+        .localCheckpoint()
+    )
+    piv = (
+        hg.groupBy("src_host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "src_host")
+        .limit(1)
+        .select(F.col("src_host").alias("node"))
+    )
+    nodes = (
+        hg.select(F.col("src_host").alias("node"))
+        .union(hg.select("dst_host"))
+        .distinct()
+    )
+
+    def bfs(src_col: str, dst_col: str) -> DataFrame:
+        d = piv.select("node", F.lit(0).alias("dist"))
+        for _ in range(_BOWTIE_ROUNDS):
+            step = d.join(hg, d["node"] == hg[src_col]).select(
+                F.col(dst_col).alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            d = d.union(step).groupBy("node").agg(F.min("dist").alias("dist"))
+        return d
+
+    fwd = bfs("src_host", "dst_host").withColumnRenamed("dist", "fd")
+    bwd = bfs("dst_host", "src_host").withColumnRenamed("dist", "bd")
+    return (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            F.col("node").alias("host"),
+            F.coalesce("fd", F.lit(-1)).cast("int").alias("fwd_dist"),
+            F.coalesce("bd", F.lit(-1)).cast("int").alias("bwd_dist"),
+            F.when(
+                F.col("fd").isNotNull() & F.col("bd").isNotNull(), "CORE"
+            )
+            .when(F.col("bd").isNotNull(), "IN")
+            .when(F.col("fd").isNotNull(), "OUT")
+            .otherwise("OTHER")
+            .alias("region"),
+        )
+    )
+
+
+web_bowtie_structure.__doc__ = web_bowtie_structure.__doc__.format(
+    rounds=_BOWTIE_ROUNDS
+)

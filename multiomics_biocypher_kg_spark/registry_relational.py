@@ -1775,3 +1775,123 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_transitions"),
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over per-user event-stream lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7  # users active within this window of the horizon are censored
+
+
+@register(
+    "ev_survival_km",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id,
+        min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_s) AS h FROM span),
+    users AS (
+      SELECT
+        CAST(floor((last_s - first_s) / 86400.0) AS BIGINT) AS t_days,
+        CASE WHEN (SELECT h FROM horizon) - last_s
+                  >= {_KM_CENSOR_DAYS} * 86400 THEN 1 ELSE 0 END AS is_event
+      FROM span
+    ),
+    grp AS (
+      SELECT t_days, sum(is_event) AS d, sum(1 - is_event) AS c
+      FROM users GROUP BY t_days
+    ),
+    km AS (
+      SELECT t_days, d, c,
+        sum(d + c) OVER (ORDER BY t_days ROWS BETWEEN CURRENT ROW
+          AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM grp
+    )
+    SELECT t_days,
+      CAST(n_risk AS BIGINT) AS n_at_risk,
+      CAST(d AS BIGINT) AS n_events,
+      CAST(c AS BIGINT) AS n_censored,
+      round(CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t_days) = 1 THEN 0.0
+            ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+                     THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                     ELSE 0.0 END) OVER (ORDER BY t_days)) END, 6)
+        AS survival
+    FROM km
+    """,
+)
+def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over per-user event-stream
+    lifetimes — the right-censored complement of ev_retention_cohorts
+    (cohort retention counts users naively; KM corrects for users
+    whose lifetime is CENSORED by the observation horizon). A user's
+    lifetime is last-first event time in whole days; users still
+    active within {censor} days of the corpus horizon are censored
+    (they did not churn, we just stopped looking). S(t) is the
+    product-limit over distinct lifetimes, computed as
+    exp(cumulative-sum(ln(1 - d/n))) with an exact-zero guard when
+    the risk set empties — both engines evaluate the identical
+    arithmetic tree, gated by round(6). Scale shape: per-user spans
+    are ONE map-side-combined agg over the raw stream; everything
+    after touches the distinct-lifetime dictionary (bounded by the
+    horizon in days, never by corpus size), so the ordered window
+    sorts a dictionary, not data — the threshold-curve discipline.
+    """
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("s").alias("first_s"), F.max("s").alias("last_s")
+    )
+    # second, ts-pruned corpus scan (re-deriving it from `span` would
+    # re-plan the per-user agg into every consumer: 4 scans, not 2)
+    hz = ev.agg(F.max("s").alias("h"))
+    users = span.crossJoin(F.broadcast(hz)).select(
+        F.floor((F.col("last_s") - F.col("first_s")) / 86400.0)
+        .cast("long")
+        .alias("t_days"),
+        F.when(
+            F.col("h") - F.col("last_s") >= _KM_CENSOR_DAYS * 86400, 1
+        )
+        .otherwise(0)
+        .alias("is_event"),
+    )
+    grp = users.groupBy("t_days").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("c"),
+    )
+    w_rest = Window.orderBy("t_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("t_days")
+    km = grp.select(
+        "t_days", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(w_rest).alias("n_risk"),
+    )
+    kill = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    ln_sum = F.sum(
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    return km.select(
+        "t_days",
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(
+            F.when(kill == 1, F.lit(0.0)).otherwise(F.exp(ln_sum)), 6
+        ).alias("survival"),
+    )
+
+
+ev_survival_km.__doc__ = ev_survival_km.__doc__.format(censor=_KM_CENSOR_DAYS)

@@ -716,3 +716,35 @@ def test_temporal_conflicts_banded_equi_join(spark):
     plan = _plan(QUERIES["kg_temporal_conflicts"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_hearst_extraction_scan_side(spark):
+    """Hearst mining is scan-projection regex + bounded explode +
+    one agg — no window, no cartesian, no join at all."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_hearst_patterns"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bowtie_keyed_bfs_topk_pivot(spark):
+    """The pivot is a 1-row TakeOrderedAndProject (never a global
+    sort) and every BFS round is a keyed equi-join."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_bowtie_structure"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_survival_km_single_scan_dictionary_windows(spark):
+    """KM's corpus-sized stage is ONE keyed span agg; the ordered
+    windows run over the distinct-lifetime dictionary. Guard: no
+    cartesian, and the raw stream is scanned exactly once."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_survival_km"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert plan.count("events.parquet") <= 2  # span agg + horizon twin

@@ -286,3 +286,172 @@ def test_temporal_conflicts_banded_join_equals_naive(spark):
     assert got == exp
     for (_, _), (_, _, _, oa, ob, f, t) in got.items():
         assert oa != ob and f <= t
+
+
+def test_hearst_patterns_match_python_re_mirror(spark):
+    """Synthesize the same pages in Python, run the same two regexes
+    with re, and pin every (pattern, hypernym, hyponym) support
+    count; every hypernym/hyponym must be a single \\w+ token."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_mining import (
+        _HEARST_A,
+        _HEARST_B,
+        _HYPO_SPLIT,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    mentions, docs = Counter(), defaultdict(set)
+    for r in rows:
+        t = r["text"].split(" ")
+        page = r["text"]
+        if len(t) >= 7:
+            if r["doc_id"] % 3 != 2:
+                hypos = (
+                    f"{t[1]}, {t[2]} and {t[3]}"
+                    if r["doc_id"] % 2 == 0
+                    else f"{t[1]} and {t[2]}"
+                )
+                page += f". {t[0]} such as {hypos}."
+            if r["doc_id"] % 2 == 0:
+                page += f" {t[4]}, {t[5]} and other {t[6]}."
+        for pat, hg, lg, lbl in (
+            (_HEARST_A, 1, 2, "such_as"),
+            (_HEARST_B, 2, 1, "and_other"),
+        ):
+            for m in _re.finditer(pat, page):
+                for hypo in _re.split(_HYPO_SPLIT, m.group(lg)):
+                    k = (lbl, m.group(hg), hypo)
+                    mentions[k] += 1
+                    docs[k].add(r["doc_id"])
+    got = {
+        (r["pattern"], r["hypernym"], r["hyponym"]): (
+            r["n_mentions"],
+            r["n_docs"],
+        )
+        for r in QUERIES["kg_hearst_patterns"](spark, SF_TINY).collect()
+    }
+    exp = {k: (n, len(docs[k])) for k, n in mentions.items()}
+    assert got == exp and len(got) > 0
+    for _, hyper, hypo in got:
+        assert _re.fullmatch(r"\w+", hyper) and _re.fullmatch(r"\w+", hypo)
+
+
+def test_bowtie_matches_python_bfs_mirror(spark):
+    """Forward/backward BFS from the max-out-degree pivot recomputed
+    in pure Python over the same edge list; regions and hop
+    distances must pin, and the pivot must be CORE at distance 0."""
+    from collections import defaultdict, deque
+
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_mining import _BOWTIE_ROUNDS
+    from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+
+    edges = [
+        (r["src_host"], r["dst_host"])
+        for r in host_graph(href_edges(pages_from_documents(spark, SF_TINY)))
+        .select("src_host", "dst_host")
+        .collect()
+    ]
+    fwd_adj, bwd_adj = defaultdict(list), defaultdict(list)
+    outdeg = {}
+    for s, d in edges:
+        fwd_adj[s].append(d)
+        bwd_adj[d].append(s)
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pivot = min(outdeg, key=lambda h: (-outdeg[h], h))
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+
+    def bfs(adj):
+        dist = {pivot: 0}
+        q = deque([pivot])
+        while q:
+            u = q.popleft()
+            if dist[u] >= _BOWTIE_ROUNDS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    fd, bd = bfs(fwd_adj), bfs(bwd_adj)
+    exp = {}
+    for h in nodes:
+        f, b = h in fd, h in bd
+        region = "CORE" if f and b else "IN" if b else "OUT" if f else "OTHER"
+        exp[h] = (fd.get(h, -1), bd.get(h, -1), region)
+    got = {
+        r["host"]: (r["fwd_dist"], r["bwd_dist"], r["region"])
+        for r in QUERIES["web_bowtie_structure"](spark, SF_TINY).collect()
+    }
+    assert got == exp
+    assert got[pivot] == (0, 0, "CORE")
+    assert len({v[2] for v in got.values()}) >= 2  # non-trivial structure
+
+
+def test_survival_km_matches_python_mirror(spark):
+    """Kaplan-Meier recomputed in pure Python (product-limit over
+    distinct lifetimes, right-censored at the 7-day horizon window);
+    the curve must pin per time point and be non-increasing from
+    <= 1."""
+    from collections import defaultdict
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_relational import (
+        _KM_CENSOR_DAYS,
+    )
+
+    rows = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    spans = defaultdict(lambda: [None, None])
+    for r in rows:
+        s = int(r["ts"].timestamp())
+        sp = spans[r["user_id"]]
+        sp[0] = s if sp[0] is None else min(sp[0], s)
+        sp[1] = s if sp[1] is None else max(sp[1], s)
+    horizon = max(sp[1] for sp in spans.values())
+    users = [
+        (
+            (sp[1] - sp[0]) // 86400,
+            1 if horizon - sp[1] >= _KM_CENSOR_DAYS * 86400 else 0,
+        )
+        for sp in spans.values()
+    ]
+    grp = defaultdict(lambda: [0, 0])
+    for t, e in users:
+        grp[t][0] += e
+        grp[t][1] += 1 - e
+    exp, s, at_risk = {}, 1.0, len(users)
+    for t in sorted(grp):
+        d, c = grp[t]
+        s *= 1.0 - d / at_risk
+        exp[t] = (at_risk, d, c, round(s, 6))
+        at_risk -= d + c
+    got = {
+        r["t_days"]: (
+            r["n_at_risk"],
+            r["n_events"],
+            r["n_censored"],
+            r["survival"],
+        )
+        for r in QUERIES["ev_survival_km"](spark, SF_TINY).collect()
+    }
+    assert set(got) == set(exp)
+    prev = 1.0
+    for t in sorted(got):
+        assert got[t][:3] == exp[t][:3], t
+        assert abs(got[t][3] - exp[t][3]) < 2e-6, t
+        assert got[t][3] <= prev + 1e-9
+        prev = got[t][3]
