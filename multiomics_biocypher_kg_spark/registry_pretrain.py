@@ -881,3 +881,411 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f1"),
     )
     return perkind.unionByName(overall)
+
+
+# ---------------------------------------------------------------------------
+# Classifier-evaluation harnesses: histogram ROC-AUC, confusion /
+# macro-F1, and multi-rater Fleiss' kappa
+# ---------------------------------------------------------------------------
+
+# Shared exact-integer score plumbing: S = per-doc summed milli-logit
+# (functions.textstats.quality_logit_milli — int64 in both engines),
+# n = whitespace token count. Every label below is a comparison of
+# S against hash-noise times n, so gold/pred/rating synthesis stays
+# in exact int64 end to end — no float enters until the final
+# metric divisions (then round(6)).
+
+from multiomics_biocypher_kg_spark.functions.hashing import (  # noqa: E402
+    md5_long,
+    md5_long_sql,
+)
+from multiomics_biocypher_kg_spark.functions import textstats as _ts  # noqa: E402
+
+_S_SQL = (
+    "list_sum(list_transform(string_split(text, ' '), "
+    f"t -> {md5_long_sql('t')} % 2001 - 1000))"
+)
+_N_SQL = "len(string_split(text, ' '))"
+_AUC_BINS = 1000  # mean milli-logit clamps into [-1000, 1000]
+_BAND_MILLI = 50  # |mean logit| >= 50 milli => high / low band
+
+
+def _noise_sql(salt: str, width: int) -> str:
+    """Deterministic per-doc jitter in [-width, width] (int)."""
+    m = 2 * width + 1
+    h = md5_long_sql(f"'{salt}#' || CAST(doc_id AS VARCHAR)")
+    return f"({h} % {m} - {width})"
+
+
+def _noise_col(salt: str, width: int):
+    m = 2 * width + 1
+    h = md5_long(F.concat(F.lit(f"{salt}#"), F.col("doc_id").cast("string")))
+    return h % m - width
+
+
+def _band_sql(x: str, n: str) -> str:
+    """3-way band of a summed milli-logit x vs per-token thresholds
+    (+-_BAND_MILLI * n) — all-integer comparisons."""
+    return (
+        f"CASE WHEN {x} >= {_BAND_MILLI} * {n} THEN 'high' "
+        f"WHEN {x} < -{_BAND_MILLI} * {n} THEN 'low' ELSE 'mid' END"
+    )
+
+
+def _band_col(x, n):
+    return (
+        F.when(x >= _BAND_MILLI * n, "high")
+        .when(x < -_BAND_MILLI * n, "low")
+        .otherwise("mid")
+    )
+
+
+_AUC_NOISE = 100  # gold = sign(S/n + U[-100,100]) — labels correlate
+#                   with the score but flip near the boundary, so the
+#                   ROC curve is informative (AUC strictly in (0.5, 1))
+
+
+@register(
+    "text_quality_auc",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        greatest(-{_AUC_BINS}, least({_AUC_BINS},
+          CAST(floor(CAST({_S_SQL} AS DOUBLE) / {_N_SQL}) AS INTEGER)))
+          AS bin,
+        CASE WHEN {_S_SQL} + {_noise_sql('auc', _AUC_NOISE)} * {_N_SQL} > 0
+          THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ),
+    h AS (
+      SELECT bin, sum(gold) AS p, sum(1 - gold) AS neg
+      FROM s GROUP BY bin
+    ),
+    w AS (
+      SELECT p, neg,
+        coalesce(sum(neg) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM h
+    )
+    SELECT
+      CAST(sum(p) AS BIGINT) AS n_pos,
+      CAST(sum(neg) AS BIGINT) AS n_neg,
+      CAST(count(*) AS BIGINT) AS n_bins,
+      round(CAST(sum(p * (2 * below + neg)) AS DOUBLE)
+        / (2.0 * sum(p) * sum(neg)), 6) AS auc,
+      round(CAST(sum(p * (2 * below + neg)) AS DOUBLE)
+        / (1.0 * sum(p) * sum(neg)) - 1.0, 6) AS gini
+    FROM w
+    """,
+)
+def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram ROC-AUC of the hashed-logit quality classifier
+    (functions.textstats.quality_logit_milli) against deterministic
+    gold labels — the eval harness every learned curation filter is
+    tuned with. Gold is the sign of the score plus +-{w} milli of
+    per-doc hash jitter (computed as the all-integer test
+    S + noise*n > 0), so labels agree with the score away from the
+    boundary and flip near it — a real, non-degenerate ROC curve.
+
+    The naive AUC plan — rank every document by score — is a global
+    corpus sort. This is the HISTOGRAM plan (the data_budget_select
+    discipline): scores clamp into {b2}+1 integer mean-milli-logit
+    bins in the scan projection, ONE map-side-combined agg builds
+    the per-bin (pos, neg) histogram, and the Mann-Whitney pair
+    count runs as a cumulative window over the HISTOGRAM (<= {b2}+1
+    rows at any corpus size; tied bins contribute half-pairs via
+    the 2*below+neg integer numerator, exact until the single final
+    division). Bin width = 1 milli-logit is the published-pipeline
+    resolution tradeoff, stated rather than hidden."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    s = docs.select(
+        F.greatest(
+            F.lit(-_AUC_BINS),
+            F.least(
+                F.lit(_AUC_BINS),
+                F.floor(s_sum.cast("double") / n).cast("int"),
+            ),
+        ).alias("bin"),
+        F.when(
+            s_sum + _noise_col("auc", _AUC_NOISE) * n > 0, 1
+        ).otherwise(0).alias("gold"),
+    )
+    h = s.groupBy("bin").agg(
+        F.sum("gold").alias("p"),
+        F.sum(F.lit(1) - F.col("gold")).alias("neg"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hh = h.select(
+        "p", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("below"),
+    )
+    num = F.sum(F.col("p") * (2 * F.col("below") + F.col("neg")))
+    return hh.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            num.cast("double") / (2.0 * F.sum("p") * F.sum("neg")), 6
+        ).alias("auc"),
+        F.round(
+            num.cast("double") / (1.0 * F.sum("p") * F.sum("neg")) - 1.0, 6
+        ).alias("gini"),
+    )
+
+
+text_quality_auc.__doc__ = text_quality_auc.__doc__.format(
+    w=_AUC_NOISE, b2=2 * _AUC_BINS
+)
+
+
+@register(
+    "text_quality_confusion",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        {_band_sql(f"({_S_SQL} + {_noise_sql('gold', _AUC_NOISE)} * {_N_SQL})", _N_SQL)}
+          AS gold,
+        {_band_sql(_S_SQL, _N_SQL)} AS pred
+      FROM documents
+    ),
+    cells AS (SELECT gold, pred, count(*) AS n FROM s GROUP BY 1, 2),
+    cls AS (SELECT unnest(['low', 'mid', 'high']) AS class),
+    per AS (
+      SELECT c.class,
+        coalesce((SELECT sum(n) FROM cells WHERE gold = c.class), 0)
+          AS n_gold,
+        coalesce((SELECT sum(n) FROM cells WHERE pred = c.class), 0)
+          AS n_pred,
+        coalesce((SELECT sum(n) FROM cells
+                  WHERE gold = c.class AND pred = c.class), 0) AS tp
+      FROM cls c
+    ),
+    scored AS (
+      SELECT class, n_gold, n_pred, tp,
+        CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+             ELSE 0.0 END AS prec_raw,
+        CASE WHEN n_gold > 0 THEN CAST(tp AS DOUBLE) / n_gold
+             ELSE 0.0 END AS rec_raw,
+        CASE WHEN n_pred + n_gold > 0
+             THEN 2.0 * tp / (n_pred + n_gold) ELSE 0.0 END AS f1_raw
+      FROM per
+    )
+    SELECT class, CAST(n_gold AS BIGINT) AS n_gold,
+      CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+      round(prec_raw, 6) AS "precision", round(rec_raw, 6) AS recall,
+      round(f1_raw, 6) AS f1
+    FROM scored
+    UNION ALL
+    SELECT 'macro', CAST(sum(n_gold) AS BIGINT),
+      CAST(sum(n_pred) AS BIGINT), CAST(sum(tp) AS BIGINT),
+      round(sum(prec_raw) / 3.0, 6), round(sum(rec_raw) / 3.0, 6),
+      round(sum(f1_raw) / 3.0, 6)
+    FROM scored
+    """,
+)
+def text_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix / macro-F1 report for the 3-band quality
+    classifier: pred is the hashed-logit band (high / mid / low at
+    +-{t} mean milli-logit), gold is the same band after +-{w} milli
+    of per-doc hash jitter (all-integer synthesis, the
+    text_quality_auc discipline) — the per-class complement of the
+    threshold-free AUC view. One corpus scan computes both labels in
+    the projection; everything downstream is the 9-cell confusion
+    matrix: per-class TP / predicted / gold masses come from three
+    dictionary-sized aggs over the cells (never a corpus re-scan),
+    and macro-F1 averages the per-class F1s — the class-imbalance-
+    robust metric curation-filter papers report. F1 uses the exact
+    2TP/(P+G) identity; classes are enumerated literally so the
+    report shape is fixed even when a band is empty."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    s = docs.select(
+        _band_col(
+            s_sum + _noise_col("gold", _AUC_NOISE) * n, n
+        ).alias("gold"),
+        _band_col(s_sum, n).alias("pred"),
+    )
+    cells = s.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.localCheckpoint(eager=False)  # 9 rows, 3 consumers
+    cls = spark.createDataFrame(
+        [("low",), ("mid",), ("high",)], "class string"
+    )
+    g = cells.groupBy(F.col("gold").alias("class")).agg(
+        F.sum("n").alias("n_gold")
+    )
+    p = cells.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    t = (
+        cells.where(F.col("gold") == F.col("pred"))
+        .groupBy(F.col("gold").alias("class"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    per = (
+        cls.join(g, "class", "left")
+        .join(p, "class", "left")
+        .join(t, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("n_gold") > 0, F.col("tp").cast("double") / F.col("n_gold")
+    ).otherwise(0.0)
+    f1 = F.when(
+        F.col("n_pred") + F.col("n_gold") > 0,
+        2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_gold")),
+    ).otherwise(0.0)
+    scored = per.select(
+        "class", "n_gold", "n_pred", "tp",
+        prec.alias("prec_raw"), rec.alias("rec_raw"), f1.alias("f1_raw")
+    ).localCheckpoint(eager=False)  # 3 rows, 2 consumers
+    rows = scored.select(
+        "class",
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round("prec_raw", 6).alias("precision"),
+        F.round("rec_raw", 6).alias("recall"),
+        F.round("f1_raw", 6).alias("f1"),
+    )
+    macro = scored.agg(
+        F.lit("macro").alias("class"),
+        F.sum("n_gold").cast("long").alias("n_gold"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.round(F.sum("prec_raw") / 3.0, 6).alias("precision"),
+        F.round(F.sum("rec_raw") / 3.0, 6).alias("recall"),
+        F.round(F.sum("f1_raw") / 3.0, 6).alias("f1"),
+    )
+    return rows.unionByName(macro)
+
+
+text_quality_confusion.__doc__ = text_quality_confusion.__doc__.format(
+    t=_BAND_MILLI, w=_AUC_NOISE
+)
+
+
+_KAPPA_RATERS = 3
+_KAPPA_JITTER = 50  # each rater sees the score +-50 milli before banding
+
+
+def _kappa_rating_sql(r: int) -> str:
+    return _band_sql(
+        f"({_S_SQL} + {_noise_sql(f'rater{r}', _KAPPA_JITTER)} * {_N_SQL})",
+        _N_SQL,
+    )
+
+
+@register(
+    "data_fleiss_kappa",
+    oracle=f"""
+    WITH long AS (
+      SELECT doc_id, unnest([{", ".join(_kappa_rating_sql(r) for r in range(_KAPPA_RATERS))}]) AS cat
+      FROM documents
+    ),
+    nij AS (SELECT doc_id, cat, count(*) AS n FROM long GROUP BY 1, 2),
+    percat AS (
+      SELECT cat, sum(n) AS c, sum(n * n) AS q FROM nij GROUP BY cat
+    ),
+    tot AS (
+      SELECT CAST(sum(c) // {_KAPPA_RATERS} AS BIGINT) AS n_items,
+        CAST(sum(q) AS BIGINT) AS sum_q,
+        CAST(sum(c * c) AS BIGINT) AS sum_c2,
+        CAST(count(*) AS BIGINT) AS n_categories
+      FROM percat
+    ),
+    raw AS (
+      SELECT n_items, n_categories,
+        CAST(sum_q - {_KAPPA_RATERS} * n_items AS DOUBLE)
+          / ({_KAPPA_RATERS * (_KAPPA_RATERS - 1)}.0 * n_items) AS p_bar,
+        CAST(sum_c2 AS DOUBLE)
+          / ({_KAPPA_RATERS * _KAPPA_RATERS}.0 * n_items * n_items) AS p_e
+      FROM tot
+    )
+    SELECT n_items, CAST({_KAPPA_RATERS} AS BIGINT) AS n_raters,
+      n_categories,
+      round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+      round(CASE WHEN p_e >= 1.0 THEN 1.0
+            ELSE (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+    FROM raw
+    """,
+)
+def data_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over {r} simulated raters labeling every
+    document into the 3-band quality scheme — the inter-annotator
+    agreement gate a labeling pipeline runs before trusting human
+    (or LLM-judge) quality labels. Each rater's label is the shared
+    band of the doc score plus that rater's +-{j} milli hash jitter
+    (all-integer synthesis), so agreement is substantial but
+    imperfect — kappa lands strictly inside (0, 1).
+
+    Scale shape: ONE corpus scan emits the {r} ratings in the
+    projection (explode fanout = {r}), one map-side-combined
+    (doc, category) count agg is the only corpus-sized shuffle, and
+    the whole kappa arithmetic — P_i sums, category marginals, P_e —
+    collapses into a per-CATEGORY aggregate (sum n, sum n^2, sum
+    c^2), a table with at most 3 rows at any corpus size. Exact
+    int64 until the two final divisions."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    ratings = F.array(
+        *[
+            _band_col(
+                s_sum + _noise_col(f"rater{r}", _KAPPA_JITTER) * n, n
+            )
+            for r in range(_KAPPA_RATERS)
+        ]
+    )
+    long = docs.select("doc_id", F.explode(ratings).alias("cat"))
+    nij = long.groupBy("doc_id", "cat").agg(F.count(F.lit(1)).alias("n"))
+    percat = nij.groupBy("cat").agg(
+        F.sum("n").alias("c"), F.sum(F.col("n") * F.col("n")).alias("q")
+    )
+    R = _KAPPA_RATERS
+    tot = percat.agg(
+        (F.sum("c") / R).cast("long").alias("n_items"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    p_bar = (F.col("sum_q") - R * F.col("n_items")).cast("double") / (
+        F.lit(float(R * (R - 1))) * F.col("n_items")
+    )
+    p_e = F.col("sum_c2").cast("double") / (
+        F.lit(float(R * R)) * F.col("n_items") * F.col("n_items")
+    )
+    raw = tot.select(
+        "n_items", "n_categories",
+        p_bar.alias("p_bar"), p_e.alias("p_e"),
+    )
+    return raw.select(
+        "n_items",
+        F.lit(R).cast("long").alias("n_raters"),
+        "n_categories",
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+        F.round(
+            F.when(F.col("p_e") >= 1.0, F.lit(1.0)).otherwise(
+                (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e"))
+            ),
+            6,
+        ).alias("kappa"),
+    )
+
+
+data_fleiss_kappa.__doc__ = data_fleiss_kappa.__doc__.format(
+    r=_KAPPA_RATERS, j=_KAPPA_JITTER
+)

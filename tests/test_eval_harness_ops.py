@@ -1,0 +1,141 @@
+"""Contract tests for the classifier-eval harness batch: histogram
+ROC-AUC, confusion / macro-F1, and Fleiss' kappa — each checked
+against an independent pure-Python mirror (direct pairwise AUC,
+direct cell counting, per-item P_i kappa), not just the DuckDB
+oracle's histogram/collapsed forms."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from tests.conftest import SF_TINY
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _score(text: str) -> tuple[int, int]:
+    toks = text.split(" ")
+    return sum(_md5_long(t) % 2001 - 1000 for t in toks), len(toks)
+
+
+def _noise(salt: str, doc_id: int, width: int) -> int:
+    return _md5_long(f"{salt}#{doc_id}") % (2 * width + 1) - width
+
+
+def _band(x: int, n: int) -> str:
+    if x >= 50 * n:
+        return "high"
+    if x < -50 * n:
+        return "low"
+    return "mid"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+
+def test_quality_auc_matches_pairwise_mirror(spark):
+    """The histogram Mann-Whitney AUC must equal the DIRECT pairwise
+    AUC computed over binned scores (pos>neg pairs + half the ties),
+    recomputed in pure Python from md5 first principles."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    import math
+
+    pts = []
+    for r in _docs(spark):
+        s, n = _score(r["text"])
+        b = max(-1000, min(1000, math.floor(s / n)))
+        gold = 1 if s + _noise("auc", r["doc_id"], 100) * n > 0 else 0
+        pts.append((b, gold))
+    pos = [b for b, g in pts if g == 1]
+    neg = [b for b, g in pts if g == 0]
+    num2 = sum(
+        2 if p > q else 1 if p == q else 0 for p in pos for q in neg
+    )
+    exp_auc = round(num2 / (2.0 * len(pos) * len(neg)), 6)
+    row = QUERIES["text_quality_auc"](spark, SF_TINY).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc"] == exp_auc
+    assert abs(row["gini"] - (2 * exp_auc - 1)) < 2e-6
+    assert 0.5 < row["auc"] < 1.0  # informative, not degenerate
+
+
+def test_quality_confusion_matches_cell_mirror(spark):
+    """Every per-class row (counts AND rounded PRF) plus the macro
+    row must pin against direct cell counting."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    cells = Counter()
+    for r in _docs(spark):
+        s, n = _score(r["text"])
+        gold = _band(s + _noise("gold", r["doc_id"], 100) * n, n)
+        cells[(gold, _band(s, n))] += 1
+    exp = {}
+    prf = {}
+    for c in ("low", "mid", "high"):
+        n_gold = sum(v for (g, _), v in cells.items() if g == c)
+        n_pred = sum(v for (_, p), v in cells.items() if p == c)
+        tp = cells.get((c, c), 0)
+        prec = tp / n_pred if n_pred else 0.0
+        rec = tp / n_gold if n_gold else 0.0
+        f1 = 2.0 * tp / (n_pred + n_gold) if n_pred + n_gold else 0.0
+        exp[c] = (n_gold, n_pred, tp, round(prec, 6), round(rec, 6), round(f1, 6))
+        prf[c] = (prec, rec, f1)
+    exp["macro"] = (
+        sum(exp[c][0] for c in prf),
+        sum(exp[c][1] for c in prf),
+        sum(exp[c][2] for c in prf),
+        round(sum(p[0] for p in prf.values()) / 3.0, 6),
+        round(sum(p[1] for p in prf.values()) / 3.0, 6),
+        round(sum(p[2] for p in prf.values()) / 3.0, 6),
+    )
+    got = {
+        r["class"]: (
+            r["n_gold"], r["n_pred"], r["tp"],
+            r["precision"], r["recall"], r["f1"],
+        )
+        for r in QUERIES["text_quality_confusion"](spark, SF_TINY).collect()
+    }
+    assert got == exp
+    assert len({v[:3] for v in got.values()}) > 1  # non-degenerate
+
+
+def test_fleiss_kappa_matches_per_item_mirror(spark):
+    """Kappa recomputed the TEXTBOOK way — per-item P_i from each
+    item's category counts, category marginals from totals — must
+    pin the collapsed per-category implementation."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    items = []
+    for r in _docs(spark):
+        s, n = _score(r["text"])
+        items.append(
+            Counter(
+                _band(s + _noise(f"rater{k}", r["doc_id"], 50) * n, n)
+                for k in range(3)
+            )
+        )
+    N, R = len(items), 3
+    p_bar = sum(
+        (sum(v * v for v in it.values()) - R) / (R * (R - 1)) for it in items
+    ) / N
+    marg = Counter()
+    for it in items:
+        marg.update(it)
+    p_e = sum((c / (R * N)) ** 2 for c in marg.values())
+    exp_kappa = round((p_bar - p_e) / (1 - p_e), 6)
+    row = QUERIES["data_fleiss_kappa"](spark, SF_TINY).collect()[0]
+    assert row["n_items"] == N and row["n_raters"] == R
+    assert row["n_categories"] == len(marg)
+    assert abs(row["p_bar"] - p_bar) < 2e-6
+    assert abs(row["p_e"] - p_e) < 2e-6
+    assert row["kappa"] == exp_kappa
+    assert 0.0 < row["kappa"] < 1.0  # substantial but imperfect

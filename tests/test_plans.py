@@ -748,3 +748,39 @@ def test_survival_km_single_scan_dictionary_windows(spark):
     plan = _plan(QUERIES["ev_survival_km"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert plan.count("events.parquet") <= 2  # span agg + horizon twin
+
+
+def test_quality_auc_histogram_single_scan(spark):
+    """AUC runs the histogram plan: one corpus scan, the ordered
+    window touches only the <=2001-bin histogram, and nothing
+    joins — no cartesian, no sort-merge."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_quality_auc"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_quality_confusion_broadcast_report_joins(spark):
+    """The report assembly joins 3-row tables — every join must be
+    broadcast, never sort-merge, and the corpus is scanned once
+    (the 9-cell matrix is checkpointed for its three consumers)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_quality_confusion"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("documents.parquet") <= 1
+
+
+def test_fleiss_kappa_single_scan_no_window(spark):
+    """Kappa is one corpus scan + two keyed aggs; the per-category
+    collapse means NO window at all and no join anywhere."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_fleiss_kappa"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
