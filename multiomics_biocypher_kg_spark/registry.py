@@ -713,7 +713,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # onto_resnik_similarity, web_modularity, emb_drift_monitor,
 # emb_power_iteration, ev_markov_transitions, kg_temporal_conflicts,
 # kg_hearst_patterns, web_bowtie_structure, ev_survival_km,
-# text_quality_auc, text_quality_confusion, data_fleiss_kappa) were
+# text_quality_auc, text_quality_confusion, data_fleiss_kappa,
+# text_nb_langid) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

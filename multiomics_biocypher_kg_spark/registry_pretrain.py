@@ -1289,3 +1289,217 @@ def data_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_fleiss_kappa.__doc__ = data_fleiss_kappa.__doc__.format(
     r=_KAPPA_RATERS, j=_KAPPA_JITTER
 )
+
+
+# ---------------------------------------------------------------------------
+# Trained multinomial Naive Bayes language ID (holdout-evaluated)
+# ---------------------------------------------------------------------------
+
+
+# Deterministic language-signal synthesis (the harness half, the
+# kg_hearst_patterns claims-table discipline): the synthetic corpus's
+# lang label is INDEPENDENT of its token stream (all docs draw the
+# same vocabulary), so a real trained classifier could only learn the
+# prior. Each page therefore gets 1 + doc_id%3 copies of its own
+# language marker token ('m'||lang), and every 4th doc also gets ONE
+# confuser marker of a hash-picked language — the learner must beat
+# that noise. The classifier never sees the formula.
+_NB_LANG_LIST = ["en", "de", "fr", "es", "zh"]
+_NB_LANGS = "['en', 'de', 'fr', 'es', 'zh']"
+_NB_PAGE_SQL = f"""
+  SELECT doc_id, lang,
+    text || repeat(' qqm' || lang, CAST(1 + doc_id % 3 AS INT))
+         || CASE WHEN doc_id % 4 = 0
+            THEN ' qqm' || {_NB_LANGS}[CAST(doc_id % 5 AS INT) + 1]
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _nb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _NB_PAGE_SQL: deterministic marker injection,
+    pure Column expressions inside the scan projection (no shuffle,
+    no UDF). The 'qqm' prefix guarantees markers never collide with
+    a real corpus token at any SF."""
+    lang_arr = F.array(*[F.lit(x) for x in _NB_LANG_LIST])
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" qqm"), F.col("lang")),
+                (F.lit(1) + F.col("doc_id") % 3).cast("int"),
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" qqm"),
+                    F.element_at(
+                        lang_arr, (F.col("doc_id") % 5).cast("int") + 1
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "text_nb_langid",
+    oracle=f"""
+    WITH aug AS ({_NB_PAGE_SQL}),
+    train AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM aug WHERE doc_id % 5 <> 0
+    ),
+    counts AS (SELECT lang, token, count(*) AS n FROM train GROUP BY 1, 2),
+    totals AS (SELECT lang, sum(n) AS t FROM counts GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM train),
+    priors AS (
+      SELECT lang, count(*) AS d FROM documents
+      WHERE doc_id % 5 <> 0 GROUP BY lang
+    ),
+    dtot AS (SELECT sum(d) AS dd FROM priors),
+    test AS (
+      SELECT doc_id, lang AS gold, unnest(string_split(text, ' ')) AS token
+      FROM aug WHERE doc_id % 5 = 0
+    ),
+    tc AS (
+      SELECT doc_id, gold, token, count(*) AS c FROM test GROUP BY 1, 2, 3
+    ),
+    doclen AS (SELECT doc_id, sum(c) AS nl FROM tc GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, cnt.lang, sum(t.c * ln(cnt.n + 1)) AS hit
+      FROM tc t JOIN counts cnt ON t.token = cnt.token
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, d.gold, p.lang, p.d
+      FROM (SELECT DISTINCT doc_id, gold FROM tc) d CROSS JOIN priors p
+    ),
+    scores AS (
+      SELECT g.doc_id, g.gold, g.lang,
+        coalesce(h.hit, 0.0)
+        - dl.nl * ln(tt.t + (SELECT v FROM vocab))
+        + ln(CAST(g.d AS DOUBLE) / (SELECT dd FROM dtot)) AS score
+      FROM grid g
+      LEFT JOIN hits h ON g.doc_id = h.doc_id AND g.lang = h.lang
+      JOIN doclen dl ON g.doc_id = dl.doc_id
+      JOIN totals tt ON g.lang = tt.lang
+    ),
+    pred AS (
+      SELECT doc_id, gold, lang AS pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rn
+        FROM scores) WHERE rn = 1
+    ),
+    per AS (
+      SELECT gold AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct
+      FROM pred GROUP BY gold
+    )
+    SELECT lang, n_docs, n_correct,
+      round(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy
+    FROM per
+    UNION ALL
+    SELECT 'all', CAST(sum(n_docs) AS BIGINT),
+      CAST(sum(n_correct) AS BIGINT),
+      round(CAST(sum(n_correct) AS DOUBLE) / sum(n_docs), 6)
+    FROM per
+    """,
+)
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED multinomial Naive Bayes language ID with a
+    leakage-safe holdout — the learned upgrade of the stopword
+    heuristic text_langid ships (functions/textstats.py): add-1-
+    smoothed per-language token likelihoods are TRAINED on the
+    doc_id%5!=0 split against the corpus's real lang labels and
+    evaluated on the held-out %5==0 split (the data_split_assign
+    discipline — never resubstitution). The smoothing identity
+    score = sum_t c_t*ln(n_tl+1) - N_doc*ln(T_l+V) + ln(D_l/D)
+    makes unseen tokens contribute exactly 0 to the hit sum, so the
+    scorer is a LEFT join against observed (token, lang) rows only
+    — no token x lang grid ever materializes.
+
+    Scale: the model is a dictionary-sized (token, lang, count)
+    table built by one map-side-combined agg over the train split;
+    scoring is one equi-join keyed by token (dictionary vs test
+    tokens), one (doc, lang) agg, and the argmax window partitioned
+    by doc — per-partition sorts of |langs| rows, never global.
+    Argmax orders by round(score, 6) then lang (the rounded-score
+    tie discipline — cross-engine FP-sum jitter cannot flip it)."""
+    docs = _nb_augmented(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    ttoks = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = ttoks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.localCheckpoint(eager=False)  # model table, 3 consumers
+    totals = counts.groupBy("lang").agg(F.sum("n").alias("t"))
+    vocab = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("d"))
+    priors = priors.crossJoin(
+        F.broadcast(priors.agg(F.sum("d").alias("dd")))
+    )
+    tc = (
+        test.select(
+            "doc_id",
+            F.col("lang").alias("gold"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("doc_id", "gold", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)  # 2 consumers: doclen + hits
+    doclen = tc.groupBy("doc_id").agg(F.sum("c").alias("nl"))
+    hits = (
+        tc.join(counts, "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.log(F.col("n") + 1)).alias("hit"))
+    )
+    grid = tc.select("doc_id", "gold").distinct().crossJoin(
+        F.broadcast(priors)
+    )
+    lang_const = (
+        totals.crossJoin(F.broadcast(vocab))
+        .select("lang", (F.log(F.col("t") + F.col("v"))).alias("ln_tv"))
+    )
+    scores = (
+        grid.join(hits, ["doc_id", "lang"], "left")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(lang_const), "lang")
+        .select(
+            "doc_id", "gold", "lang",
+            (
+                F.coalesce("hit", F.lit(0.0))
+                - F.col("nl") * F.col("ln_tv")
+                + F.log(F.col("d").cast("double") / F.col("dd"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("lang")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "gold", F.col("lang").alias("pred"))
+    )
+    # per-language rows AND the grand-total 'all' row in ONE agg:
+    # rollup(gold) emits each language group plus the NULL total —
+    # no union, no second pass over the predictions
+    return pred.rollup("gold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("pred") == F.col("gold")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+    ).select(
+        F.coalesce(F.col("gold"), F.lit("all")).alias("lang"),
+        "n_docs",
+        "n_correct",
+        F.round(F.col("n_correct").cast("double") / F.col("n_docs"), 6)
+        .alias("accuracy"),
+    )

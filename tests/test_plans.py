@@ -784,3 +784,25 @@ def test_fleiss_kappa_single_scan_no_window(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_nb_langid_no_global_sort_no_cartesian(spark):
+    """The trained-NB scorer must stay distributed: the model is a
+    keyed agg, scoring is a token equi-join, and the per-doc argmax
+    window is PARTITIONED by doc_id — no single-partition global
+    sort anywhere, no unbounded cartesian (the only nested-loop
+    joins broadcast the 5-row priors / 1-row vocab dims)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    df = QUERIES["text_nb_langid"](spark, SF_TINY)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # a global sort (rangepartitioning exchange) would mean the
+    # argmax window lost its doc_id partitioning
+    assert "rangepartitioning" not in plan
+    assert "Window" in plan  # per-doc argmax is a real window
+    # scoring joins the dictionary-sized model by token — the big
+    # sides may sort-merge, but nothing nest-loops over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 3  # the 5-row priors / 1-row vocab broadcast cross joins

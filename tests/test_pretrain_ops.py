@@ -250,3 +250,77 @@ def test_retention_cohort_identities(spark):
     ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["cohort_size"] for r in zero) == n_users
+
+
+def test_nb_langid_matches_python_mirror(spark):
+    """text_nb_langid's trained-NB holdout report must pin against a
+    pure-Python mirror built from first principles: the same marker
+    augmentation, add-1-smoothed per-language token likelihoods
+    trained on the doc_id%5!=0 split, and argmax by (round(score,6),
+    lang) on the held-out docs — per-language rows AND the overall
+    row. Also asserts the classifier genuinely beats the majority
+    prior (i.e. it LEARNED, not just memorized class frequencies)."""
+    import math
+    from collections import Counter, defaultdict
+
+    LANGS = ["en", "de", "fr", "es", "zh"]
+    rows = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    aug = {}
+    for r in rows:
+        t = r["text"] + f" qqm{r['lang']}" * (1 + r["doc_id"] % 3)
+        if r["doc_id"] % 4 == 0:
+            t += " qqm" + LANGS[r["doc_id"] % 5]
+        aug[r["doc_id"]] = (r["lang"], t)
+    counts = Counter()
+    totals = Counter()
+    priors = Counter()
+    vocab = set()
+    for doc_id, (lang, t) in aug.items():
+        if doc_id % 5 == 0:
+            continue
+        priors[lang] += 1
+        for tok in t.split(" "):
+            counts[(lang, tok)] += 1
+            totals[lang] += 1
+            vocab.add(tok)
+    V, D = len(vocab), sum(priors.values())
+    per = defaultdict(lambda: [0, 0])
+    for doc_id, (gold, t) in aug.items():
+        if doc_id % 5 != 0:
+            continue
+        toks = Counter(t.split(" "))
+        nl = sum(toks.values())
+        best = None
+        for lang in sorted(priors):
+            hit = sum(
+                c * math.log(counts[(lang, tok)] + 1)
+                for tok, c in toks.items()
+                if (lang, tok) in counts
+            )
+            score = (
+                hit
+                - nl * math.log(totals[lang] + V)
+                + math.log(priors[lang] / D)
+            )
+            key = (-round(score, 6), lang)
+            if best is None or key < best[0]:
+                best = (key, lang)
+        per[gold][0] += 1
+        per[gold][1] += 1 if best[1] == gold else 0
+    expect = {
+        lang: (n, c, round(c / n, 6)) for lang, (n, c) in per.items()
+    }
+    tn = sum(n for n, _ in per.values())
+    tc = sum(c for _, c in per.values())
+    expect["all"] = (tn, tc, round(tc / tn, 6))
+    got = {
+        r["lang"]: (r["n_docs"], r["n_correct"], r["accuracy"])
+        for r in QUERIES["text_nb_langid"](spark, SF_TINY).collect()
+    }
+    assert got == expect
+    majority = max(per.values(), key=lambda v: v[0])[0] / tn
+    assert got["all"][2] > majority + 0.2  # learned, not the prior
