@@ -1280,3 +1280,50 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.prefix_filter_pairs(
         sh.select(F.col("id"), F.col("shingle").alias("tok")), 0.8
     )
+
+
+@register(
+    "emb_hamming_topk",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id,
+        CAST(coalesce(sum(CASE WHEN d < 32 AND x > 0
+          THEN (1::BIGINT << CAST(d AS INTEGER)) END), 0) AS BIGINT) AS w0,
+        CAST(coalesce(sum(CASE WHEN d >= 32 AND x > 0
+          THEN (1::BIGINT << CAST(d - 32 AS INTEGER)) END), 0) AS BIGINT) AS w1
+      FROM bits GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(bit_count(xor(q.w0, c.w0))
+           + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS hamming
+      FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, hamming, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 Hamming neighbors over packed sign codes for the first
+    10 vectors — the binary-code cheap pass of a code-then-rerank
+    retrieval stack (sign binarization in the scan projection packs
+    64 floats into two 32-bit words; distance = xor + popcount in
+    whole-stage codegen). The oracle packs the identical words via
+    a disjoint-bit SUM (sum == bitwise-or when each term owns one
+    bit) and re-ranks with the same hamming-asc / id-asc tiebreak."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import hamming_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select("vec_id")
+    return hamming_topk(emb, query_ids=q, k=5, dim=64)

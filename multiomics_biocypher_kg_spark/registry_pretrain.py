@@ -1503,3 +1503,220 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_correct").cast("double") / F.col("n_docs"), 6)
         .alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking eval (NDCG@k) and calibration eval (ECE / MCE / Brier)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+@register(
+    "text_ndcg_eval",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST({_S_SQL} AS DOUBLE) / {_N_SQL} AS score,
+        CASE
+          WHEN {_S_SQL} + {_noise_sql('gold', _AUC_NOISE)} * {_N_SQL}
+               >= {_BAND_MILLI} * {_N_SQL} THEN 2
+          WHEN {_S_SQL} + {_noise_sql('gold', _AUC_NOISE)} * {_N_SQL}
+               < -{_BAND_MILLI} * {_N_SQL} THEN 0
+          ELSE 1 END AS rel
+      FROM documents
+    ),
+    top AS (
+      SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM s
+    ),
+    dcg AS (
+      SELECT sum((CASE rel WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END)
+                 / log2(r + 1)) AS dcg
+      FROM top WHERE r <= {_NDCG_K}
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2,
+        CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel1
+      FROM s
+    ),
+    ideal AS (
+      SELECT sum((CASE WHEN r <= n_rel2 THEN 3.0
+                       WHEN r <= n_rel2 + n_rel1 THEN 1.0
+                       ELSE 0.0 END) / log2(r + 1)) AS idcg
+      FROM range(1, {_NDCG_K} + 1) t(r) CROSS JOIN counts
+    )
+    SELECT CAST({_NDCG_K} AS INTEGER) AS k, n_docs, n_rel2, n_rel1,
+      round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+      round(dcg / idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN counts CROSS JOIN ideal
+    """,
+)
+def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of the hashed-logit quality ranking against graded
+    gold relevance (the 3-band gold of text_quality_confusion mapped
+    to gains 3/1/0) — the ranking-eval every learned quality scorer
+    is compared with before it reorders a training corpus.
+
+    Scale shape: the naive plan sorts the corpus by score; this one
+    never does. DCG@k needs only the k system-best docs — ONE
+    ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver side of the exchange);
+    the window that assigns ranks runs over exactly k surviving
+    rows. IDCG needs only the gold-relevance HISTOGRAM (how many
+    rel-2, how many rel-1 — one map-side-combined agg), because the
+    ideal ordering of a 3-level gold is fully described by two
+    counts: rel at ideal rank r is 2 while r <= n2, 1 while
+    r <= n2+n1. Two corpus scans total (top-k + histogram), both of
+    a 3-column projection; everything downstream is <= k rows."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    gold = s_sum + _noise_col("gold", _AUC_NOISE) * n
+    rel = (
+        F.when(gold >= _BAND_MILLI * n, 2)
+        .when(gold < -_BAND_MILLI * n, 0)
+        .otherwise(1)
+    )
+    s = docs.select(
+        "doc_id",
+        (s_sum.cast("double") / n).alias("score"),
+        rel.alias("rel"),
+    )
+    top = s.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_NDCG_K)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    gain = (
+        F.when(F.col("rel") == 2, 3.0)
+        .when(F.col("rel") == 1, 1.0)
+        .otherwise(0.0)
+    )
+    dcg = top.select(
+        F.row_number().over(w).alias("r"), gain.alias("g")
+    ).agg(F.sum(F.col("g") / F.log2(F.col("r") + 1)).alias("dcg"))
+    counts = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rel") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel2"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel1"),
+    )
+    ideal = (
+        counts.select(
+            "n_docs", "n_rel2", "n_rel1",
+            F.explode(F.sequence(F.lit(1), F.lit(_NDCG_K))).alias("r"),
+        )
+        .groupBy("n_docs", "n_rel2", "n_rel1")
+        .agg(
+            F.sum(
+                (
+                    F.when(F.col("r") <= F.col("n_rel2"), 3.0)
+                    .when(
+                        F.col("r") <= F.col("n_rel2") + F.col("n_rel1"), 1.0
+                    )
+                    .otherwise(0.0)
+                )
+                / F.log2(F.col("r") + 1)
+            ).alias("idcg")
+        )
+    )
+    return dcg.crossJoin(ideal).select(
+        F.lit(_NDCG_K).cast("int").alias("k"),
+        "n_docs", "n_rel2", "n_rel1",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+text_ndcg_eval.__doc__ = text_ndcg_eval.__doc__.format(k=_NDCG_K)
+
+
+@register(
+    "text_quality_ece",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        greatest(-{_AUC_BINS}, least({_AUC_BINS},
+          CAST(floor(CAST({_S_SQL} AS DOUBLE) / {_N_SQL}) AS INTEGER)))
+          AS bin,
+        CASE WHEN {_S_SQL} + {_noise_sql('auc', _AUC_NOISE)} * {_N_SQL} > 0
+          THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ),
+    h AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(gold) AS BIGINT) AS pos
+      FROM s GROUP BY bin
+    ),
+    r AS (
+      SELECT n, pos,
+        1.0 / (1.0 + exp(-CAST(bin AS DOUBLE) / 1000.0)) AS conf,
+        CAST(pos AS DOUBLE) / n AS acc
+      FROM h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+      CAST(sum(n) AS BIGINT) AS n_docs,
+      round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
+      round(max(abs(acc - conf)), 6) AS mce,
+      round(sum(pos * (1.0 - conf) * (1.0 - conf)
+              + (n - pos) * conf * conf) / sum(n), 6) AS brier
+    FROM r
+    """,
+)
+def text_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error + binned Brier score of
+    the quality classifier — the calibration twin of
+    text_quality_auc (identical bins, identical gold): AUC says the
+    scores RANK well, ECE says whether their logistic probabilities
+    can be TRUSTED as probabilities (the question a
+    threshold-picking curation gate actually asks).
+
+    Same histogram discipline as the AUC: scores clamp into integer
+    mean-milli-logit bins in the scan projection, ONE map-side-
+    combined agg builds the (n, pos) histogram, and every metric is
+    computed over the histogram (<= 2001 rows at any corpus size) —
+    per-bin confidence is the logistic of the bin's milli-logit
+    (the model's own probability for that bin, one exp per BIN, not
+    per doc), accuracy is the bin's empirical positive rate, ECE the
+    count-weighted |acc - conf|, MCE the max, Brier the
+    histogram-exact sum pos*(1-conf)^2 + neg*conf^2."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    s = docs.select(
+        F.greatest(
+            F.lit(-_AUC_BINS),
+            F.least(
+                F.lit(_AUC_BINS),
+                F.floor(s_sum.cast("double") / n).cast("int"),
+            ),
+        ).alias("bin"),
+        F.when(
+            s_sum + _noise_col("auc", _AUC_NOISE) * n > 0, 1
+        ).otherwise(0).alias("gold"),
+    )
+    h = s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gold").cast("long").alias("pos"),
+    )
+    conf = 1.0 / (1.0 + F.exp(-F.col("bin").cast("double") / 1000.0))
+    acc = F.col("pos").cast("double") / F.col("n")
+    r = h.select("n", "pos", conf.alias("conf"), acc.alias("acc"))
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+        F.round(
+            F.sum(
+                F.col("pos") * (1.0 - F.col("conf")) * (1.0 - F.col("conf"))
+                + (F.col("n") - F.col("pos")) * F.col("conf") * F.col("conf")
+            )
+            / F.sum("n"),
+            6,
+        ).alias("brier"),
+    )

@@ -139,3 +139,72 @@ def test_fleiss_kappa_matches_per_item_mirror(spark):
     assert abs(row["p_e"] - p_e) < 2e-6
     assert row["kappa"] == exp_kappa
     assert 0.0 < row["kappa"] < 1.0  # substantial but imperfect
+
+
+def test_ndcg_matches_naive_full_sort_mirror(spark):
+    """The top-k + histogram NDCG plan must equal the NAIVE
+    definition — full corpus sort by score, DCG over the first 10,
+    IDCG over the globally sorted gold relevances — recomputed in
+    pure Python from md5 first principles."""
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = _docs(spark)
+    scored = []
+    for r in rows:
+        S, n = _score(r["text"])
+        gold = S + _noise("gold", r["doc_id"], 100) * n
+        rel = 2 if gold >= 50 * n else (0 if gold < -50 * n else 1)
+        scored.append((S / n, r["doc_id"], rel))
+    by_score = sorted(scored, key=lambda t: (-t[0], t[1]))
+    gains = {2: 3.0, 1: 1.0, 0: 0.0}
+    dcg = sum(
+        gains[rel] / math.log2(i + 2)
+        for i, (_, _, rel) in enumerate(by_score[:10])
+    )
+    ideal_rels = sorted((rel for _, _, rel in scored), reverse=True)[:10]
+    idcg = sum(
+        gains[rel] / math.log2(i + 2) for i, rel in enumerate(ideal_rels)
+    )
+    got = QUERIES["text_ndcg_eval"](spark, SF_TINY).collect()[0]
+    assert got["k"] == 10
+    assert got["n_docs"] == len(scored)
+    assert abs(got["dcg"] - dcg) < 1e-6
+    assert abs(got["idcg"] - idcg) < 1e-6
+    assert abs(got["ndcg"] - dcg / idcg) < 1e-6
+    assert 0.0 < got["ndcg"] <= 1.0
+
+
+def test_ece_matches_per_doc_mirror(spark):
+    """The histogram ECE/MCE/Brier must equal a direct per-document
+    mirror that bins every doc, assigns the logistic of its bin as
+    confidence, and averages — recomputed in pure Python."""
+    import math
+    from collections import defaultdict
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = _docs(spark)
+    bins = defaultdict(lambda: [0, 0])  # bin -> [n, pos]
+    for r in rows:
+        S, n = _score(r["text"])
+        b = max(-1000, min(1000, math.floor(S / n)))
+        gold = 1 if S + _noise("auc", r["doc_id"], 100) * n > 0 else 0
+        bins[b][0] += 1
+        bins[b][1] += gold
+    N = sum(v[0] for v in bins.values())
+    ece = mce = brier = 0.0
+    for b, (nb, pos) in bins.items():
+        conf = 1.0 / (1.0 + math.exp(-b / 1000.0))
+        acc = pos / nb
+        gap = abs(acc - conf)
+        ece += nb * gap
+        mce = max(mce, gap)
+        brier += pos * (1 - conf) ** 2 + (nb - pos) * conf**2
+    got = QUERIES["text_quality_ece"](spark, SF_TINY).collect()[0]
+    assert got["n_bins"] == len(bins)
+    assert got["n_docs"] == N
+    assert abs(got["ece"] - ece / N) < 1e-6
+    assert abs(got["mce"] - mce) < 1e-6
+    assert abs(got["brier"] - brier / N) < 1e-6

@@ -806,3 +806,46 @@ def test_nb_langid_no_global_sort_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan or plan.count(
         "BroadcastNestedLoopJoin"
     ) <= 3  # the 5-row priors / 1-row vocab broadcast cross joins
+
+
+def test_hamming_topk_codes_packed_before_join(spark):
+    """emb_hamming_topk must collapse vectors to sign codes in the
+    scan projection and broadcast the query side: no SortMergeJoin,
+    no corpus re-scan (exactly 2 scans: corpus codes + query codes),
+    and the top-k window PARTITIONED by query (no rangepartitioning
+    global sort)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_hamming_topk"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    # corpus codes + query codes + the id-only (column-pruned,
+    # filter-pushed) query_ids scan — never a 4th pass
+    assert plan.count("embeddings.parquet") <= 3
+
+
+def test_ndcg_takeordered_not_global_sort(spark):
+    """text_ndcg_eval must get its k system-best docs via
+    TakeOrderedAndProject (distributed per-partition top-k), never a
+    full rangepartitioning sort of the corpus; the rank window runs
+    over the k survivors only."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_ndcg_eval"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") <= 2
+
+
+def test_ece_histogram_no_window_no_join(spark):
+    """text_quality_ece is the AUC histogram discipline: one corpus
+    scan, one keyed agg, metrics over the histogram — NO window, NO
+    join, no second scan."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_quality_ece"](spark, SF_TINY))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
