@@ -1383,3 +1383,112 @@ def kg_node2vec_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 kg_node2vec_transitions.__doc__ = kg_node2vec_transitions.__doc__.format(
     rp=1.0 / _N2V_P, rq=1.0 / _N2V_Q, cap=_N2V_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (min-plus Bellman-Ford) over
+# the host link graph
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+
+# integer edge cost: heavily-linked host pairs are "cheap" to
+# traverse (authority flows), sparse links are expensive — cost
+# 1..5, all-integer so min-plus relaxation has zero float drift
+_SSSP_COST_SQL = "greatest(1, 6 - least(5, CAST(n_links AS INTEGER)))"
+
+
+def _weighted_sssp_sql() -> str:
+    from multiomics_biocypher_kg_spark.registry_web import _HOST_GRAPH_SQL
+
+    seed_pred = md5_long_sql("node") + " % 3 = 0"
+    parts = [
+        f"hg AS (SELECT src_host, dst_host, {_SSSP_COST_SQL} AS w "
+        f"FROM ({_HOST_GRAPH_SQL}))",
+        "nodes AS (SELECT DISTINCT src_host AS node FROM hg "
+        "UNION SELECT DISTINCT dst_host FROM hg)",
+        f"d0 AS (SELECT node, 0 AS cost FROM nodes WHERE {seed_pred})",
+    ]
+    for i in range(_SSSP_ROUNDS):
+        parts.append(f"""
+    d{i + 1} AS MATERIALIZED (
+      SELECT node, min(cost) AS cost FROM (
+        SELECT node, cost FROM d{i}
+        UNION ALL
+        SELECT hg.dst_host AS node, d.cost + hg.w AS cost
+        FROM d{i} d JOIN hg ON hg.src_host = d.node
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT d.node AS host, CAST(d.cost AS INTEGER) AS cost,
+      ({seed_pred.replace('node', 'd.node')}) AS is_seed
+    FROM d{_SSSP_ROUNDS} d"""
+    )
+
+
+@register("web_weighted_sssp", oracle=_weighted_sssp_sql())
+def web_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path cost from the md5-selected seed hosts
+    (same seed convention as web_seed_distance / web_trustrank) over
+    the host link graph — the WEIGHTED upgrade of the BFS hop
+    distance: edge cost 1..5 falls with link multiplicity
+    (greatest(1, 6 - least(5, n_links))), so the metric reads "how
+    cheaply does trust/authority reach this host", the signal a
+    crawl-frontier prioritizer actually wants (two weak hops can
+    cost more than four strong ones).
+
+    Bounded Bellman-Ford: {rounds} min-plus relaxation rounds, each
+    ONE frontier equi-join + an all-integer min groupBy (map-side
+    combinable). Hosts whose cheapest path needs more than {rounds}
+    edge relaxations are excluded by contract — the fixed-horizon
+    discipline of the whole iterative family. The weighted edge
+    table (the loop invariant) is localCheckpoint()ed ONCE and the
+    frontier's lineage truncated per round; untruncated, round i's
+    plan embeds 2^i copies of the d0 subtree (the union references
+    the previous state twice). All-integer costs: no float drift,
+    no tolerance in the oracle comparison — DuckDB unrolls the
+    identical {rounds} rounds as MATERIALIZED CTEs."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+    )
+    from multiomics_biocypher_kg_spark.sources.pages import pages_from_documents
+
+    hg = (
+        host_graph(href_edges(pages_from_documents(spark, sf_dir)))
+        .select(
+            "src_host",
+            "dst_host",
+            F.greatest(
+                F.lit(1),
+                F.lit(6) - F.least(F.lit(5), F.col("n_links").cast("int")),
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        hg.select(F.col("src_host").alias("node"))
+        .union(hg.select("dst_host"))
+        .distinct()
+    )
+    is_seed = md5_long(F.col("node")) % 3 == 0
+    d = nodes.where(is_seed).select("node", F.lit(0).alias("cost"))
+    for i in range(_SSSP_ROUNDS):
+        step = d.join(hg, d["node"] == hg["src_host"]).select(
+            F.col("dst_host").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        d = d.union(step).groupBy("node").agg(F.min("cost").alias("cost"))
+        if i + 1 < _SSSP_ROUNDS:
+            d = d.localCheckpoint(eager=True)
+    return d.select(
+        F.col("node").alias("host"),
+        F.col("cost").cast("int").alias("cost"),
+        (md5_long(F.col("node")) % 3 == 0).alias("is_seed"),
+    )
+
+
+web_weighted_sssp.__doc__ = web_weighted_sssp.__doc__.format(rounds=_SSSP_ROUNDS)

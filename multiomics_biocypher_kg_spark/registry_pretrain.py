@@ -1720,3 +1720,179 @@ def text_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction gate (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_PCT = 10  # target miscoverage 10% -> >=90% coverage
+
+
+@register(
+    "data_conformal_gate",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        CASE WHEN doc_id % 5 = 0 THEN 'cal' ELSE 'test' END AS split,
+        greatest(-{_AUC_BINS}, least({_AUC_BINS},
+          CAST(floor(CAST({_S_SQL} AS DOUBLE) / {_N_SQL}) AS INTEGER)))
+          AS bin,
+        CASE WHEN {_S_SQL} + {_noise_sql('auc', _AUC_NOISE)} * {_N_SQL} > 0
+          THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ),
+    h AS (
+      SELECT split, bin, gold, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY 1, 2, 3
+    ),
+    conf AS (
+      SELECT split, bin, gold, n,
+        1.0 / (1.0 + exp(-CAST(bin AS DOUBLE) / 1000.0)) AS p1
+      FROM h
+    ),
+    cal AS (
+      SELECT bin, gold, n,
+        CASE WHEN gold = 1 THEN 1.0 - p1 ELSE p1 END AS nc
+      FROM conf WHERE split = 'cal'
+    ),
+    tot AS (SELECT sum(n) AS n_cal FROM cal),
+    cum AS (
+      SELECT nc,
+        sum(n) OVER (ORDER BY nc ASC, bin ASC, gold ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        t.n_cal,
+        CAST(ceil((t.n_cal + 1) * (100 - {_CONF_ALPHA_PCT}) / 100.0)
+          AS BIGINT) AS k
+      FROM cal CROSS JOIN tot t
+    ),
+    q AS (
+      SELECT coalesce(min(nc) FILTER (cum_n >= k), 1.0) AS qhat,
+        any_value(n_cal) AS n_cal
+      FROM cum
+    ),
+    test AS (
+      SELECT c.bin, c.gold, c.n, c.p1,
+        (1.0 - c.p1) <= q.qhat AS in1,
+        c.p1 <= q.qhat AS in0
+      FROM conf c CROSS JOIN q WHERE c.split = 'test'
+    )
+    SELECT
+      (SELECT CAST(n_cal AS BIGINT) FROM q) AS n_cal,
+      CAST(sum(n) AS BIGINT) AS n_test,
+      round({_CONF_ALPHA_PCT} / 100.0, 6) AS alpha,
+      round((SELECT qhat FROM q), 6) AS qhat,
+      round(sum(n * CASE WHEN (gold = 1 AND in1) OR (gold = 0 AND in0)
+                    THEN 1 ELSE 0 END) * 1.0 / sum(n), 6) AS coverage,
+      round(sum(n * (CAST(in1 AS INTEGER) + CAST(in0 AS INTEGER)))
+            * 1.0 / sum(n), 6) AS avg_set_size
+    FROM test
+    """,
+)
+def data_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction for the quality classifier — the
+    distribution-free coverage guarantee that turns "a score" into
+    "a prediction SET that contains the true label >= 90% of the
+    time, no matter how miscalibrated the model is" (Vovk; the
+    modern eval complement to ECE: ECE measures calibration,
+    conformal REPAIRS it). Calibration split doc_id%5==0,
+    nonconformity = 1 - p(true class), qhat = the
+    ceil((n+1)*0.9)-th smallest calibration score, test-split
+    prediction set = every class whose nonconformity <= qhat.
+
+    Scale shape: the AUC/ECE histogram discipline end-to-end — ONE
+    corpus scan groups (split, bin, gold) into a <= 2x2002-row
+    histogram, so the order statistic that defines qhat is a
+    cumulative window over the HISTOGRAM (constant-bounded rows at
+    any corpus size — the kth-smallest over 10^12 raw docs becomes a
+    4004-row walk because nonconformity only takes one value per
+    (bin, gold) cell), and test coverage is one weighted agg over
+    the same histogram. No per-doc sort, no second scan, one exp per
+    bin. The >= 1-alpha coverage guarantee itself is pinned in
+    pytest against an independent per-doc Python mirror."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    s = docs.select(
+        F.when(F.col("doc_id") % 5 == 0, "cal").otherwise("test").alias("split"),
+        F.greatest(
+            F.lit(-_AUC_BINS),
+            F.least(
+                F.lit(_AUC_BINS),
+                F.floor(s_sum.cast("double") / n).cast("int"),
+            ),
+        ).alias("bin"),
+        F.when(
+            s_sum + _noise_col("auc", _AUC_NOISE) * n > 0, 1
+        ).otherwise(0).alias("gold"),
+    )
+    # the histogram is the shared stage of three consumers (cal
+    # order statistic, qhat's embedded lineage, test coverage) —
+    # checkpoint it once so the corpus is scanned once, not three
+    # times; <= 2x2002 rows at any corpus size
+    h = (
+        s.groupBy("split", "bin", "gold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    p1 = 1.0 / (1.0 + F.exp(-F.col("bin").cast("double") / 1000.0))
+    conf = h.select("split", "bin", "gold", "n", p1.alias("p1"))
+    cal = conf.where(F.col("split") == "cal").select(
+        "bin", "gold", "n",
+        F.when(F.col("gold") == 1, 1.0 - F.col("p1"))
+        .otherwise(F.col("p1"))
+        .alias("nc"),
+    )
+    tot = cal.agg(F.sum("n").alias("n_cal"))
+    w = Window.orderBy(
+        F.col("nc").asc(), F.col("bin").asc(), F.col("gold").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the unpartitioned window is over the HISTOGRAM (<= 4004 rows
+    # at any corpus size), not the corpus — the dictionary-window
+    # contract of the AUC family
+    cum = cal.crossJoin(F.broadcast(tot)).select(
+        "nc", "n_cal",
+        F.sum("n").over(w).alias("cum_n"),
+        F.ceil((F.col("n_cal") + 1) * (100 - _CONF_ALPHA_PCT) / 100.0)
+        .cast("long")
+        .alias("k"),
+    )
+    q = cum.agg(
+        F.coalesce(
+            F.min(F.when(F.col("cum_n") >= F.col("k"), F.col("nc"))),
+            F.lit(1.0),
+        ).alias("qhat"),
+        F.first("n_cal").alias("n_cal"),
+    )
+    test = (
+        conf.where(F.col("split") == "test")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "gold", "n", "n_cal", "qhat",
+            ((1.0 - F.col("p1")) <= F.col("qhat")).alias("in1"),
+            (F.col("p1") <= F.col("qhat")).alias("in0"),
+        )
+    )
+    covered = F.when(
+        ((F.col("gold") == 1) & F.col("in1"))
+        | ((F.col("gold") == 0) & F.col("in0")),
+        1,
+    ).otherwise(0)
+    return test.agg(
+        F.first("n_cal").alias("n_cal"),
+        F.sum("n").cast("long").alias("n_test"),
+        F.round(F.lit(_CONF_ALPHA_PCT / 100.0), 6).alias("alpha"),
+        F.round(F.first("qhat"), 6).alias("qhat"),
+        F.round(
+            F.sum(F.col("n") * covered) * 1.0 / F.sum("n"), 6
+        ).alias("coverage"),
+        F.round(
+            F.sum(
+                F.col("n")
+                * (F.col("in1").cast("int") + F.col("in0").cast("int"))
+            )
+            * 1.0
+            / F.sum("n"),
+            6,
+        ).alias("avg_set_size"),
+    )

@@ -1895,3 +1895,135 @@ def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ev_survival_km.__doc__ = ev_survival_km.__doc__.format(censor=_KM_CENSOR_DAYS)
+
+
+@register(
+    "ev_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type, count(*) AS n_days, sum(c) AS s1, sum(c * c) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    params AS (
+      SELECT event_type,
+        CAST(s1 AS DOUBLE) / n_days AS mu,
+        CASE WHEN n_days < 2
+               OR (CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n_days) <= 0 THEN NULL
+          ELSE sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n_days)
+                    / (n_days - 1)) END AS sigma
+      FROM mom
+    ),
+    y AS (
+      SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+        d.c - (p.mu + p.sigma / 2) AS y, 4 * p.sigma AS h
+      FROM daily d JOIN params p USING (event_type)
+      WHERE p.sigma IS NOT NULL
+    ),
+    p1 AS (
+      SELECT event_type, day, n_events, h,
+        sum(y) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM y
+    ),
+    p2 AS (
+      SELECT event_type, day, n_events, h, pt,
+        least(0, min(pt) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS floor_pt
+      FROM p1
+    )
+    SELECT event_type, day, n_events,
+      round(pt - floor_pt, 6) AS cusum,
+      (pt - floor_pt) > h AS is_alarm
+    FROM p2
+    UNION ALL
+    SELECT d.event_type, d.day, CAST(d.c AS BIGINT), 0.0, false
+    FROM daily d JOIN params p USING (event_type)
+    WHERE p.sigma IS NULL
+    """,
+)
+def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upward CUSUM drift detection over per-type daily
+    event counts — the SEQUENTIAL complement to ev_burst_detect's
+    pointwise z-scores: a z-score flags one loud day, CUSUM
+    accumulates small sustained shifts (Page 1954: S_t = max(0,
+    S_{t-1} + x_t - (mu + sigma/2)), alarm when S_t > 4*sigma) — the
+    drift monitor that catches a crawler or ingestion feed slowly
+    going wrong long before any single day looks anomalous.
+
+    The max(0, ...) recursion is NOT a plain running sum, but it has
+    the closed form S_t = P_t - min(0, min_{j<=t} P_j) (prefix sum
+    minus its running floor), so the whole detector is two stacked
+    cumulative windows PARTITIONED by event_type over the DAILY
+    table — day-dictionary-sized, never the event stream (bounded by
+    horizon days x types at any corpus size). Corpus-sized work is
+    exactly ev_burst_detect's: one map-side-combined daily count
+    agg; mu/sigma come from the same integer-moment table (fixed
+    float expression order, bit-identical across engines). Types
+    with undefined sigma (degenerate history) emit cusum 0 / no
+    alarm rather than vanishing."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    # the daily table is the shared stage of FOUR consumers (moments,
+    # live branch x its params join, degenerate branch) — checkpoint
+    # it once so the event stream is scanned once, not four times;
+    # it is day x type dictionary-sized, so materializing is free
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_num = s2d - s1d * F.col("s1") / F.col("n_days")
+    sigma = F.when(
+        (F.col("n_days") < 2) | (var_num <= 0), F.lit(None)
+    ).otherwise(F.sqrt(var_num / (F.col("n_days") - 1)))
+    params = mom.select(
+        "event_type",
+        (s1d / F.col("n_days")).alias("mu"),
+        sigma.alias("sigma"),
+    )
+    joined = daily.join(F.broadcast(params), "event_type")
+    live = joined.where(F.col("sigma").isNotNull()).select(
+        "event_type", "day",
+        F.col("c").cast("long").alias("n_events"),
+        (F.col("c") - (F.col("mu") + F.col("sigma") / 2)).alias("y"),
+        (4 * F.col("sigma")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p1 = live.withColumn("pt", F.sum("y").over(w))
+    p2 = p1.withColumn(
+        "floor_pt", F.least(F.lit(0.0), F.min("pt").over(w))
+    )
+    alive = p2.select(
+        "event_type", "day", "n_events",
+        F.round(F.col("pt") - F.col("floor_pt"), 6).alias("cusum"),
+        ((F.col("pt") - F.col("floor_pt")) > F.col("h")).alias("is_alarm"),
+    )
+    degenerate = joined.where(F.col("sigma").isNull()).select(
+        "event_type", "day",
+        F.col("c").cast("long").alias("n_events"),
+        F.lit(0.0).alias("cusum"),
+        F.lit(False).alias("is_alarm"),
+    )
+    return alive.unionByName(degenerate)

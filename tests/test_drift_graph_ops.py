@@ -1,0 +1,90 @@
+"""Contract tests for the CUSUM drift detector and the weighted
+SSSP — each against an independent pure-Python mirror (the literal
+max(0, .) recursion for CUSUM; textbook Bellman-Ford for SSSP), not
+just the DuckDB oracle's closed forms."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from tests.conftest import SF_TINY
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def test_cusum_matches_literal_recursion(spark):
+    """The two-stacked-windows closed form S_t = P_t - min(0,
+    running-min P) must equal the literal Page recursion
+    S_t = max(0, S_{t-1} + x_t - (mu + sigma/2)) replayed in Python
+    over the same daily counts."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_type", "ts"
+    ).collect()
+    daily: dict[tuple[str, str], int] = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].strftime("%Y-%m-%d"))] += 1
+    bytype: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for (et, day), c in daily.items():
+        bytype[et].append((day, c))
+    expect = {}
+    for et, series in bytype.items():
+        series.sort()
+        cs = [c for _, c in series]
+        nd = len(cs)
+        mu = sum(cs) / nd
+        var = (sum(c * c for c in cs) - sum(cs) ** 2 / nd) / (nd - 1)
+        sigma = var**0.5
+        s = 0.0
+        for day, c in series:
+            s = max(0.0, s + c - (mu + sigma / 2))
+            expect[(et, day)] = (c, s, s > 4 * sigma)
+    got = QUERIES["ev_cusum_drift"](spark, SF_TINY).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        c, s, alarm = expect[(r["event_type"], r["day"])]
+        assert r["n_events"] == c
+        assert abs(r["cusum"] - s) < 1e-6, (r, s)
+        assert r["is_alarm"] == alarm
+    # the fixture has real drift structure: at least one positive
+    # cusum value, and the detector never goes negative
+    assert any(r["cusum"] > 0 for r in got)
+    assert all(r["cusum"] >= 0 for r in got)
+
+
+def test_weighted_sssp_matches_bellman_ford(spark):
+    """The 6-round min-plus loop must equal textbook Bellman-Ford
+    (bounded to 6 relaxations) over the same weighted host edges,
+    and be <= the unweighted hop distance times the max edge cost."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    hg = QUERIES["web_link_graph"](spark, SF_TINY).collect()
+    edges = [
+        (r["src_host"], r["dst_host"], max(1, 6 - min(5, r["n_links"])))
+        for r in hg
+    ]
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    dist = {n: 0 for n in nodes if _md5_long(n) % 3 == 0}
+    for _ in range(6):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, 1 << 30):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    got = {r["host"]: (r["cost"], r["is_seed"])
+           for r in QUERIES["web_weighted_sssp"](spark, SF_TINY).collect()}
+    assert got.keys() == dist.keys()
+    for h, (cost, is_seed) in got.items():
+        assert cost == dist[h], (h, cost, dist[h])
+        assert is_seed == (_md5_long(h) % 3 == 0)
+    # weighted cost is bounded by 5x the BFS hop distance wherever
+    # both are defined (every edge costs 1..5)
+    hops = {r["host"]: r["dist"]
+            for r in QUERIES["web_seed_distance"](spark, SF_TINY).collect()}
+    for h, (cost, _) in got.items():
+        if h in hops:
+            assert cost <= 5 * hops[h] or hops[h] == 0

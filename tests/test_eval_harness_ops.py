@@ -208,3 +208,44 @@ def test_ece_matches_per_doc_mirror(spark):
     assert abs(got["ece"] - ece / N) < 1e-6
     assert abs(got["mce"] - mce) < 1e-6
     assert abs(got["brier"] - brier / N) < 1e-6
+
+
+def test_conformal_gate_matches_per_doc_mirror(spark):
+    """The histogram-order-statistic conformal gate must equal the
+    textbook per-document construction: nonconformity list on the
+    calibration split, qhat = the ceil((n+1)*0.9)-th smallest,
+    coverage counted doc by doc on the test split — recomputed in
+    pure Python. Also pins the conformal promise itself: empirical
+    coverage within sampling slack of the >= 0.9 guarantee."""
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = _docs(spark)
+    cal_nc, test = [], []
+    for r in rows:
+        S, n = _score(r["text"])
+        b = max(-1000, min(1000, math.floor(S / n)))
+        gold = 1 if S + _noise("auc", r["doc_id"], 100) * n > 0 else 0
+        p1 = 1.0 / (1.0 + math.exp(-b / 1000.0))
+        if r["doc_id"] % 5 == 0:
+            cal_nc.append(1.0 - p1 if gold == 1 else p1)
+        else:
+            test.append((gold, p1))
+    cal_nc.sort()
+    k = math.ceil((len(cal_nc) + 1) * 0.9)
+    qhat = cal_nc[k - 1] if k <= len(cal_nc) else 1.0
+    covered = sizes = 0
+    for gold, p1 in test:
+        in1 = (1.0 - p1) <= qhat
+        in0 = p1 <= qhat
+        covered += (gold == 1 and in1) or (gold == 0 and in0)
+        sizes += int(in1) + int(in0)
+    got = QUERIES["data_conformal_gate"](spark, SF_TINY).collect()[0]
+    assert got["n_cal"] == len(cal_nc)
+    assert got["n_test"] == len(test)
+    assert abs(got["qhat"] - qhat) < 1e-6
+    assert abs(got["coverage"] - covered / len(test)) < 1e-6
+    assert abs(got["avg_set_size"] - sizes / len(test)) < 1e-6
+    # the distribution-free guarantee, with finite-sample slack
+    assert got["coverage"] >= 0.9 - 3.0 / (len(cal_nc) ** 0.5)

@@ -849,3 +849,29 @@ def test_ece_histogram_no_window_no_join(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_cusum_windows_partitioned_by_type(spark):
+    """ev_cusum_drift's two cumulative windows must be PARTITIONED
+    by event_type (day-dictionary-sized partitions), never a global
+    rangepartitioning sort; corpus-sized work is the daily count agg
+    (<= 2 scans of events: live + degenerate branches)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_cusum_drift"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("events.parquet") <= 2
+
+
+def test_conformal_gate_histogram_plan(spark):
+    """data_conformal_gate's order statistic runs over the (split,
+    bin, gold) HISTOGRAM: no corpus-sized sort (the single-partition
+    window is over <= 4004 histogram rows), no cartesian, <= 2
+    documents scans (cal + test branches of the shared histogram)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_conformal_gate"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("documents.parquet") <= 2
