@@ -1492,3 +1492,99 @@ def web_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 web_weighted_sssp.__doc__ = web_weighted_sssp.__doc__.format(rounds=_SSSP_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# DistMult triple plausibility (bilinear-diagonal scorer)
+# ---------------------------------------------------------------------------
+
+# integer embedding component: md5-derived in [-500, 500) — the same
+# distribution as _emb_dim_sql but UNSCALED, so a triple's bilinear
+# score sum_j e_j*r_j*t_j is an EXACT int64 (the float form is this
+# integer / 1e9; emitting the integer sidesteps the round(6)
+# half-way boundary that rational-valued scores hit ~1/1000 rows)
+
+
+def _emb_dim_int_sql(name_expr: str, tag: str, j: int) -> str:
+    h = md5_long_sql(f"{name_expr} || '#{tag}{j}'")
+    return f"({h} % {_TE_MOD} - 500)"
+
+
+def _emb_dim_int_col(col, tag: str, j: int):
+    h = md5_long(F.concat(col, F.lit(f"#{tag}{j}")))
+    return h % _TE_MOD - 500
+
+
+def _distmult_sql() -> str:
+    def dot(t_tag: str, t_expr: str) -> str:
+        terms = [
+            f"({_emb_dim_int_sql('subj', 'e', j)} * {_emb_dim_int_sql('pred', 'r', j)}"
+            f" * {_emb_dim_int_sql(t_expr, t_tag, j)})"
+            for j in range(_TE_DIM)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH t AS ({TRIPLES_SQL}),
+    scored AS (
+      SELECT subj, pred, obj,
+        CAST({dot('e', 'obj')} AS BIGINT) AS pos_e9,
+        CAST({dot('n', 'obj')} AS BIGINT) AS neg_e9
+      FROM t
+    )
+    SELECT subj, pred, obj,
+      pos_e9 AS distmult_score_e9,
+      neg_e9 AS neg_score_e9,
+      pos_e9 - neg_e9 AS margin_e9,
+      (pos_e9 - neg_e9) > 0 AS plausible
+    FROM scored
+    """
+
+
+@register("kg_distmult_score", oracle=_distmult_sql())
+def kg_distmult_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult triple plausibility (Yang et al., ICLR 2015): the
+    bilinear-diagonal scorer sum_j h_j * r_j * t_j beside
+    kg_transe_score's translational one — the two standard shallow
+    KG-embedding decoders, same deterministic hash-derived
+    embeddings, same corrupted-tail negative convention, so a
+    consumer can compare decoder families on identical vectors.
+    DistMult is symmetric in (h, t) by construction — the classic
+    failure on antisymmetric relations — which is exactly why having
+    BOTH scorers registered matters for model selection.
+
+    Scores are emitted as EXACT int64 numerators (the float score
+    x 1e9): with components k/1000 the bilinear form is a rational
+    with denominator 1e9, and a round(6) of such values lands on an
+    exact decimal half-way boundary for ~1 row in 1000 — where
+    engine rounding paths (BigDecimal-exact vs multiply-then-round)
+    legitimately disagree. Integer emission removes the float from
+    the contract entirely; consumers divide by 1e9 for display.
+
+    Same 10^12-triple shape as TransE: embeddings resolved per dim
+    in the scan projection (no parameter table, no shuffle, no
+    aggregation), a fixed-order multiply-add chain both engines
+    mirror term for term — all int64, overflow-safe (|score| <
+    8 * 500^3 = 1e9)."""
+    trip = _triples(spark, sf_dir).select("subj", "pred", "obj")
+
+    def dot(col_tag: str):
+        terms = [
+            _emb_dim_int_col(F.col("subj"), "e", j)
+            * _emb_dim_int_col(F.col("pred"), "r", j)
+            * _emb_dim_int_col(F.col("obj"), col_tag, j)
+            for j in range(_TE_DIM)
+        ]
+        return reduce(lambda a, b: a + b, terms)
+
+    pos = dot("e").cast("long")
+    neg = dot("n").cast("long")
+    return trip.select(
+        "subj",
+        "pred",
+        "obj",
+        pos.alias("distmult_score_e9"),
+        neg.alias("neg_score_e9"),
+        (pos - neg).alias("margin_e9"),
+        ((pos - neg) > 0).alias("plausible"),
+    )

@@ -421,3 +421,97 @@ def onto_resnik_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Instance typing through the is_a closure (annotation up-propagation)
+# --------------------------------------------------------------------------
+
+
+def _type_inference_sql() -> str:
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long_sql
+    from multiomics_biocypher_kg_spark.oracle_fragments import TRIPLES_SQL
+
+    return f"""
+    WITH RECURSIVE edges AS ({ONTO_EDGES_SQL}),
+    clos(node, ancestor, depth) AS (
+      SELECT child, parent, 1 FROM edges
+      UNION
+      SELECT c.node, e.parent, c.depth + 1
+      FROM clos c JOIN edges e ON c.ancestor = e.child
+    ),
+    t AS ({TRIPLES_SQL}),
+    m AS (SELECT max(doc_id) + 1 AS n_classes FROM documents),
+    ent AS (SELECT DISTINCT subj AS entity FROM t),
+    direct AS (
+      SELECT entity,
+        format('n{{:04d}}', {md5_long_sql('entity')} % m.n_classes) AS cls
+      FROM ent CROSS JOIN m
+    )
+    SELECT entity, cls AS type, CAST(0 AS INTEGER) AS depth,
+      'direct' AS source
+    FROM direct
+    UNION ALL
+    SELECT d.entity, c.ancestor AS type, CAST(c.depth AS INTEGER) AS depth,
+      'inherited' AS source
+    FROM direct d JOIN clos c ON c.node = d.cls
+    """
+
+
+@register("kg_type_inference", oracle=_type_inference_sql())
+def kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance typing through the is_a closure — every KG entity's
+    direct class PLUS all inherited ancestor classes with their
+    inheritance depth. This is annotation up-propagation, the
+    operation the reference's domain runs constantly (a gene
+    annotated with a GO term is implicitly annotated with every
+    ancestor term; the reference imports OBO is_a edges for exactly
+    this semantics — brite/go hierarchy adapters), materialized so
+    every downstream rollup/filter can equi-join types instead of
+    re-walking the hierarchy.
+
+    Scale shape: the closure table is ONTOLOGY-sized (bounded by
+    classes x depth, never entities), so the inherited branch is the
+    entity dictionary joined against a BROADCAST closure; the direct
+    class resolves in the projection (one hash vs the broadcast
+    1-row class-count dim). The entity dictionary is the only
+    corpus-derived input and it is touched twice (direct + inherited
+    branches of the union) — localCheckpoint()ed once so the triple
+    pipeline underneath runs once."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+    from multiomics_biocypher_kg_spark.registry import kg_triples
+
+    ents = (
+        kg_triples(spark, sf_dir)
+        .select(F.col("subj").alias("entity"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_classes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg((F.max("doc_id") + 1).alias("n_classes"))
+    )
+    direct = ents.crossJoin(F.broadcast(n_classes)).select(
+        "entity",
+        F.format_string(
+            "n%04d",
+            (md5_long(F.col("entity")) % F.col("n_classes")).cast("int"),
+        ).alias("cls"),
+    )
+    clos = ancestors_closure(_onto_edges(spark, sf_dir), max_depth=10)
+    direct_rows = direct.select(
+        "entity",
+        F.col("cls").alias("type"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit("direct").alias("source"),
+    )
+    inherited = direct.join(
+        F.broadcast(clos), direct["cls"] == clos["node"]
+    ).select(
+        "entity",
+        F.col("ancestor").alias("type"),
+        F.col("depth").cast("int").alias("depth"),
+        F.lit("inherited").alias("source"),
+    )
+    return direct_rows.unionByName(inherited)

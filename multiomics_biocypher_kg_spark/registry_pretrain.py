@@ -1896,3 +1896,170 @@ def data_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_set_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+# quantized Poisson(1) pmf on h%1000: P(0)=.368, P(1)=.368, P(2)=.184,
+# P(3)=.061, P(4+)=.019 — mean 0.999, the online/streaming bootstrap
+# weight scheme (per-doc weights independent of corpus size, so the
+# resample never materializes)
+_BOOT_W_SQL = (
+    "CASE WHEN m < 368 THEN 0 WHEN m < 736 THEN 1 WHEN m < 920 THEN 2 "
+    "WHEN m < 981 THEN 3 ELSE 4 END"
+)
+
+
+@register(
+    "data_bootstrap_ci",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+        CASE WHEN (CASE WHEN {_S_SQL} > 0 THEN 1 ELSE 0 END) =
+                  (CASE WHEN {_S_SQL} + {_noise_sql('auc', _AUC_NOISE)}
+                        * {_N_SQL} > 0 THEN 1 ELSE 0 END)
+          THEN 1 ELSE 0 END AS correct
+      FROM documents
+    ),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(correct) AS DOUBLE) / count(*) AS acc
+      FROM c
+    ),
+    rep AS (
+      SELECT t.b, c.correct,
+        {md5_long_sql("CAST(c.doc_id AS VARCHAR) || '#boot' || CAST(t.b AS VARCHAR)")}
+          % 1000 AS m
+      FROM c CROSS JOIN range(0, {_BOOT_B}) t(b)
+    ),
+    accs AS (
+      SELECT b,
+        CAST(sum(({_BOOT_W_SQL}) * correct) AS DOUBLE)
+          / sum({_BOOT_W_SQL}) AS acc_b
+      FROM rep GROUP BY b
+    ),
+    ranked AS (
+      SELECT acc_b, row_number() OVER (ORDER BY acc_b ASC, b ASC) AS r
+      FROM accs
+    ),
+    stats AS (
+      SELECT count(*) AS nb, sum(acc_b) AS s1, sum(acc_b * acc_b) AS s2
+      FROM accs
+    )
+    SELECT p.n_docs, CAST({_BOOT_B} AS INTEGER) AS n_boot,
+      round(p.acc, 6) AS acc,
+      round((SELECT acc_b FROM ranked WHERE r = 1), 6) AS ci_lo,
+      round((SELECT acc_b FROM ranked WHERE r = {_BOOT_B - 1}), 6) AS ci_hi,
+      round(sqrt((s2 - s1 * s1 / nb) / (nb - 1)), 6) AS boot_se
+    FROM point p CROSS JOIN stats
+    """,
+)
+def data_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 90% confidence interval for
+    the quality classifier's accuracy — the uncertainty estimate a
+    curation dashboard should publish next to every point metric
+    (an accuracy of 0.88 means something different at n=400 and
+    n=4x10^9). Classical bootstrap resamples the corpus B times —
+    impossible at scale; the ONLINE (Poisson) bootstrap replaces
+    each resample with per-row integer weights w ~ Poisson(1)
+    (quantized here onto a hash so both engines derive identical
+    weights), so all {b} replicates compute in ONE pass: the scan
+    projection fans each row out x{b} with its (replicate, weight)
+    pair, one map-side-combined groupBy(b) produces the {b}-row
+    replicate table, and the CI is exact order statistics over those
+    {b} rows (rank 1 / rank {b1} = the 5th/95th percentile bounds).
+
+    Corpus-sized work: two scans of a 2-column projection (point
+    estimate + replicate pass; the x{b} fanout happens in the
+    projection, never a shuffle of {b} corpora). Everything
+    downstream is {b} rows. boot_se uses the fixed-order integer-
+    moment formula of the burst/CUSUM family."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    pred = F.when(s_sum > 0, 1).otherwise(0)
+    gold = F.when(
+        s_sum + _noise_col("auc", _AUC_NOISE) * n > 0, 1
+    ).otherwise(0)
+    c = docs.select(
+        "doc_id", F.when(pred == gold, 1).otherwise(0).alias("correct")
+    )
+    point = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("correct").cast("double") / F.count(F.lit(1))).alias("acc"),
+    )
+    rep = c.select(
+        "correct",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "doc_id",
+    ).select(
+        "b",
+        "correct",
+        (
+            md5_long(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#boot"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 1000
+        ).alias("m"),
+    )
+    w = (
+        F.when(F.col("m") < 368, 0)
+        .when(F.col("m") < 736, 1)
+        .when(F.col("m") < 920, 2)
+        .when(F.col("m") < 981, 3)
+        .otherwise(4)
+    )
+    # the B-row replicate table has THREE consumers (lo, hi, stats)
+    # — checkpoint it once so the corpus replicate pass runs once
+    accs = (
+        rep.groupBy("b")
+        .agg(
+            (
+                F.sum(w * F.col("correct")).cast("double") / F.sum(w)
+            ).alias("acc_b")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rw = Window.orderBy(F.col("acc_b").asc(), F.col("b").asc())
+    # the unpartitioned window is over the B-row replicate table
+    ranked = accs.select("acc_b", F.row_number().over(rw).alias("r"))
+    lo = ranked.where(F.col("r") == 1).select(F.col("acc_b").alias("ci_lo"))
+    hi = ranked.where(F.col("r") == _BOOT_B - 1).select(
+        F.col("acc_b").alias("ci_hi")
+    )
+    stats = accs.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("acc_b").alias("s1"),
+        F.sum(F.col("acc_b") * F.col("acc_b")).alias("s2"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_docs",
+            F.lit(_BOOT_B).cast("int").alias("n_boot"),
+            F.round("acc", 6).alias("acc"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+            F.round(
+                F.sqrt(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nb"))
+                    / (F.col("nb") - 1)
+                ),
+                6,
+            ).alias("boot_se"),
+        )
+    )
+
+
+data_bootstrap_ci.__doc__ = data_bootstrap_ci.__doc__.format(
+    b=_BOOT_B, b1=_BOOT_B - 1
+)

@@ -88,3 +88,29 @@ def test_weighted_sssp_matches_bellman_ford(spark):
     for h, (cost, _) in got.items():
         if h in hops:
             assert cost <= 5 * hops[h] or hops[h] == 0
+
+
+def test_type_inference_matches_tree_walk(spark):
+    """kg_type_inference must equal the literal walk: direct class =
+    md5(entity) % (max_doc_id + 1), inherited = repeated //4 parent
+    hops up the deterministic tree with increasing depth."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    max_doc = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .agg({"doc_id": "max"})
+        .collect()[0][0]
+    )
+    got = defaultdict(list)
+    for r in QUERIES["kg_type_inference"](spark, SF_TINY).collect():
+        got[r["entity"]].append((r["type"], r["depth"], r["source"]))
+    assert got
+    for entity, rows in got.items():
+        k = _md5_long(entity) % (max_doc + 1)
+        expect = [(f"n{k:04d}", 0, "direct")]
+        d = 0
+        while k > 0:
+            k //= 4
+            d += 1
+            expect.append((f"n{k:04d}", d, "inherited"))
+        assert sorted(rows) == sorted(expect), entity

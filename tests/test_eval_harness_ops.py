@@ -249,3 +249,45 @@ def test_conformal_gate_matches_per_doc_mirror(spark):
     assert abs(got["avg_set_size"] - sizes / len(test)) < 1e-6
     # the distribution-free guarantee, with finite-sample slack
     assert got["coverage"] >= 0.9 - 3.0 / (len(cal_nc) ** 0.5)
+
+
+def test_bootstrap_ci_matches_per_doc_mirror(spark):
+    """The one-pass Poisson bootstrap must equal the literal
+    construction: 20 hash-weighted replicates computed doc by doc in
+    pure Python, CI = the 1st and 19th order statistics."""
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = _docs(spark)
+    correct = {}
+    for r in rows:
+        S, n = _score(r["text"])
+        pred = 1 if S > 0 else 0
+        gold = 1 if S + _noise("auc", r["doc_id"], 100) * n > 0 else 0
+        correct[r["doc_id"]] = int(pred == gold)
+
+    def weight(doc_id: int, b: int) -> int:
+        m = _md5_long(f"{doc_id}#boot{b}") % 1000
+        return 0 if m < 368 else 1 if m < 736 else 2 if m < 920 else 3 if m < 981 else 4
+
+    accs = []
+    for b in range(20):
+        num = den = 0
+        for d, c in correct.items():
+            w = weight(d, b)
+            num += w * c
+            den += w
+        accs.append(num / den)
+    accs_sorted = sorted(accs)
+    nb = len(accs)
+    s1, s2 = sum(accs), sum(a * a for a in accs)
+    se = math.sqrt((s2 - s1 * s1 / nb) / (nb - 1))
+    got = QUERIES["data_bootstrap_ci"](spark, SF_TINY).collect()[0]
+    assert got["n_docs"] == len(correct)
+    assert got["n_boot"] == 20
+    assert abs(got["acc"] - sum(correct.values()) / len(correct)) < 1e-6
+    assert abs(got["ci_lo"] - accs_sorted[0]) < 1e-6
+    assert abs(got["ci_hi"] - accs_sorted[18]) < 1e-6
+    assert abs(got["boot_se"] - se) < 1e-6
+    assert got["ci_lo"] <= got["acc"] <= got["ci_hi"]

@@ -366,3 +366,46 @@ def test_clustering_coeff_identities(spark):
                 2.0 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1)), 6
             )
             assert abs(r["clustering"] - expect) < 1e-9
+
+
+def test_distmult_integer_scores_match_md5_mirror(spark):
+    """kg_distmult_score must equal a pure-Python recomputation of
+    the exact int64 bilinear form from md5 first principles on a
+    sample of triples, and exhibit DistMult's defining symmetry:
+    swapping subject and object embeddings leaves the positive score
+    unchanged (both sides use the entity tag 'e')."""
+    import hashlib
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def dim(name: str, tag: str, j: int) -> int:
+        return h(f"{name}#{tag}{j}") % 1000 - 500
+
+    rows = QUERIES["kg_distmult_score"](spark, SF_TINY).limit(40).collect()
+    assert rows
+    for r in rows:
+        pos = sum(
+            dim(r["subj"], "e", j) * dim(r["pred"], "r", j)
+            * dim(r["obj"], "e", j)
+            for j in range(8)
+        )
+        neg = sum(
+            dim(r["subj"], "e", j) * dim(r["pred"], "r", j)
+            * dim(r["obj"], "n", j)
+            for j in range(8)
+        )
+        assert r["distmult_score_e9"] == pos
+        assert r["neg_score_e9"] == neg
+        assert r["margin_e9"] == pos - neg
+        assert r["plausible"] == (pos - neg > 0)
+        # the symmetry DistMult is famous for (and criticized for)
+        swapped = sum(
+            dim(r["obj"], "e", j) * dim(r["pred"], "r", j)
+            * dim(r["subj"], "e", j)
+            for j in range(8)
+        )
+        assert swapped == pos

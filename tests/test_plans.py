@@ -875,3 +875,39 @@ def test_conformal_gate_histogram_plan(spark):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert plan.count("documents.parquet") <= 2
+
+
+def test_distmult_pure_projection_no_extra_shuffle(spark):
+    """kg_distmult_score adds only a scan-projection expression
+    chain on top of the triple pipeline — no window, no added join,
+    no cartesian (the embedding 'lookup' is hashing, not a table)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_distmult_score"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_type_inference_closure_broadcast(spark):
+    """kg_type_inference joins the entity dictionary against the
+    ONTOLOGY-sized closure — that join must broadcast, never
+    sort-merge; the class-count dim is a 1-row broadcast."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_type_inference"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bootstrap_ci_two_scan_histogram_plan(spark):
+    """data_bootstrap_ci: point estimate + replicate pass = exactly
+    two corpus scans; the x20 fanout lives in the projection (one
+    map-side-combined groupBy(b)); the only unpartitioned window is
+    over the 20-row replicate table; no rangepartitioning."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_bootstrap_ci"](spark, SF_TINY))
+    assert plan.count("documents.parquet") <= 2
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
