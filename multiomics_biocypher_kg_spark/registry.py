@@ -717,7 +717,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # text_nb_langid, emb_hamming_topk, text_ndcg_eval,
 # text_quality_ece, web_weighted_sssp, ev_cusum_drift,
 # data_conformal_gate, kg_distmult_score, kg_type_inference,
-# data_bootstrap_ci) were
+# data_bootstrap_ci, data_zorder_layout, kg_label_propagation,
+# ev_seasonality) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -2027,3 +2027,75 @@ def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("is_alarm"),
     )
     return alive.unionByName(degenerate)
+
+
+@register(
+    "ev_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type, isodow(day) AS dow,
+        count(*) AS n_days, sum(c) AS s
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(n_days) AS nd, sum(s) AS st
+      FROM prof GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(p.dow AS INTEGER) AS dow,
+      CAST(p.n_days AS BIGINT) AS n_days,
+      CAST(p.s AS BIGINT) AS n_events,
+      round(CAST(p.s AS DOUBLE) / p.n_days, 6) AS avg_count,
+      round((CAST(p.s AS DOUBLE) / p.n_days)
+            / (CAST(t.st AS DOUBLE) / t.nd), 6) AS seasonal_index
+    FROM prof p JOIN tot t USING (event_type)
+    """,
+)
+def ev_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type (ISO dow,
+    1=Mon..7=Sun): mean daily count per weekday and its ratio to the
+    type's overall daily mean — the baseline any honest anomaly
+    monitor divides out BEFORE alerting (a Saturday 'drop' that is
+    just the weekend would otherwise page someone; ev_burst_detect
+    and ev_cusum_drift both gain precision running on
+    deseasonalized counts). Completes the monitoring trio:
+    pointwise z-score, sequential CUSUM, periodic baseline.
+
+    Scale shape: identical to its siblings — one map-side-combined
+    daily count agg is the only corpus-sized work; the weekday
+    profile and per-type totals are dictionary-sized keyed aggs
+    (<= 7 x types rows, then a broadcast join); all ratios from
+    integer sums in fixed expression order."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # Spark weekday(): 0=Mon..6=Sun; ISO dow = weekday + 1.
+    # prof has two consumers (totals + the final join) — checkpoint
+    # the <=7 x types rows once so the event stream is scanned once
+    prof = (
+        daily.groupBy("event_type", (F.weekday("day") + 1).alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = prof.groupBy("event_type").agg(
+        F.sum("n_days").alias("nd"), F.sum("s").alias("st")
+    )
+    avg = F.col("s").cast("double") / F.col("n_days")
+    overall = F.col("st").cast("double") / F.col("nd")
+    return prof.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(avg, 6).alias("avg_count"),
+        F.round(avg / overall, 6).alias("seasonal_index"),
+    )

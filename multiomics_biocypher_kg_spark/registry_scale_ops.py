@@ -2454,3 +2454,173 @@ def kg_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 kg_temporal_conflicts.__doc__ = kg_temporal_conflicts.__doc__.format(
     band=_CONF_BAND
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton-curve) layout audit — the sort-order decision for
+# multi-dimensional scan pruning, quantified
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 4  # 16 buckets per dimension, 8-bit z-values, 16 shards
+_Z_BOX = (4, 7)  # the quartile x quartile probe box on both dims
+
+
+def _z_bucket_sql(col: str, mx: str) -> str:
+    return (
+        f"CAST(least({(1 << _Z_BITS) - 1}, "
+        f"floor({col} * {1 << _Z_BITS}.0 / ({mx} + 1))) AS INTEGER)"
+    )
+
+
+def _z_interleave_sql(b1: str, b2: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({b1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b2} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "data_zorder_layout",
+    oracle=f"""
+    WITH m AS (
+      SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+    ),
+    b AS (
+      SELECT {_z_bucket_sql('l_partkey', 'm.mp')} AS b1,
+             {_z_bucket_sql('l_suppkey', 'm.ms')} AS b2
+      FROM lineitem CROSS JOIN m
+    ),
+    rows_ AS (
+      SELECT b1, b2,
+        CASE WHEN b1 BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
+              AND b2 BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
+          THEN 1 ELSE 0 END AS in_box,
+        {_z_interleave_sql('b1', 'b2')} >> {_Z_BITS} AS z_shard
+      FROM b
+    ),
+    assigned AS (
+      SELECT 'zorder' AS layout, z_shard AS shard, b1, b2, in_box FROM rows_
+      UNION ALL
+      SELECT 'range-dim1', b1, b1, b2, in_box FROM rows_
+    ),
+    shards AS (
+      SELECT layout, shard, count(*) AS n, sum(in_box) AS n_match,
+        min(b1) AS min1, max(b1) AS max1, min(b2) AS min2, max(b2) AS max2
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT layout,
+      CAST(count(*) AS BIGINT) AS n_shards,
+      CAST(sum(CASE WHEN min1 <= {_Z_BOX[1]} AND max1 >= {_Z_BOX[0]}
+                 AND min2 <= {_Z_BOX[1]} AND max2 >= {_Z_BOX[0]}
+               THEN 1 ELSE 0 END) AS BIGINT) AS shards_scanned,
+      CAST(sum(CASE WHEN min1 <= {_Z_BOX[1]} AND max1 >= {_Z_BOX[0]}
+                 AND min2 <= {_Z_BOX[1]} AND max2 >= {_Z_BOX[0]}
+               THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+      CAST(sum(n_match) AS BIGINT) AS rows_matching,
+      round(CAST(sum(CASE WHEN min1 <= {_Z_BOX[1]} AND max1 >= {_Z_BOX[0]}
+                      AND min2 <= {_Z_BOX[1]} AND max2 >= {_Z_BOX[0]}
+                    THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
+        AS scan_fraction
+    FROM shards GROUP BY layout
+    """,
+)
+def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) vs single-dimension range layout,
+    quantified by min/max scan pruning for a 2-d box predicate —
+    THE data-layout decision for multi-dimensional workloads
+    (Delta/Iceberg OPTIMIZE ZORDER BY): interleaving the bucket bits
+    of both dims gives every shard a tight bounding box in BOTH
+    dimensions, so a quartile x quartile probe prunes to ~1/16 of
+    shards where the dim1-range layout still scans 1/4 (it can prune
+    on dim1 only). The sibling audit to data_manifest_pruning, which
+    quantified hash vs range clustering on ONE dimension.
+
+    Scale shape: ONE audit scan of a 2-column projection — both
+    layouts' shard assignments are emitted per row in the projection
+    (a 2x explode, never a per-layout pass or any sort; a real
+    OPTIMIZE would shuffle on the computed key, the AUDIT never
+    needs to), one map-side-combined (layout, shard) agg builds the
+    min/max stats table (32 rows at any corpus size), and the
+    pruning arithmetic runs over that. The only other pass is the
+    2-column max-stats agg feeding the bucket scale — which a real
+    deployment reads from parquet footer min/max metadata for free.
+    All-integer buckets (floor of a <2^53 product), all-integer bit
+    interleave."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    m = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    )
+    cap = (1 << _Z_BITS) - 1
+
+    def bucket(col, mx):
+        return F.least(
+            F.lit(cap),
+            F.floor(col * (1 << _Z_BITS) / (mx + 1)),
+        ).cast("int")
+
+    b = li.crossJoin(F.broadcast(m)).select(
+        bucket(F.col("l_partkey"), F.col("mp")).alias("b1"),
+        bucket(F.col("l_suppkey"), F.col("ms")).alias("b2"),
+    )
+    z = None
+    for i in range(_Z_BITS):
+        t1 = F.shiftleft(
+            F.shiftright(F.col("b1"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        t2 = F.shiftleft(
+            F.shiftright(F.col("b2"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = t1 + t2 if z is None else z + t1 + t2
+    lo, hi = _Z_BOX
+    in_box = F.when(
+        F.col("b1").between(lo, hi) & F.col("b2").between(lo, hi), 1
+    ).otherwise(0)
+    rows = b.select(
+        "b1", "b2", in_box.alias("in_box"),
+        F.shiftright(z, _Z_BITS).alias("z_shard"),
+    )
+    assigned = rows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z_shard").alias("shard"),
+                ),
+                F.struct(
+                    F.lit("range-dim1").alias("layout"),
+                    F.col("b1").alias("shard"),
+                ),
+            )
+        ).alias("ls"),
+        "b1", "b2", "in_box",
+    ).select(
+        F.col("ls.layout").alias("layout"),
+        F.col("ls.shard").alias("shard"),
+        "b1", "b2", "in_box",
+    )
+    shards = assigned.groupBy("layout", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("in_box").alias("n_match"),
+        F.min("b1").alias("min1"), F.max("b1").alias("max1"),
+        F.min("b2").alias("min2"), F.max("b2").alias("max2"),
+    )
+    hit = (
+        (F.col("min1") <= hi) & (F.col("max1") >= lo)
+        & (F.col("min2") <= hi) & (F.col("max2") >= lo)
+    )
+    return shards.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("shards_scanned"),
+        F.sum(F.when(hit, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+        F.round(
+            F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("scan_fraction"),
+    )

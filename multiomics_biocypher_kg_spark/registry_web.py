@@ -3960,3 +3960,123 @@ def web_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-supervised label propagation over the co-mention graph
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _label_prop_sql() -> str:
+    def seed_pred(n: str) -> str:
+        return f"{md5_long_sql(n)} % 4 = 0"
+
+    def seed_label(n: str) -> str:
+        tagged = n + " || '#lbl'"
+        return f"'L' || CAST({md5_long_sql(tagged)} % 3 AS VARCHAR)"
+    parts = [
+        f"pairs AS ({COMENTION_PAIRS_SQL})",
+        "e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM pairs)",
+        "edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "nodes AS (SELECT DISTINCT a AS node FROM edges)",
+        f"""l0 AS (
+      SELECT node, {seed_label('node')} AS label
+      FROM nodes WHERE {seed_pred('node')}
+    )""",
+    ]
+    for r in range(1, _LP_ROUNDS + 1):
+        parts.append(f"""
+    l{r} AS MATERIALIZED (
+      SELECT node, label FROM l0
+      UNION ALL
+      SELECT node, label FROM (
+        SELECT e.b AS node, l.label,
+          row_number() OVER (PARTITION BY e.b
+            ORDER BY count(*) DESC, l.label ASC) AS rn
+        FROM l{r - 1} l JOIN edges e ON e.a = l.node
+        WHERE NOT ({seed_pred('e.b')})
+        GROUP BY e.b, l.label
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT node AS entity, label, ({seed_pred('node')}) AS is_seed
+    FROM l{_LP_ROUNDS}"""
+    )
+
+
+@register("kg_label_propagation", oracle=_label_prop_sql())
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the co-mention graph —
+    typed SEED entities (md5-selected, 3 synthetic type labels)
+    spread their labels to untyped neighbors by synchronous majority
+    vote for {rounds} rounds: the entity-type induction step a KG
+    runs when a curated core vocabulary must type the long tail of
+    mined entities (the reference's analog is its typed seed
+    vocabularies anchoring the resolution cascade). UNSUPERVISED LPA
+    (web_communities) invents cluster ids; this is its supervised
+    twin — labels are fixed at the seeds and only FLOW.
+
+    Determinism: synchronous rounds, majority ties broken by
+    lexicographically smallest label (count DESC, label ASC), seeds
+    immutable, a labeled node never unlabels (its labeled neighbor
+    persists, so it re-wins a majority every round). Scale shape:
+    per round ONE frontier equi-join (labels x edges) + a keyed
+    count agg + a per-node argmax window PARTITIONED by node —
+    no global sort; the label state is entity-dictionary-sized and
+    localCheckpoint()ed per round (the union references it twice).
+    Nodes unreachable from any seed within {rounds} hops are
+    excluded by contract."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        comention_pairs,
+    )
+    from pyspark.sql import Window
+
+    p = _pipeline(spark, sf_dir)
+    pairs = comention_pairs(p["links"]).select("subj", "obj").distinct()
+    edges = (
+        pairs.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .union(pairs.select(F.col("obj").alias("a"), F.col("subj").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    is_seed = md5_long(F.col("node")) % 4 == 0
+    seed_label = F.concat(
+        F.lit("L"),
+        (md5_long(F.concat(F.col("node"), F.lit("#lbl"))) % 3).cast("string"),
+    )
+    seeds = nodes.where(is_seed).select("node", seed_label.alias("label"))
+    seeds = seeds.localCheckpoint(eager=False)
+    lab = seeds
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(_LP_ROUNDS):
+        cand = (
+            lab.join(edges, lab["node"] == edges["a"])
+            .where(~(md5_long(F.col("b")) % 4 == 0))
+            .groupBy(F.col("b").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("node2").alias("node"), "label", "n")
+        )
+        upd = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        lab = seeds.unionByName(upd).localCheckpoint(eager=True)
+    return lab.select(
+        F.col("node").alias("entity"),
+        "label",
+        (md5_long(F.col("node")) % 4 == 0).alias("is_seed"),
+    )
+
+
+kg_label_propagation.__doc__ = kg_label_propagation.__doc__.format(
+    rounds=_LP_ROUNDS
+)

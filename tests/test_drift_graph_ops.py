@@ -114,3 +114,79 @@ def test_type_inference_matches_tree_walk(spark):
             d += 1
             expect.append((f"n{k:04d}", d, "inherited"))
         assert sorted(rows) == sorted(expect), entity
+
+
+def test_label_propagation_matches_sync_python_mirror(spark):
+    """kg_label_propagation must equal the literal synchronous
+    3-round majority propagation (ties to smallest label, seeds
+    immutable) replayed in Python over the same co-mention edges."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    pairs = {
+        (r["subj"], r["obj"])
+        for r in QUERIES["kg_pmi_edges"](spark, SF_TINY).collect()
+    }
+    edges = defaultdict(set)
+    for a, b in pairs:
+        edges[a].add(b)
+        edges[b].add(a)
+    nodes = set(edges)
+    seeds = {
+        n: f"L{_md5_long(n + '#lbl') % 3}"
+        for n in nodes
+        if _md5_long(n) % 4 == 0
+    }
+    lab = dict(seeds)
+    for _ in range(3):
+        nxt = dict(seeds)
+        for n in nodes:
+            if n in seeds:
+                continue
+            votes = defaultdict(int)
+            for nb in edges[n]:
+                if nb in lab:
+                    votes[lab[nb]] += 1
+            if votes:
+                nxt[n] = min(votes, key=lambda c: (-votes[c], c))
+        lab = nxt
+    got = {
+        r["entity"]: (r["label"], r["is_seed"])
+        for r in QUERIES["kg_label_propagation"](spark, SF_TINY).collect()
+    }
+    assert got.keys() == lab.keys()
+    for n, (label, is_seed) in got.items():
+        assert label == lab[n], (n, label, lab[n])
+        assert is_seed == (n in seeds)
+    # labels actually flowed beyond the seeds
+    assert len(got) > len(seeds)
+
+
+def test_seasonality_matches_python_mirror(spark):
+    """ev_seasonality must equal the per-weekday profile computed
+    directly in Python (ISO weekday, mean daily count, index vs the
+    type's overall daily mean)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_type", "ts"
+    ).collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r["event_type"], r["ts"].date())] += 1
+    prof = defaultdict(lambda: [0, 0])  # (type, dow) -> [n_days, s]
+    tot = defaultdict(lambda: [0, 0])
+    for (et, day), c in daily.items():
+        dow = day.isoweekday()
+        prof[(et, dow)][0] += 1
+        prof[(et, dow)][1] += c
+        tot[et][0] += 1
+        tot[et][1] += c
+    got = QUERIES["ev_seasonality"](spark, SF_TINY).collect()
+    assert len(got) == len(prof)
+    for r in got:
+        n_days, s = prof[(r["event_type"], r["dow"])]
+        nd, st = tot[r["event_type"]]
+        assert r["n_days"] == n_days
+        assert r["n_events"] == s
+        assert abs(r["avg_count"] - s / n_days) < 1e-6
+        assert abs(r["seasonal_index"] - (s / n_days) / (st / nd)) < 1e-6

@@ -911,3 +911,32 @@ def test_bootstrap_ci_two_scan_histogram_plan(spark):
     assert plan.count("documents.parquet") <= 2
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_audit_single_scan_no_sort(spark):
+    """data_zorder_layout is ONE lineitem scan (both layouts emitted
+    in the projection via explode), two keyed aggs — no sort, no
+    rangepartitioning, no cartesian beyond the 1-row max dims
+    broadcast."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_zorder_layout"](spark, SF_TINY))
+    # 2 scans: the audit pass + the 2-column max-stats agg (which a
+    # real deployment serves from parquet footer metadata for free)
+    assert plan.count("lineitem.parquet") <= 2
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonality_single_scan_no_window(spark):
+    """ev_seasonality: one events scan, keyed aggs + a broadcast
+    join — no window anywhere."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_seasonality"](spark, SF_TINY))
+    # the checkpointed profile hides the (single) upstream scan from
+    # the final plan, so 0 or 1 occurrences are both correct
+    assert plan.count("events.parquet") <= 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -348,3 +348,71 @@ def test_hits_scores_are_distributions_and_rank_hub_host(spark):
     assert top_hub["host"] == "hot.example.com"
     again = QUERIES["web_hits"](spark, SF_SMALL).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_zorder_layout_matches_python_mirror_and_wins(spark):
+    """data_zorder_layout must equal a pure-Python bucket/interleave/
+    min-max mirror, and demonstrate the point of z-ordering: the
+    Morton layout scans strictly fewer rows than the dim1-range
+    layout for the 2-d box, while both report the identical true
+    match count."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    rows = (
+        spark.read.parquet(f"{SF_TINY}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    mp = max(r["l_partkey"] for r in rows)
+    ms = max(r["l_suppkey"] for r in rows)
+
+    def interleave(b1: int, b2: int) -> int:
+        z = 0
+        for i in range(4):
+            z += ((b1 >> i) & 1) << (2 * i + 1)
+            z += ((b2 >> i) & 1) << (2 * i)
+        return z
+
+    import collections
+    shards: dict = collections.defaultdict(
+        lambda: {"n": 0, "match": 0, "min1": 99, "max1": -1, "min2": 99, "max2": -1}
+    )
+    for r in rows:
+        b1 = min(15, (r["l_partkey"] * 16) // (mp + 1))
+        b2 = min(15, (r["l_suppkey"] * 16) // (ms + 1))
+        in_box = int(4 <= b1 <= 7 and 4 <= b2 <= 7)
+        for layout, shard in (
+            ("zorder", interleave(b1, b2) >> 4),
+            ("range-dim1", b1),
+        ):
+            s = shards[(layout, shard)]
+            s["n"] += 1
+            s["match"] += in_box
+            s["min1"] = min(s["min1"], b1); s["max1"] = max(s["max1"], b1)
+            s["min2"] = min(s["min2"], b2); s["max2"] = max(s["max2"], b2)
+    expect = {}
+    for layout in ("zorder", "range-dim1"):
+        mine = {k[1]: v for k, v in shards.items() if k[0] == layout}
+        hit = {
+            sh: v for sh, v in mine.items()
+            if v["min1"] <= 7 and v["max1"] >= 4
+            and v["min2"] <= 7 and v["max2"] >= 4
+        }
+        expect[layout] = (
+            len(mine),
+            len(hit),
+            sum(v["n"] for v in hit.values()),
+            sum(v["match"] for v in mine.values()),
+        )
+    got = {
+        r["layout"]: (r["n_shards"], r["shards_scanned"],
+                      r["rows_scanned"], r["rows_matching"])
+        for r in QUERIES["data_zorder_layout"](spark, SF_TINY).collect()
+    }
+    assert got == expect
+    assert got["zorder"][2] < got["range-dim1"][2]
+    assert got["zorder"][3] == got["range-dim1"][3]
+    # no false pruning: every matching row sits in a scanned shard
+    for layout in got:
+        assert got[layout][2] >= got[layout][3]
