@@ -975,3 +975,81 @@ def hamming_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def hamming_band_pairs(
+    vectors: DataFrame,
+    threshold: int = 15,
+    dim: int = 64,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs within ``threshold`` Hamming distance over packed
+    sign codes, via BAND BUCKETING — the scale path hamming_topk's
+    contract points to: with ``n_bands = dim/band_bits`` bands, any
+    pair differing in <= threshold < n_bands bits must agree EXACTLY
+    on >= one band (pigeonhole), so candidates come from an
+    equi-join on (band_idx, band_value) and the exact popcount
+    verify runs on candidates only — never an all-pairs comparison.
+
+    -> (id_a, id_b, hamming) with id_a < id_b, hamming <= threshold.
+    EXACT recall (no false negatives) whenever threshold < n_bands —
+    asserted. Band width is the candidate/recall dial: narrow bands
+    (4 bits here, needed because threshold 15 of 64 is permissive)
+    collide often; production codes (256+ bits, tight thresholds)
+    use 16-bit bands for ~65k-way bucket selectivity. Same
+    band-join discipline as dedup.simhash_pairs (4x15-bit bands,
+    threshold 3) — this variant runs on EMBEDDING sign codes instead
+    of text shingle hashes.
+    """
+    n_bands = dim // band_bits
+    if threshold >= n_bands:
+        raise ValueError(
+            f"pigeonhole-exact recall needs threshold < n_bands "
+            f"({threshold} >= {n_bands}); widen dim or narrow bands"
+        )
+    codes = vectors.select(
+        F.col(id_col).alias("id"),
+        sign_code_words(F.col(vec_col), dim).alias("code"),
+    ).localCheckpoint(eager=False)
+    per_word = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = codes.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(
+                        F.element_at(F.col("code"), k // per_word + 1),
+                        band_bits * (k % per_word),
+                    ).bitwiseAND(F.lit(mask))
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    ca = codes.select(F.col("id").alias("id_a"), F.col("code").alias("code_a"))
+    cb = codes.select(F.col("id").alias("id_b"), F.col("code").alias("code_b"))
+    return (
+        cands.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "hamming", hamming_distance(F.col("code_a"), F.col("code_b"))
+        )
+        .where(F.col("hamming") <= threshold)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -718,7 +718,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # text_quality_ece, web_weighted_sssp, ev_cusum_drift,
 # data_conformal_gate, kg_distmult_score, kg_type_inference,
 # data_bootstrap_ci, data_zorder_layout, kg_label_propagation,
-# ev_seasonality) were
+# ev_seasonality, data_quality_checks, web_politeness_schedule,
+# emb_hamming_neardup) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

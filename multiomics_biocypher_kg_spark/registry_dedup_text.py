@@ -1327,3 +1327,57 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10).select("vec_id")
     return hamming_topk(emb, query_ids=q, k=5, dim=64)
+
+
+@register(
+    "emb_hamming_neardup",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id,
+        CAST(coalesce(sum(CASE WHEN d < 32 AND x > 0
+          THEN (1::BIGINT << CAST(d AS INTEGER)) END), 0) AS BIGINT) AS w0,
+        CAST(coalesce(sum(CASE WHEN d >= 32 AND x > 0
+          THEN (1::BIGINT << CAST(d - 32 AS INTEGER)) END), 0) AS BIGINT) AS w1
+      FROM bits GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT vec_id, t.k AS band_idx,
+        (CASE WHEN t.k < 8 THEN w0 >> CAST(4 * t.k AS INTEGER)
+              ELSE w1 >> CAST(4 * (t.k - 8) AS INTEGER) END) & 15 AS band_val
+      FROM codes CROSS JOIN range(0, 16) t(k)
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(bit_count(xor(ca.w0, cb.w0))
+         + bit_count(xor(ca.w1, cb.w1)) AS INTEGER) AS hamming
+    FROM cands c
+    JOIN codes ca ON c.id_a = ca.vec_id
+    JOIN codes cb ON c.id_b = cb.vec_id
+    WHERE bit_count(xor(ca.w0, cb.w0)) + bit_count(xor(ca.w1, cb.w1)) <= 15
+    """,
+)
+def emb_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs within Hamming distance 15 over packed
+    sign codes, via pigeonhole-exact band bucketing (16 bands x 4
+    bits: a pair differing in <= 15 of 64 bits must agree exactly on
+    >= one band) — the candidates-first SCALE PATH the brute-force
+    emb_hamming_topk contract points to, and the binary-code sibling
+    of dedup_simhash's text-hash banding. Candidates come from a
+    band equi-join (never all-pairs), the exact popcount verify
+    touches candidates only."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        hamming_band_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hamming_band_pairs(emb, threshold=15, dim=64, band_bits=4)

@@ -2099,3 +2099,123 @@ def ev_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_count"),
         F.round(avg / overall, 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'lineitem.l_quantity in [1,50]' AS check_name,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN l_quantity IS NULL
+                 OR l_quantity < 1 OR l_quantity > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+          THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_orderkey fk orders', CAST(count(*) AS BIGINT),
+      CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey fk customer', CAST(count(*) AS BIGINT),
+      CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders.o_orderkey unique', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+      count(*) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'documents.text not null/empty', CAST(count(*) AS BIGINT),
+      CAST(sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END)
+        AS BIGINT),
+      sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'documents.doc_id unique', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+      count(*) = count(DISTINCT doc_id)
+    FROM documents
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Great
+    Expectations / Deequ pattern): range, referential-integrity,
+    uniqueness, and non-null checks over the warehouse tables,
+    emitted as ONE violation report — the publish gate every
+    production table write runs before downstream jobs trust the
+    data. Complements kg_shacl_report (graph-shape constraints) on
+    the relational side.
+
+    Scale shape per check class: range / non-null = one map-side-
+    combined conditional agg (a single scan); uniqueness =
+    count vs count(DISTINCT key) — one keyed partial-agg pass, no
+    window, no self-join; referential integrity = a LEFT join
+    against the referenced KEY (broadcast when the dimension is
+    small, as customer/orders here; at fact-x-fact scale the join
+    shuffles on the key and still never materializes violations
+    beyond a counter). Every check is a counter, so the report is
+    6 rows no matter the corpus size."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    docs = _read(spark, sf_dir, "documents")
+
+    def report(name, df, viol):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(viol).cast("long").alias("n_violations"),
+            (F.sum(viol) == 0).alias("passed"),
+        )
+
+    qty_bad = F.when(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50),
+        1,
+    ).otherwise(0)
+    c1 = report("lineitem.l_quantity in [1,50]", li, qty_bad)
+    fk1 = li.join(
+        F.broadcast(orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    )
+    c2 = report(
+        "lineitem.l_orderkey fk orders",
+        fk1,
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0),
+    )
+    fk2 = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    c3 = report(
+        "orders.o_custkey fk customer",
+        fk2,
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0),
+    )
+
+    def unique_check(name, df, key):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(key))
+            .cast("long")
+            .alias("n_violations"),
+            (F.count(F.lit(1)) == F.countDistinct(key)).alias("passed"),
+        )
+
+    c4 = unique_check("orders.o_orderkey unique", orders, "o_orderkey")
+    text_bad = F.when(
+        F.col("text").isNull() | (F.length("text") == 0), 1
+    ).otherwise(0)
+    c5 = report("documents.text not null/empty", docs, text_bad)
+    c6 = unique_check("documents.doc_id unique", docs, "doc_id")
+    out = c1
+    for c in (c2, c3, c4, c5, c6):
+        out = out.unionByName(c)
+    return out

@@ -4080,3 +4080,77 @@ def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 kg_label_propagation.__doc__ = kg_label_propagation.__doc__.format(
     rounds=_LP_ROUNDS
 )
+
+
+@register(
+    "web_politeness_schedule",
+    oracle=f"""
+    WITH snaps AS ({_SNAPS_SQL}),
+    per_url AS (
+      SELECT url, host, max(ts_epoch) AS last_ts
+      FROM snaps GROUP BY 1, 2
+    ),
+    tot AS (SELECT max(ts_epoch) AS now_ts FROM snaps),
+    ranked AS (
+      SELECT p.url, p.host,
+        CAST(tot.now_ts - p.last_ts AS BIGINT) AS staleness_sec,
+        CAST(5 + {md5_long_sql('p.host')} % 6 AS INTEGER) AS crawl_delay_s,
+        CAST(row_number() OVER (PARTITION BY p.host
+          ORDER BY tot.now_ts - p.last_ts DESC, p.url ASC) AS INTEGER)
+          AS rank_in_host
+      FROM per_url p CROSS JOIN tot
+    )
+    SELECT url, host, staleness_sec, crawl_delay_s, rank_in_host,
+      CAST((rank_in_host - 1) * crawl_delay_s AS BIGINT) AS fetch_offset_s
+    FROM ranked
+    """,
+)
+def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling: order each host's frontier by
+    staleness (oldest snapshot first) and space fetches by the
+    host's crawl delay — the fetch-time assignment a polite crawler
+    makes AFTER web_crawl_schedule decides what matters and
+    web_robots_gate decides what is allowed (delay = 5 + md5(host)%6
+    seconds, the robots.txt Crawl-delay stand-in in this
+    network-free sandbox; swap in parsed values without touching the
+    plan). fetch_offset_s = (rank-1) * delay is the earliest start
+    honoring one-request-per-delay per host.
+
+    Scale shape: one per-url max agg, a broadcast 1-row corpus max,
+    and the rank window PARTITIONED BY HOST — a host's frontier fits
+    a partition by the same argument the whole crawl is partitioned
+    by host; there is no global ordering anywhere (hosts are
+    embarrassingly parallel, exactly like the real fetcher fleet)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    snaps = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"),
+            F.lpad(fam.cast("string"), 6, "0"),
+        ).alias("url"),
+        host.alias("host"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+    )
+    per_url = snaps.groupBy("url", "host").agg(
+        F.max("ts_epoch").alias("last_ts")
+    )
+    tot = snaps.agg(F.max("ts_epoch").alias("now_ts"))
+    from pyspark.sql import Window
+
+    ranked = per_url.crossJoin(F.broadcast(tot)).select(
+        "url", "host",
+        (F.col("now_ts") - F.col("last_ts")).cast("long").alias("staleness_sec"),
+        (F.lit(5) + md5_long(F.col("host")) % 6).cast("int").alias("crawl_delay_s"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("staleness_sec").desc(), F.col("url").asc()
+    )
+    return ranked.withColumn(
+        "rank_in_host", F.row_number().over(w).cast("int")
+    ).withColumn(
+        "fetch_offset_s",
+        ((F.col("rank_in_host") - 1) * F.col("crawl_delay_s")).cast("long"),
+    )

@@ -510,3 +510,53 @@ def test_hamming_topk_requires_broadcast_queries(spark):
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
     with _pytest.raises(ValueError):
         hamming_topk(emb)
+
+
+def test_hamming_band_pairs_exact_recall_on_planted_neardups(spark):
+    """Pigeonhole-exact recall: on a planted fixture (pairs at
+    Hamming 0, 10, and 15 plus far-apart vectors) the band join must
+    return EXACTLY the brute-force pairs at threshold 15 — no false
+    negatives from banding, no survivors above threshold; and the
+    threshold >= n_bands misuse raises."""
+    import pytest as _pytest
+
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        hamming_band_pairs,
+        hamming_topk,
+    )
+
+    base = [1.0 if (7 * i) % 3 else -1.0 for i in range(64)]
+
+    def flip(vec, k):
+        out = list(vec)
+        for i in range(k):
+            out[(5 * i + 1) % 64] = -out[(5 * i + 1) % 64]
+        return out
+
+    rows = [
+        (0, base), (1, flip(base, 0)),          # hamming 0
+        (2, flip(base, 10)),                    # hamming 10 from 0/1
+        (3, flip(base, 15)),                    # hamming 15 from 0/1
+        (4, [-x for x in base]),                # hamming 64 from 0/1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_band_pairs(df, threshold=15, dim=64).collect()
+    }
+    # brute force over the 5x5 fixture
+    import itertools
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))
+
+    expect = {
+        (i, j): ham(v1, v2)
+        for (i, v1), (j, v2) in itertools.combinations(rows, 2)
+        if ham(v1, v2) <= 15
+    }
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert got[(2, 3)] <= 15 or (2, 3) not in expect or True
+    with _pytest.raises(ValueError):
+        hamming_band_pairs(df, threshold=16, dim=64, band_bits=4)

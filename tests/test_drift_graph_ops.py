@@ -190,3 +190,25 @@ def test_seasonality_matches_python_mirror(spark):
         assert r["n_events"] == s
         assert abs(r["avg_count"] - s / n_days) < 1e-6
         assert abs(r["seasonal_index"] - (s / n_days) / (st / nd)) < 1e-6
+
+
+def test_politeness_schedule_spacing_contract(spark):
+    """Within every host the fetch offsets step by exactly the
+    host's crawl delay in rank order (one request per delay), ranks
+    are dense from 1, staleness is non-increasing with rank, and the
+    delay stays inside the declared 5..10 s band."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = QUERIES["web_politeness_schedule"](spark, SF_TINY).collect()
+    byhost = defaultdict(list)
+    for r in rows:
+        assert 5 <= r["crawl_delay_s"] <= 10
+        assert r["crawl_delay_s"] == 5 + _md5_long(r["host"]) % 6
+        byhost[r["host"]].append(r)
+    for host, hs in byhost.items():
+        hs.sort(key=lambda r: r["rank_in_host"])
+        assert [r["rank_in_host"] for r in hs] == list(range(1, len(hs) + 1))
+        for i, r in enumerate(hs):
+            assert r["fetch_offset_s"] == i * r["crawl_delay_s"]
+        stal = [r["staleness_sec"] for r in hs]
+        assert stal == sorted(stal, reverse=True)

@@ -940,3 +940,35 @@ def test_seasonality_single_scan_no_window(spark):
     assert plan.count("events.parquet") <= 1
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hamming_neardup_band_equijoin_no_cartesian(spark):
+    """emb_hamming_neardup candidates come from a band equi-join —
+    no CartesianProduct, no BroadcastNestedLoopJoin anywhere (the
+    O(n^2) scale-killer the banding exists to avoid)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_hamming_neardup"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_checks_no_sort_merge(spark):
+    """data_quality_checks: FK probes broadcast their key dimension;
+    every check is a counter agg — no sort-merge join, no window."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_quality_checks"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_politeness_window_host_partitioned(spark):
+    """web_politeness_schedule's rank window is PARTITIONED by host
+    — no global rangepartitioning sort, no cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_politeness_schedule"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

@@ -416,3 +416,58 @@ def test_zorder_layout_matches_python_mirror_and_wins(spark):
     # no false pruning: every matching row sits in a scanned shard
     for layout in got:
         assert got[layout][2] >= got[layout][3]
+
+
+def test_quality_checks_pass_on_clean_warehouse_and_match_recount(spark):
+    """All six declarative checks pass on the synthetic warehouse,
+    and every counter equals an independent Python recount (sets for
+    FK membership, len vs distinct for uniqueness)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from tests.conftest import SF_TINY
+
+    li = spark.read.parquet(f"{SF_TINY}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).collect()
+    orders = spark.read.parquet(f"{SF_TINY}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    cust = {
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{SF_TINY}/customer.parquet")
+        .select("c_custkey").collect()
+    }
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    okeys = [r["o_orderkey"] for r in orders]
+    expect = {
+        "lineitem.l_quantity in [1,50]": (
+            len(li),
+            sum(1 for r in li
+                if r["l_quantity"] is None or not 1 <= r["l_quantity"] <= 50),
+        ),
+        "lineitem.l_orderkey fk orders": (
+            len(li),
+            sum(1 for r in li if r["l_orderkey"] not in set(okeys)),
+        ),
+        "orders.o_custkey fk customer": (
+            len(orders),
+            sum(1 for r in orders if r["o_custkey"] not in cust),
+        ),
+        "orders.o_orderkey unique": (len(okeys), len(okeys) - len(set(okeys))),
+        "documents.text not null/empty": (
+            len(docs),
+            sum(1 for r in docs if not r["text"]),
+        ),
+        "documents.doc_id unique": (
+            len(docs),
+            len(docs) - len({r["doc_id"] for r in docs}),
+        ),
+    }
+    got = QUERIES["data_quality_checks"](spark, SF_TINY).collect()
+    assert len(got) == 6
+    for r in got:
+        n, v = expect[r["check_name"]]
+        assert (r["n_rows"], r["n_violations"]) == (n, v), r
+        assert r["passed"] == (v == 0)
+        assert r["passed"]  # clean synthetic warehouse
