@@ -2219,3 +2219,213 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in (c2, c3, c4, c5, c6):
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "ev_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+        first_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS first_touch_id,
+        last_value(CASE WHEN event_type IN ('click', 'view')
+                   THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS last_touch_id,
+        sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS n_touches_before
+      FROM events
+    )
+    SELECT user_id, event_id AS conversion_id,
+      first_touch_id, last_touch_id,
+      CAST(n_touches_before AS BIGINT) AS n_touches_before
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    purchase, the earliest and the most recent preceding touch
+    (click/view) in the same user's stream, plus the touch count —
+    the two bookend credit models every attribution report starts
+    from (position-based models interpolate between exactly these
+    columns). Purchases with no preceding touch keep NULL bookends
+    (organic conversions) rather than vanishing.
+
+    Scale shape: NO touches x conversions join — the classic
+    per-pair formulation is quadratic in session length. Three
+    IGNORE-NULLS running windows PARTITIONED by user (first_value /
+    last_value / count over the preceding frame) computed in one
+    window pass over one scan; order pinned (ts, event_id). A
+    user's stream fits a partition by the same argument
+    sessionization already relies on."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_id = F.when(is_touch, F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = ev.select(
+        "user_id", "event_id", "event_type",
+        F.first(touch_id, ignorenulls=True).over(w).alias("first_touch_id"),
+        F.last(touch_id, ignorenulls=True).over(w).alias("last_touch_id"),
+        F.sum(F.when(is_touch, 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("n_touches_before"),
+    )
+    return ordered.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conversion_id"),
+        "first_touch_id",
+        "last_touch_id",
+        "n_touches_before",
+    )
+
+
+@register(
+    "ev_rfm_segments",
+    oracle="""
+    WITH bounds AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS now_day
+                    FROM events),
+    users AS (
+      SELECT user_id,
+        date_diff('day', max(CAST(date_trunc('day', ts) AS DATE)),
+                  (SELECT now_day FROM bounds)) AS recency_days,
+        count(*) AS frequency,
+        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+          AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    th AS (
+      SELECT
+        quantile_cont(recency_days, 0.25) AS r25,
+        quantile_cont(recency_days, 0.5) AS r50,
+        quantile_cont(recency_days, 0.75) AS r75,
+        quantile_cont(frequency, 0.25) AS f25,
+        quantile_cont(frequency, 0.5) AS f50,
+        quantile_cont(frequency, 0.75) AS f75,
+        quantile_cont(monetary_cents, 0.25) AS m25,
+        quantile_cont(monetary_cents, 0.5) AS m50,
+        quantile_cont(monetary_cents, 0.75) AS m75
+      FROM users
+    ),
+    scored AS (
+      SELECT u.user_id,
+        4 - (CASE WHEN recency_days > r25 THEN 1 ELSE 0 END)
+          - (CASE WHEN recency_days > r50 THEN 1 ELSE 0 END)
+          - (CASE WHEN recency_days > r75 THEN 1 ELSE 0 END) AS r,
+        1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END)
+          + (CASE WHEN frequency > f50 THEN 1 ELSE 0 END)
+          + (CASE WHEN frequency > f75 THEN 1 ELSE 0 END) AS f,
+        1 + (CASE WHEN monetary_cents > m25 THEN 1 ELSE 0 END)
+          + (CASE WHEN monetary_cents > m50 THEN 1 ELSE 0 END)
+          + (CASE WHEN monetary_cents > m75 THEN 1 ELSE 0 END) AS m,
+        recency_days, frequency, monetary_cents
+      FROM users u CROSS JOIN th
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        AS segment,
+      CAST(count(*) AS BIGINT) AS n_users,
+      round(CAST(sum(recency_days) AS DOUBLE) / count(*), 6)
+        AS avg_recency_days,
+      round(CAST(sum(frequency) AS DOUBLE) / count(*), 6) AS avg_frequency,
+      round(CAST(sum(monetary_cents) AS DOUBLE) / count(*) / 100.0, 6)
+        AS avg_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    the user base — the classic behavioral cohorting every retention
+    and churn program starts from: each user scored 1-4 on each axis
+    against the population quartiles (recency inverted: fresher is
+    better), rolled up per 3-digit segment with its averages.
+
+    Scale shape: one per-user agg collapses the event stream to the
+    user dictionary (monetary as EXACT integer cents — per-row
+    floor(value*100) then int64 sums, so shuffle order cannot
+    perturb it); the nine thresholds are ONE exact-percentile pass
+    over that dictionary (the rel_percentile_stats parity:
+    percentile() <-> quantile_cont) broadcast back as a 1-row dim;
+    scores are pure comparisons in the projection; the report is a
+    <= 64-row rollup. No window anywhere, no sort."""
+    ev = _read(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    now = ev.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("now_day")
+    )
+    users = (
+        users.crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            F.datediff("now_day", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = users.agg(
+        F.percentile("recency_days", 0.25).alias("r25"),
+        F.percentile("recency_days", 0.5).alias("r50"),
+        F.percentile("recency_days", 0.75).alias("r75"),
+        F.percentile("frequency", 0.25).alias("f25"),
+        F.percentile("frequency", 0.5).alias("f50"),
+        F.percentile("frequency", 0.75).alias("f75"),
+        F.percentile("monetary_cents", 0.25).alias("m25"),
+        F.percentile("monetary_cents", 0.5).alias("m50"),
+        F.percentile("monetary_cents", 0.75).alias("m75"),
+    )
+
+    def gt(col, t):
+        return F.when(F.col(col) > F.col(t), 1).otherwise(0)
+
+    scored = users.crossJoin(F.broadcast(th)).select(
+        (
+            4 - gt("recency_days", "r25") - gt("recency_days", "r50")
+            - gt("recency_days", "r75")
+        ).alias("r"),
+        (
+            1 + gt("frequency", "f25") + gt("frequency", "f50")
+            + gt("frequency", "f75")
+        ).alias("f"),
+        (
+            1 + gt("monetary_cents", "m25") + gt("monetary_cents", "m50")
+            + gt("monetary_cents", "m75")
+        ).alias("m"),
+        "recency_days", "frequency", "monetary_cents",
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum("recency_days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_recency_days"),
+        F.round(
+            F.sum("frequency").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_frequency"),
+        F.round(
+            F.sum("monetary_cents").cast("double") / F.count(F.lit(1)) / 100.0,
+            6,
+        ).alias("avg_monetary"),
+    )

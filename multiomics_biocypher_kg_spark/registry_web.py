@@ -4154,3 +4154,70 @@ def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fetch_offset_s",
         ((F.col("rank_in_host") - 1) * F.col("crawl_delay_s")).cast("long"),
     )
+
+
+@register(
+    "web_surt_index",
+    oracle=f"""
+    WITH snaps AS (
+      SELECT s.url, s.host, s.ts_epoch, s.fam, s.doc_id, md5(d.text) AS digest
+      FROM ({_SNAPS_SQL}) s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    keyed AS (
+      SELECT
+        array_to_string(list_reverse(string_split(host, '.')), ',')
+          || ')/doc/' || lpad(CAST(fam AS VARCHAR), 6, '0') AS surt,
+        CAST(ts_epoch AS BIGINT) AS ts_epoch, digest,
+        row_number() OVER (PARTITION BY
+          array_to_string(list_reverse(string_split(host, '.')), ','),
+          fam, digest ORDER BY ts_epoch ASC, doc_id ASC) AS rn
+      FROM snaps
+    )
+    SELECT surt, ts_epoch, digest, rn > 1 AS is_revisit FROM keyed
+    """,
+)
+def web_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over the snapshot history: SURT keys
+    (Sort-friendly URI Reordering Transform — host labels reversed
+    and comma-joined, 'org,example,h43)/doc/000443') + content
+    digest + the revisit flag (a capture whose digest matches an
+    earlier capture of the same URL is stored as a 'revisit record'
+    pointing at the original payload — the dedup mechanic of every
+    web archive's WARC/CDX pair, and of Common Crawl's index).
+    SURT's point IS scale: byte-sorting SURT keys co-locates a
+    domain's captures (org,example,*), so per-domain reads are range
+    scans.
+
+    Scale shape: key + digest computed in the scan projection; the
+    revisit flag is a row_number window PARTITIONED by (url, digest)
+    — capture-history-per-url sized partitions, never global. A
+    real CDX SINK additionally range-partitions by SURT before
+    writing (a one-off sort the INDEX build pays so every later read
+    doesn't); the index rows themselves are order-free."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fam = F.col("doc_id") % 125
+    host = F.when(fam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (fam % 50).cast("string"), F.lit(".example.org"))
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")/doc/"),
+        F.lpad(fam.cast("string"), 6, "0"),
+    )
+    snaps = docs.select(
+        surt.alias("surt"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        F.md5("text").alias("digest"),
+        F.col("doc_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt", "digest").orderBy(
+        F.col("ts_epoch").asc(), F.col("doc_id").asc()
+    )
+    return snaps.select(
+        "surt", "ts_epoch", "digest",
+        (F.row_number().over(w) > 1).alias("is_revisit"),
+    )

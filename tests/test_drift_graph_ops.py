@@ -212,3 +212,127 @@ def test_politeness_schedule_spacing_contract(spark):
             assert r["fetch_offset_s"] == i * r["crawl_delay_s"]
         stal = [r["staleness_sec"] for r in hs]
         assert stal == sorted(stal, reverse=True)
+
+
+def test_surt_index_keys_and_revisits(spark):
+    """SURT keys follow the reversed-host grammar, and the revisit
+    flag marks exactly the captures beyond the first per (url,
+    digest) — recount = n_captures - n_distinct(url, digest)."""
+    import re
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    rows = QUERIES["web_surt_index"](spark, SF_TINY).collect()
+    assert rows
+    pat = re.compile(r"^(com,example,hot|org,example,h\d+)\)/doc/\d{6}$")
+    for r in rows:
+        assert pat.match(r["surt"]), r["surt"]
+    n_revisit = sum(1 for r in rows if r["is_revisit"])
+    distinct_payloads = len({(r["surt"], r["digest"]) for r in rows})
+    assert n_revisit == len(rows) - distinct_payloads
+    # every synthetic snapshot carries distinct text, so the corpus
+    # has no natural revisits — the planted case below exercises the
+    # flag on a duplicated-payload capture history instead
+    dup = spark.createDataFrame(
+        [(0, "same body"), (125, "same body"), (250, "changed body")],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dup.write.parquet(f"{td}/documents.parquet")
+        planted = QUERIES["web_surt_index"](spark, td).collect()
+    planted.sort(key=lambda r: r["ts_epoch"])
+    assert [r["is_revisit"] for r in planted] == [False, True, False]
+    assert len({r["surt"] for r in planted}) == 1
+    # within a (surt, digest) group the earliest capture is original
+    first_ts = {}
+    for r in sorted(rows, key=lambda r: r["ts_epoch"]):
+        key = (r["surt"], r["digest"])
+        if key not in first_ts:
+            first_ts[key] = r["ts_epoch"]
+            assert not r["is_revisit"]
+        else:
+            assert r["is_revisit"]
+
+
+def test_attribution_matches_stream_replay(spark):
+    """First/last-touch ids and touch counts must equal a literal
+    per-user stream replay in Python (order ts, event_id)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    byuser = defaultdict(list)
+    for r in ev:
+        byuser[r["user_id"]].append(r)
+    expect = {}
+    for u, rows in byuser.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        first = last = None
+        n = 0
+        for r in rows:
+            if r["event_type"] in ("click", "view"):
+                last = r["event_id"]
+                n += 1
+                if first is None:
+                    first = r["event_id"]
+            if r["event_type"] == "purchase":
+                expect[r["event_id"]] = (u, first, last, n)
+    got = QUERIES["ev_attribution"](spark, SF_TINY).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        u, first, last, n = expect[r["conversion_id"]]
+        assert r["user_id"] == u
+        assert r["first_touch_id"] == first
+        assert r["last_touch_id"] == last
+        assert r["n_touches_before"] == n
+
+
+def test_rfm_matches_numpy_quartile_mirror(spark):
+    """RFM segments must equal a per-user Python mirror using
+    numpy's linear-interpolation percentile (the quantile_cont /
+    Spark percentile() semantics)."""
+    import math
+
+    import numpy as np
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "user_id", "ts", "value"
+    ).collect()
+    peruser = defaultdict(lambda: [None, 0, 0])
+    now = max(r["ts"].date() for r in ev)
+    for r in ev:
+        s = peruser[r["user_id"]]
+        d = r["ts"].date()
+        s[0] = d if s[0] is None or d > s[0] else s[0]
+        s[1] += 1
+        s[2] += math.floor(r["value"] * 100)
+    users = [
+        ((now - v[0]).days, v[1], v[2]) for v in peruser.values()
+    ]
+    rec = [u[0] for u in users]; freq = [u[1] for u in users]
+    mon = [u[2] for u in users]
+    th = {
+        "r": np.percentile(rec, [25, 50, 75]),
+        "f": np.percentile(freq, [25, 50, 75]),
+        "m": np.percentile(mon, [25, 50, 75]),
+    }
+    seg = defaultdict(lambda: [0, 0, 0, 0])
+    for r_d, f_n, m_c in users:
+        r = 4 - sum(1 for t in th["r"] if r_d > t)
+        f = 1 + sum(1 for t in th["f"] if f_n > t)
+        m = 1 + sum(1 for t in th["m"] if m_c > t)
+        s = seg[f"{r}{f}{m}"]
+        s[0] += 1; s[1] += r_d; s[2] += f_n; s[3] += m_c
+    got = QUERIES["ev_rfm_segments"](spark, SF_TINY).collect()
+    assert {r["segment"] for r in got} == set(seg)
+    for r in got:
+        n, sr, sf_, sm = seg[r["segment"]]
+        assert r["n_users"] == n
+        assert abs(r["avg_recency_days"] - sr / n) < 1e-6
+        assert abs(r["avg_frequency"] - sf_ / n) < 1e-6
+        assert abs(r["avg_monetary"] - sm / n / 100.0) < 1e-6

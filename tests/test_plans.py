@@ -972,3 +972,37 @@ def test_politeness_window_host_partitioned(spark):
     plan = _plan(QUERIES["web_politeness_schedule"](spark, SF_TINY))
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_pass(spark):
+    """ev_attribution's three running expressions share ONE window
+    frame — a single Window operator, partitioned by user, no global
+    sort, no join at all."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_attribution"](spark, SF_TINY))
+    assert plan.count("Window") <= 2  # one logical window (+AQE echo)
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_rfm_no_window_thresholds_broadcast(spark):
+    """ev_rfm_segments: exact percentiles are one agg pass over the
+    user dictionary, broadcast back — no window, no sort-merge, no
+    rangepartitioning."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_rfm_segments"](spark, SF_TINY))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_surt_window_partitioned(spark):
+    """web_surt_index's revisit window partitions by (surt, digest)
+    — no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_surt_index"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
