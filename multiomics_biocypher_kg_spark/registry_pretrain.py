@@ -2063,3 +2063,136 @@ def data_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_bootstrap_ci.__doc__ = data_bootstrap_ci.__doc__.format(
     b=_BOOT_B, b1=_BOOT_B - 1
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth fit (the Zipf complement)
+# ---------------------------------------------------------------------------
+
+_HEAPS_BATCHES = 8
+
+
+@register(
+    "text_heaps_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_HEAPS_BATCHES} AS b,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per_batch AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY b
+    ),
+    first_seen AS (
+      SELECT min(b) AS b, tok FROM toks GROUP BY tok
+    ),
+    new_vocab AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY b
+    ),
+    cum AS (
+      SELECT p.b,
+        sum(p.n_tok) OVER (ORDER BY p.b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        sum(coalesce(v.n_new, 0)) OVER (ORDER BY p.b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+      FROM per_batch p LEFT JOIN new_vocab v ON p.b = v.b
+    ),
+    pts AS (
+      SELECT CAST(b AS INTEGER) AS b,
+        CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        CAST(cum_vocab AS BIGINT) AS cum_vocab,
+        ln(CAST(cum_tokens AS DOUBLE)) AS x,
+        ln(CAST(cum_vocab AS DOUBLE)) AS y
+      FROM cum
+    ),
+    fit AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS INTEGER) AS n_batches,
+      (SELECT cum_tokens FROM pts WHERE b = {_HEAPS_BATCHES - 1})
+        AS total_tokens,
+      (SELECT cum_vocab FROM pts WHERE b = {_HEAPS_BATCHES - 1})
+        AS total_vocab,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+      round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 6)
+        AS k
+    FROM fit
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = K * N^beta of vocabulary growth across
+    {nb} crawl batches — the companion to text_zipf_fit (Zipf says
+    how the EXISTING vocabulary is used; Heaps says how fast NEW
+    vocabulary keeps arriving, i.e. what a tokenizer/vocab budget
+    must absorb as the corpus scales 100x: beta ~ 0.5 means 10x data
+    = ~3x vocab).
+
+    Scale shape: cumulative vocabulary is NOT a per-batch distinct
+    over growing prefixes (that replays the corpus {nb} times) — a
+    token's FIRST-SEEN batch is one min() agg over the token
+    dictionary, so cumulative vocab = a running sum over the {nb}-row
+    first-seen histogram. One token-stream scan feeds both keyed
+    aggs; the windows and the closed-form log-log OLS run over {nb}
+    points. All-integer until the ln()s of the fit."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % _HEAPS_BATCHES).alias("b"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).localCheckpoint(eager=False)
+    per_batch = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_vocab = (
+        toks.groupBy("tok")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the unpartitioned windows run over the 8-row batch table
+    cum = (
+        per_batch.join(new_vocab, "b", "left")
+        .select(
+            "b",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pts = cum.select(
+        F.col("b").cast("int").alias("b"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    last = pts.where(F.col("b") == _HEAPS_BATCHES - 1).select(
+        "cum_tokens", "cum_vocab"
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.crossJoin(F.broadcast(last)).select(
+        F.col("n").cast("int").alias("n_batches"),
+        F.col("cum_tokens").alias("total_tokens"),
+        F.col("cum_vocab").alias("total_vocab"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        ).alias("k"),
+    )
+
+
+text_heaps_fit.__doc__ = text_heaps_fit.__doc__.format(nb=_HEAPS_BATCHES)

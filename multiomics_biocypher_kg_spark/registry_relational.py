@@ -2429,3 +2429,83 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_monetary"),
     )
+
+
+@register(
+    "ev_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC) AS gap_us
+      FROM events
+    ),
+    mom AS (
+      SELECT user_id, count(gap_us) AS n_gaps,
+        sum(gap_us) AS s1,
+        sum(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+      round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
+      round(
+        sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+             / (n_gaps - 1))
+        / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv,
+      (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+            / (n_gaps - 1))
+       / (CAST(s1 AS DOUBLE) / n_gaps)) < 0.1 AS is_regular
+    FROM mom WHERE n_gaps >= 2
+    """,
+)
+def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-arrival regularity: per user, the
+    coefficient of variation of the gaps between consecutive events
+    — scripted clients fire on timers (CV near 0), humans are bursty
+    (CV near or above 1, the exponential-arrival baseline). The
+    behavioral complement to the content-side spam signals
+    (web_spam_mass, reciprocity): this one needs no graph, only the
+    event stream any service already has.
+
+    Scale shape: one lag window PARTITIONED by user (the
+    sessionization argument), then one map-side-combined per-user
+    integer-moment agg — gaps are EXACT int64 microseconds
+    (epoch_us / unix_micros on both engines; never a float timestamp
+    subtraction), so the moments are shuffle-order-proof and the
+    fixed-order CV expression is bit-identical cross-engine. Users
+    with < 3 events (< 2 gaps) are excluded: their variance is
+    undefined, not zero."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # ts is TIMESTAMP_NTZ in the parquet; the session is pinned UTC,
+    # so the cast to TIMESTAMP (required by unix_micros) is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    # gap_us^2 overflows int64 (a month gap squared is ~7e24), so
+    # the second moment sums EXACT wide integers: DECIMAL(28,0)
+    # products into a DECIMAL(38,0) sum here, HUGEINT in the oracle
+    # — both convert the identical exact integer to double below
+    g_dec = F.col("gap_us").cast("decimal(14,0)")
+    mom = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").alias("s1"),
+        F.sum(g_dec * g_dec).alias("s2"),
+    ).where(F.col("n_gaps") >= 2)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / F.col("n_gaps")
+    sd = F.sqrt((s2d - s1d * F.col("s1") / F.col("n_gaps")) / (F.col("n_gaps") - 1))
+    return mom.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.round(sd / mean, 6).alias("cv"),
+        ((sd / mean) < 0.1).alias("is_regular"),
+    )

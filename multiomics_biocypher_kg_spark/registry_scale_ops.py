@@ -2624,3 +2624,124 @@ def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scan_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth range-partition planning (balanced split points)
+# ---------------------------------------------------------------------------
+
+_RANGE_BUCKETS = 8
+
+
+def _split_points_sql() -> str:
+    qs = ", ".join(
+        f"quantile_cont(k, {i}.0 / {_RANGE_BUCKETS}) AS q{i}"
+        for i in range(1, _RANGE_BUCKETS)
+    )
+    edges = ["CAST('-Infinity' AS DOUBLE)"] + [
+        f"q{i}" for i in range(1, _RANGE_BUCKETS)
+    ] + ["CAST('Infinity' AS DOUBLE)"]
+    cases = " ".join(
+        f"WHEN k >= {edges[i]} AND k < {edges[i + 1]} THEN {i}"
+        for i in range(_RANGE_BUCKETS)
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT {md5_long_sql("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")}
+        AS k
+      FROM lineitem
+    ),
+    th AS (SELECT {qs} FROM keyed),
+    assigned AS (
+      SELECT CASE {cases} END AS bucket, k
+      FROM keyed CROSS JOIN th
+    ),
+    counts AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+      FROM assigned GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_rows) AS n, count(*) AS nb FROM counts)
+    SELECT CAST(bucket AS INTEGER) AS bucket, n_rows, min_key, max_key,
+      round(CAST(n_rows AS DOUBLE) * nb / n, 6) AS balance_ratio
+    FROM counts CROSS JOIN tot
+    """
+
+
+@register("data_range_split_points", oracle=_split_points_sql())
+def data_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth range-partition planning: {b}-quantile split
+    points over a hashed sort key, then the per-bucket row counts
+    and balance ratios that PROVE the layout is balanced — the exact
+    version of what Spark's RangePartitioner estimates by sampling,
+    and the boundary table a bucketed/range-sorted table write needs
+    up front (data_skew_audit says WHEN the current layout is bad;
+    this computes the replacement boundaries).
+
+    Scale shape: the key materializes in the scan projection; the
+    {bm1} thresholds are ONE exact-percentile pass (quantile_cont /
+    percentile parity, the rel_percentile_stats discipline)
+    broadcast back as a 1-row dim; bucket assignment is a CASE chain
+    in the projection and the audit is one map-side-combined keyed
+    agg — the corpus is never sorted (the point: you get the sorted
+    layout's boundaries WITHOUT paying a global sort to discover
+    them). balance_ratio = n_rows * n_buckets / total, ~1.0
+    everywhere by construction of equi-depth boundaries."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    keyed = li.select(
+        md5_long(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("k")
+    )
+    th = keyed.agg(
+        *[
+            F.percentile("k", i / _RANGE_BUCKETS).alias(f"q{i}")
+            for i in range(1, _RANGE_BUCKETS)
+        ]
+    )
+    edges = (
+        [F.lit(float("-inf"))]
+        + [F.col(f"q{i}") for i in range(1, _RANGE_BUCKETS)]
+        + [F.lit(float("inf"))]
+    )
+    bucket = None
+    for i in range(_RANGE_BUCKETS):
+        cond = (F.col("k") >= edges[i]) & (F.col("k") < edges[i + 1])
+        bucket = (
+            F.when(cond, i) if bucket is None else bucket.when(cond, i)
+        )
+    assigned = keyed.crossJoin(F.broadcast(th)).select(
+        bucket.alias("bucket"), "k"
+    )
+    # the 8-row bucket table has two consumers (totals + the final
+    # join) — checkpoint it so the assignment pass runs once
+    counts = (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("n"), F.count(F.lit(1)).alias("nb")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_rows", "min_key", "max_key",
+        F.round(
+            F.col("n_rows").cast("double") * F.col("nb") / F.col("n"), 6
+        ).alias("balance_ratio"),
+    )
+
+
+data_range_split_points.__doc__ = data_range_split_points.__doc__.format(
+    b=_RANGE_BUCKETS, bm1=_RANGE_BUCKETS - 1
+)

@@ -336,3 +336,159 @@ def test_rfm_matches_numpy_quartile_mirror(spark):
         assert abs(r["avg_recency_days"] - sr / n) < 1e-6
         assert abs(r["avg_frequency"] - sf_ / n) < 1e-6
         assert abs(r["avg_monetary"] - sm / n / 100.0) < 1e-6
+
+
+def test_heaps_fit_matches_python_ols(spark):
+    """Heaps' fit must equal the literal construction: cumulative
+    token/vocab growth over doc_id%8 batches, log-log OLS in pure
+    Python; beta lands in the sublinear (0, 1) band."""
+    import math
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    per_batch = defaultdict(int)
+    first_seen = {}
+    for r in docs:
+        b = r["doc_id"] % 8
+        for tok in r["text"].split(" "):
+            per_batch[b] += 1
+            if tok not in first_seen or b < first_seen[tok]:
+                first_seen[tok] = b
+    new_vocab = defaultdict(int)
+    for b in first_seen.values():
+        new_vocab[b] += 1
+    cum_t = cum_v = 0
+    xs, ys = [], []
+    for b in range(8):
+        cum_t += per_batch[b]
+        cum_v += new_vocab[b]
+        xs.append(math.log(cum_t))
+        ys.append(math.log(cum_v))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    got = QUERIES["text_heaps_fit"](spark, SF_TINY).collect()[0]
+    assert got["n_batches"] == 8
+    assert got["total_tokens"] == cum_t
+    assert got["total_vocab"] == cum_v
+    assert abs(got["beta"] - beta) < 1e-6
+    assert abs(got["k"] - k) < max(1e-6, abs(k) * 1e-9)
+    # the synthetic corpus draws from a CLOSED tiny vocabulary, so
+    # growth saturates in batch 0 and beta = 0 exactly — the correct
+    # sublinear-extreme answer (open-vocabulary corpora land in
+    # (0, 1)); the planted open-vocabulary fixture below pins that
+    assert 0.0 <= got["beta"] < 1.0
+    import tempfile
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(5)) + " common token")
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/documents.parquet")
+        open_fit = QUERIES["text_heaps_fit"](spark, td).collect()[0]
+    # every doc mints 5 new tokens -> near-linear growth, beta ~ 1
+    assert 0.8 < open_fit["beta"] <= 1.001
+    assert open_fit["total_vocab"] == 64 * 5 + 2
+
+
+def test_bot_regularity_mirror_and_planted_bot(spark):
+    """CV values must equal a per-user Python replay on the real
+    events; a planted metronome user (exact 60 s gaps) through the
+    same query on a temp table flags is_regular, a bursty one does
+    not."""
+    import datetime as dt
+    import tempfile
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    byuser = defaultdict(list)
+    for r in ev:
+        byuser[r["user_id"]].append(r)
+    expect = {}
+    for u, rows in byuser.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        us = [
+            int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+            for r in rows
+        ]
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        if len(gaps) < 2:
+            continue
+        n = len(gaps)
+        mean = sum(gaps) / n
+        var = (sum(g * g for g in gaps) - sum(gaps) ** 2 / n) / (n - 1)
+        expect[u] = (n, mean / 1e6, (var**0.5) / mean)
+    got = QUERIES["ev_bot_regularity"](spark, SF_TINY).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n, mean_s, cv = expect[r["user_id"]]
+        assert r["n_gaps"] == n
+        assert abs(r["mean_gap_s"] - mean_s) < 1e-5
+        assert abs(r["cv"] - cv) < 1e-5
+        assert r["is_regular"] == (cv < 0.1)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # metronome: exact 60 s cadence
+        *[(i, base + dt.timedelta(seconds=60 * i), 1, "click", 0.0, "{}")
+          for i in range(10)],
+        # bursty human: widely varying gaps
+        *[(100 + i, base + dt.timedelta(seconds=s), 2, "click", 0.0, "{}")
+          for i, s in enumerate([0, 3, 1000, 1010, 90000, 90500])],
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        planted = {
+            r["user_id"]: r
+            for r in QUERIES["ev_bot_regularity"](spark, td).collect()
+        }
+    assert planted[1]["is_regular"] and planted[1]["cv"] == 0.0
+    assert not planted[2]["is_regular"]
+
+
+def test_range_split_points_balance_and_contiguity(spark):
+    """Equi-depth split points: bucket counts match a numpy-percentile
+    mirror, buckets are contiguous key ranges, and every balance
+    ratio sits near 1 (the equi-depth guarantee)."""
+    import numpy as np
+
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    li = spark.read.parquet(f"{SF_TINY}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    ).collect()
+    keys = sorted(
+        _md5_long(f"{r['l_orderkey']}#{r['l_linenumber']}") for r in li
+    )
+    th = np.percentile(keys, [100 * i / 8 for i in range(1, 8)])
+    import bisect
+    counts = defaultdict(int)
+    for k in keys:
+        counts[bisect.bisect_right(th, k - 0.5) if False else sum(1 for t in th if k >= t)] += 1
+    got = sorted(
+        QUERIES["data_range_split_points"](spark, SF_TINY).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in got] == list(range(8))
+    assert sum(r["n_rows"] for r in got) == len(keys)
+    for r in got:
+        assert r["n_rows"] == counts[r["bucket"]], r
+        assert 0.5 <= r["balance_ratio"] <= 1.5
+    for prev, nxt in zip(got, got[1:]):
+        assert prev["max_key"] < nxt["min_key"]

@@ -1006,3 +1006,39 @@ def test_surt_window_partitioned(spark):
     plan = _plan(QUERIES["web_surt_index"](spark, SF_TINY))
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heaps_single_token_scan(spark):
+    """text_heaps_fit: the token stream is scanned once (checkpointed
+    for its two keyed aggs); cumulative windows run over the 8-row
+    batch table — no rangepartitioning, no cartesian beyond the
+    broadcast 1-row last-point dim."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_heaps_fit"](spark, SF_TINY))
+    assert plan.count("documents.parquet") <= 1
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bot_regularity_window_user_partitioned(spark):
+    """ev_bot_regularity: one user-partitioned lag window + one keyed
+    agg — no global sort, no join."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_bot_regularity"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_range_split_points_no_global_sort(spark):
+    """data_range_split_points delivers a sorted layout's boundaries
+    WITHOUT a global sort: one percentile agg + projections + one
+    keyed agg — no rangepartitioning anywhere, no SMJ."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_range_split_points"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") <= 2
