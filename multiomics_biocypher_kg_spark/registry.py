@@ -721,7 +721,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ev_seasonality, data_quality_checks, web_politeness_schedule,
 # emb_hamming_neardup, web_surt_index, ev_attribution,
 # ev_rfm_segments, text_heaps_fit, ev_bot_regularity,
-# data_range_split_points) were
+# data_range_split_points, kg_complex_score,
+# onto_wupalmer_similarity, ev_ewma_forecast) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

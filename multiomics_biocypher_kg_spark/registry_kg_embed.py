@@ -1588,3 +1588,97 @@ def kg_distmult_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pos - neg).alias("margin_e9"),
         ((pos - neg) > 0).alias("plausible"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ComplEx triple plausibility (complex bilinear scorer)
+# ---------------------------------------------------------------------------
+
+# complex embeddings: per dim j, entity e has re/im components hashed
+# with tags cr/ci, the relation with sr/si, the corrupted tail with
+# xr/xi — same [-500, 500) integer distribution as DistMult, so the
+# real part of <h, r, conj(t)> is an EXACT int64 (|score| <
+# 8 dims * 4 terms * 500^3 = 4e9)
+
+
+def _complex_sql() -> str:
+    def score(re_tag: str, im_tag: str) -> str:
+        terms = []
+        for j in range(_TE_DIM):
+            hr = _emb_dim_int_sql("subj", "cr", j)
+            hi = _emb_dim_int_sql("subj", "ci", j)
+            rr = _emb_dim_int_sql("pred", "sr", j)
+            ri = _emb_dim_int_sql("pred", "si", j)
+            tr = _emb_dim_int_sql("obj", re_tag, j)
+            ti = _emb_dim_int_sql("obj", im_tag, j)
+            terms.append(
+                f"({hr} * {rr} * {tr} + {hi} * {rr} * {ti}"
+                f" + {hr} * {ri} * {ti} - {hi} * {ri} * {tr})"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH t AS ({TRIPLES_SQL}),
+    scored AS (
+      SELECT subj, pred, obj,
+        CAST({score('cr', 'ci')} AS BIGINT) AS pos_e9,
+        CAST({score('xr', 'xi')} AS BIGINT) AS neg_e9
+      FROM t
+    )
+    SELECT subj, pred, obj,
+      pos_e9 AS complex_score_e9,
+      neg_e9 AS neg_score_e9,
+      pos_e9 - neg_e9 AS margin_e9,
+      (pos_e9 - neg_e9) > 0 AS plausible
+    FROM scored
+    """
+
+
+@register("kg_complex_score", oracle=_complex_sql())
+def kg_complex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplEx triple plausibility (Trouillon et al., ICML 2016):
+    Re(<h, r, conj(t)>) over complex-valued embeddings — the third
+    standard shallow KG-embedding decoder beside kg_transe_score
+    (translational) and kg_distmult_score (bilinear-diagonal).
+    ComplEx exists precisely because DistMult cannot represent
+    antisymmetric relations (its score is symmetric in (h, t) by
+    construction); the imaginary parts make score(h, r, t) !=
+    score(t, r, h), so the trio spans the decoder families a model
+    selection actually compares. Same deterministic hash-derived
+    embeddings (entity re/im from tags cr/ci so subject and object
+    positions share one entity embedding), same corrupted-tail
+    negative convention (independent hash family xr/xi).
+
+    The real part expands per dim to
+    hr*rr*tr + hi*rr*ti + hr*ri*ti - hi*ri*tr; with integer
+    components in [-500, 500) the sum is an EXACT int64 numerator
+    (the float score x 1e9, |score| < 4e9) — the kg_distmult_score
+    contract that removes cross-engine float rounding entirely.
+    Same 10^12-triple shape: all embeddings resolved per dim in the
+    scan projection (no parameter table, no shuffle), a fixed-order
+    multiply-add chain both engines mirror term for term."""
+    trip = _triples(spark, sf_dir).select("subj", "pred", "obj")
+
+    def score(re_tag: str, im_tag: str):
+        terms = []
+        for j in range(_TE_DIM):
+            hr = _emb_dim_int_col(F.col("subj"), "cr", j)
+            hi = _emb_dim_int_col(F.col("subj"), "ci", j)
+            rr = _emb_dim_int_col(F.col("pred"), "sr", j)
+            ri = _emb_dim_int_col(F.col("pred"), "si", j)
+            tr = _emb_dim_int_col(F.col("obj"), re_tag, j)
+            ti = _emb_dim_int_col(F.col("obj"), im_tag, j)
+            terms.append(hr * rr * tr + hi * rr * ti + hr * ri * ti - hi * ri * tr)
+        return reduce(lambda a, b: a + b, terms)
+
+    pos = score("cr", "ci").cast("long")
+    neg = score("xr", "xi").cast("long")
+    return trip.select(
+        "subj",
+        "pred",
+        "obj",
+        pos.alias("complex_score_e9"),
+        neg.alias("neg_score_e9"),
+        (pos - neg).alias("margin_e9"),
+        ((pos - neg) > 0).alias("plausible"),
+    )

@@ -515,3 +515,139 @@ def kg_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("inherited").alias("source"),
     )
     return direct_rows.unionByName(inherited)
+
+
+# --------------------------------------------------------------------------
+# Wu-Palmer semantic similarity (depth of the deepest common ancestor)
+# --------------------------------------------------------------------------
+
+_WUP_PAIR_MOD = 23  # probe pairs: (doc_id, doc_id+2) where doc_id % 23 == 1
+
+
+@register(
+    "onto_wupalmer_similarity",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({{onto_edges}}),
+    clos(node, ancestor) AS (
+      SELECT child, parent FROM edges
+      UNION
+      SELECT c.node, e.parent FROM clos c JOIN edges e ON c.ancestor = e.child
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT child AS node FROM edges
+        UNION ALL SELECT parent AS node FROM edges
+      )
+    ),
+    ext AS (
+      SELECT DISTINCT node, ancestor FROM (
+        SELECT node, ancestor FROM clos
+        UNION ALL SELECT node, node AS ancestor FROM nodes
+      )
+    ),
+    d AS (SELECT node, CAST(count(*) AS BIGINT) AS depth FROM ext GROUP BY node),
+    pairs AS (
+      SELECT format('n{{{{:04d}}}}', a.doc_id) AS node_a,
+             format('n{{{{:04d}}}}', b.doc_id) AS node_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+      WHERE a.doc_id % {_WUP_PAIR_MOD} = 1 AND a.doc_id > 0
+    ),
+    lca AS (
+      SELECT node_a, node_b, ancestor AS lca, depth AS d_lca FROM (
+        SELECT p.node_a, p.node_b, ea.ancestor, dd.depth,
+          row_number() OVER (PARTITION BY p.node_a, p.node_b
+                             ORDER BY dd.depth DESC, ea.ancestor DESC) AS rn
+        FROM pairs p
+        JOIN ext ea ON ea.node = p.node_a
+        JOIN ext eb ON eb.node = p.node_b AND eb.ancestor = ea.ancestor
+        JOIN d dd ON dd.node = ea.ancestor
+      ) r WHERE rn = 1
+    )
+    SELECT l.node_a, l.node_b, l.lca,
+      CAST(l.d_lca AS INTEGER) AS d_lca,
+      CAST(da.depth AS INTEGER) AS d_a,
+      CAST(db.depth AS INTEGER) AS d_b,
+      round(2.0 * l.d_lca / (da.depth + db.depth), 6) AS wup
+    FROM lca l
+    JOIN d da ON da.node = l.node_a
+    JOIN d db ON db.node = l.node_b
+    """.format(onto_edges=ONTO_EDGES_SQL),
+)
+def onto_wupalmer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wu-Palmer semantic similarity (Wu & Palmer, ACL 1994) for a
+    deterministic probe set of node pairs: 2*depth(LCA) /
+    (depth(a) + depth(b)) — the PATH-based ontology similarity
+    beside onto_resnik_similarity's information-content one (Resnik
+    asks "how specific is what they share", Wu-Palmer asks "how far
+    down the hierarchy is it relative to both" — corpus-frequency
+    free, so it works before any annotation counts exist). Depth is
+    the node count on the root path (root = 1), computed as ONE
+    count(*) agg over the self-extended closure — in a tree the path
+    is unique, so depth and LCA are exact integers and the emitted
+    d_lca / d_a / d_b columns carry the contract integer-exactly;
+    only the final ratio is a rounded float. LCA = the DEEPEST
+    common ancestor = max(struct(depth, ancestor)) over integer
+    depths, bit-identical cross-engine (the Resnik min-descendant
+    trick with depth in place of IC).
+
+    Scale shape identical to Resnik: per-node ancestor lists are
+    O(depth) closure rows (~log4 N for the quad tree), the probe
+    pairs are a bounded scan filter, and the intersection is two
+    keyed joins — never node x node."""
+    from multiomics_biocypher_kg_spark.operators.enrich import ancestors_closure
+
+    edges = _onto_edges(spark, sf_dir)
+    clos = ancestors_closure(edges, max_depth=10).select("node", "ancestor")
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .union(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    ext = clos.union(nodes.select("node", F.col("node").alias("ancestor"))).distinct()
+    d = ext.groupBy("node").agg(F.count(F.lit(1)).alias("depth"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = docs.where(
+        (F.col("doc_id") % _WUP_PAIR_MOD == 1) & (F.col("doc_id") > 0)
+    ).select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 2).select(
+        F.format_string("n%04d", F.col("id_a")).alias("node_a"),
+        F.format_string("n%04d", F.col("id_b")).alias("node_b"),
+    )
+    ea = ext.select(F.col("node").alias("node_a"), "ancestor")
+    eb = ext.select(F.col("node").alias("node_b"), "ancestor")
+    danc = d.select(F.col("node").alias("ancestor"), F.col("depth").alias("d_anc"))
+    lca = (
+        pairs.join(ea, "node_a")
+        .join(eb, ["node_b", "ancestor"])
+        .join(danc, "ancestor")
+        .groupBy("node_a", "node_b")
+        .agg(F.max(F.struct("d_anc", "ancestor")).alias("m"))
+        .select(
+            "node_a",
+            "node_b",
+            F.col("m.ancestor").alias("lca"),
+            F.col("m.d_anc").alias("d_lca"),
+        )
+    )
+    return (
+        lca.join(
+            d.select(F.col("node").alias("node_a"), F.col("depth").alias("d_a")),
+            "node_a",
+        )
+        .join(
+            d.select(F.col("node").alias("node_b"), F.col("depth").alias("d_b")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "lca",
+            F.col("d_lca").cast("int").alias("d_lca"),
+            F.col("d_a").cast("int").alias("d_a"),
+            F.col("d_b").cast("int").alias("d_b"),
+            F.round(
+                2.0 * F.col("d_lca") / (F.col("d_a") + F.col("d_b")), 6
+            ).alias("wup"),
+        )
+    )

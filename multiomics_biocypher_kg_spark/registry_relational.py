@@ -10,6 +10,8 @@ TPC-H-ish and events-table query families.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2509,3 +2511,121 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / mean, 6).alias("cv"),
         ((sd / mean) < 0.1).alias("is_regular"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-horizon EWMA forecast over per-type daily counts
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 8
+# tap weights alpha * (1-alpha)^(j-1) computed ONCE here and inlined
+# as the identical double literals on both engines (repr round-trips)
+_EWMA_W = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_TAPS)]
+
+
+def _ewma_sql() -> str:
+    lags = ", ".join(
+        f"lag(c, {j + 1}) OVER w AS l{j}" for j in range(_EWMA_TAPS)
+    )
+    num = " + ".join(
+        f"{_EWMA_W[j]!r} * CAST(coalesce(l{j}, 0) AS DOUBLE)"
+        for j in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN {_EWMA_W[j]!r} ELSE 0.0 END)"
+        for j in range(_EWMA_TAPS)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, c, {lags}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    ),
+    fc AS (
+      SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+        ({num}) / ({den}) AS forecast
+      FROM lagged WHERE l0 IS NOT NULL
+    )
+    SELECT event_type, day, n_events,
+      round(forecast, 6) AS forecast,
+      round((CAST(n_events AS DOUBLE) - forecast) / forecast, 6)
+        AS resid_ratio,
+      abs((CAST(n_events AS DOUBLE) - forecast) / forecast) > 0.5
+        AS is_anomaly
+    FROM fc
+    """
+
+
+@register("ev_ewma_forecast", oracle=_ewma_sql())
+def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast of per-type daily event volume,
+    plus the relative residual — the time-LOCAL adaptive baseline
+    beside ev_burst_detect's whole-history z-score and
+    ev_seasonality's day-of-week profile (a slow traffic ramp fools
+    a global mean; the EWMA tracks it, so the residual isolates
+    genuine surprises). Truncated-horizon form: the recursive
+    s_t = a*x_t + (1-a)*s_(t-1) is unrolled to {taps} explicit lag
+    taps with weights a*(1-a)^j renormalized over the taps present
+    — a FIXED-ORDER multiply-add chain over integer lag values, so
+    both engines compute bit-identical doubles (the recursive form's
+    running state would accumulate engine-ordered float error; the
+    tail weight beyond {taps} taps is (1-a)^{taps} ~ 5.8%, absorbed
+    by the renormalization). First day per type (no prior
+    observation) is excluded: there is nothing to forecast from.
+
+    Scale shape: the event stream collapses to the (type, day)
+    dictionary in one map-side-combined agg; the lag window is
+    PARTITIONED by type over day-dictionary-sized partitions; the
+    forecast is a scan projection. Nothing corpus-sized sorts."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "c",
+        *[
+            F.lag("c", j + 1).over(w).alias(f"l{j}")
+            for j in range(_EWMA_TAPS)
+        ],
+    ).where(F.col("l0").isNotNull())
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.lit(_EWMA_W[j]) * F.coalesce(F.col(f"l{j}"), F.lit(0)).cast("double")
+            for j in range(_EWMA_TAPS)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"l{j}").isNotNull(), F.lit(_EWMA_W[j])).otherwise(
+                F.lit(0.0)
+            )
+            for j in range(_EWMA_TAPS)
+        ],
+    )
+    fc = num / den
+    resid = (F.col("c").cast("double") - fc) / fc
+    return lagged.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("n_events"),
+        F.round(fc, 6).alias("forecast"),
+        F.round(resid, 6).alias("resid_ratio"),
+        (F.abs(resid) > 0.5).alias("is_anomaly"),
+    )
+
+
+ev_ewma_forecast.__doc__ = ev_ewma_forecast.__doc__.format(taps=_EWMA_TAPS)

@@ -1042,3 +1042,36 @@ def test_range_split_points_no_global_sort(spark):
     assert "rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_complex_pure_projection_no_extra_shuffle(spark):
+    """kg_complex_score, like DistMult, adds only a scan-projection
+    expression chain on top of the triple pipeline — no window, no
+    added join (the complex embedding 'lookup' is hashing)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_complex_score"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wupalmer_no_cartesian_no_global_sort(spark):
+    """onto_wupalmer_similarity intersects per-node ancestor lists
+    via keyed joins — never node x node, never a global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["onto_wupalmer_similarity"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ewma_single_scan_no_join(spark):
+    """ev_ewma_forecast: one events scan -> (type, day) agg -> a
+    type-partitioned lag window -> projection. No join, no global
+    sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_ewma_forecast"](spark, SF_TINY))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
