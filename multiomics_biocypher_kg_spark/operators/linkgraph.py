@@ -643,3 +643,72 @@ def multi_source_distances(
             .localCheckpoint(eager=False)
         )
     return state
+
+
+def ktruss(edges: DataFrame, k: int = 8, rounds: int = 2) -> DataFrame:
+    """Fixed-round k-truss peeling over undirected ``edges(src,
+    dst)``: each round computes every edge's triangle SUPPORT (the
+    number of common neighbors of its endpoints) and drops edges
+    with support < k-2, ``rounds`` times; the surviving edges are
+    returned with their support measured inside the surviving
+    subgraph. The k-truss is the triangle-grade strengthening of the
+    k-core (``kcore`` peels by degree — a star survives; a truss
+    edge must sit in k-2 triangles, so bipartite-ish link-farm spam
+    that inflates degree without closing triangles is peeled) —
+    together they bracket "dense because popular" vs "dense because
+    cohesive". Same determinism trade as the whole iterative family:
+    a FIXED round count, oracle-unrollable, identical mid-cascade
+    state on both engines.
+
+    Scale shape: support is ONE wedge equi-join per round — the
+    canonical edge set joined to the symmetric neighbor table on
+    each endpoint with the common neighbor as the join key — i.e.
+    the ``kg_triangles`` discipline applied per edge (keyed shuffles
+    only, no pair enumeration beyond actual wedges); the edge set
+    SHRINKS monotonically and is localCheckpoint()ed per round, so
+    round i's plan never re-derives round i-1 (the ``pagerank``
+    lineage-truncation argument).
+
+    -> (src, dst, support) for canonical (src < dst) edges alive
+    after ``rounds`` peels, support within the surviving subgraph.
+    """
+    cur = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def support(c: DataFrame) -> DataFrame:
+        nbr = c.union(
+            c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = nbr.select(F.col("src").alias("_u"), F.col("dst").alias("_w"))
+        b = nbr.select(F.col("src").alias("_v"), F.col("dst").alias("_w"))
+        return (
+            c.join(a, c["src"] == a["_u"])
+            .join(b, (c["dst"] == b["_v"]) & (a["_w"] == b["_w"]))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    for _ in range(rounds):
+        cur = (
+            support(cur)
+            .where(F.col("support") >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    final_sup = support(cur)
+    return (
+        cur.join(final_sup, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+    )

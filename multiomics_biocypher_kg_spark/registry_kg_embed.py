@@ -1682,3 +1682,106 @@ def kg_complex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pos - neg).alias("margin_e9"),
         ((pos - neg) > 0).alias("plausible"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicate symmetry audit (data-driven OWL-characteristic profiling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kg_symmetry_audit",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL}),
+    d AS (SELECT DISTINCT subj, pred, obj FROM t),
+    flagged AS (
+      SELECT d.subj, d.pred, d.obj,
+        (d.subj = d.obj) AS is_self,
+        (r.subj IS NOT NULL) AS has_rev
+      FROM d
+      LEFT JOIN (SELECT DISTINCT subj, pred, obj FROM t) r
+        ON r.pred = d.pred AND r.subj = d.obj AND r.obj = d.subj
+    ),
+    agg AS (
+      SELECT pred,
+        CAST(count(*) AS BIGINT) AS n_edges,
+        CAST(sum(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self_loops,
+        CAST(sum(CASE WHEN NOT is_self AND has_rev THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_symmetric
+      FROM flagged GROUP BY pred
+    )
+    SELECT pred, n_edges, n_self_loops, n_symmetric,
+      CASE WHEN n_edges - n_self_loops = 0 THEN 1.0
+        ELSE round(CAST(n_symmetric AS DOUBLE)
+                   / (n_edges - n_self_loops), 6) END AS symmetry_ratio,
+      CASE
+        WHEN n_edges - n_self_loops = 0 THEN 'symmetric'
+        WHEN n_symmetric = n_edges - n_self_loops THEN 'symmetric'
+        WHEN n_symmetric = 0 THEN 'antisymmetric'
+        ELSE 'mixed' END AS characteristic
+    FROM agg
+    """,
+)
+def kg_symmetry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven predicate symmetry profiling over the triple
+    table: for every predicate, how many non-self edges have their
+    reverse asserted, and the resulting OWL-style characteristic
+    ('symmetric' / 'antisymmetric' / 'mixed'). The relation-side
+    complement to kg_schema_inference (which profiles domain/range
+    types): sameAs-grade predicates SHOULD be symmetric — a 'mixed'
+    verdict on one is a canonicalization bug — while containment/
+    mention predicates should be antisymmetric, and the audit also
+    tells the embedding layer which decoder fits (DistMult is exactly
+    right for symmetric relations, ComplEx/TransE for directional
+    ones — this query selects between the three registered scorers
+    with data instead of doctrine).
+
+    Scale shape: one distinct over the triple table, one keyed
+    self-join on the swapped key (pred, obj, subj) — shuffles on the
+    triple key, no pair enumeration beyond asserted edges — and one
+    map-side-combined per-predicate agg; output is
+    predicate-dictionary-sized. Ratios derive from exact integer
+    counts in one fixed-order expression."""
+    t = _triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    t = t.localCheckpoint(eager=False)  # two consumers: probe + reverse side
+    rv = t.select(
+        F.col("pred").alias("pred"),
+        F.col("obj").alias("r_subj"),
+        F.col("subj").alias("r_obj"),
+        F.lit(1).alias("rev_marker"),
+    )
+    flagged = t.join(
+        rv,
+        (t["pred"] == rv["pred"])
+        & (t["subj"] == rv["r_subj"])
+        & (t["obj"] == rv["r_obj"]),
+        "left",
+    ).select(
+        t["pred"].alias("pred"),
+        (t["subj"] == t["obj"]).alias("is_self"),
+        F.col("rev_marker").isNotNull().alias("has_rev"),
+    )
+    agg = flagged.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("is_self"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_loops"),
+        F.sum(F.when(~F.col("is_self") & F.col("has_rev"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_symmetric"),
+    )
+    non_self = F.col("n_edges") - F.col("n_self_loops")
+    return agg.select(
+        "pred",
+        "n_edges",
+        "n_self_loops",
+        "n_symmetric",
+        F.when(non_self == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_symmetric").cast("double") / non_self, 6))
+        .alias("symmetry_ratio"),
+        F.when(non_self == 0, F.lit("symmetric"))
+        .when(F.col("n_symmetric") == non_self, F.lit("symmetric"))
+        .when(F.col("n_symmetric") == 0, F.lit("antisymmetric"))
+        .otherwise(F.lit("mixed"))
+        .alias("characteristic"),
+    )

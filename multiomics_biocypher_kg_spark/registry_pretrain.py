@@ -2196,3 +2196,106 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_heaps_fit.__doc__ = text_heaps_fit.__doc__.format(nb=_HEAPS_BATCHES)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake / encoding-damage gate
+# ---------------------------------------------------------------------------
+
+# deterministic marker augmentation (the text_nb_langid convention):
+# docs with md5(doc_id) % 7 == 0 get a damaged suffix containing one
+# specimen of each damage class — UTF-8-as-Latin-1 mojibake ('Ã©',
+# 'â€œ'), the U+FFFD replacement char, and a C0 control byte — so the
+# detector is exercised end-to-end on a corpus that is otherwise
+# clean ASCII. Real pipelines run the same projection on raw text.
+_MOJI_SUFFIX = " Ã©â€œ\x07�"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def _mojibake_sql() -> str:
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN {h} % 7 = 0
+          THEN text || ' ' || chr(195) || chr(169) || chr(226) || chr(8364)
+               || chr(339) || chr(7) || chr(65533)
+          ELSE text END AS s
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, length(s) AS n_chars,
+        length(s) - length(replace(s, chr(65533), '')) AS n_replacement,
+        (length(s) - length(replace(s, chr(195), '')))
+          + (length(s) - length(replace(s, chr(226) || chr(8364), ''))) // 2
+          AS n_mojibake,
+        length(s) - length(regexp_replace(s,
+          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_control
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      CAST(n_replacement AS BIGINT) AS n_replacement,
+      CAST(n_mojibake AS BIGINT) AS n_mojibake,
+      CAST(n_control AS BIGINT) AS n_control,
+      round(1000.0 * (n_replacement + n_mojibake + n_control)
+            / greatest(n_chars, 1), 6) AS damage_per_kchar,
+      (n_replacement + n_mojibake + n_control) > 0 AS is_damaged
+    FROM counted
+    """
+
+
+@register("text_mojibake_gate", oracle=_mojibake_sql())
+def text_mojibake_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage gate: per document, counts of the three
+    classes of text corruption a web-crawl pipeline must filter
+    before pretraining — U+FFFD replacement characters (a decoder
+    already gave up), UTF-8-read-as-Latin-1 mojibake signatures
+    ('Ã' lead bytes and the 'â€' smart-quote prefix — the two
+    highest-precision markers of double-encoding damage), and C0
+    control characters (binary junk in a text field) — plus the
+    per-kilochar damage rate and the gate flag. Complements the
+    statistical quality gates (perplexity, char entropy): those
+    score FLUENCY, this catches mechanical corruption fluent text
+    can still carry.
+
+    The synthetic corpus is clean ASCII, so a deterministic
+    md5-selected ~1/7 of documents get a damaged suffix carrying one
+    specimen of each class (identically on both engines — the
+    text_nb_langid marker-augmentation convention), proving the
+    detection path end-to-end; on real data the projection runs on
+    the raw text unchanged.
+
+    Scale shape: pure scan projection — every count is a
+    length-difference over replace()/regexp_replace() (no explode,
+    no UDF, whole-stage codegen); no shuffle anywhere. The regexes
+    and literals are shared constants with byte-identical semantics
+    in Spark (Java regex) and DuckDB (RE2): plain char classes and
+    literal substrings only."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    s = F.when(
+        md5_long(F.col("doc_id").cast("string")) % 7 == 0,
+        F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)),
+    ).otherwise(F.col("text"))
+    aug = docs.select("doc_id", s.alias("s"))
+    ln = F.length("s")
+    n_repl = ln - F.length(F.replace(F.col("s"), F.lit("�")))
+    n_moji = (ln - F.length(F.replace(F.col("s"), F.lit("Ã")))) + (
+        (ln - F.length(F.replace(F.col("s"), F.lit("â€")))) / 2
+    ).cast("long")
+    n_ctrl = ln - F.length(F.regexp_replace("s", _CTRL_RE, ""))
+    total = n_repl + n_moji + n_ctrl
+    return aug.select(
+        "doc_id",
+        ln.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_moji.cast("long").alias("n_mojibake"),
+        n_ctrl.cast("long").alias("n_control"),
+        F.round(
+            1000.0 * total / F.greatest(ln, F.lit(1)), 6
+        ).alias("damage_per_kchar"),
+        (total > 0).alias("is_damaged"),
+    )

@@ -4221,3 +4221,81 @@ def web_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surt", "ts_epoch", "digest",
         (F.row_number().over(w) > 1).alias("is_revisit"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-truss peeling (triangle-support analog of the k-core)
+# --------------------------------------------------------------------------
+
+_KTRUSS_K = 8
+_KTRUSS_ROUNDS = 2
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled fixed-round k-truss peeling as MATERIALIZED CTEs —
+    mirrors operators.linkgraph.ktruss: per round, per-edge triangle
+    support via the wedge join, drop edges with support < k-2."""
+    parts = [
+        _UND_HOST_SQL.replace("und AS", "u0 AS"),
+        "c0 AS MATERIALIZED (SELECT src, dst FROM u0 WHERE src < dst)",
+    ]
+
+    def sup(r: int, src_cte: str) -> str:
+        return (
+            f"n{r} AS MATERIALIZED (SELECT src, dst FROM {src_cte} "
+            f"UNION ALL SELECT dst, src FROM {src_cte}), "
+            f"s{r} AS MATERIALIZED (SELECT c.src, c.dst, count(*) AS support "
+            f"FROM {src_cte} c JOIN n{r} a ON a.src = c.src "
+            f"JOIN n{r} b ON b.src = c.dst AND b.dst = a.dst "
+            f"GROUP BY c.src, c.dst)"
+        )
+
+    for r in range(1, rounds + 1):
+        parts += [
+            sup(r, f"c{r - 1}"),
+            (
+                f"c{r} AS MATERIALIZED (SELECT src, dst FROM s{r} "
+                f"WHERE support >= {k - 2})"
+            ),
+        ]
+    parts.append(sup(rounds + 1, f"c{rounds}"))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT c.src, c.dst,
+      CAST(coalesce(s.support, 0) AS BIGINT) AS support
+    FROM c{rounds} c
+    LEFT JOIN s{rounds + 1} s ON c.src = s.src AND c.dst = s.dst"""
+    )
+
+
+@register("web_ktruss", oracle=_ktruss_oracle_sql(_KTRUSS_K, _KTRUSS_ROUNDS))
+def web_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling of the host graph (k={k}, {rounds} bounded
+    peel rounds — operators.linkgraph.ktruss): iteratively drop
+    edges in fewer than k-2 triangles, then report survivors with
+    their support inside the surviving subgraph. The triangle-grade
+    strengthening of web_kcore: degree can be inflated by star-shaped
+    link spam without closing a single triangle, but truss membership
+    requires COHESION — so kcore-minus-ktruss hosts are exactly the
+    "popular but not embedded" spam candidates. On this corpus the
+    k={k} peel genuinely cascades (206 -> 181 -> 176 edges), so the
+    round-over-round edge filtering is exercised; the BOUNDED round
+    count keeps both engines byte-identical mid-cascade (the
+    determinism trade of the whole iterative family). Per round: one
+    wedge equi-join (keyed; wedges only, never pairwise) + one
+    map-side-combined per-edge count, on a monotonically shrinking
+    checkpointed edge set."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        ktruss,
+    )
+
+    g = host_graph(href_edges(pages_from_documents(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return ktruss(g, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+
+
+web_ktruss.__doc__ = web_ktruss.__doc__.format(k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)

@@ -1075,3 +1075,33 @@ def test_ewma_single_scan_no_join(spark):
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_ktruss_no_cartesian(spark):
+    """web_ktruss: every wedge join is keyed — no CartesianProduct,
+    no BroadcastNestedLoopJoin anywhere in the peel."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_ktruss"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mojibake_pure_projection_no_exchange(spark):
+    """text_mojibake_gate is a pure scan projection: one documents
+    scan, zero shuffles (no Exchange at all)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_mojibake_gate"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_symmetry_audit_keyed_join_only(spark):
+    """kg_symmetry_audit: one keyed self-join on the swapped triple
+    key + one agg — no cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_symmetry_audit"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
