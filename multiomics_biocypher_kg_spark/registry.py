@@ -723,7 +723,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ev_rfm_segments, text_heaps_fit, ev_bot_regularity,
 # data_range_split_points, kg_complex_score,
 # onto_wupalmer_similarity, ev_ewma_forecast, web_ktruss,
-# text_mojibake_gate, kg_symmetry_audit) were
+# text_mojibake_gate, kg_symmetry_audit, data_kcenter_coreset,
+# ev_anomaly_mad, text_domain_kld) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

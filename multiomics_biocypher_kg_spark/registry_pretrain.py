@@ -2299,3 +2299,96 @@ def text_mojibake_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("damage_per_kchar"),
         (total > 0).alias("is_damaged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-host domain-shift audit: KL(host LM || corpus LM)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_HOST_SQL = (
+    "CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END"
+)
+
+
+@register(
+    "text_domain_kld",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_DOMAIN_HOST_SQL} AS host,
+        lower(unnest(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    ht AS (SELECT host, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    hostn AS (SELECT host, sum(c) AS th FROM ht GROUP BY host),
+    ct AS (SELECT token, sum(c) AS cc FROM ht GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM ht),
+    terms AS (
+      SELECT ht.host,
+        (CAST(ht.c AS DOUBLE) / hostn.th)
+          * log2((CAST(ht.c AS DOUBLE) / hostn.th)
+                 / (CAST(ct.cc AS DOUBLE) / tot.t)) AS term,
+        ht.c
+      FROM ht
+      JOIN hostn ON ht.host = hostn.host
+      JOIN ct ON ht.token = ct.token
+      CROSS JOIN tot
+    )
+    SELECT host, CAST(sum(c) AS BIGINT) AS n_tokens,
+      CAST(count(*) AS BIGINT) AS vocab,
+      round(sum(term), 6) AS kld_bits
+    FROM terms GROUP BY host
+    """,
+)
+def text_domain_kld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host domain-shift audit: KL(P_host || P_corpus) in bits
+    over unigram language models — "how far does this host's word
+    distribution sit from the corpus average", the signal behind
+    domain-weighted mixing (a host with tiny KLD adds nothing a
+    generic sample lacks; a huge-KLD host is either valuable
+    specialist content or template spam — web_boilerplate_shingles
+    disambiguates). The sparse-safe direction: every host token
+    appears in the corpus by construction, so KL(P||Q) sums ONLY
+    over the host's own vocabulary — no smoothing, no host x
+    corpus-vocab blowup (the reason this is KL and not the symmetric
+    JSD, whose second term ranges over the full corpus vocabulary
+    for every host).
+
+    Scale shape: host is derived in the scan projection (the
+    pages_from_documents url formula, SQL twin _DOMAIN_HOST_SQL);
+    one map-side-combined (host, token) count feeds ALL THREE
+    aggregates (host totals, corpus token dictionary, corpus total)
+    — the token stream is exploded once; scoring is a dictionary
+    join + one per-host sum (host-vocabulary-sized groups). Same
+    float-sum discipline as text_unigram_perplexity: round(6) on the
+    final per-group sum."""
+    from multiomics_biocypher_kg_spark.sources.pages import HOT_HOST
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    host = F.when(F.col("doc_id") % 10 < 3, F.lit(HOT_HOST)).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org")
+        )
+    )
+    toks = docs.select(
+        host.alias("host"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    ht = toks.groupBy("host", "token").agg(F.count(F.lit(1)).alias("c"))
+    ht = ht.localCheckpoint(eager=False)  # three consumers below
+    hostn = ht.groupBy("host").agg(F.sum("c").alias("th"))
+    ct = ht.groupBy("token").agg(F.sum("c").alias("cc"))
+    tot = ht.agg(F.sum("c").cast("double").alias("t"))
+    p = F.col("c").cast("double") / F.col("th")
+    q = F.col("cc").cast("double") / F.col("t")
+    terms = (
+        ht.join(F.broadcast(hostn), "host")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("host", "c", (p * F.log2(p / q)).alias("term"))
+    )
+    return terms.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.round(F.sum("term"), 6).alias("kld_bits"),
+    )

@@ -2629,3 +2629,89 @@ def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ev_ewma_forecast.__doc__ = ev_ewma_forecast.__doc__.format(taps=_EWMA_TAPS)
+
+
+@register(
+    "ev_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(c, 0.5) AS med
+      FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type, quantile_cont(abs(d.c - m.med), 0.5) AS mad
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+      round(m.med, 6) AS med,
+      round(a.mad, 6) AS mad,
+      CASE WHEN a.mad = 0 THEN 0.0
+        ELSE round(0.6745 * (d.c - m.med) / a.mad, 6) END AS robust_z,
+      CASE WHEN a.mad = 0 THEN FALSE
+        ELSE abs(0.6745 * (d.c - m.med) / a.mad) > 3.5 END AS is_anomaly
+    FROM daily d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad a ON d.event_type = a.event_type
+    """,
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection via the median absolute
+    deviation: per (type, day), the modified z-score 0.6745*(c -
+    median)/MAD with the Iglewicz-Hoaglin 3.5 cutoff — the ROBUST
+    sibling of ev_burst_detect's mean/stddev z-score, which a single
+    extreme day can mask (the outlier inflates the stddev it is
+    tested against; the median and MAD are 50%-breakdown estimators,
+    so one bad day cannot hide another). MAD = 0 (an utterly
+    constant series) yields z = 0 and no flag by contract: there is
+    no scale to measure surprise against.
+
+    Scale shape: the event stream collapses to the (type, day)
+    dictionary in one map-side-combined agg; the median and the MAD
+    are two exact-percentile aggs over day-dictionary-sized groups
+    (quantile_cont <-> percentile — the rel_percentile_stats parity
+    discipline), each broadcast back; the z-score is a fixed-order
+    projection over exact integers and the two percentile doubles.
+    Nothing corpus-sized sorts or windows."""
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        # the (type, day) dictionary has three consumers (median, MAD,
+        # final join) — checkpoint so the corpus pass runs ONCE
+        .localCheckpoint(eager=False)
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("c", 0.5).alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("c") - F.col("med")), 0.5).alias("mad"))
+    )
+    z = 0.6745 * (F.col("c") - F.col("med")) / F.col("mad")
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("long").alias("n_events"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.when(F.col("mad") == 0, F.lit(0.0))
+            .otherwise(F.round(z, 6))
+            .alias("robust_z"),
+            F.when(F.col("mad") == 0, F.lit(False))
+            .otherwise(F.abs(z) > 3.5)
+            .alias("is_anomaly"),
+        )
+    )

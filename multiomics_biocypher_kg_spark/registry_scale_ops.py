@@ -2745,3 +2745,137 @@ def data_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_range_split_points.__doc__ = data_range_split_points.__doc__.format(
     b=_RANGE_BUCKETS, bm1=_RANGE_BUCKETS - 1
 )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez farthest-point)
+# ---------------------------------------------------------------------------
+
+_KC_ROUNDS = 4  # greedy selections after the seed -> 5 centers total
+
+
+def _kcenter_sql() -> str:
+    parts = [
+        (
+            "exploded AS MATERIALIZED ("
+            "SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)"
+        ),
+        (
+            "c0 AS MATERIALIZED (SELECT vec_id, 0 AS sel_round, "
+            "0.0 AS radius FROM embeddings ORDER BY vec_id ASC LIMIT 1)"
+        ),
+    ]
+    for r in range(1, _KC_ROUNDS + 1):
+        parts += [
+            (
+                f"d{r} AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS c_id, "
+                f"sum((e.x - ce.x) * (e.x - ce.x)) AS d2 "
+                f"FROM exploded e CROSS JOIN c{r - 1} c "
+                f"JOIN exploded ce ON ce.vec_id = c.vec_id AND ce.dim = e.dim "
+                f"GROUP BY e.vec_id, c.vec_id)"
+            ),
+            (
+                f"m{r} AS MATERIALIZED (SELECT vec_id, min(round(d2, 6)) "
+                f"AS mind FROM d{r} GROUP BY vec_id)"
+            ),
+            (
+                f"s{r} AS MATERIALIZED (SELECT vec_id, {r} AS sel_round, "
+                f"mind AS radius FROM m{r} "
+                f"ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+            ),
+            (
+                f"c{r} AS MATERIALIZED (SELECT * FROM c{r - 1} "
+                f"UNION ALL SELECT * FROM s{r})"
+            ),
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT CAST(sel_round AS INTEGER) AS sel_round, vec_id,
+      round(radius, 6) AS radius
+    FROM c{_KC_ROUNDS}"""
+    )
+
+
+@register("data_kcenter_coreset", oracle=_kcenter_sql())
+def data_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point,
+    the 2-approximation): seed with the min-id vector, then {r}
+    rounds of "select the point farthest from every center chosen so
+    far" — the diversity-maximizing data-pruning primitive (a
+    k-center coreset covers the embedding space with the fewest
+    points, the opposite failure mode of random sampling, which
+    oversamples dense clusters and misses the tails a robust model
+    needs). Output: each center with its selection round and RADIUS
+    (the max-min squared L2 distance at the moment it was chosen) —
+    the radii trace is non-increasing and upper-bounds the final
+    coverage radius, so it doubles as the "how many centers do I
+    need" elbow curve.
+
+    Scale shape: greedy k-center is inherently K sequential passes —
+    each round is ONE corpus scan: the corpus cross-joins the
+    BROADCAST <= {k}-row center table (never corpus x corpus),
+    min-distance is a map-side-combined agg grouped by (vec_id,
+    embedding), and the argmax is a 1-row global agg via
+    max(struct(mind, -vec_id, ...)) so the new center's embedding
+    rides along in the struct (no second scan to fetch it). The
+    center table is localCheckpoint()ed per round (the iterative
+    family's lineage-truncation rule). Distances are rounded to 6
+    BEFORE the min/argmax, and ties break on vec_id — the
+    adamic-adar regime: selection is pinned cross-engine even when
+    two points are equidistant."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy(F.col("vec_id").asc()).limit(1)
+    centers = seed.select(
+        F.lit(0).alias("sel_round"),
+        "vec_id",
+        F.lit(0.0).alias("radius"),
+        F.col("embedding").alias("c_emb"),
+    ).localCheckpoint(eager=True)
+
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    for r in range(1, _KC_ROUNDS + 1):
+        mind = (
+            emb.crossJoin(F.broadcast(centers.select("c_emb")))
+            .select("vec_id", "embedding", F.round(d2, 6).alias("d2"))
+            .groupBy("vec_id", "embedding")
+            .agg(F.min("d2").alias("mind"))
+        )
+        sel = mind.agg(
+            F.max(
+                F.struct(
+                    F.col("mind"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("vec_id").alias("vid"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("m")
+        ).select(
+            F.lit(r).alias("sel_round"),
+            F.col("m.vid").alias("vec_id"),
+            F.col("m.mind").alias("radius"),
+            F.col("m.emb").alias("c_emb"),
+        )
+        centers = centers.union(sel).localCheckpoint(eager=True)
+    return centers.select(
+        F.col("sel_round").cast("int").alias("sel_round"),
+        "vec_id",
+        F.round("radius", 6).alias("radius"),
+    )
+
+
+data_kcenter_coreset.__doc__ = data_kcenter_coreset.__doc__.format(
+    r=_KC_ROUNDS, k=_KC_ROUNDS + 1
+)

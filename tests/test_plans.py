@@ -1105,3 +1105,42 @@ def test_symmetry_audit_keyed_join_only(spark):
     plan = _plan(QUERIES["kg_symmetry_audit"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_kcenter_broadcast_rounds_bounded_scans(spark):
+    """data_kcenter_coreset: each greedy round is one corpus scan
+    against a BROADCAST center table — no non-broadcast cartesian,
+    no SMJ, scan count bounded by rounds + seed."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+    from multiomics_biocypher_kg_spark.registry_scale_ops import _KC_ROUNDS
+
+    plan = _plan(QUERIES["data_kcenter_coreset"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("embeddings.parquet") <= _KC_ROUNDS + 2
+
+
+def test_anomaly_mad_dictionary_aggs_only(spark):
+    """ev_anomaly_mad: one events scan, percentile aggs over the
+    (type, day) dictionary, broadcast joins back — no SMJ, no global
+    sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_anomaly_mad"](spark, SF_TINY))
+    # the (type, day) dictionary is checkpointed, so the single
+    # events scan sits behind the checkpoint boundary
+    assert plan.count("events.parquet") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_domain_kld_single_token_scan(spark):
+    """text_domain_kld: the token stream is exploded once (the
+    (host, token) count is checkpointed for its three consumers);
+    no cartesian beyond the broadcast 1-row total, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_domain_kld"](spark, SF_TINY))
+    assert plan.count("documents.parquet") <= 1
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
