@@ -724,7 +724,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # data_range_split_points, kg_complex_score,
 # onto_wupalmer_similarity, ev_ewma_forecast, web_ktruss,
 # text_mojibake_gate, kg_symmetry_audit, data_kcenter_coreset,
-# ev_anomaly_mad, text_domain_kld) were
+# ev_anomaly_mad, text_domain_kld, text_ngram_novelty,
+# kg_cardinality_profile, emb_dim_variance) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -1785,3 +1785,166 @@ def kg_symmetry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("mixed"))
         .alias("characteristic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicate cardinality profile (OWL functionality audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kg_cardinality_profile",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL}),
+    d AS (SELECT DISTINCT subj, pred, obj FROM t),
+    so AS (SELECT pred, subj, count(*) AS c FROM d GROUP BY 1, 2),
+    oo AS (SELECT pred, obj, count(*) AS c FROM d GROUP BY 1, 2),
+    s AS (
+      SELECT pred, CAST(sum(c) AS BIGINT) AS n_triples,
+        CAST(count(*) AS BIGINT) AS n_subjects,
+        CAST(max(c) AS BIGINT) AS max_out
+      FROM so GROUP BY pred
+    ),
+    o AS (
+      SELECT pred, CAST(count(*) AS BIGINT) AS n_objects,
+        CAST(max(c) AS BIGINT) AS max_in
+      FROM oo GROUP BY pred
+    )
+    SELECT s.pred, s.n_triples, s.n_subjects, o.n_objects,
+      round(CAST(s.n_triples AS DOUBLE) / s.n_subjects, 6) AS avg_out,
+      s.max_out,
+      round(CAST(s.n_triples AS DOUBLE) / o.n_objects, 6) AS avg_in,
+      o.max_in,
+      s.max_out = 1 AS is_functional,
+      o.max_in = 1 AS is_inverse_functional
+    FROM s JOIN o ON s.pred = o.pred
+    """,
+)
+def kg_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile: fan-out (objects per
+    subject) and fan-in (subjects per object) statistics plus the
+    OWL-style FunctionalProperty / InverseFunctionalProperty
+    verdicts (max fan-out / fan-in of exactly 1). The second leg of
+    the data-driven schema audit beside kg_symmetry_audit (symmetry
+    says DIRECTION semantics; cardinality says MULTIPLICITY): a
+    predicate that profiles inverse-functional is a candidate
+    ENTITY KEY for record linkage (two subjects sharing its object
+    are the same thing — the Fellegi-Sunter blocking insight), and a
+    functional predicate asserting two different objects for one
+    subject is exactly what kg_temporal_conflicts hunts. Also the
+    negative-sampling guide: corrupting the tail of a functional
+    predicate is guaranteed to produce a true negative.
+
+    Scale shape: one distinct, then two map-side-combined keyed aggs
+    ((pred, subj) and (pred, obj) — each shuffles once on its key),
+    each collapsed to a predicate-dictionary row; the final join is
+    dictionary x dictionary. No windows, no sorts, nothing
+    corpus-sized past the first agg."""
+    d = _triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    d = d.localCheckpoint(eager=False)  # two consumers: fan-out + fan-in
+    so = d.groupBy("pred", "subj").agg(F.count(F.lit(1)).alias("c"))
+    oo = d.groupBy("pred", "obj").agg(F.count(F.lit(1)).alias("c"))
+    s = so.groupBy("pred").agg(
+        F.sum("c").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.max("c").cast("long").alias("max_out"),
+    )
+    o = oo.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objects"),
+        F.max("c").cast("long").alias("max_in"),
+    )
+    return s.join(o, "pred").select(
+        "pred",
+        "n_triples",
+        "n_subjects",
+        "n_objects",
+        F.round(F.col("n_triples").cast("double") / F.col("n_subjects"), 6).alias(
+            "avg_out"
+        ),
+        "max_out",
+        F.round(F.col("n_triples").cast("double") / F.col("n_objects"), 6).alias(
+            "avg_in"
+        ),
+        "max_in",
+        (F.col("max_out") == 1).alias("is_functional"),
+        (F.col("max_in") == 1).alias("is_inverse_functional"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding variance profile (diagonal whitening audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_dim_variance",
+    oracle="""
+    WITH exploded AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT dim, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      FROM exploded GROUP BY dim
+    ),
+    v AS (
+      SELECT CAST(dim AS INTEGER) AS dim,
+        s1 / n AS mean,
+        (s2 - s1 * s1 / n) / (n - 1) AS variance
+      FROM mom
+    ),
+    tot AS (SELECT sum(variance) AS tv, count(*) AS d FROM v)
+    SELECT v.dim, round(v.mean, 6) AS mean,
+      round(v.variance, 6) AS variance,
+      round(v.variance / tot.tv, 6) AS var_share,
+      v.variance / tot.tv > 2.0 / tot.d AS is_dominant
+    FROM v CROSS JOIN tot
+    """,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding corpus
+    plus each dimension's share of total variance — the DIAGONAL
+    whitening audit beside emb_power_iteration's top principal
+    component (the PC says whether anisotropy exists off-axis; this
+    says which coordinates carry it on-axis, i.e. exactly what
+    mean-centering + per-dim scaling — the cheap whitening every
+    retrieval stack applies first — would fix). Dimensions flagged
+    is_dominant (share > 2/d) are the rogue coordinates that
+    dominate L2 distances and should be rescaled before ANN
+    indexing; a large nonzero mean vector is the "common direction"
+    all-but-the-top removes.
+
+    Scale shape: one corpus scan exploded to (dim, x), ONE
+    map-side-combined per-dim moment agg (d groups regardless of
+    corpus size), variance from the sums in a fixed-order expression
+    (the ev_burst_detect discipline — no variance_samp, whose merge
+    order is engine-internal); the d-row profile joins a broadcast
+    1-row total. Output is d rows at any corpus size."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exploded = emb.select(
+        (F.posexplode("embedding"))
+    ).select((F.col("pos") + 1).alias("dim"), F.col("col").cast("double").alias("x"))
+    mom = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    v = mom.select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "variance"
+        ),
+    )
+    v = v.localCheckpoint(eager=False)  # two consumers: total + final
+    tot = v.agg(F.sum("variance").alias("tv"), F.count(F.lit(1)).alias("d"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round(F.col("variance") / F.col("tv"), 6).alias("var_share"),
+        (F.col("variance") / F.col("tv") > 2.0 / F.col("d")).alias("is_dominant"),
+    )

@@ -2392,3 +2392,93 @@ def text_domain_kld(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("vocab"),
         F.round(F.sum("term"), 6).alias("kld_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve (first-seen trigram fraction per document)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+        arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS gram
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, n - 2)) AS i
+      ) s
+      WHERE n >= 3
+    ),
+    first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+      CAST(count(*) AS BIGINT) AS n_grams,
+      CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS novelty_ratio
+    FROM grams g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a document's
+    distinct word trigrams whose FIRST corpus occurrence (by doc_id
+    ingestion order) is in this document — the dataset-freshness
+    curve behind dedup-aware data valuation (a doc whose trigrams
+    are all old contributes near-zero new sequence signal even if it
+    is not a literal near-dup; Lee et al. 2022's memorization
+    argument at the marginal-document grain). The corpus-level trend
+    of this ratio over ingestion order is the diminishing-returns
+    curve a crawl-budget owner actually reads.
+
+    Scale shape: trigrams materialize as a native array transform in
+    the scan projection (no window over the token stream), distinct
+    per doc; first-seen is ONE min() agg over the gram dictionary
+    (the text_heaps_fit discipline — never a per-prefix replay);
+    scoring is a dictionary join + per-doc agg. Docs with < 3 tokens
+    have no trigrams and no row, by contract."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("arr"))
+    n = F.size("arr")
+    gram_arr = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("arr"), i),
+                F.element_at(F.col("arr"), i + 1),
+                F.element_at(F.col("arr"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select("doc_id", F.explode(gram_arr).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: first-seen + scoring
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -1144,3 +1144,35 @@ def test_domain_kld_single_token_scan(spark):
     assert plan.count("documents.parquet") <= 1
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_ngram_novelty_single_gram_pass(spark):
+    """text_ngram_novelty: trigrams materialize once (checkpointed
+    for first-seen + scoring); no global sort, no cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_ngram_novelty"](spark, SF_TINY))
+    assert plan.count("documents.parquet") <= 1
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cardinality_profile_dictionary_join(spark):
+    """kg_cardinality_profile: two keyed aggs + a dictionary x
+    dictionary join — no cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_cardinality_profile"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_dim_variance_single_moment_agg(spark):
+    """emb_dim_variance: one embeddings scan, one per-dim moment
+    agg, broadcast total — no SMJ, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_dim_variance"](spark, SF_TINY))
+    assert plan.count("embeddings.parquet") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
