@@ -712,3 +712,82 @@ def ktruss(edges: DataFrame, k: int = 8, rounds: int = 2) -> DataFrame:
             F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
         )
     )
+
+
+def pagerank_trace(
+    edges: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Convergence trace of the fixed-iteration ``pagerank`` loop:
+    per iteration, the L1 and max |delta| between consecutive rank
+    vectors — the AUDIT the fixed-horizon determinism trade owes its
+    consumers (every iterative operator here runs a bounded round
+    count so both engines stay byte-identical; this query measures
+    what that bound leaves on the table: deltas shrinking
+    geometrically at rate ~damping say the horizon suffices, a flat
+    tail says it does not). Same update rule, same dangling-mass
+    redistribution, same checkpoint discipline as ``pagerank`` —
+    plus ONE extra keyed join + 1-row agg per iteration for the
+    delta (node sets are identical each round, so it is a full inner
+    equi-join on the rank state, not a new corpus pass).
+
+    -> (iter, l1_delta, max_delta), ``iters`` rows.
+    """
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    has_out = edges.select("src").distinct().localCheckpoint(eager=False)
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    traces = []
+    for i in range(1, iters + 1):
+        dangling = ranks.join(
+            has_out, ranks["node"] == has_out["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        contrib = (
+            norm.join(ranks, norm["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev = ranks.select(F.col("node"), F.col("rank").alias("prev"))
+        traces.append(
+            new_ranks.join(prev, "node").agg(
+                F.lit(i).alias("iter"),
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"),
+            )
+        )
+        ranks = new_ranks
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.union(t)
+    return out

@@ -725,7 +725,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # onto_wupalmer_similarity, ev_ewma_forecast, web_ktruss,
 # text_mojibake_gate, kg_symmetry_audit, data_kcenter_coreset,
 # ev_anomaly_mad, text_domain_kld, text_ngram_novelty,
-# kg_cardinality_profile, emb_dim_variance) were
+# kg_cardinality_profile, emb_dim_variance,
+# web_pagerank_delta_trace, emb_silhouette,
+# data_sample_bias_audit) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

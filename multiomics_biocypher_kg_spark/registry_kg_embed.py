@@ -1948,3 +1948,97 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("variance") / F.col("tv"), 6).alias("var_share"),
         (F.col("variance") / F.col("tv") > 2.0 / F.col("d")).alias("is_dominant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-based simplified silhouette (label-separation eval)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_silhouette",
+    oracle="""
+    WITH exploded AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, dim, avg(x) AS cx
+      FROM exploded GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label, c.c_label,
+        sqrt(sum((e.x - c.cx) * (e.x - c.cx))) AS d
+      FROM exploded e JOIN cent c ON e.dim = c.dim
+      GROUP BY e.vec_id, e.label, c.c_label
+    ),
+    ab AS (
+      SELECT vec_id, label,
+        max(CASE WHEN label = c_label THEN d END) AS a,
+        min(CASE WHEN label <> c_label THEN d END) AS b
+      FROM dist GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label, a, b,
+        (b - a) / greatest(a, b) AS s
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      round(avg(a), 6) AS mean_intra,
+      round(avg(b), 6) AS mean_nearest_other,
+      round(avg(s), 6) AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette over the embedding corpus:
+    for every vector, a = distance to its OWN label centroid, b =
+    distance to the nearest OTHER centroid, s = (b-a)/max(a,b) —
+    the clustering-quality eval at label grain (classic silhouette
+    is O(n²) pairwise; the centroid form is the scale-native
+    standard and what sklearn users actually reach for first).
+    Completes the embedding-eval shelf: emb_label_outliers flags
+    individual mislabeled points, emb_drift_monitor watches
+    centroids move, this scores whether the label structure is
+    separable AT ALL (mean_silhouette near 0 says the labels do not
+    live in this embedding — retrain before building the ANN index).
+
+    Scale shape: centroids are ONE per-(label, dim) avg over the
+    exploded corpus — a label x d dictionary, broadcast back; every
+    vector computes distances to ALL |labels| centroids in one keyed
+    join + per-(vec, label) sum (corpus x |labels| rows, the
+    knn-classify budget); a/b collapse via conditional min/max in
+    one agg; the report is |labels| rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").cast("double").alias("x"),
+    ).localCheckpoint(eager=False)  # two consumers: centroids + distances
+    cent = exploded.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.avg("x").alias("cx")
+    )
+    dist = (
+        exploded.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))).alias("d"))
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("c_label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("label") != F.col("c_label"), F.col("d"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return ab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("a"), 6).alias("mean_intra"),
+        F.round(F.avg("b"), 6).alias("mean_nearest_other"),
+        F.round(F.avg(s), 6).alias("mean_silhouette"),
+    )

@@ -2879,3 +2879,107 @@ def data_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_kcenter_coreset.__doc__ = data_kcenter_coreset.__doc__.format(
     r=_KC_ROUNDS, k=_KC_ROUNDS + 1
 )
+
+
+# ---------------------------------------------------------------------------
+# Sample-representativeness audit (hash vs systematic sampler)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MOD = 20
+
+
+def _sample_bias_sql() -> str:
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH per_lang AS (
+      SELECT lang, count(*) AS n_full,
+        sum(CASE WHEN {h} % {_SAMPLE_MOD} = 0 THEN 1 ELSE 0 END) AS n_hash,
+        sum(CASE WHEN doc_id % {_SAMPLE_MOD} = 0 THEN 1 ELSE 0 END) AS n_sys
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_full) AS t_full, sum(n_hash) AS t_hash, sum(n_sys) AS t_sys
+      FROM per_lang
+    ),
+    legs AS (
+      SELECT 'hash' AS sampler, lang, n_full, n_hash AS n_sample,
+        CAST(t_hash AS DOUBLE) / t_full AS p
+      FROM per_lang CROSS JOIN tot
+      UNION ALL
+      SELECT 'systematic', lang, n_full, n_sys,
+        CAST(t_sys AS DOUBLE) / t_full
+      FROM per_lang CROSS JOIN tot
+    )
+    SELECT sampler, lang, CAST(n_full AS BIGINT) AS n_full,
+      CAST(n_sample AS BIGINT) AS n_sample,
+      round(n_full * p, 6) AS expected,
+      round((n_sample - n_full * p) / sqrt(n_full * p * (1 - p)), 6)
+        AS residual_z,
+      abs((n_sample - n_full * p) / sqrt(n_full * p * (1 - p))) > 3.0
+        AS is_biased
+    FROM legs
+    """
+
+
+@register("data_sample_bias_audit", oracle=_sample_bias_sql())
+def data_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-representativeness audit: per language stratum, the
+    observed-vs-expected count and binomial standardized residual
+    for TWO 1/{m} samplers side by side — md5-hash selection (the
+    repo's sampling convention) and naive systematic doc_id % {m}
+    selection. Hash sampling is uniform w.r.t. any attribute not
+    derived from the hash, so its residuals certify the sample a
+    downstream eval/debug workflow trusts; systematic selection
+    aliases with any id-periodic attribute (ingestion batches,
+    round-robin shards, this corpus's lang assignment) — the audit
+    is the check that catches it BEFORE a biased 1% sample poisons
+    an eval. |z| > 3 flags a stratum.
+
+    Scale shape: ONE corpus scan with two conditional sums per
+    stratum (map-side combined, stratum-dictionary output); totals
+    are a 1-row broadcast; both samplers' report rows project from
+    the same dictionary (union of two projections, no second pass).
+    z derives from exact integer counts in one fixed-order float
+    expression."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    in_hash = (
+        md5_long(F.col("doc_id").cast("string")) % _SAMPLE_MOD == 0
+    ).cast("long")
+    in_sys = (F.col("doc_id") % _SAMPLE_MOD == 0).cast("long")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_full"),
+        F.sum(in_hash).alias("n_hash"),
+        F.sum(in_sys).alias("n_sys"),
+    ).localCheckpoint(eager=False)  # two consumers: totals + report
+    tot = per_lang.agg(
+        F.sum("n_full").alias("t_full"),
+        F.sum("n_hash").alias("t_hash"),
+        F.sum("n_sys").alias("t_sys"),
+    )
+    wide = per_lang.crossJoin(F.broadcast(tot))
+
+    def leg(name: str, n_col: str, t_col: str) -> DataFrame:
+        p = F.col(t_col).cast("double") / F.col("t_full")
+        z = (F.col(n_col) - F.col("n_full") * p) / F.sqrt(
+            F.col("n_full") * p * (1 - p)
+        )
+        return wide.select(
+            F.lit(name).alias("sampler"),
+            "lang",
+            F.col("n_full").cast("long").alias("n_full"),
+            F.col(n_col).cast("long").alias("n_sample"),
+            F.round(F.col("n_full") * p, 6).alias("expected"),
+            F.round(z, 6).alias("residual_z"),
+            (F.abs(z) > 3.0).alias("is_biased"),
+        )
+
+    return leg("hash", "n_hash", "t_hash").union(
+        leg("systematic", "n_sys", "t_sys")
+    )
+
+
+data_sample_bias_audit.__doc__ = data_sample_bias_audit.__doc__.format(
+    m=_SAMPLE_MOD
+)

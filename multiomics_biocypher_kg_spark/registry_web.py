@@ -647,6 +647,36 @@ def _pagerank_oracle_sql(
     )
 
 
+def _pagerank_trace_sql(iters: int, damping: float) -> str:
+    """Per-iteration convergence trace of the SAME unrolled loop as
+    _pagerank_oracle_sql: L1 and max |delta| between consecutive
+    rank vectors (node sets are identical every iteration, so the
+    delta join is a full inner equi-join)."""
+    # rebuild the identical iteration chain, then append delta CTEs
+    base = _pagerank_oracle_sql(iters, damping)
+    parts_blob = base[len("WITH ") : base.rindex("\nSELECT")]
+    deltas = [
+        (
+            f"dl{k} AS MATERIALIZED (SELECT {k} AS iter, "
+            f"sum(abs(a.rank - b.rank)) AS l1, "
+            f"max(abs(a.rank - b.rank)) AS mx "
+            f"FROM it{k} a JOIN it{k - 1} b ON a.node = b.node)"
+        )
+        for k in range(1, iters + 1)
+    ]
+    union = " UNION ALL ".join(f"SELECT * FROM dl{k}" for k in range(1, iters + 1))
+    return (
+        "WITH "
+        + parts_blob
+        + ",\n"
+        + ",\n".join(deltas)
+        + f"""
+    SELECT CAST(iter AS INTEGER) AS iter, round(l1, 6) AS l1_delta,
+      round(mx, 6) AS max_delta
+    FROM ({union})"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental crawl delta: co-mention edges, old batch vs new batch
 # --------------------------------------------------------------------------
@@ -4299,3 +4329,50 @@ def web_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 web_ktruss.__doc__ = web_ktruss.__doc__.format(k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# PageRank convergence trace (the fixed-horizon family's audit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "web_pagerank_delta_trace",
+    oracle=_pagerank_trace_sql(_PR_ITERS, _PR_DAMPING),
+)
+def web_pagerank_delta_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration convergence trace of web_pagerank's fixed
+    5-iteration loop: L1 and max |rank delta| between consecutive
+    iterations — the audit every fixed-horizon iterative operator in
+    this repo owes its consumers (PageRank/HITS/TrustRank/LPA/SSSP
+    all trade the fixpoint for a BOUNDED round count so both engines
+    stay byte-identical; this measures what the bound leaves on the
+    table: a geometric decay at rate ~damping certifies the horizon,
+    a flat tail says to raise it). Identical update rule, dangling
+    handling, and checkpoint discipline as web_pagerank
+    (operators.linkgraph.pagerank_trace); the trace adds one keyed
+    join on the rank STATE + a 1-row agg per iteration — never a new
+    corpus pass. Output: {iters} rows."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import (
+        host_graph,
+        href_edges,
+        pagerank_trace,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    hg = host_graph(href_edges(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    tr = pagerank_trace(hg, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return tr.select(
+        F.col("iter").cast("int").alias("iter"),
+        F.round("l1", 6).alias("l1_delta"),
+        F.round("mx", 6).alias("max_delta"),
+    )
+
+
+web_pagerank_delta_trace.__doc__ = web_pagerank_delta_trace.__doc__.format(
+    iters=_PR_ITERS
+)

@@ -1176,3 +1176,35 @@ def test_dim_variance_single_moment_agg(spark):
     assert plan.count("embeddings.parquet") <= 1
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pagerank_trace_no_extra_corpus_pass(spark):
+    """web_pagerank_delta_trace: deltas join the checkpointed rank
+    STATE — the pages/documents scan count must not exceed
+    web_pagerank's own."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_pagerank_delta_trace"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_silhouette_broadcast_centroids(spark):
+    """emb_silhouette: the label x dim centroid dictionary joins
+    broadcast; no SMJ, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_silhouette"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_sample_bias_single_scan(spark):
+    """data_sample_bias_audit: ONE corpus scan feeds both samplers'
+    report legs (the per-lang dictionary is checkpointed)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_sample_bias_audit"](spark, SF_TINY))
+    assert plan.count("documents.parquet") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
