@@ -2042,3 +2042,103 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("b"), 6).alias("mean_nearest_other"),
         F.round(F.avg(s), 6).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Property completeness profile (coverage per type bucket x predicate)
+# ---------------------------------------------------------------------------
+
+_COMPLETENESS_BUCKETS = 8
+
+
+@register(
+    "kg_completeness_profile",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL}),
+    ents AS (SELECT DISTINCT subj AS entity FROM t),
+    typed AS (
+      SELECT entity,
+        'c' || CAST({md5_long_sql("entity")} % {_COMPLETENESS_BUCKETS}
+               AS VARCHAR) AS cls
+      FROM ents
+    ),
+    cls_n AS (SELECT cls, count(*) AS n_entities FROM typed GROUP BY cls),
+    preds AS (SELECT DISTINCT pred FROM t),
+    has_p AS (
+      SELECT DISTINCT ty.cls, t.pred, t.subj
+      FROM t JOIN typed ty ON t.subj = ty.entity
+    ),
+    cov AS (
+      SELECT cls, pred, count(*) AS n_with FROM has_p GROUP BY cls, pred
+    )
+    SELECT c.cls, p.pred,
+      CAST(c.n_entities AS BIGINT) AS n_entities,
+      CAST(coalesce(v.n_with, 0) AS BIGINT) AS n_with_pred,
+      round(CAST(coalesce(v.n_with, 0) AS DOUBLE) / c.n_entities, 6)
+        AS coverage
+    FROM cls_n c CROSS JOIN preds p
+    LEFT JOIN cov v ON v.cls = c.cls AND v.pred = p.pred
+    """,
+)
+def kg_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property completeness profile: for every (type bucket,
+    predicate) cell, the fraction of that type's entities carrying
+    at least one edge of that predicate — the KG-quality measure the
+    Linked-Data completeness literature standardizes (a class whose
+    instances mostly LACK an expected property is an extraction gap,
+    not a fact about the world), and the denominator-aware
+    complement to kg_cardinality_profile (cardinality profiles the
+    edges that exist; completeness profiles the entities that have
+    NONE). Entities bucket into {b} deterministic md5 type buckets
+    (the stand-in for a curated type dictionary — swapping in
+    kg_type_inference's classes changes the join key, not the plan);
+    the full bucket x predicate grid is emitted, zeros included —
+    the zero cells ARE the findings.
+
+    Scale shape: one distinct over triples, the entity dictionary
+    types in its scan projection (hashing, no lookup table); a
+    distinct (cls, pred, subj) semi-set + one keyed count; the final
+    grid is a {b} x |preds| dictionary cross join with a broadcast
+    left join of the coverage counts."""
+    t = _triples(spark, sf_dir).select("subj", "pred").localCheckpoint(
+        eager=False
+    )  # two consumers: entity dictionary + coverage set
+    cls_of = F.concat(
+        F.lit("c"),
+        (md5_long(F.col("entity")) % _COMPLETENESS_BUCKETS).cast("string"),
+    )
+    typed = (
+        t.select(F.col("subj").alias("entity"))
+        .distinct()
+        .select("entity", cls_of.alias("cls"))
+    )
+    cls_n = typed.groupBy("cls").agg(F.count(F.lit(1)).alias("n_entities"))
+    preds = t.select("pred").distinct()
+    has_p = (
+        t.join(typed, t["subj"] == typed["entity"])
+        .select("cls", "pred", "subj")
+        .distinct()
+    )
+    cov = has_p.groupBy("cls", "pred").agg(F.count(F.lit(1)).alias("n_with"))
+    return (
+        cls_n.crossJoin(preds)
+        .join(F.broadcast(cov), ["cls", "pred"], "left")
+        .select(
+            "cls",
+            "pred",
+            F.col("n_entities").cast("long").alias("n_entities"),
+            F.coalesce(F.col("n_with"), F.lit(0)).cast("long").alias(
+                "n_with_pred"
+            ),
+            F.round(
+                F.coalesce(F.col("n_with"), F.lit(0)).cast("double")
+                / F.col("n_entities"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+kg_completeness_profile.__doc__ = kg_completeness_profile.__doc__.format(
+    b=_COMPLETENESS_BUCKETS
+)

@@ -53,10 +53,9 @@ _BPE_ROUNDS = 4
 # delimiter byte is shared between adjacent matches).
 
 
-def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
-    """Unrolled merge-training CTEs (DuckDB twin of text_bpe_train).
-    Each w{r} is MATERIALIZED: referenced by both p{r+1} and w{r+1},
-    and chained re-inlining would cost O(2^rounds) expansions."""
+def _bpe_train_parts(rounds: int = _BPE_ROUNDS) -> str:
+    """The merge-training CTE chain alone (shared by the trainer
+    oracle and the apply oracle, which consumes w{rounds})."""
     parts = [
         r"""w0 AS MATERIALIZED (
       SELECT word, count(*) AS n,
@@ -96,12 +95,19 @@ def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
       FROM w{r - 1}
     )"""
         )
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled merge-training CTEs (DuckDB twin of text_bpe_train).
+    Each w{r} is MATERIALIZED: referenced by both p{r+1} and w{r+1},
+    and chained re-inlining would cost O(2^rounds) expansions."""
     final = "\n    UNION ALL ".join(
         f"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, "
         f"right_sym, left_sym || right_sym AS merged, freq FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return ",\n    ".join(parts) + "\n    " + final
+    return _bpe_train_parts(rounds) + "\n    " + final
 
 
 @register("text_bpe_train", oracle=f"WITH {_bpe_train_sql(_BPE_ROUNDS)}")
@@ -2481,4 +2487,110 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_novel").cast("double") / F.col("n_grams"), 6
             ).alias("novelty_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application (the learned merges scoring the corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH {{parts}},
+    sym AS MATERIALIZED (
+      SELECT word, len(string_split(trim(seg, '()'), ')(')) AS n_sym
+      FROM w{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    scored AS (
+      SELECT d.doc_id, s.n_sym, len(d.word) AS n_chars
+      FROM dw d JOIN sym s ON d.word = s.word
+    )
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_alpha_words,
+      CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe,
+      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS fertility,
+      round(CAST(sum(n_chars) AS DOUBLE) / sum(n_sym), 6) AS compression
+    FROM scored GROUP BY doc_id
+    """.format(parts=_bpe_train_parts(_BPE_ROUNDS)),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: the merges text_bpe_train learns
+    are applied back to every document and scored — per doc, the
+    BPE token count over its alphabetic words, tokens-per-word
+    fertility, and chars-per-token compression. Training tells you
+    the merge table; THIS is the number a data pipeline actually
+    bills by (token budgets, packing, cost estimates are all
+    downstream of tokens-per-doc), and the fertility distribution is
+    the per-language tokenizer-equity audit at corpus grain
+    (text_tokenizer_fertility's model-based sibling — same metric,
+    REAL learned tokenizer).
+
+    Scale shape: the trainer's discipline carries over — merges
+    train on the DISTINCT-word dictionary (corpus token stream
+    touched once), the final segmentation lives on that dictionary,
+    and application is ONE keyed join of the exploded corpus against
+    the vocabulary-sized (word, n_sym) table + a per-doc agg. The
+    K-row merge table is the only driver state (it IS the tokenizer
+    model, exactly as in text_bpe_train). Docs with no [a-z]{{2,}}
+    words have no row by contract."""
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("seg", F.regexp_replace("word", "(.)", "($1)"))
+    )
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            wc.select(
+                "n",
+                F.split(F.expr("trim(BOTH '()' FROM seg)"), r"\)\(").alias("syms"),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> concat(element_at(syms, i), '|', "
+                        "element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("freq"))
+        )
+        best = pairs.orderBy(F.desc("freq"), F.asc("pair")).first()
+        left, right = best["pair"].split("|")
+        wc = wc.withColumn(
+            "seg",
+            F.expr(f"replace(seg, '({left})({right})', '({left}{right})')"),
+        )
+    sym = wc.select(
+        "word",
+        F.size(F.split(F.expr("trim(BOTH '()' FROM seg)"), r"\)\(")).alias("n_sym"),
+    )
+    dw = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    scored = dw.join(sym, "word").select(
+        "doc_id", "n_sym", F.length("word").alias("n_chars")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_alpha_words"),
+        F.sum("n_sym").cast("long").alias("n_tokens_bpe"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_sym").cast("double") / F.count(F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_sym"), 6
+        ).alias("compression"),
     )

@@ -2715,3 +2715,116 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of per-type daily volumes
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(c, {k}) OVER w AS l{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    legs = "\n      UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, c AS x, l{k} AS y FROM lagged "
+        f"WHERE l{k} IS NOT NULL"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, c, {lag_cols}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    ),
+    pairs AS ({legs}),
+    mom AS (
+      SELECT event_type, lag, count(*) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+      CAST(n AS BIGINT) AS n_pairs,
+      CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+        THEN 0.0
+        ELSE round(
+          (n * sxy - CAST(sx AS DOUBLE) * sy)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * (n * syy - sy * sy)), 6) END AS acf
+    FROM mom
+    """
+
+
+@register("ev_autocorrelation", oracle=_acf_sql())
+def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{m} Pearson autocorrelation of each event type's daily
+    volume series — the signal-structure profile that tells the
+    monitoring stack WHICH baseline applies: a high lag-7 spike says
+    use ev_seasonality's day-of-week profile, high lag-1 says the
+    EWMA's local level is real, all-flat says the series is noise
+    and every "trend" a dashboard shows is pareidolia. Overlapping
+    (c_t, c_t-k) pairs come from ONE window pass (the {m} lag
+    columns), and each (type, lag) collapses to exact INTEGER
+    moments (n, sums, cross/squared sums) — Pearson r is one
+    fixed-order float expression over them, bit-identical
+    cross-engine (the ev_burst_detect discipline); a constant series
+    (zero variance on either side) gets r = 0 by contract.
+
+    Scale shape: corpus -> (type, day) dictionary in one map-side-
+    combined agg; the lag window partitions by type over
+    day-dictionary-sized partitions; the unpivot to (type, lag)
+    pairs is a narrow projection union; moments are one keyed agg.
+    """
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    lagged = daily.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"l{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    ).localCheckpoint(eager=False)  # one window pass feeds all lag legs
+    stack_args = ", ".join(
+        f"{k}, l{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    pairs = lagged.select(
+        "event_type",
+        "c",
+        F.expr(f"stack({_ACF_MAX_LAG}, {stack_args}) AS (lag, y)"),
+    ).where(F.col("y").isNotNull())
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("c") * F.col("y")).alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(vx.cast("double") * vy)
+    return mom.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when((vx <= 0) | (vy <= 0), F.lit(0.0))
+        .otherwise(F.round(r, 6))
+        .alias("acf"),
+    )
+
+
+ev_autocorrelation.__doc__ = ev_autocorrelation.__doc__.format(m=_ACF_MAX_LAG)

@@ -1208,3 +1208,36 @@ def test_sample_bias_single_scan(spark):
     assert plan.count("documents.parquet") <= 1
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_bpe_apply_dictionary_join(spark):
+    """text_bpe_apply: application is a keyed join of the exploded
+    corpus against the vocabulary-sized (word, n_sym) table — no
+    cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_bpe_apply"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_autocorrelation_one_window_pass(spark):
+    """ev_autocorrelation: one events scan, one type-partitioned
+    window pass feeds all lag legs (checkpointed) — no join, no
+    global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_autocorrelation"](spark, SF_TINY))
+    assert plan.count("events.parquet") <= 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_completeness_grid_no_global_sort(spark):
+    """kg_completeness_profile: dictionary cross join + broadcast
+    coverage — no unbroadcast cartesian of corpus-sized sides, no
+    global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_completeness_profile"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
