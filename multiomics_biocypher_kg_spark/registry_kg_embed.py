@@ -2142,3 +2142,171 @@ def kg_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 kg_completeness_profile.__doc__ = kg_completeness_profile.__doc__.format(
     b=_COMPLETENESS_BUCKETS
 )
+
+
+# ---------------------------------------------------------------------------
+# Decoder-agreement audit (Pearson between the three scorers)
+# ---------------------------------------------------------------------------
+
+
+def _decoder_scores_sql() -> str:
+    def transe_sq() -> str:
+        terms = [
+            f"(({_emb_dim_int_sql('subj', 'e', j)} + {_emb_dim_int_sql('pred', 'r', j)}"
+            f" - {_emb_dim_int_sql('obj', 'e', j)})"
+            f" * ({_emb_dim_int_sql('subj', 'e', j)} + {_emb_dim_int_sql('pred', 'r', j)}"
+            f" - {_emb_dim_int_sql('obj', 'e', j)}))"
+            for j in range(_TE_DIM)
+        ]
+        return "-(" + " + ".join(terms) + ")"
+
+    def distmult() -> str:
+        terms = [
+            f"({_emb_dim_int_sql('subj', 'e', j)} * {_emb_dim_int_sql('pred', 'r', j)}"
+            f" * {_emb_dim_int_sql('obj', 'e', j)})"
+            for j in range(_TE_DIM)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def complex_re() -> str:
+        terms = []
+        for j in range(_TE_DIM):
+            hr = _emb_dim_int_sql("subj", "cr", j)
+            hi = _emb_dim_int_sql("subj", "ci", j)
+            rr = _emb_dim_int_sql("pred", "sr", j)
+            ri = _emb_dim_int_sql("pred", "si", j)
+            tr = _emb_dim_int_sql("obj", "cr", j)
+            ti = _emb_dim_int_sql("obj", "ci", j)
+            terms.append(
+                f"({hr} * {rr} * {tr} + {hi} * {rr} * {ti}"
+                f" + {hr} * {ri} * {ti} - {hi} * {ri} * {tr})"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return (
+        f"SELECT CAST({transe_sq()} AS HUGEINT) AS t, "
+        f"CAST({distmult()} AS HUGEINT) AS d, "
+        f"CAST({complex_re()} AS HUGEINT) AS c FROM tt"
+    )
+
+
+@register(
+    "kg_decoder_agreement",
+    oracle=f"""
+    WITH tt AS ({TRIPLES_SQL}),
+    s AS ({_decoder_scores_sql()}),
+    mom AS (
+      SELECT count(*) AS n,
+        sum(t) AS st, sum(d) AS sd, sum(c) AS sc,
+        sum(t * t) AS stt, sum(d * d) AS sdd, sum(c * c) AS scc,
+        sum(t * d) AS std, sum(t * c) AS stc, sum(d * c) AS sdc
+      FROM s
+    ),
+    legs AS (
+      SELECT 'transe~distmult' AS pair, n, st AS si, sd AS sj,
+        stt AS sii, sdd AS sjj, std AS sij FROM mom
+      UNION ALL
+      SELECT 'transe~complex', n, st, sc, stt, scc, stc FROM mom
+      UNION ALL
+      SELECT 'distmult~complex', n, sd, sc, sdd, scc, sdc FROM mom
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n_triples,
+      round(
+        (CAST(n AS DOUBLE) * sij - CAST(si AS DOUBLE) * sj)
+        / sqrt((CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si)
+               * (CAST(n AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj)), 6)
+        AS pearson_r
+    FROM legs
+    """,
+)
+def kg_decoder_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson agreement between the three registered
+    KG-embedding decoders' positive-score vectors over ALL triples —
+    the model-selection readout that ties the scorer trio together
+    (high agreement says the decoders would admit the same edges and
+    the cheapest one suffices; low agreement localizes where the
+    geometry matters — exactly the relations kg_symmetry_audit
+    profiles). The TransE leg enters as the NEGATED SQUARED distance
+    (a monotone transform of the TransE score that stays integer;
+    documented in the column contract), DistMult and ComplEx as
+    their exact int64 bilinear forms — so every moment (sums,
+    squares, cross products) is EXACT wide-integer arithmetic
+    (DECIMAL(38,0) here, HUGEINT in the oracle; products reach
+    ~1.6e19 per row, far past int64) and the three correlations are
+    fixed-order float expressions over identical exact integers.
+
+    Scale shape: one scan-projection pass computes all three scores
+    (the kg_distmult_score plan — hashing, no parameter table), ONE
+    map-side-combined global moment agg (10 numbers at any corpus
+    size), three report rows projected from it."""
+    trip = _triples(spark, sf_dir).select("subj", "pred", "obj")
+
+    def terms_sum(parts):
+        return reduce(lambda a, b: a + b, parts)
+
+    t_sq = -terms_sum(
+        [
+            (
+                lambda e: e * e
+            )(
+                _emb_dim_int_col(F.col("subj"), "e", j)
+                + _emb_dim_int_col(F.col("pred"), "r", j)
+                - _emb_dim_int_col(F.col("obj"), "e", j)
+            )
+            for j in range(_TE_DIM)
+        ]
+    )
+    dm = terms_sum(
+        [
+            _emb_dim_int_col(F.col("subj"), "e", j)
+            * _emb_dim_int_col(F.col("pred"), "r", j)
+            * _emb_dim_int_col(F.col("obj"), "e", j)
+            for j in range(_TE_DIM)
+        ]
+    )
+    cx_parts = []
+    for j in range(_TE_DIM):
+        hr = _emb_dim_int_col(F.col("subj"), "cr", j)
+        hi = _emb_dim_int_col(F.col("subj"), "ci", j)
+        rr = _emb_dim_int_col(F.col("pred"), "sr", j)
+        ri = _emb_dim_int_col(F.col("pred"), "si", j)
+        tr = _emb_dim_int_col(F.col("obj"), "cr", j)
+        ti = _emb_dim_int_col(F.col("obj"), "ci", j)
+        cx_parts.append(hr * rr * tr + hi * rr * ti + hr * ri * ti - hi * ri * tr)
+    cx = terms_sum(cx_parts)
+
+    dec = lambda col: col.cast("decimal(12,0)")  # noqa: E731
+    s = trip.select(
+        dec(t_sq).alias("t"), dec(dm).alias("d"), dec(cx).alias("c")
+    )
+    mom = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"), F.sum("d").alias("sd"), F.sum("c").alias("sc"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("t") * F.col("d")).alias("std"),
+        F.sum(F.col("t") * F.col("c")).alias("stc"),
+        F.sum(F.col("d") * F.col("c")).alias("sdc"),
+    ).localCheckpoint(eager=False)  # three report legs
+
+    def leg(name, si, sj, sii, sjj, sij):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(sij).cast("double") - F.col(si).cast("double") * F.col(
+            sj
+        ).cast("double")
+        den = F.sqrt(
+            (nd * F.col(sii).cast("double") - F.col(si).cast("double") * F.col(si).cast("double"))
+            * (nd * F.col(sjj).cast("double") - F.col(sj).cast("double") * F.col(sj).cast("double"))
+        )
+        return mom.select(
+            F.lit(name).alias("pair"),
+            F.col("n").cast("long").alias("n_triples"),
+            F.round(num / den, 6).alias("pearson_r"),
+        )
+
+    return (
+        leg("transe~distmult", "st", "sd", "stt", "sdd", "std")
+        .union(leg("transe~complex", "st", "sc", "stt", "scc", "stc"))
+        .union(leg("distmult~complex", "sd", "sc", "sdd", "scc", "sdc"))
+    )

@@ -2828,3 +2828,78 @@ def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ev_autocorrelation.__doc__ = ev_autocorrelation.__doc__.format(m=_ACF_MAX_LAG)
+
+
+@register(
+    "ev_user_entropy",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    utn AS (
+      SELECT user_id, c,
+        -1.0 * (CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY user_id))
+          * log2(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY user_id))
+          AS term
+      FROM ut
+    ),
+    u AS (
+      SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+        sum(term) AS h
+      FROM utn GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      CAST(n_types AS BIGINT) AS n_types,
+      round(h, 6) AS entropy_bits,
+      CASE WHEN n_types = 1 THEN 0.0
+        ELSE round(h / log2(CAST(n_types AS DOUBLE)), 6) END AS norm_entropy,
+      n_events >= 20 AND (n_types = 1
+        OR h / log2(CAST(n_types AS DOUBLE)) < 0.3) AS is_low_diversity
+    FROM u
+    """,
+)
+def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy of the user's
+    event-type distribution plus its [0, 1] normalization — the
+    WHAT-they-do complement to ev_bot_regularity's WHEN-they-do-it
+    CV (scripted clients hammer one endpoint on a timer: low gap CV
+    AND low type entropy; the two flags intersected are a
+    high-precision bot signal, and a high-entropy regular-gap user
+    is a monitoring poller, not a scraper). Users need >= 20 events
+    to earn the low-diversity flag — entropy of a 3-event stream is
+    noise. n_types = 1 pins norm_entropy to 0 by contract (the 0/0
+    normalizer case).
+
+    Scale shape: the event stream collapses to the (user, type)
+    dictionary in one map-side-combined agg; entropy is a per-user
+    sum over that user's <= |types| rows (a window/agg over
+    user-sized partitions — the sessionization argument); the report
+    is user-dictionary-sized."""
+    ev = _read(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(w)
+    u = ut.select(
+        "user_id", "c", (-p * F.log2(p)).alias("term")
+    ).groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("term").alias("h"),
+    )
+    norm = F.col("h") / F.log2(F.col("n_types").cast("double"))
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round("h", 6).alias("entropy_bits"),
+        F.when(F.col("n_types") == 1, F.lit(0.0))
+        .otherwise(F.round(norm, 6))
+        .alias("norm_entropy"),
+        (
+            (F.col("n_events") >= 20)
+            & ((F.col("n_types") == 1) | (norm < 0.3))
+        ).alias("is_low_diversity"),
+    )

@@ -2983,3 +2983,131 @@ def data_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_sample_bias_audit.__doc__ = data_sample_bias_audit.__doc__.format(
     m=_SAMPLE_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Dataloader shuffle-quality audit (adjacent same-host clustering)
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_quality_sql() -> str:
+    h = md5_long_sql("CAST(doc_id AS VARCHAR) || '#ep' || CAST(epoch AS VARCHAR)")
+    host = (
+        "CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
+        "ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END"
+    )
+    return f"""
+    WITH e AS (
+      SELECT doc_id, {host} AS host, unnest([0, 1]) AS epoch FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, host, epoch, {h} AS h,
+        {h} % {_N_EPOCH_SHARDS} AS shard
+      FROM e
+    ),
+    lagged AS (
+      SELECT epoch, shard, host,
+        lag(host) OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+          AS prev_host
+      FROM keyed
+    ),
+    obs AS (
+      SELECT epoch, shard, count(*) AS n_docs,
+        sum(CASE WHEN host = prev_host THEN 1 ELSE 0 END) AS n_same
+      FROM lagged GROUP BY epoch, shard
+    ),
+    hd AS (
+      SELECT epoch, shard, host, count(*) AS m FROM keyed GROUP BY 1, 2, 3
+    ),
+    exp AS (
+      SELECT epoch, shard,
+        CAST(sum(m * (m - 1)) AS DOUBLE) / sum(m) AS expected
+      FROM hd GROUP BY epoch, shard
+    )
+    SELECT o.epoch, CAST(o.shard AS INTEGER) AS shard,
+      CAST(o.n_docs AS BIGINT) AS n_docs,
+      CAST(o.n_same AS BIGINT) AS n_same_host_adjacent,
+      round(x.expected, 6) AS expected,
+      CASE WHEN x.expected = 0 THEN 0.0
+        ELSE round(o.n_same / x.expected, 6) END AS lift
+    FROM obs o JOIN exp x ON o.epoch = x.epoch AND o.shard = x.shard
+    """
+
+
+@register("data_shuffle_quality", oracle=_shuffle_quality_sql())
+def data_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader shuffle-quality audit over data_epoch_order's OWN
+    permutation (same hash, same shards, same (h, doc_id) order):
+    within every (epoch, shard), the count of ADJACENT training
+    examples sharing a host, against the closed-form expectation
+    under a uniform random permutation (sum_h m_h(m_h-1)/m — the
+    birthday count for adjacency). Gradient noise assumptions break
+    when correlated documents arrive back-to-back; lift >> 1 says
+    the "shuffle" clusters sources and the epoch ordering needs a
+    better hash, lift ~ 1 certifies it (hash permutations should sit
+    at 1 up to sampling noise — the pytest pins a planted
+    sorted-by-host order flagging high).
+
+    Scale shape: the permutation is audited per (epoch, shard) — the
+    position window sorts one output file's worth of ids per task,
+    exactly like data_epoch_order itself (never a global sort);
+    observed counts are one lag comparison in that window; the
+    expectation is one (epoch, shard, host) dictionary agg. Exact
+    integers until the final division."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    host = F.when(F.col("doc_id") % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org")
+        )
+    )
+    e = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    )
+    h = md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#ep"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    keyed = e.select(
+        "doc_id", "host", "epoch", h.alias("h"),
+        F.pmod(h, F.lit(_N_EPOCH_SHARDS)).alias("shard"),
+    ).localCheckpoint(eager=False)  # two consumers: adjacency + expectation
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    obs = (
+        keyed.select(
+            "epoch", "shard", "host", F.lag("host").over(w).alias("prev_host")
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("host") == F.col("prev_host"), 1).otherwise(0)
+            ).alias("n_same"),
+        )
+    )
+    exp = (
+        keyed.groupBy("epoch", "shard", "host")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy("epoch", "shard")
+        .agg(
+            (
+                F.sum(F.col("m") * (F.col("m") - 1)).cast("double") / F.sum("m")
+            ).alias("expected")
+        )
+    )
+    return obs.join(exp, ["epoch", "shard"]).select(
+        "epoch",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_same").cast("long").alias("n_same_host_adjacent"),
+        F.round("expected", 6).alias("expected"),
+        F.when(F.col("expected") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_same") / F.col("expected"), 6))
+        .alias("lift"),
+    )

@@ -1241,3 +1241,38 @@ def test_completeness_grid_no_global_sort(spark):
 
     plan = _plan(QUERIES["kg_completeness_profile"](spark, SF_TINY))
     assert "rangepartitioning" not in plan
+
+
+def test_decoder_agreement_single_moment_agg(spark):
+    """kg_decoder_agreement: all three scores compute in the scan
+    projection; ONE global moment agg feeds the three report legs —
+    no window, no cartesian, no SMJ."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_decoder_agreement"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_user_entropy_user_partitioned(spark):
+    """ev_user_entropy: the entropy window partitions by user — no
+    global sort, no join, one events scan."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_user_entropy"](spark, SF_TINY))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_shuffle_quality_shard_partitioned(spark):
+    """data_shuffle_quality: the adjacency window partitions by
+    (epoch, shard) — never a global sort; one corpus scan behind the
+    checkpoint."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_shuffle_quality"](spark, SF_TINY))
+    assert plan.count("documents.parquet") <= 1
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
