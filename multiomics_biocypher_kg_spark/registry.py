@@ -729,7 +729,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # web_pagerank_delta_trace, emb_silhouette,
 # data_sample_bias_audit, text_bpe_apply, ev_autocorrelation,
 # kg_completeness_profile, kg_decoder_agreement, ev_user_entropy,
-# data_shuffle_quality) were
+# data_shuffle_quality, data_profile_columns, ev_winsorized_stats,
+# web_lang_consistency) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -2903,3 +2903,78 @@ def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("n_types") == 1) | (norm < 0.3))
         ).alias("is_low_diversity"),
     )
+
+
+@register(
+    "ev_winsorized_stats",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+        quantile_cont(value, 0.05) AS p05,
+        quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT e.event_type, e.value, t.p05, t.p95,
+        least(greatest(e.value, t.p05), t.p95) AS w,
+        CASE WHEN e.value < t.p05 OR e.value > t.p95 THEN 1 ELSE 0 END
+          AS clamped
+      FROM events e JOIN th t ON e.event_type = t.event_type
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+        AS mean_raw,
+      round(any_value(p05), 6) AS p05,
+      round(any_value(p95), 6) AS p95,
+      round(sum(w) / count(*), 6) AS mean_winsorized,
+      CAST(sum(clamped) AS BIGINT) AS n_clamped
+    FROM clamped GROUP BY event_type
+    """,
+)
+def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized value statistics per event type: the raw mean
+    beside the [p05, p95]-clamped mean and the count of clamped
+    observations — the robust-aggregation standard for revenue/value
+    metrics (one fat-finger refund or whale purchase moves a raw
+    mean for a week; winsorizing bounds any single observation's
+    influence while, unlike trimming, keeping every row in the
+    denominator). Completes the robust trio: ev_anomaly_mad robustly
+    detects, ev_bot_regularity robustly segments, this robustly
+    AGGREGATES. The raw mean is exact (DECIMAL(18,4) sum — the
+    pricing-summary discipline); the winsorized mean mixes data
+    values with the two percentile doubles, so it carries the
+    standard round(6) float contract.
+
+    Scale shape: thresholds are ONE exact-percentile agg per type
+    (quantile_cont <-> percentile parity) broadcast back; clamping
+    is a projection; the final agg is map-side-combined over the
+    type dictionary."""
+    ev = _read(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    c = ev.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        F.least(F.greatest("value", "p05"), "p95").alias("w"),
+        F.when(
+            (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+        )
+        .otherwise(0)
+        .alias("clamped"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_raw"),
+        F.round(F.any_value("p05"), 6).alias("p05"),
+        F.round(F.any_value("p95"), 6).alias("p95"),
+        F.round(F.sum("w") / F.count(F.lit(1)), 6).alias("mean_winsorized"),
+        F.sum("clamped").cast("long").alias("n_clamped"),
+    )

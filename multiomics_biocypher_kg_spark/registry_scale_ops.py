@@ -3111,3 +3111,93 @@ def data_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("n_same") / F.col("expected"), 6))
         .alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-statistics profile (Deequ-style table profiler)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+
+
+def _profile_sql() -> str:
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            f"count({c}) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"CAST(min({c}) AS DOUBLE) AS mn_{c}",
+            f"CAST(max({c}) AS DOUBLE) AS mx_{c}",
+            f"sum(CAST({c} AS DECIMAL(18,4))) AS sm_{c}",
+        ]
+    legs = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows, "
+        f"CAST(n - nn_{c} AS BIGINT) AS n_null, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct, "
+        f"round(mn_{c}, 6) AS min_value, round(mx_{c}, 6) AS max_value, "
+        f"round(CAST(sm_{c} AS DOUBLE) / nn_{c}, 6) AS mean_value FROM m"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH m AS (
+      SELECT count(*) AS n, {", ".join(aggs)}
+      FROM lineitem
+    )
+    {legs}
+    """
+
+
+@register("data_profile_columns", oracle=_profile_sql())
+def data_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style COLUMN PROFILE of the fact
+    table: per numeric column, row/null/distinct counts, min, max,
+    and mean — the one-pass statistics sheet a data contract is
+    written against, and the discovery step data_quality_checks
+    presupposes (you cannot assert a range until a profile told you
+    the range). Means are EXACT: every column sums through
+    DECIMAL(18,4) (the rel_pricing_summary discipline — shuffle
+    order cannot perturb a decimal sum), and the division to double
+    happens once per column at the end.
+
+    Scale shape: ONE corpus scan computes all {n} columns' counters
+    in a single map-side-combined aggregate (count-distincts expand
+    to the standard Spark multi-distinct plan); the profile rows are
+    projections from that 1-row aggregate — a {n}-row report at any
+    corpus size."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+            F.sum(F.col(c).cast("decimal(18,4)")).alias(f"sm_{c}"),
+        ]
+    m = li.agg(*aggs).localCheckpoint(eager=False)  # one leg per column
+
+    def leg(c: str) -> DataFrame:
+        return m.select(
+            F.lit(c).alias("column_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{c}")).cast("long").alias("n_null"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            F.round(F.col(f"mn_{c}"), 6).alias("min_value"),
+            F.round(F.col(f"mx_{c}"), 6).alias("max_value"),
+            F.round(
+                F.col(f"sm_{c}").cast("double") / F.col(f"nn_{c}"), 6
+            ).alias("mean_value"),
+        )
+
+    out = leg(_PROFILE_COLS[0])
+    for c in _PROFILE_COLS[1:]:
+        out = out.union(leg(c))
+    return out
+
+
+data_profile_columns.__doc__ = data_profile_columns.__doc__.format(
+    n=len(_PROFILE_COLS)
+)

@@ -4376,3 +4376,89 @@ def web_pagerank_delta_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 web_pagerank_delta_trace.__doc__ = web_pagerank_delta_trace.__doc__.format(
     iters=_PR_ITERS
 )
+
+
+# --------------------------------------------------------------------------
+# Host-language consistency (misrouted-content / langid-error finder)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "web_lang_consistency",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+          ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END
+          AS host
+      FROM documents
+    ),
+    hl AS (SELECT host, lang, count(*) AS c FROM d GROUP BY 1, 2),
+    mode_l AS (
+      SELECT host, lang AS major_lang, c AS major_count FROM (
+        SELECT *, row_number() OVER (PARTITION BY host
+          ORDER BY c DESC, lang ASC) AS rn
+        FROM hl
+      ) r WHERE rn = 1
+    ),
+    hn AS (SELECT host, sum(c) AS n_docs FROM hl GROUP BY host)
+    SELECT d.doc_id, d.host, d.lang, m.major_lang,
+      round(CAST(m.major_count AS DOUBLE) / h.n_docs, 6) AS host_purity,
+      d.lang <> m.major_lang AS is_outlier
+    FROM d
+    JOIN mode_l m ON d.host = m.host
+    JOIN hn h ON d.host = h.host
+    """,
+)
+def web_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-language consistency: each document's language against
+    its host's MAJORITY language (mode, count-desc/lang-asc pinned
+    tiebreak) plus the host's purity — the misrouted-content finder
+    (a zh page on an otherwise-en host is usually a langid error,
+    boilerplate-dominated extraction, or spam injection; CCNet-style
+    pipelines route BY document lang, so these outliers are exactly
+    the docs that land in the wrong training bucket). Low-purity
+    hosts are genuinely multilingual and their "outliers" are fine
+    — the two columns together separate the cases.
+
+    Scale shape: host derives in the scan projection; the (host,
+    lang) dictionary aggregates once (map-side combined); the mode
+    window partitions BY HOST over <= |langs| rows; per-doc verdicts
+    are one broadcast dictionary join back onto the corpus —
+    host-dictionary-sized state, corpus touched twice (count + join),
+    never sorted."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    host = F.when(F.col("doc_id") % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org")
+        )
+    )
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", "lang", host.alias("host"))
+    hl = d.groupBy("host", "lang").agg(F.count(F.lit(1)).alias("c"))
+    hl = hl.localCheckpoint(eager=False)  # two consumers: mode + totals
+    w = Window.partitionBy("host").orderBy(F.col("c").desc(), F.col("lang").asc())
+    mode_l = (
+        hl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "host",
+            F.col("lang").alias("major_lang"),
+            F.col("c").alias("major_count"),
+        )
+    )
+    hn = hl.groupBy("host").agg(F.sum("c").alias("n_docs"))
+    dim = mode_l.join(hn, "host")
+    return d.join(F.broadcast(dim), "host").select(
+        "doc_id",
+        "host",
+        "lang",
+        "major_lang",
+        F.round(
+            F.col("major_count").cast("double") / F.col("n_docs"), 6
+        ).alias("host_purity"),
+        (F.col("lang") != F.col("major_lang")).alias("is_outlier"),
+    )

@@ -1276,3 +1276,34 @@ def test_shuffle_quality_shard_partitioned(spark):
     assert plan.count("documents.parquet") <= 1
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_single_scan_single_agg(spark):
+    """data_profile_columns: one lineitem scan feeds every column's
+    counters; report legs project from the checkpointed 1-row agg."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_profile_columns"](spark, SF_TINY))
+    assert plan.count("lineitem.parquet") <= 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_winsorized_broadcast_thresholds(spark):
+    """ev_winsorized_stats: percentile thresholds broadcast back —
+    no SMJ, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_winsorized_stats"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_lang_consistency_broadcast_dictionary(spark):
+    """web_lang_consistency: the host-majority dictionary joins
+    broadcast onto the corpus; the mode window partitions by host."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_lang_consistency"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
