@@ -2310,3 +2310,83 @@ def kg_decoder_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(leg("transe~complex", "st", "sc", "stt", "scc", "stc"))
         .union(leg("distmult~complex", "sd", "sc", "sdd", "scc", "sdc"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-predicate discovery (OWL inverseOf mining)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kg_inverse_discovery",
+    oracle=f"""
+    WITH t AS ({TRIPLES_SQL}),
+    d AS (SELECT DISTINCT subj, pred, obj FROM t WHERE subj <> obj),
+    pn AS (SELECT pred, count(*) AS n FROM d GROUP BY pred),
+    ov AS (
+      SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_overlap
+      FROM d a JOIN d b ON a.subj = b.obj AND a.obj = b.subj
+      GROUP BY a.pred, b.pred
+    )
+    SELECT pa.pred AS pred_a, pb.pred AS pred_b,
+      CAST(pa.n AS BIGINT) AS n_a,
+      CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+      round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / pa.n, 6)
+        AS inverse_ratio,
+      coalesce(o.n_overlap, 0) >= 10
+        AND CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / pa.n >= 0.95
+        AS is_inverse_candidate
+    FROM pn pa CROSS JOIN pn pb
+    LEFT JOIN ov o ON o.pred_a = pa.pred AND o.pred_b = pb.pred
+    """,
+)
+def kg_inverse_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL inverseOf mining over the triple table: for every ordered
+    predicate pair (p, q), the fraction of p's non-self edges whose
+    REVERSED pair is asserted under q — the cross-predicate
+    generalization of kg_symmetry_audit (whose verdicts are exactly
+    this table's diagonal): a (p, q) cell near 1.0 with support says
+    q is p's inverse (parent_of/child_of, cites/cited_by), which a
+    KG normalizer uses to fold redundant inverse edges into one
+    canonical direction — halving edge storage and making the
+    cardinality profile's fan-in/fan-out verdicts coherent. The full
+    p x q grid is emitted, zeros included (an EXPECTED inverse pair
+    scoring 0 is an extraction bug).
+
+    Scale shape: one distinct, one keyed self-join on the swapped
+    (subj, obj) key — shuffles on the node-pair key, only asserted
+    reversals produce rows — one (pred_a, pred_b) agg; the grid is a
+    predicate-dictionary cross join with the overlap counts
+    broadcast-left-joined."""
+    d = (
+        _triples(spark, sf_dir)
+        .select("subj", "pred", "obj")
+        .where(F.col("subj") != F.col("obj"))
+        .distinct()
+        .localCheckpoint(eager=False)  # three consumers below
+    )
+    pn = d.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    b = d.select(
+        F.col("pred").alias("pred_b"),
+        F.col("obj").alias("b_subj"),
+        F.col("subj").alias("b_obj"),
+    )
+    ov = (
+        d.join(b, (d["subj"] == b["b_subj"]) & (d["obj"] == b["b_obj"]))
+        .groupBy(F.col("pred").alias("pred_a"), "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    grid = pn.select(F.col("pred").alias("pred_a"), F.col("n").alias("n_a")).crossJoin(
+        F.broadcast(pn.select(F.col("pred").alias("pred_b")))
+    )
+    ratio = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_a")
+    return grid.join(F.broadcast(ov), ["pred_a", "pred_b"], "left").select(
+        "pred_a",
+        "pred_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(ratio, 6).alias("inverse_ratio"),
+        (
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 10) & (ratio >= 0.95)
+        ).alias("is_inverse_candidate"),
+    )

@@ -2594,3 +2594,142 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_sym"), 6
         ).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-stage recall against the dedup provenance gold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_blocking_recall",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+        array_to_string(
+          list_where(string_split(text, ' '),
+                     list_transform(generate_series(1, len(string_split(text, ' '))),
+                                    i -> (i - 1) % 10 <> 9)), ' ')
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    keys AS (
+      SELECT doc_id,
+        string_split(text, ' ')[1] || '|'
+          || CAST(CAST(floor(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+                  AS VARCHAR) AS block_key
+      FROM corpus
+    ),
+    gold AS (
+      SELECT doc_id AS id_a, doc_id + 2000000 AS id_b, 'exact' AS kind
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 1000000, 'near'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id + 2000000, 'cross'
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    joined AS (
+      SELECT g.kind,
+        CASE WHEN ka.block_key = kb.block_key THEN 1 ELSE 0 END AS hit
+      FROM gold g
+      JOIN keys ka ON g.id_a = ka.doc_id
+      JOIN keys kb ON g.id_b = kb.doc_id
+    ),
+    perkind AS (
+      SELECT kind, CAST(count(*) AS BIGINT) AS n_gold,
+        CAST(sum(hit) AS BIGINT) AS n_coblocked,
+        round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+      FROM joined GROUP BY kind
+    )
+    SELECT * FROM perkind
+    UNION ALL
+    SELECT 'all', CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT),
+      round(CAST(sum(hit) AS DOUBLE) / count(*), 6)
+    FROM joined
+    """,
+)
+def data_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage RECALL against the dedup provenance gold: the
+    fraction of known duplicate pairs whose two members land in the
+    same block under the kg_blocking_keys key (first token + length
+    octile) — the metric that decides whether a blocking scheme is
+    safe, because a pair split across blocks is unrecoverable no
+    matter how good the matcher is (dedup_eval_pr scores the MATCHER
+    end-to-end; this isolates the candidate-generation stage, the
+    standard ER evaluation decomposition). Exact twins share text
+    and always co-block (recall 1.0 is the sanity anchor); the
+    token-dropped near twins keep their first token but shrink ~10%,
+    so their recall measures exactly the length-bucket boundary
+    sensitivity the octile choice trades.
+
+    Scale shape: keys compute in the corpus scan projection; gold
+    pairs derive from the same id arithmetic as dedup_eval_pr; the
+    evaluation is two keyed joins of the bounded gold set against
+    the key dictionary + one rollup — never corpus x corpus."""
+    from multiomics_biocypher_kg_spark.registry_dedup_text import _dedup_corpus
+
+    corpus = _dedup_corpus(spark, sf_dir, rebalance=False)
+    arr = F.split("text", " ")
+    keys = corpus.select(
+        "doc_id",
+        F.concat(
+            F.element_at(arr, 1),
+            F.lit("|"),
+            F.floor(F.size(arr) / 8.0).cast("long").cast("string"),
+        ).alias("block_key"),
+    ).localCheckpoint(eager=False)  # joined twice (both pair sides)
+    base = _docs(spark, sf_dir).select("doc_id")
+    gold = (
+        base.where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 2000000).alias("id_b"),
+            F.lit("exact").alias("kind"),
+        )
+        .union(
+            base.where(F.col("doc_id") % 4 == 0).select(
+                "doc_id",
+                (F.col("doc_id") + 1000000).alias("id_b"),
+                F.lit("near"),
+            )
+        )
+        .union(
+            base.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 1000000).alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+                F.lit("cross"),
+            )
+        )
+    )
+    ka = keys.select(F.col("doc_id").alias("id_a"), F.col("block_key").alias("ka"))
+    kb = keys.select(F.col("doc_id").alias("id_b"), F.col("block_key").alias("kb"))
+    joined = (
+        gold.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "kind",
+            F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("hit"),
+        )
+        .localCheckpoint(eager=False)  # per-kind + overall legs
+    )
+    perkind = joined.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.sum("hit").cast("long").alias("n_coblocked"),
+        F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
+    overall = joined.agg(
+        F.lit("all").alias("kind"),
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.sum("hit").cast("long").alias("n_coblocked"),
+        F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
+    return perkind.union(overall)

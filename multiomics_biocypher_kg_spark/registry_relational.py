@@ -2978,3 +2978,102 @@ def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("w") / F.count(F.lit(1)), 6).alias("mean_winsorized"),
         F.sum("clamped").cast("long").alias("n_clamped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over event values
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def _benford_sql() -> str:
+    shares = ", ".join(
+        f"({d}, CAST({_BENFORD[d - 1]!r} AS DOUBLE))" for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+      SELECT event_type,
+        CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+                    1, 1) AS INTEGER) AS digit
+      FROM events WHERE value > 0
+    ),
+    obs AS (
+      SELECT event_type, digit, count(*) AS c FROM digits GROUP BY 1, 2
+    ),
+    tn AS (SELECT event_type, sum(c) AS n FROM obs GROUP BY event_type),
+    bf(digit, share) AS (VALUES {shares}),
+    grid AS (
+      SELECT t.event_type, b.digit, b.share, t.n, coalesce(o.c, 0) AS c
+      FROM tn t CROSS JOIN bf b
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = b.digit
+    )
+    SELECT event_type, CAST(digit AS INTEGER) AS digit,
+      CAST(c AS BIGINT) AS n_obs,
+      round(CAST(c AS DOUBLE) / n, 6) AS obs_share,
+      round(share, 6) AS benford_share,
+      round(n * share, 6) AS expected,
+      round((c - n * share) * (c - n * share) / (n * share), 6)
+        AS chi2_contrib
+    FROM grid
+    """
+
+
+@register("ev_benford_audit", oracle=_benford_sql())
+def ev_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of event values: per (type,
+    digit 1..9), the observed leading-digit share of the
+    integer-cents value against Benford's log10(1 + 1/d) expectation
+    and the chi-square contribution — the classic forensic screen
+    for fabricated or mechanically-generated monetary data (organic
+    multi-scale amounts follow Benford; fixed price points, capped
+    fields, and synthetic uniform values do not — a big chi2 says
+    LOOK, not fraud, which is exactly what a data-quality triage
+    wants). All 9 digits are emitted per type, zeros included.
+
+    Determinism: the leading digit comes from the INTEGER cents
+    string (round(value*100) — never from a float's engine-specific
+    decimal rendering), and the nine Benford constants are computed
+    once here and inlined as identical double literals in both
+    engines (the EWMA weight discipline).
+
+    Scale shape: one corpus scan -> (type, digit) dictionary agg
+    (map-side combined); the 9-row Benford dim and per-type totals
+    are broadcast; the report is |types| x 9 rows."""
+    ev = _read(spark, sf_dir, "events").where(F.col("value") > 0)
+    digit = F.substring(
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = ev.select("event_type", digit.alias("digit")).groupBy(
+        "event_type", "digit"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    obs = obs.localCheckpoint(eager=False)  # totals + grid
+    tn = obs.groupBy("event_type").agg(F.sum("c").alias("n"))
+    bf = spark.createDataFrame(
+        [(d, _BENFORD[d - 1]) for d in range(1, 10)], "digit int, share double"
+    )
+    grid = (
+        tn.crossJoin(F.broadcast(bf))
+        .join(F.broadcast(obs), ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "digit",
+            F.col("n"),
+            F.col("share"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    exp = F.col("n") * F.col("share")
+    return grid.select(
+        "event_type",
+        F.col("digit").cast("int").alias("digit"),
+        F.col("c").cast("long").alias("n_obs"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("obs_share"),
+        F.round("share", 6).alias("benford_share"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("c") - exp) * (F.col("c") - exp) / exp, 6).alias(
+            "chi2_contrib"
+        ),
+    )

@@ -1307,3 +1307,38 @@ def test_lang_consistency_broadcast_dictionary(spark):
     plan = _plan(QUERIES["web_lang_consistency"](spark, SF_TINY))
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_blocking_recall_bounded_joins(spark):
+    """data_blocking_recall: two keyed joins of the bounded gold set
+    against the key dictionary — no cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_blocking_recall"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_inverse_discovery_keyed_swap_join(spark):
+    """kg_inverse_discovery: the reversal test is a keyed self-join
+    on the swapped node pair — no unbroadcast cartesian beyond the
+    predicate-dictionary grid."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_inverse_discovery"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    # the corpus x corpus reversal test may legitimately SMJ on its
+    # equi-key; what must never appear is a pair-enumeration cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_dictionary_grid(spark):
+    """ev_benford_audit: one events scan -> (type, digit) dictionary
+    agg; Benford dim and totals broadcast — no SMJ, no global
+    sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_benford_audit"](spark, SF_TINY))
+    assert plan.count("events.parquet") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
