@@ -3077,3 +3077,136 @@ def ev_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contrib"
         ),
     )
+
+
+@register(
+    "rel_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+      round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (10000 - CAST(l.l_discount * 10000 AS DECIMAL(18,4)))
+                     / 10000) AS DOUBLE), 6) AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+      o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the top-10 unshipped BUILDING
+    orders by discounted revenue — the classic 3-table
+    fact-dim-fact join the warehouse benchmark uses to probe join
+    ordering and early filtering. Revenue is EXACT: price and
+    discount both pass through DECIMAL arithmetic (discount as
+    integer basis points — the rel_pricing_summary discipline), so
+    the DESC ordering key is shuffle-order-proof and the top-10 is
+    pinned (revenue DESC, orderkey ASC).
+
+    Scale shape: both filters sit in the scan (pushdown-able
+    predicates on mktsegment / orderdate / shipdate), the customer
+    dim broadcasts, orders->lineitem joins on the order key, and the
+    top-10 is TakeOrderedAndProject (per-partition heaps) — never a
+    global sort of the aggregate."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < "1998-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > "1998-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    bp = (F.col("l_discount") * 10000).cast("decimal(18,4)")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (10000 - bp) / 10000
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10).select(
+        "orderkey", "revenue", "orderdate", "orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / WAU)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT user_id, day + to_days(CAST(o AS INTEGER)) AS day
+      FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) s
+    ),
+    wau AS (
+      SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      CAST(a.dau AS BIGINT) AS dau,
+      CAST(w.wau AS BIGINT) AS wau,
+      round(CAST(a.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM days d
+    JOIN dau a ON d.day = a.day
+    JOIN wau w ON d.day = w.day
+    """,
+)
+def ev_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users — the product-metrics staple: per
+    calendar day, DAU (distinct users active that day), WAU
+    (distinct users active in the trailing 7 days), and the DAU/WAU
+    stickiness ratio. Distinct-over-a-sliding-window does NOT
+    decompose (you cannot sum daily distincts), so the scale-correct
+    construction is the CONTRIBUTION EXPLODE: each (user, day)
+    activity row contributes to 7 calendar days, then one exact
+    count-distinct per day — a bounded 7x blowup of the (user, day)
+    DICTIONARY (already collapsed from the corpus), traded against
+    the unshardable alternative of a distinct inside a range window.
+    Days with activity only in their trailing window but none of
+    their own are not reported (DAU = 0 rows are dashboard noise).
+
+    Scale shape: corpus -> (user, day) dictionary in one distinct;
+    the explode is narrow; both counts are keyed aggs; report is
+    day-dictionary-sized."""
+    ev = _read(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().localCheckpoint(eager=False)  # dau + wau consumers
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

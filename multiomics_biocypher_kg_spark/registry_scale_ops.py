@@ -3201,3 +3201,138 @@ def data_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_profile_columns.__doc__ = data_profile_columns.__doc__.format(
     n=len(_PROFILE_COLS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten deletion-impact report
+# ---------------------------------------------------------------------------
+
+_FORGET_MOD = 50
+
+
+def _deletion_impact_sql() -> str:
+    def forget(key: str) -> str:
+        return f"{md5_long_sql(f'CAST({key} AS VARCHAR)')} % {_FORGET_MOD} = 0"
+
+    return f"""
+    WITH cust AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN {forget('c_custkey')} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_affected
+      FROM customer
+    ),
+    ords AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN {forget('o_custkey')} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_affected
+      FROM orders
+    ),
+    aff_orders AS (
+      SELECT o_orderkey FROM orders WHERE {forget('o_custkey')}
+    ),
+    li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_affected
+      FROM lineitem l LEFT JOIN aff_orders a ON l.l_orderkey = a.o_orderkey
+    ),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN {forget('user_id')} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_affected
+      FROM events
+    ),
+    legs AS (
+      SELECT 'customer' AS table_name, 0 AS hop, * FROM cust
+      UNION ALL SELECT 'orders', 1, * FROM ords
+      UNION ALL SELECT 'lineitem', 2, * FROM li
+      UNION ALL SELECT 'events', 0, * FROM ev
+    )
+    SELECT table_name, CAST(hop AS INTEGER) AS hop, n_total, n_affected,
+      round(CAST(n_affected AS DOUBLE) / n_total, 6) AS affected_pct
+    FROM legs
+    """
+
+
+@register("data_deletion_impact", oracle=_deletion_impact_sql())
+def data_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten DELETION-IMPACT report: given a
+    deterministic forget-set (subject keys with md5 % {m} == 0 — in
+    production, the erasure-request list), the rows each warehouse
+    table would lose, with the referential CASCADE made explicit —
+    customers (hop 0) pull their orders (hop 1, the FK), orders pull
+    their line items (hop 2, the fact rows with NO subject key of
+    their own, reachable only through the join), and the event
+    stream deletes by its own subject key. This is the sizing step
+    every GDPR/CCPA erasure pipeline runs before the MERGE/DELETE
+    (operators.materialize) executes, and the lineitem leg is the
+    reason a compliance sweep cannot be a per-table WHERE: the
+    affected rows are defined by a JOIN.
+
+    Scale shape: hop-0 legs are pure scan aggregates (the forget
+    predicate is hashing in the projection); the hop-2 leg is one
+    keyed LEFT semi-style join against the affected-orders key set
+    (shuffles on the order key; broadcastable when the forget
+    fraction is small); the report is 4 rows."""
+    def forget(col):
+        return md5_long(col.cast("string")) % _FORGET_MOD == 0
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(forget(F.col("c_custkey")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_affected"),
+    )
+    orders_df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).localCheckpoint(eager=False)  # counts + affected key set
+    ords = orders_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(forget(F.col("o_custkey")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_affected"),
+    )
+    aff = orders_df.where(forget(F.col("o_custkey"))).select("o_orderkey")
+    li_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    li = (
+        li_df.join(
+            aff.withColumnRenamed("o_orderkey", "l_orderkey").withColumn(
+                "hit", F.lit(1)
+            ),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_affected"),
+        )
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(forget(F.col("user_id")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_affected"),
+    )
+
+    def leg(df, name, hop):
+        return df.select(
+            F.lit(name).alias("table_name"),
+            F.lit(hop).cast("int").alias("hop"),
+            "n_total",
+            "n_affected",
+            F.round(
+                F.col("n_affected").cast("double") / F.col("n_total"), 6
+            ).alias("affected_pct"),
+        )
+
+    return (
+        leg(cust, "customer", 0)
+        .union(leg(ords, "orders", 1))
+        .union(leg(li, "lineitem", 2))
+        .union(leg(ev, "events", 0))
+    )
+
+
+data_deletion_impact.__doc__ = data_deletion_impact.__doc__.format(m=_FORGET_MOD)

@@ -1342,3 +1342,38 @@ def test_benford_dictionary_grid(spark):
     assert plan.count("events.parquet") <= 1
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """rel_shipping_priority: filters reach the scans, the customer
+    dim broadcasts, and the top-10 is TakeOrderedAndProject — never
+    a global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_shipping_priority"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_active_users_dictionary_explode(spark):
+    """ev_active_users: one events scan collapses to the (user, day)
+    dictionary (checkpointed); the 7x contribution explode is
+    narrow; no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_active_users"](spark, SF_TINY))
+    assert plan.count("events.parquet") <= 1
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deletion_impact_keyed_cascade(spark):
+    """data_deletion_impact: hop-0 legs are scan aggregates; the
+    lineitem leg joins on the order key — no cartesian, no global
+    sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_deletion_impact"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
