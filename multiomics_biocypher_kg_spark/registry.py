@@ -732,7 +732,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # data_shuffle_quality, data_profile_columns, ev_winsorized_stats,
 # web_lang_consistency, data_blocking_recall, kg_inverse_discovery,
 # ev_benford_audit, rel_shipping_priority, ev_active_users,
-# data_deletion_impact) were
+# data_deletion_impact, ev_concentration, rel_supplier_part_counts,
+# text_ttr) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -2733,3 +2733,73 @@ def data_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return perkind.union(overall)
+
+
+# ---------------------------------------------------------------------------
+# Standardized type-token ratio (lexical diversity gate)
+# ---------------------------------------------------------------------------
+
+_TTR_WINDOW = 50
+
+
+@register(
+    "text_ttr",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        arr[1 : least(n, {_TTR_WINDOW})] AS win
+      FROM t WHERE n > 0
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+        CAST(len(win) AS BIGINT) AS window_tokens,
+        CAST(len(list_distinct(win)) AS BIGINT) AS window_types
+      FROM w
+    )
+    SELECT doc_id, n_tokens, window_tokens, window_types,
+      round(CAST(window_types AS DOUBLE) / window_tokens, 6) AS sttr,
+      CAST(window_types AS DOUBLE) / window_tokens < 0.4 AS is_repetitive
+    FROM scored
+    """,
+)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized type-token ratio: distinct tokens over the first
+    {w} tokens of each document — the lexical-diversity gate
+    (raw TTR falls with length by Heaps' law, so comparing documents
+    requires a FIXED window; the standardized form is the comparable
+    one). Low STTR catches keyword-stuffing and template spam that
+    passes length and perplexity gates (a page repeating 12 words
+    can still be "fluent" under a unigram LM trained on pages like
+    it); the complement to text_repetition's n-gram form — TTR is
+    order-blind, the repetition gates are order-sensitive, spam
+    usually fails both.
+
+    Scale shape: pure scan projection — array slice +
+    array_distinct + sizes, zero shuffles, whole-stage codegen;
+    per-doc output. Empty documents have no row by contract."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("arr"))
+    n = F.size("arr")
+    win = F.slice(F.col("arr"), 1, _TTR_WINDOW)
+    scored = docs.where(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(win).cast("long").alias("window_tokens"),
+        F.size(F.array_distinct(win)).cast("long").alias("window_types"),
+    )
+    sttr = F.col("window_types").cast("double") / F.col("window_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "window_tokens",
+        "window_types",
+        F.round(sttr, 6).alias("sttr"),
+        (sttr < 0.4).alias("is_repetitive"),
+    )
+
+
+text_ttr.__doc__ = text_ttr.__doc__.format(w=_TTR_WINDOW)

@@ -3210,3 +3210,147 @@ def ev_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ev_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    th AS (
+      SELECT quantile_cont(c, 0.90) AS p90, quantile_cont(c, 0.99) AS p99
+      FROM per_user
+    ),
+    agg AS (
+      SELECT count(*) AS n_users, sum(c) AS n_events,
+        sum(CASE WHEN c > th.p90 THEN c ELSE 0 END) AS ev_top10,
+        sum(CASE WHEN c > th.p99 THEN c ELSE 0 END) AS ev_top1,
+        sum(CASE WHEN c > th.p90 THEN 1 ELSE 0 END) AS u_top10,
+        sum(CASE WHEN c > th.p99 THEN 1 ELSE 0 END) AS u_top1
+      FROM per_user CROSS JOIN th
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+      CAST(n_events AS BIGINT) AS n_events,
+      CAST(u_top10 AS BIGINT) AS n_users_above_p90,
+      CAST(u_top1 AS BIGINT) AS n_users_above_p99,
+      round(CAST(ev_top10 AS DOUBLE) / n_events, 6) AS share_above_p90,
+      round(CAST(ev_top1 AS DOUBLE) / n_events, 6) AS share_above_p99,
+      CAST(ev_top1 AS DOUBLE) / n_events > 0.5 AS is_whale_dominated
+    FROM agg
+    """,
+)
+def ev_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration report: the share of all events
+    produced by users ABOVE the per-user-volume p90 and p99 — the
+    Pareto/whale readout (a handful of accounts producing most
+    traffic is either your power-user segment or a bot fleet;
+    ev_bot_regularity and ev_user_entropy say which) computed the
+    scale-correct way: a full Gini needs a GLOBAL rank of the user
+    dictionary (the single-task-sort antipattern this repo's
+    vocabulary queries specifically avoid), while percentile
+    thresholds + conditional sums deliver the same decision signal
+    from one exact-percentile agg and one more dictionary pass.
+    Strict `>` against the threshold: the boundary user is not
+    "above" its own percentile.
+
+    Scale shape: corpus -> per-user dictionary in one map-side-
+    combined agg; two exact percentiles over the dictionary
+    (quantile_cont parity); one conditional-sum agg against the
+    broadcast 1-row thresholds; a 1-row report."""
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    per_user = per_user.localCheckpoint(eager=False)  # thresholds + sums
+    th = per_user.agg(
+        F.percentile("c", 0.90).alias("p90"),
+        F.percentile("c", 0.99).alias("p99"),
+    )
+    a = per_user.crossJoin(F.broadcast(th)).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.when(F.col("c") > F.col("p90"), F.col("c")).otherwise(0)).alias(
+            "ev_top10"
+        ),
+        F.sum(F.when(F.col("c") > F.col("p99"), F.col("c")).otherwise(0)).alias(
+            "ev_top1"
+        ),
+        F.sum(F.when(F.col("c") > F.col("p90"), 1).otherwise(0)).alias("u_top10"),
+        F.sum(F.when(F.col("c") > F.col("p99"), 1).otherwise(0)).alias("u_top1"),
+    )
+    return a.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("u_top10").cast("long").alias("n_users_above_p90"),
+        F.col("u_top1").cast("long").alias("n_users_above_p99"),
+        F.round(F.col("ev_top10").cast("double") / F.col("n_events"), 6).alias(
+            "share_above_p90"
+        ),
+        F.round(F.col("ev_top1").cast("double") / F.col("n_events"), 6).alias(
+            "share_above_p99"
+        ),
+        (F.col("ev_top1").cast("double") / F.col("n_events") > 0.5).alias(
+            "is_whale_dominated"
+        ),
+    )
+
+
+@register(
+    "rel_supplier_part_counts",
+    oracle="""
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l LEFT JOIN bad b ON l.l_suppkey = b.s_suppkey
+      WHERE b.s_suppkey IS NULL
+    )
+    SELECT p.p_brand AS brand, p.p_type AS type,
+      CAST(p.p_size AS INTEGER) AS size,
+      CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, brand ASC, type ASC, size ASC
+    LIMIT 20
+    """,
+)
+def rel_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier counts per (brand, type, size), EXCLUDING blacklisted
+    suppliers (negative account balance standing in for Q16's
+    complaint filter), top-20 — the anti-join + multi-key
+    count-distinct pattern (supplier diversity per product family,
+    the assortment-risk readout a procurement team asks for: one
+    supplier per part family is a supply-chain single point of
+    failure).
+
+    Scale shape: the blacklist is a broadcast ANTI join against the
+    fact scan; (partkey, suppkey) dedups once (keyed); the part dim
+    broadcasts; count distinct per family is one keyed agg; top-20
+    is TakeOrderedAndProject with the full deterministic tiebreak
+    (count DESC, then every key ASC)."""
+    bad = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    ps = (
+        li.join(
+            F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .distinct()
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    agg = (
+        ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+    return agg.orderBy(
+        F.desc("supplier_cnt"), F.asc("brand"), F.asc("type"), F.asc("size")
+    ).limit(20)

@@ -1377,3 +1377,35 @@ def test_deletion_impact_keyed_cascade(spark):
     plan = _plan(QUERIES["data_deletion_impact"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_concentration_no_global_sort(spark):
+    """ev_concentration: percentile thresholds instead of a global
+    user rank — no rangepartitioning anywhere; one events scan
+    behind the checkpointed dictionary."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_concentration"](spark, SF_TINY))
+    assert plan.count("events.parquet") <= 1
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_supplier_part_counts_anti_broadcast_topk(spark):
+    """rel_supplier_part_counts: broadcast anti join for the
+    blacklist, broadcast part dim, TakeOrderedAndProject top-20."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_supplier_part_counts"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ttr_pure_projection(spark):
+    """text_ttr is a pure scan projection — zero shuffles."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_ttr"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 1
+    assert "Exchange" not in plan
