@@ -1381,3 +1381,323 @@ def emb_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return hamming_band_pairs(emb, threshold=15, dim=64, band_bits=4)
+
+
+# --------------------------------------------------------------------------
+# B-cubed clustering evaluation vs the provenance gold
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_bcubed_eval",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    items AS (SELECT doc_id FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    array_to_string(
+      list_where(string_split(text, ' '),
+                 list_transform(generate_series(1, len(string_split(text, ' '))),
+                                i -> (i - 1) % 10 <> 9)), ' ')
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+)),
+    assigned AS (
+      SELECT i.doc_id,
+        coalesce(c.component, i.doc_id) AS pred,
+        i.doc_id % 1000000 AS gold
+      FROM items i LEFT JOIN comp c ON i.doc_id = c.node
+    ),
+    cells AS (
+      SELECT pred, gold, count(*) AS n_pg FROM assigned GROUP BY pred, gold
+    ),
+    pn AS (SELECT pred, sum(n_pg) AS n_p FROM cells GROUP BY pred),
+    gn AS (SELECT gold, sum(n_pg) AS n_g FROM cells GROUP BY gold),
+    tot AS (SELECT CAST(sum(n_pg) AS DOUBLE) AS n FROM cells),
+    sums AS (
+      SELECT
+        sum(CAST(c.n_pg AS DOUBLE) * c.n_pg / p.n_p) AS sp,
+        sum(CAST(c.n_pg AS DOUBLE) * c.n_pg / g.n_g) AS sr
+      FROM cells c JOIN pn p ON c.pred = p.pred JOIN gn g ON c.gold = g.gold
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_items,
+      CAST((SELECT count(*) FROM pn) AS BIGINT) AS n_pred_clusters,
+      CAST((SELECT count(*) FROM gn) AS BIGINT) AS n_gold_clusters,
+      round(s.sp / tot.n, 6) AS bcubed_precision,
+      round(s.sr / tot.n, 6) AS bcubed_recall,
+      round(2.0 * (s.sp / tot.n) * (s.sr / tot.n)
+            / (s.sp / tot.n + s.sr / tot.n), 6) AS bcubed_f1
+    FROM sums s CROSS JOIN tot
+    """,
+)
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation of the dedup CLUSTERS against the
+    provenance gold — the standard entity-resolution clustering
+    metric (Bagga & Baldwin; Amigó et al. 2009 show it is the only
+    common clustering measure satisfying all four formal
+    constraints). dedup_eval_pr scores PAIRS; B³ scores the
+    delivered PARTITION, per item: precision = the fraction of an
+    item's predicted cluster sharing its gold cluster, recall =
+    the fraction of its gold cluster it was clustered with —
+    so one wrong giant merge is punished in proportion to its size
+    (pair-F1 lets it hide). Gold: every corpus id collapses to its
+    base document (id % 1e6 — the twin construction's provenance);
+    items in no near-dup pair are singleton predicted clusters.
+
+    Scale shape: the per-item averages collapse to CELL sums
+    (sum over (pred, gold) cells of n_pg²/n_p and n_pg²/n_g — the
+    standard O(cells) B³ identity, never per-item state): one
+    left join onto the CC labels, three keyed dictionary aggs, a
+    1-row report. Exact integers until the final divisions."""
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = dd.minhash_neardup_pairs(corpus, 0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    assigned = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("pred"),
+            (F.col("doc_id") % 1000000).alias("gold"),
+        )
+    )
+    cells = assigned.groupBy("pred", "gold").agg(
+        F.count(F.lit(1)).alias("n_pg")
+    ).localCheckpoint(eager=False)  # three consumers
+    pn = cells.groupBy("pred").agg(F.sum("n_pg").alias("n_p"))
+    gn = cells.groupBy("gold").agg(F.sum("n_pg").alias("n_g"))
+    tot = cells.agg(F.sum("n_pg").cast("double").alias("n"))
+    npd = F.col("n_pg").cast("double")
+    sums = (
+        cells.join(pn, "pred")
+        .join(gn, "gold")
+        .agg(
+            F.sum(npd * F.col("n_pg") / F.col("n_p")).alias("sp"),
+            F.sum(npd * F.col("n_pg") / F.col("n_g")).alias("sr"),
+        )
+    )
+    counts = pn.agg(F.count(F.lit(1)).alias("n_pred")).crossJoin(
+        gn.agg(F.count(F.lit(1)).alias("n_gold"))
+    )
+    bp = F.col("sp") / F.col("n")
+    br = F.col("sr") / F.col("n")
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("n").cast("long").alias("n_items"),
+            F.col("n_pred").cast("long").alias("n_pred_clusters"),
+            F.col("n_gold").cast("long").alias("n_gold_clusters"),
+            F.round(bp, 6).alias("bcubed_precision"),
+            F.round(br, 6).alias("bcubed_recall"),
+            F.round(2.0 * bp * br / (bp + br), 6).alias("bcubed_f1"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup storage-savings report
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_savings_report",
+    oracle=f"""
+    WITH corpus AS ({DEDUP_CORPUS_SQL}),
+    langd AS (SELECT doc_id AS base_id, lang FROM documents),
+    sized AS (
+      SELECT c.doc_id, length(c.text) AS n_bytes, md5(c.text) AS h, l.lang
+      FROM corpus c JOIN langd l ON c.doc_id % 1000000 = l.base_id
+    ),
+    groups AS (
+      SELECT lang, h, count(*) AS n, CAST(any_value(n_bytes) AS BIGINT)
+        AS bytes_each
+      FROM sized GROUP BY lang, h
+    )
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_groups,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
+      CAST(sum(n * bytes_each) AS BIGINT) AS bytes_total,
+      CAST(sum(CASE WHEN n > 1 THEN (n - 1) * bytes_each ELSE 0 END)
+           AS BIGINT) AS bytes_saved,
+      round(CAST(sum(CASE WHEN n > 1 THEN (n - 1) * bytes_each ELSE 0 END)
+                 AS DOUBLE) / sum(n * bytes_each), 6) AS savings_pct
+    FROM groups GROUP BY lang
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup STORAGE-SAVINGS report per language: for every
+    content-hash group, all rows beyond the canonical one are pure
+    storage/compute waste — this query prices that waste in bytes
+    and as a fraction of the language's corpus, per language because
+    that is how curation budgets are allocated (a 30% dup rate in
+    one language's crawl is a seed-list problem, not a global one).
+    The business-case twin of dedup_exact: same grouping, but the
+    deliverable is the COST REPORT a pipeline owner shows to justify
+    running the dedup at all. Identical text has identical length,
+    so bytes_each is any_value over the group — exact by
+    construction.
+
+    Scale shape: text length and content hash compute in the scan
+    projection; lang rides a keyed join to the base-document
+    dictionary; ONE (lang, hash) map-side-combined agg, then the
+    lang-dictionary rollup. No windows, no sorts."""
+    corpus = _dedup_corpus(spark, sf_dir, rebalance=False)
+    langd = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    sized = corpus.select(
+        "doc_id",
+        F.length("text").alias("n_bytes"),
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % 1000000).alias("base_id"),
+    ).join(F.broadcast(langd), "base_id")
+    groups = sized.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.any_value("n_bytes").cast("long").alias("bytes_each"),
+    )
+    dup_rows = F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+    dup_bytes = F.sum(
+        F.when(F.col("n") > 1, (F.col("n") - 1) * F.col("bytes_each")).otherwise(0)
+    )
+    return groups.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        dup_rows.cast("long").alias("n_dup_rows"),
+        F.sum(F.col("n") * F.col("bytes_each")).cast("long").alias("bytes_total"),
+        dup_bytes.cast("long").alias("bytes_saved"),
+        F.round(
+            dup_bytes.cast("double")
+            / F.sum(F.col("n") * F.col("bytes_each")),
+            6,
+        ).alias("savings_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantization retrieval-impact eval (int8 top-k overlap vs float)
+# --------------------------------------------------------------------------
+
+
+def _quant_recall_sql() -> str:
+    def rank_pipe(src: str, tag: str) -> str:
+        return f"""
+    norms_{tag} AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM {src} GROUP BY vec_id
+    ),
+    dots_{tag} AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, sum(q.x * b.x) AS dot
+      FROM {src} q JOIN {src} b ON q.dim = b.dim AND q.vec_id <> b.vec_id
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, b.vec_id
+    ),
+    cos_{tag} AS (
+      SELECT d.query_id, d.neighbor_id,
+        round(d.dot / (nq.nrm * nb.nrm), 6) AS cosine
+      FROM dots_{tag} d
+      JOIN norms_{tag} nq ON d.query_id = nq.vec_id
+      JOIN norms_{tag} nb ON d.neighbor_id = nb.vec_id
+    ),
+    top_{tag} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM cos_{tag}
+      ) r WHERE rank <= 5
+    )"""
+
+    return f"""
+    WITH expl AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sc AS (SELECT vec_id, max(abs(x)) / 127 AS s FROM expl GROUP BY vec_id),
+    deq AS (
+      SELECT e.vec_id, e.dim,
+        CASE WHEN sc.s = 0 THEN e.x
+          ELSE floor(e.x / sc.s + 0.5) * sc.s END AS x
+      FROM expl e JOIN sc ON e.vec_id = sc.vec_id
+    ),
+    {rank_pipe('expl', 'f')},
+    {rank_pipe('deq', 'q')},
+    ov AS (
+      SELECT f.query_id, count(*) AS n_overlap
+      FROM top_f f JOIN top_q q
+        ON f.query_id = q.query_id AND f.neighbor_id = q.neighbor_id
+      GROUP BY f.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM top_f)
+    SELECT qs.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+      round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5, 6) AS recall_at_5
+    FROM qs LEFT JOIN ov ON qs.query_id = ov.query_id
+    """
+
+
+@register("emb_quantization_recall", oracle=_quant_recall_sql())
+def emb_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval impact of int8 quantization: per probe query, the
+    overlap between the exact-float top-5 cosine neighbors and the
+    top-5 computed over quantize-dequantize int8 vectors (the
+    emb_quantize_int8 scheme: per-vector symmetric scale, IEEE-exact
+    floor(x/s + 0.5)) — the metric that actually decides whether the
+    4x index shrink ships. emb_quantize_int8 pins RECONSTRUCTION
+    error, but reconstruction error is not retrieval error: ranking
+    only breaks where quantization noise crosses a neighbor GAP, so
+    a corpus with tight gaps can lose recall at tiny max_abs_err and
+    a spread corpus loses none at large err. Same probe convention
+    and rounded-cosine/neighbor-asc tiebreak as ann_bruteforce_topk.
+
+    Scale shape: dequantization is a pure array expression in the
+    scan projection (scale = one array_max, no second pass); both
+    top-5 sides are the bruteforce probe plan (broadcast-bounded
+    query side x corpus, the knn budget); the overlap is a keyed
+    join of two <= 5-row-per-query sets."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(e, F.abs)) / 127
+    deq_arr = F.when(s == 0, e).otherwise(
+        F.transform(e, lambda x: F.floor(x.cast("double") / s + 0.5) * s)
+    )
+    deq = emb.select(
+        "vec_id", deq_arr.cast("array<float>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 10).select("vec_id")
+    top_f = cosine_topk(emb, query_ids=q, k=5).select("query_id", "neighbor_id")
+    top_q = cosine_topk(deq, query_ids=q, k=5).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    ov = top_f.join(
+        top_q,
+        (top_f["query_id"] == top_q["q2"]) & (top_f["neighbor_id"] == top_q["n2"]),
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    qs = top_f.select("query_id").distinct()
+    return qs.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 5, 6
+        ).alias("recall_at_5"),
+    )

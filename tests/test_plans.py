@@ -1409,3 +1409,34 @@ def test_ttr_pure_projection(spark):
     plan = _plan(QUERIES["text_ttr"](spark, SF_TINY))
     assert plan.count("documents.parquet") == 1
     assert "Exchange" not in plan
+
+
+def test_bcubed_dictionary_aggs(spark):
+    """dedup_bcubed_eval: cell-sum identity — keyed dictionary aggs
+    only, no global sort, no cartesian beyond broadcast 1-rows."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["dedup_bcubed_eval"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_savings_report_single_group_pass(spark):
+    """dedup_savings_report: hash + length in the scan projection,
+    one (lang, hash) agg, lang dictionary rollup — no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["dedup_savings_report"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quant_recall_bounded_probe(spark):
+    """emb_quantization_recall: both top-5 sides are the bounded
+    bruteforce probe plan — no unbroadcast cartesian, no global
+    sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_quantization_recall"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
