@@ -2390,3 +2390,111 @@ def kg_inverse_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 10) & (ratio >= 0.95)
         ).alias("is_inverse_candidate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RotatE triple plausibility (complex-rotation translational scorer)
+# ---------------------------------------------------------------------------
+
+# RotatE (Sun et al., ICLR 2019) models a relation as a rotation in
+# complex space: t ~ h o r.  Entities REUSE the ComplEx complex
+# embedding (tags cr/ci — one shared entity parameter table, three
+# decoders), the relation rotation gets its own family (qr/qi), and
+# the corrupted tail reuses the shared negative family (xr/xi).  The
+# trained model constrains |r_j| = 1; with hash-derived INTEGER
+# components the rotation is unnormalized, so the tail is scaled by
+# the component modulus (500) to keep h o r and t on the same scale
+# — the decoder family (rotation + translational distance, hence
+# able to model symmetry, antisymmetry, inversion AND composition,
+# which none of TransE/DistMult/ComplEx span alone) is what the
+# contract pins, not the trained weights.
+
+_ROTATE_TSCALE = 500
+
+
+def _rotate_sql() -> str:
+    def dist2(re_tag: str, im_tag: str) -> str:
+        terms = []
+        for j in range(_TE_DIM):
+            hr = _emb_dim_int_sql("subj", "cr", j)
+            hi = _emb_dim_int_sql("subj", "ci", j)
+            rr = _emb_dim_int_sql("pred", "qr", j)
+            ri = _emb_dim_int_sql("pred", "qi", j)
+            tr = _emb_dim_int_sql("obj", re_tag, j)
+            ti = _emb_dim_int_sql("obj", im_tag, j)
+            dre = f"({hr} * {rr} - {hi} * {ri} - {_ROTATE_TSCALE} * {tr})"
+            dim = f"({hr} * {ri} + {hi} * {rr} - {_ROTATE_TSCALE} * {ti})"
+            terms.append(f"({dre} * {dre} + {dim} * {dim})")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH t AS ({TRIPLES_SQL}),
+    scored AS (
+      SELECT subj, pred, obj,
+        CAST({dist2('cr', 'ci')} AS BIGINT) AS pos_d2,
+        CAST({dist2('xr', 'xi')} AS BIGINT) AS neg_d2
+      FROM t
+    )
+    SELECT subj, pred, obj,
+      pos_d2 AS rotate_dist2,
+      neg_d2 AS neg_dist2,
+      neg_d2 - pos_d2 AS margin_d2,
+      (neg_d2 - pos_d2) > 0 AS plausible
+    FROM scored
+    """
+
+
+@register("kg_rotate_score", oracle=_rotate_sql())
+def kg_rotate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RotatE triple plausibility (Sun et al., ICLR 2019): squared
+    complex-rotation translational distance |h o r - t|^2 per
+    materialized triple, against the shared corrupted-tail negative
+    — the FOURTH standard shallow decoder beside kg_transe_score,
+    kg_distmult_score and kg_complex_score, and the one that closes
+    the relation-pattern matrix: rotation composes (r1 o r2 is a
+    rotation), inverts (conjugate), and represents both symmetric
+    (r = +/-1) and antisymmetric relations, so a decoder comparison
+    over this trio-plus-one spans every pattern class the KG
+    literature tests (reference analog: the typed Biolink predicates
+    its schema_config.yaml declares include symmetric pairs and
+    inverse pairs — kg_inverse_discovery finds them data-side).
+
+    Entities REUSE the ComplEx complex embedding (hash tags cr/ci),
+    so subject and object positions — and both decoders — share one
+    entity parameter table; the relation rotation is its own family
+    (qr/qi), the negative the shared xr/xi. Per dim the residual is
+    (hr*rr - hi*ri - 500*tr, hr*ri + hi*rr - 500*ti) — integer
+    components in [-500, 500) make the summed squared modulus an
+    EXACT int64 (< 1e13), the same no-float contract as DistMult/
+    ComplEx: emitting the integer sidesteps cross-engine rounding
+    entirely. Same 10^12-triple shape: embeddings resolved per dim
+    in the scan projection, no parameter table, no shuffle, a
+    fixed-order multiply-add chain both engines mirror term for
+    term."""
+    trip = _triples(spark, sf_dir).select("subj", "pred", "obj")
+
+    def dist2(re_tag: str, im_tag: str):
+        terms = []
+        for j in range(_TE_DIM):
+            hr = _emb_dim_int_col(F.col("subj"), "cr", j)
+            hi = _emb_dim_int_col(F.col("subj"), "ci", j)
+            rr = _emb_dim_int_col(F.col("pred"), "qr", j)
+            ri = _emb_dim_int_col(F.col("pred"), "qi", j)
+            tr = _emb_dim_int_col(F.col("obj"), re_tag, j)
+            ti = _emb_dim_int_col(F.col("obj"), im_tag, j)
+            dre = hr * rr - hi * ri - F.lit(_ROTATE_TSCALE) * tr
+            dim = hr * ri + hi * rr - F.lit(_ROTATE_TSCALE) * ti
+            terms.append(dre * dre + dim * dim)
+        return reduce(lambda a, b: a + b, terms)
+
+    pos = dist2("cr", "ci").cast("long")
+    neg = dist2("xr", "xi").cast("long")
+    return trip.select(
+        "subj",
+        "pred",
+        "obj",
+        pos.alias("rotate_dist2"),
+        neg.alias("neg_dist2"),
+        (neg - pos).alias("margin_d2"),
+        ((neg - pos) > 0).alias("plausible"),
+    )

@@ -2370,3 +2370,81 @@ def web_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
 web_bowtie_structure.__doc__ = web_bowtie_structure.__doc__.format(
     rounds=_BOWTIE_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0
+_DP_SEED_TAG = "#dp0"
+
+
+@register(
+    "data_dp_histogram",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    noised AS (
+      SELECT lang, source, n,
+        (CAST({md5_long_sql("lang || '|' || source || '" + _DP_SEED_TAG + "'")}
+              % 999999 AS DOUBLE) + 1) / 1000000.0 AS u
+      FROM cells
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+      {_DP_EPSILON} AS epsilon,
+      round(CASE WHEN u >= 0.5 THEN -ln(1 - 2 * (u - 0.5)) / {_DP_EPSILON}
+            ELSE ln(1 - 2 * (0.5 - u)) / {_DP_EPSILON} END, 6) AS noise,
+      round(n + CASE WHEN u >= 0.5 THEN -ln(1 - 2 * (u - 0.5)) / {_DP_EPSILON}
+            ELSE ln(1 - 2 * (0.5 - u)) / {_DP_EPSILON} END, 6) AS dp_count
+    FROM noised
+    """,
+)
+def data_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private corpus-composition release: per
+    (lang, source) document counts with Laplace(1/epsilon) noise —
+    the mechanism (Dwork et al., TCC 2006) that lets a curator
+    publish WHAT IS IN THE TRAINING MIX (the histogram every data
+    card reports) without any single document's presence being
+    inferable: each document changes exactly one cell by 1, so
+    sensitivity is 1 and per-cell Laplace(1/eps) gives eps-DP for
+    the whole histogram under parallel composition.
+
+    The noise is DETERMINISTIC here — inverse-CDF transform
+    (-sgn(U) * ln(1 - 2|U|) / eps) of a hash-uniform seeded by the
+    cell key, the repo's standard replayable-randomness convention
+    (same as data_split_assign's hash folds and text_reservoir's
+    hash priorities): the oracle can re-derive every draw, resumed
+    stages release identical noise (re-drawing on retry would leak
+    via averaging), and swapping in a true RNG changes one column
+    expression. The hash-uniform is mapped to [1e-6, 0.999999] so
+    1 - 2|U| >= 2e-6 — no ln(0) at the support edge. n_docs is kept
+    beside dp_count for the oracle/eval contract; a production
+    release drops it and keeps only the noised column.
+
+    Scale: one map-side-combined count over the corpus; the noise is
+    a scan projection over the CELL dictionary (|langs| x |sources|
+    rows) — nothing downstream of the agg ever touches the raw
+    corpus, so the release costs one aggregation at any scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            md5_long(F.concat("lang", F.lit("|"), "source", F.lit(_DP_SEED_TAG)))
+            % 999999
+        ).cast("double")
+        + 1
+    ) / 1000000.0
+    noise = F.when(
+        u >= 0.5, -F.log(1 - 2 * (u - 0.5)) / _DP_EPSILON
+    ).otherwise(F.log(1 - 2 * (0.5 - u)) / _DP_EPSILON)
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("dp_count"),
+    )

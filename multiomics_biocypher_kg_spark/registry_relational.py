@@ -3354,3 +3354,156 @@ def rel_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(
         F.desc("supplier_cnt"), F.asc("brand"), F.asc("type"), F.asc("size")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Offline change-point localization (binary-segmentation first split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    pre AS (
+      SELECT event_type, day, c,
+        row_number() OVER w AS k,
+        sum(c) OVER w AS c1,
+        sum(c * c) OVER w AS c2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    split AS (
+      SELECT p.event_type, p.day AS split_day, p.k, t.n, t.s1, p.c1,
+        ((CAST(t.s2 AS DOUBLE) - CAST(t.s1 AS DOUBLE) * t.s1 / t.n)
+         - (CAST(p.c2 AS DOUBLE) - CAST(p.c1 AS DOUBLE) * p.c1 / p.k))
+        - (CAST(t.s2 - p.c2 AS DOUBLE)
+           - CAST(t.s1 - p.c1 AS DOUBLE) * (t.s1 - p.c1) / (t.n - p.k))
+          AS reduction
+      FROM pre p JOIN tot t USING (event_type)
+      WHERE t.n >= 4 AND p.k < t.n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY round(reduction, 6) DESC, split_day) AS rk
+      FROM split
+    )
+    SELECT event_type, split_day, CAST(n AS BIGINT) AS n_days,
+      round(CAST(c1 AS DOUBLE) / k, 6) AS mean_before,
+      round(CAST(s1 - c1 AS DOUBLE) / (n - k), 6) AS mean_after,
+      round(reduction, 6) AS sse_reduction,
+      CASE WHEN s1 - c1 > CAST(c1 AS DOUBLE) * (n - k) / k THEN 'up'
+           WHEN s1 - c1 < CAST(c1 AS DOUBLE) * (n - k) / k THEN 'down'
+           ELSE 'flat' END AS direction
+    FROM best WHERE rk = 1
+    """,
+)
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single change-point localization per event type — the
+    first split of binary segmentation (Scott & Knott 1974; the
+    building block of PELT-style detectors): over the per-type daily
+    count series, choose the split k maximizing the squared-error
+    reduction SSE_total - (SSE_left + SSE_right), i.e. the two-
+    segment piecewise-constant fit. The RETROSPECTIVE complement to
+    the repo's sequential monitors: ev_cusum_drift answers "is the
+    feed drifting right now?", this answers "on which day did the
+    regime change?" — the post-mortem query a crawl operator runs
+    after CUSUM fires, and a corpus curator runs to date a source's
+    format change (reference analog: dating when a download feed's
+    schema shifted, resolve_load_omics_data.py's per-batch
+    diagnostics).
+
+    Every per-split SSE term comes from ONE pass of cumulative sums
+    (k, c1 = sum c, c2 = sum c^2) windowed PARTITION BY event_type
+    over the DAILY table — the same dictionary-sized-window defense
+    as ev_cusum_drift: corpus-sized work is exactly one map-side-
+    combined daily count agg; the windows never see the raw event
+    stream and are bounded by horizon_days x n_types at any corpus
+    size. Argmin is rank-by-ROUNDED-reduction (ties are exact in
+    real arithmetic for symmetric series) with earliest-day
+    tiebreak; types with < 4 days have no meaningful two-segment
+    fit and are omitted. All SSE floats are derived from integer
+    moments in a fixed expression order, so both engines produce
+    bit-identical doubles before the round."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two consumers: totals + prefix scan
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("k"),
+        F.sum("c").over(w).alias("c1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("c2"),
+    )
+    j = pre.join(F.broadcast(tot), "event_type").where(
+        (F.col("n") >= 4) & (F.col("k") < F.col("n"))
+    )
+    s1d, c1d = F.col("s1").cast("double"), F.col("c1").cast("double")
+    sse_t = F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n")
+    sse_l = F.col("c2").cast("double") - c1d * F.col("c1") / F.col("k")
+    r1 = F.col("s1") - F.col("c1")
+    sse_r = (F.col("s2") - F.col("c2")).cast("double") - r1.cast("double") * r1 / (
+        F.col("n") - F.col("k")
+    )
+    split = j.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        "k",
+        "n",
+        "s1",
+        "c1",
+        ((sse_t - sse_l) - sse_r).alias("reduction"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.round(F.col("reduction"), 6).desc(), F.col("split_day")
+        )
+    )
+    after_mean_scaled = c1d * (F.col("n") - F.col("k")) / F.col("k")
+    return (
+        split.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "split_day",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(c1d / F.col("k"), 6).alias("mean_before"),
+            F.round(
+                (F.col("s1") - F.col("c1")).cast("double")
+                / (F.col("n") - F.col("k")),
+                6,
+            ).alias("mean_after"),
+            F.round("reduction", 6).alias("sse_reduction"),
+            F.when(r1 > after_mean_scaled, "up")
+            .when(r1 < after_mean_scaled, "down")
+            .otherwise("flat")
+            .alias("direction"),
+        )
+    )

@@ -1440,3 +1440,40 @@ def test_quant_recall_bounded_probe(spark):
     plan = _plan(QUERIES["emb_quantization_recall"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_rotate_pure_projection_no_extra_shuffle(spark):
+    """kg_rotate_score, like the other three decoders, adds only a
+    scan-projection expression chain on top of the triple pipeline —
+    no window, no added join, no cartesian (the complex 'rotation'
+    is hashing per dim, not a parameter-table lookup)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_rotate_score"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_changepoint_windows_partitioned_by_type(spark):
+    """ev_changepoint's prefix-moment windows and argmin rank run
+    PARTITIONED by event_type over the daily table — never a global
+    rangepartitioning sort; corpus-sized work is one daily count agg
+    (single events scan via the checkpointed shared stage)."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_changepoint"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # totals join the prefix scan
+
+
+def test_dp_histogram_single_agg_projection(spark):
+    """data_dp_histogram: one map-side-combined (lang, source) count
+    agg; the Laplace draw is a projection over the cell dictionary —
+    one documents scan, no join, no sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_dp_histogram"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
