@@ -735,7 +735,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # data_deletion_impact, ev_concentration, rel_supplier_part_counts,
 # text_ttr, dedup_bcubed_eval, dedup_savings_report,
 # emb_quantization_recall, kg_rotate_score, ev_changepoint,
-# data_dp_histogram) were
+# data_dp_histogram, data_dawid_skene, data_rater_quality,
+# dedup_edit_verify, emb_rrf_fusion) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

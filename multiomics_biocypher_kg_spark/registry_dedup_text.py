@@ -1701,3 +1701,244 @@ def emb_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / 5, 6
         ).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates + reciprocal-rank
+# fusion of heterogeneous retrievers
+# --------------------------------------------------------------------------
+
+_EDIT_PREFIX = 400  # chars; bounds the O(len^2) DP per pair
+
+
+@register(
+    "dedup_edit_verify",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES},
+    corpus AS ({DEDUP_CORPUS_SQL}),
+    pref AS (
+      SELECT doc_id AS id, substr(text, 1, {_EDIT_PREFIX}) AS pref
+      FROM corpus
+    ),
+    lev_verified AS (
+      SELECT c.id_a, c.id_b,
+        CAST(levenshtein(a.pref, b.pref) AS INTEGER) AS lev_distance,
+        greatest(length(a.pref), length(b.pref)) AS max_len
+      FROM cands c
+      JOIN pref a ON c.id_a = a.id
+      JOIN pref b ON c.id_b = b.id
+    )
+    SELECT id_a, id_b, lev_distance,
+      round(CASE WHEN max_len = 0 THEN 1.0
+            ELSE 1.0 - CAST(lev_distance AS DOUBLE) / max_len END, 6)
+        AS edit_sim,
+      (CASE WHEN max_len = 0 THEN 1.0
+       ELSE 1.0 - CAST(lev_distance AS DOUBLE) / max_len END) >= 0.8
+        AS is_dup
+    FROM lev_verified
+    """,
+)
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance verification of the MinHash-LSH
+    candidate pairs: normalized Levenshtein similarity
+    1 - lev/max(len) over the first {p} chars, is_dup at >= 0.8 —
+    the ORDER-SENSITIVE verifier beside the shingle-set Jaccard
+    (Jaccard is bag-of-shingles: it cannot tell a reordered
+    paraphrase from a near-identical prefix edit; edit distance
+    can), and the standard second opinion a dedup pipeline runs
+    before destructive collapse. The {p}-char prefix bound is the
+    scale contract: Levenshtein is O(len_a x len_b) DP per pair, so
+    the cost per candidate is capped at {p}^2 char-ops regardless of
+    document length (prefix-truncated edit similarity is itself the
+    common production choice — near-dups of web pages almost always
+    share their head).
+
+    Scale shape: candidates come from the banded signature equi-join
+    (never all-pairs; the same two-corpus-scan budget as
+    dedup_minhash_lsh), the prefix table is built by a semi-join to
+    candidate ids only, and the quadratic DP runs on candidate PAIRS
+    only — both checkpointed intermediates are candidate-sized.
+    Levenshtein is exact integer DP (unit costs) in both engines;
+    the only float is the final normalized similarity."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    raw = dd.shingles(corpus, distinct=False)
+    cands = dd.lsh_candidate_pairs(dd.minhash_signatures(raw)).localCheckpoint()
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+    )
+    pref = (
+        corpus.join(cand_ids, "doc_id", "leftsemi")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.substring("text", 1, _EDIT_PREFIX).alias("pref"),
+        )
+        .localCheckpoint()
+    )
+    verified = (
+        cands.join(
+            pref.select(F.col("id").alias("id_a"), F.col("pref").alias("pref_a")),
+            "id_a",
+        )
+        .join(
+            pref.select(F.col("id").alias("id_b"), F.col("pref").alias("pref_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pref_a", "pref_b").cast("int").alias("lev_distance"),
+            F.greatest(F.length("pref_a"), F.length("pref_b")).alias("max_len"),
+        )
+    )
+    sim = F.when(F.col("max_len") == 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("lev_distance").cast("double") / F.col("max_len")
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "lev_distance",
+        F.round(sim, 6).alias("edit_sim"),
+        (sim >= 0.8).alias("is_dup"),
+    )
+
+
+dedup_edit_verify.__doc__ = dedup_edit_verify.__doc__.format(p=_EDIT_PREFIX)
+
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_ARM_K = 20  # per-arm candidate depth
+_RRF_TOP = 10  # fused neighbors kept per query
+
+
+@register(
+    "emb_rrf_fusion",
+    oracle=f"""
+    WITH {_pair_cosine_sql('q.vec_id < 10')},
+    cos_ranked AS (
+      SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM cos
+    ),
+    cos_top AS (SELECT * FROM cos_ranked WHERE rank <= {_RRF_ARM_K}),
+    bits AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id,
+        CAST(coalesce(sum(CASE WHEN d < 32 AND x > 0
+          THEN (1::BIGINT << CAST(d AS INTEGER)) END), 0) AS BIGINT) AS w0,
+        CAST(coalesce(sum(CASE WHEN d >= 32 AND x > 0
+          THEN (1::BIGINT << CAST(d - 32 AS INTEGER)) END), 0) AS BIGINT) AS w1
+      FROM bits GROUP BY vec_id
+    ),
+    ham_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+      FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ham_ranked AS (
+      SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM ham_pairs
+    ),
+    ham_top AS (SELECT * FROM ham_ranked WHERE rank <= {_RRF_ARM_K}),
+    fused AS (
+      SELECT coalesce(c.query_id, h.query_id) AS query_id,
+        coalesce(c.neighbor_id, h.neighbor_id) AS neighbor_id,
+        CAST(coalesce(c.rank, -1) AS INTEGER) AS rank_cosine,
+        CAST(coalesce(h.rank, -1) AS INTEGER) AS rank_hamming,
+        (CASE WHEN c.rank IS NULL THEN 0.0
+              ELSE 1.0 / ({_RRF_K} + c.rank) END)
+        + (CASE WHEN h.rank IS NULL THEN 0.0
+                ELSE 1.0 / ({_RRF_K} + h.rank) END) AS rrf
+      FROM cos_top c
+      FULL OUTER JOIN ham_top h
+        ON c.query_id = h.query_id AND c.neighbor_id = h.neighbor_id
+    ),
+    final_ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY round(rrf, 6) DESC, neighbor_id ASC) AS INTEGER)
+        AS fused_rank
+      FROM fused
+    )
+    SELECT query_id, neighbor_id, rank_cosine, rank_hamming,
+      round(rrf, 6) AS rrf, fused_rank
+    FROM final_ranked WHERE fused_rank <= {_RRF_TOP}
+    """,
+)
+def emb_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    HETEROGENEOUS retrievers over the same queries: the exact float
+    cosine top-{a} and the binarized sign-code Hamming top-{a} —
+    rrf = sum over arms of 1/({k} + rank), top-{t} fused neighbors
+    per query. RRF is THE standard hybrid-retrieval combiner (score
+    scales never compare across arms — cosine in [-1,1] vs integer
+    Hamming — but ranks always do), and fusing the cheap binary
+    arm with the exact arm is the code-then-rerank stack's quality
+    probe: a neighbor high in BOTH lists is robust to quantization.
+    A neighbor missing from one arm's top-{a} contributes only its
+    other term (rank sentinel -1 in the output).
+
+    Ties in rrf are exact in real arithmetic (permuted rank pairs),
+    so the fused order ranks by the ROUNDED score with neighbor-id
+    tiebreak — the repo's adamic-adar-regime convention. Scale
+    shape: both arms are the bounded broadcast-query probe plan
+    (corpus scanned once per arm, queries broadcast, per-query
+    top-{a} via partitioned window over <= corpus rows); the fusion
+    itself joins two {a}-rows-per-query tables — dictionary-sized
+    at any corpus size."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import (
+        cosine_topk,
+        hamming_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select("vec_id")
+    cos = cosine_topk(emb, query_ids=q, k=_RRF_ARM_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_c")
+    )
+    ham = hamming_topk(emb, query_ids=q, k=_RRF_ARM_K, dim=64).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_h")
+    )
+    fused = cos.join(ham, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(F.col("rank_c"), F.lit(-1)).cast("int").alias("rank_cosine"),
+        F.coalesce(F.col("rank_h"), F.lit(-1)).cast("int").alias("rank_hamming"),
+        (
+            F.when(F.col("rank_c").isNull(), F.lit(0.0)).otherwise(
+                1.0 / (F.lit(_RRF_K) + F.col("rank_c"))
+            )
+            + F.when(F.col("rank_h").isNull(), F.lit(0.0)).otherwise(
+                1.0 / (F.lit(_RRF_K) + F.col("rank_h"))
+            )
+        ).alias("rrf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("rrf"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_cosine",
+            "rank_hamming",
+            F.round("rrf", 6).alias("rrf"),
+            "fused_rank",
+        )
+    )
+
+
+emb_rrf_fusion.__doc__ = emb_rrf_fusion.__doc__.format(
+    a=_RRF_ARM_K, k=_RRF_K, t=_RRF_TOP
+)

@@ -2803,3 +2803,470 @@ def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_ttr.__doc__ = text_ttr.__doc__.format(w=_TTR_WINDOW)
+
+
+
+# ---------------------------------------------------------------------------
+# Dawid-Skene label aggregation (one-step EM over unequal raters)
+# ---------------------------------------------------------------------------
+
+# Five simulated raters with DIFFERENT noise widths (rater 0 is the
+# careful annotator, rater 4 the sloppiest) — the fixture where
+# majority vote is beatable: an accuracy-weighted aggregator should
+# overrule a noisy majority when the careful raters dissent. Same
+# all-integer synthesis as data_fleiss_kappa (band of S + jitter*n),
+# distinct salts so the two fixtures stay independent. Widths picked
+# so the one-EM-step relabel beats majority vote against the
+# noise-free gold band by a pytest-assertable margin at both test
+# SFs (measured: 0.794 -> 0.862 at sf0.001, 0.786 -> 0.824 at
+# sf0.01).
+_DS_WIDTHS = [20, 60, 120, 160, 200]
+_DS_R = len(_DS_WIDTHS)
+_DS_CATS = ["high", "low", "mid"]
+
+
+def _ds_obs_sql(r: int) -> str:
+    return _band_sql(
+        f"({_S_SQL} + {_noise_sql(f'ds{r}', _DS_WIDTHS[r])} * {_N_SQL})",
+        _N_SQL,
+    )
+
+
+def _ds_mv_case(col: str = "obs") -> str:
+    """Majority vote with lexicographic-asc category tiebreak
+    ('high' < 'low' < 'mid'), over the c_high/c_low/c_mid counts."""
+    return (
+        "CASE WHEN c_high >= c_low AND c_high >= c_mid THEN 'high' "
+        "WHEN c_low >= c_mid THEN 'low' ELSE 'mid' END"
+    )
+
+
+def _ds_ctes() -> str:
+    """Shared CTE chain: per-doc observed labels -> majority-vote
+    init -> per-rater confusion counts vs the init labels -> add-1-
+    smoothed confusion probabilities and class priors (the M-step)
+    -> wide lookup tables for the E-step re-scoring."""
+    obs_cols = ",\n        ".join(
+        f"{_ds_obs_sql(r)} AS obs{r}" for r in range(_DS_R)
+    )
+    cnts = ",\n          ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN obs{r} = '{c}' THEN 1 ELSE 0 END"
+            for r in range(_DS_R)
+        )
+        + f") AS c_{c}"
+        for c in _DS_CATS
+    )
+    long_union = "\n      UNION ALL ".join(
+        f"SELECT mv_label, {r} AS rater, obs{r} AS obs FROM mv"
+        for r in range(_DS_R)
+    )
+    gw_cols = ",\n        ".join(
+        f"max(CASE WHEN true_cat = '{c}' THEN p END) AS g_{c}"
+        for c in _DS_CATS
+    )
+    pw_cols = ",\n        ".join(
+        f"max(CASE WHEN true_cat = '{c}' THEN pi END) AS pi_{c}"
+        for c in _DS_CATS
+    )
+    return f"""
+    obs AS (
+      SELECT doc_id,
+        {obs_cols}
+      FROM documents
+    ),
+    mv AS (
+      SELECT *, {_ds_mv_case()} AS mv_label
+      FROM (
+        SELECT *,
+          {cnts}
+        FROM obs
+      )
+    ),
+    long AS (
+      {long_union}
+    ),
+    conf AS (
+      SELECT rater, mv_label AS true_cat, obs, count(*) AS n
+      FROM long GROUP BY 1, 2, 3
+    ),
+    cats AS (SELECT unnest(['high', 'low', 'mid']) AS cat),
+    n_true AS (
+      SELECT c.cat AS true_cat, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_t
+      FROM cats c LEFT JOIN (SELECT * FROM conf WHERE rater = 0) f
+        ON f.true_cat = c.cat
+      GROUP BY c.cat
+    ),
+    ntot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_docs FROM n_true),
+    grid AS (
+      SELECT r.rater, t.true_cat, o.cat AS obs,
+        CAST(coalesce(f.n, 0) AS BIGINT) AS n, nt.n_t,
+        (CAST(coalesce(f.n, 0) AS DOUBLE) + 1)
+          / (CAST(nt.n_t AS DOUBLE) + 3) AS p
+      FROM (SELECT unnest(generate_series(0, {_DS_R - 1})) AS rater) r
+      CROSS JOIN (SELECT cat AS true_cat FROM cats) t
+      CROSS JOIN cats o
+      JOIN n_true nt ON nt.true_cat = t.true_cat
+      LEFT JOIN conf f ON f.rater = r.rater AND f.true_cat = t.true_cat
+        AND f.obs = o.cat
+    ),
+    priors AS (
+      SELECT true_cat,
+        (CAST(n_t AS DOUBLE) + 1) / (CAST(n_docs AS DOUBLE) + 3) AS pi
+      FROM n_true CROSS JOIN ntot
+    ),
+    gw AS (
+      SELECT rater, obs,
+        {gw_cols}
+      FROM grid GROUP BY rater, obs
+    ),
+    pw AS (
+      SELECT {pw_cols}
+      FROM priors
+    )"""
+
+
+def _ds_score_sql(c: str) -> str:
+    """Left-assoc product pi_c * prod_r g{r}_c — the pinned IEEE
+    multiply order both engines mirror."""
+    expr = f"pw.pi_{c}"
+    for r in range(_DS_R):
+        expr = f"({expr} * g{r}.g_{c})"
+    return expr
+
+
+_DS_SCORED_SQL = f"""
+    scored AS (
+      SELECT m.doc_id, m.mv_label,
+        {_ds_score_sql('high')} AS s_high,
+        {_ds_score_sql('low')} AS s_low,
+        {_ds_score_sql('mid')} AS s_mid
+      FROM mv m
+      CROSS JOIN pw
+      {' '.join(f'JOIN gw g{r} ON g{r}.rater = {r} AND g{r}.obs = m.obs{r}' for r in range(_DS_R))}
+    )
+"""
+
+
+@register(
+    "data_dawid_skene",
+    oracle=f"""
+    WITH {_ds_ctes()},
+    {_DS_SCORED_SQL},
+    labeled AS (
+      SELECT *, CASE
+        WHEN s_high >= s_low AND s_high >= s_mid THEN 'high'
+        WHEN s_low >= s_mid THEN 'low' ELSE 'mid' END AS ds_label
+      FROM scored
+    )
+    SELECT doc_id, mv_label, ds_label, ds_label <> mv_label AS changed,
+      round(CASE WHEN ds_label = 'high' THEN s_high
+                 WHEN ds_label = 'low' THEN s_low ELSE s_mid END
+            / ((s_high + s_low) + s_mid), 6) AS ds_posterior
+    FROM labeled
+    """,
+)
+def data_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene label aggregation (Dawid & Skene 1979; the
+    crowd/weak-supervision standard), one hard-EM step from the
+    majority-vote init: estimate each rater's 3x3 confusion matrix
+    and the class priors against the init labels (add-1 smoothed),
+    then re-label every item by the maximum-likelihood class under
+    the naive-Bayes rater model — pi_c * prod_r P(obs_r | true=c).
+    This is what majority vote cannot do: the five simulated raters
+    have noise widths {w}, so a careful-rater dissent can overrule
+    a sloppy majority once the confusion matrices are learned
+    (measured on the fixture: accuracy vs the noise-free gold band
+    rises 0.794 -> 0.862 at sf0.001, 0.786 -> 0.824 at sf0.01;
+    pytest-asserted). The LLM-data use: aggregating noisy quality
+    judgments (human or LLM-judge) into training labels with
+    per-judge reliability — the step between text_quality_confusion
+    (one judge vs gold) and shipping labels nobody hand-checked.
+
+    Scale shape: the M-step is ONE map-side-combined count over the
+    {r}-per-doc rating stream — 45 groups at any corpus size; priors
+    fall out of the rater-0 marginal (no extra corpus pass). The
+    E-step joins the corpus against the per-rater 9-row lookups
+    (broadcast) plus the 1-row prior (broadcast nested loop, the
+    NB-langid dim convention) — 2 corpus scans total, no corpus
+    shuffle beyond the count agg. All likelihoods are products of
+    smoothed count ratios in a pinned left-assoc multiply order:
+    IEEE-exact doubles, bit-identical cross-engine, round(6) only
+    at the posterior output."""
+    mv = _ds_mv_frame(spark, sf_dir)
+    gw, pw = _ds_model_frames(spark, mv)
+
+    scored = mv.crossJoin(F.broadcast(pw))
+    for r in range(_DS_R):
+        scored = scored.join(
+            F.broadcast(
+                gw.where(F.col("rater") == r).select(
+                    F.col("obs").alias(f"obs{r}"),
+                    *[F.col(f"g_{c}").alias(f"g{r}_{c}") for c in _DS_CATS],
+                )
+            ),
+            f"obs{r}",
+        )
+
+    def _score(c: str):
+        expr = F.col(f"pi_{c}")
+        for r in range(_DS_R):
+            expr = expr * F.col(f"g{r}_{c}")
+        return expr
+
+    s_high, s_low, s_mid = _score("high"), _score("low"), _score("mid")
+    ds_label = (
+        F.when((s_high >= s_low) & (s_high >= s_mid), "high")
+        .when(s_low >= s_mid, "low")
+        .otherwise("mid")
+    )
+    labeled = scored.select(
+        "doc_id",
+        "mv_label",
+        ds_label.alias("ds_label"),
+        s_high.alias("s_high"),
+        s_low.alias("s_low"),
+        s_mid.alias("s_mid"),
+    )
+    best = (
+        F.when(F.col("ds_label") == "high", F.col("s_high"))
+        .when(F.col("ds_label") == "low", F.col("s_low"))
+        .otherwise(F.col("s_mid"))
+    )
+    return labeled.select(
+        "doc_id",
+        "mv_label",
+        "ds_label",
+        (F.col("ds_label") != F.col("mv_label")).alias("changed"),
+        F.round(
+            best / ((F.col("s_high") + F.col("s_low")) + F.col("s_mid")), 6
+        ).alias("ds_posterior"),
+    )
+
+
+data_dawid_skene.__doc__ = data_dawid_skene.__doc__.format(
+    w=_DS_WIDTHS, r=_DS_R
+)
+
+
+def _ds_mv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc observed rater labels + majority-vote init label —
+    pure scan projection (Spark twin of the obs/mv CTEs)."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s = _ts.quality_logit_milli(F.col("text"))
+    obs_cols = [
+        _band_col(s + _noise_col(f"ds{r}", w) * n, n).alias(f"obs{r}")
+        for r, w in enumerate(_DS_WIDTHS)
+    ]
+    obs = docs.select("doc_id", *obs_cols)
+
+    def _cnt(cat: str):
+        return sum((F.col(f"obs{r}") == cat).cast("int") for r in range(_DS_R))
+
+    return obs.withColumn(
+        "mv_label",
+        F.when(
+            (_cnt("high") >= _cnt("low")) & (_cnt("high") >= _cnt("mid")),
+            "high",
+        )
+        .when(_cnt("low") >= _cnt("mid"), "low")
+        .otherwise("mid"),
+    )
+
+
+def _ds_model_frames(spark: SparkSession, mv: DataFrame):
+    """M-step twins of the conf/n_true/grid/gw/pw CTEs: (gw, pw) —
+    the 45-cell smoothed confusion lookup (wide per rater x obs) and
+    the 1-row smoothed priors."""
+    long = mv.select(
+        "mv_label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rater"), F.col(f"obs{r}").alias("obs")
+                    )
+                    for r in range(_DS_R)
+                ]
+            )
+        ).alias("ro"),
+    ).select(
+        "mv_label", F.col("ro.rater").alias("rater"), F.col("ro.obs").alias("obs")
+    )
+    conf = (
+        long.groupBy("rater", F.col("mv_label").alias("true_cat"), "obs")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # <= 45 rows; checkpointed so the three dictionary consumers
+        # (n_true, grid, acc/gw) don't each re-inline the corpus scan
+        .localCheckpoint()
+    )
+
+    cat_arr = F.array(*[F.lit(c) for c in _DS_CATS])
+    cats = spark.range(1).select(F.explode(cat_arr).alias("cat"))
+    n_true = (
+        cats.join(
+            F.broadcast(conf.where(F.col("rater") == 0)).select(
+                F.col("true_cat").alias("cat"), "n"
+            ),
+            "cat",
+            "left",
+        )
+        .groupBy(F.col("cat").alias("true_cat"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_t"))
+    )
+    ntot = n_true.agg(F.sum("n_t").cast("long").alias("n_docs"))
+    raters = spark.range(_DS_R).select(F.col("id").cast("int").alias("rater"))
+    grid = _ds_grid_frame(raters, cats, n_true, conf)
+    gw = grid.groupBy("rater", "obs").agg(
+        *[
+            F.max(F.when(F.col("true_cat") == c, F.col("p"))).alias(f"g_{c}")
+            for c in _DS_CATS
+        ]
+    )
+    pw = (
+        n_true.crossJoin(ntot)
+        .select(
+            "true_cat",
+            (
+                (F.col("n_t").cast("double") + 1)
+                / (F.col("n_docs").cast("double") + 3)
+            ).alias("pi"),
+        )
+        .agg(
+            *[
+                F.max(F.when(F.col("true_cat") == c, F.col("pi"))).alias(
+                    f"pi_{c}"
+                )
+                for c in _DS_CATS
+            ]
+        )
+    )
+    return gw, pw
+
+
+def _ds_grid_frame(
+    raters: DataFrame, cats: DataFrame, n_true: DataFrame, conf: DataFrame
+) -> DataFrame:
+    """The full rater x true x obs grid with add-1-smoothed
+    P(obs | true) — missing cells materialized with n=0 so smoothing
+    covers never-observed combinations."""
+    return (
+        raters.crossJoin(n_true)
+        .crossJoin(cats.select(F.col("cat").alias("obs")))
+        .join(F.broadcast(conf), ["rater", "true_cat", "obs"], "left")
+        .select(
+            "rater",
+            "true_cat",
+            "obs",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "n_t",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)).cast("double") + 1)
+                / (F.col("n_t").cast("double") + 3)
+            ).alias("p"),
+        )
+    )
+
+
+@register(
+    "data_rater_quality",
+    oracle=f"""
+    WITH {_ds_ctes()},
+    acc AS (
+      SELECT rater,
+        CAST(sum(CASE WHEN true_cat = obs THEN n ELSE 0 END) AS DOUBLE)
+          / (SELECT n_docs FROM ntot) AS rater_accuracy
+      FROM grid GROUP BY rater
+    )
+    SELECT g.rater, g.true_cat AS true_label, g.obs AS obs_label,
+      g.n AS n, round(g.p, 6) AS p_obs_given_true,
+      round(a.rater_accuracy, 6) AS rater_accuracy
+    FROM grid g JOIN acc a ON g.rater = a.rater
+    """,
+)
+def data_rater_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The annotator-audit companion to data_dawid_skene: each
+    rater's estimated 3x3 confusion matrix (add-1-smoothed
+    P(obs | true), counts vs the majority-vote reference labels) and
+    diagonal agreement rate — the per-judge reliability report a
+    labeling pipeline reviews before weighting or dropping an
+    annotator. On the fixture the widths {w} separate the careful
+    raters from the sloppy tail (est. accuracy of rater r exceeds
+    rater r+2 at both test SFs, pytest-asserted; ADJACENT raters can
+    swap — the estimate is vs the MV reference, not vs gold, which
+    is exactly the caveat a real audit carries).
+
+    Scale shape: identical to the DS M-step — one map-side-combined
+    45-group count over the rating stream, then pure dictionary
+    arithmetic; the output is 45 rows at any corpus size."""
+    mv = _ds_mv_frame(spark, sf_dir)
+    long = mv.select(
+        "mv_label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rater"), F.col(f"obs{r}").alias("obs")
+                    )
+                    for r in range(_DS_R)
+                ]
+            )
+        ).alias("ro"),
+    ).select(
+        "mv_label", F.col("ro.rater").alias("rater"), F.col("ro.obs").alias("obs")
+    )
+    conf = (
+        long.groupBy("rater", F.col("mv_label").alias("true_cat"), "obs")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # <= 45 rows; checkpointed so the three dictionary consumers
+        # (n_true, grid, acc/gw) don't each re-inline the corpus scan
+        .localCheckpoint()
+    )
+    cat_arr = F.array(*[F.lit(c) for c in _DS_CATS])
+    cats = spark.range(1).select(F.explode(cat_arr).alias("cat"))
+    n_true = (
+        cats.join(
+            F.broadcast(conf.where(F.col("rater") == 0)).select(
+                F.col("true_cat").alias("cat"), "n"
+            ),
+            "cat",
+            "left",
+        )
+        .groupBy(F.col("cat").alias("true_cat"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_t"))
+    )
+    ntot = n_true.agg(F.sum("n_t").cast("long").alias("n_docs"))
+    raters = spark.range(_DS_R).select(F.col("id").cast("int").alias("rater"))
+    grid = _ds_grid_frame(raters, cats, n_true, conf)
+    acc = (
+        grid.groupBy("rater")
+        .agg(
+            F.sum(
+                F.when(F.col("true_cat") == F.col("obs"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("double")
+            .alias("diag")
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "rater",
+            (F.col("diag") / F.col("n_docs").cast("double")).alias(
+                "rater_accuracy"
+            ),
+        )
+    )
+    return grid.join(F.broadcast(acc), "rater").select(
+        "rater",
+        F.col("true_cat").alias("true_label"),
+        F.col("obs").alias("obs_label"),
+        "n",
+        F.round("p", 6).alias("p_obs_given_true"),
+        F.round("rater_accuracy", 6).alias("rater_accuracy"),
+    )
+
+
+data_rater_quality.__doc__ = data_rater_quality.__doc__.format(w=_DS_WIDTHS)

@@ -1477,3 +1477,57 @@ def test_dp_histogram_single_agg_projection(spark):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_dawid_skene_two_scans_no_corpus_shuffle(spark):
+    """data_dawid_skene: the M-step count agg is checkpointed (the
+    45-row confusion table shows as ExistingRDD), so the final plan
+    scans the corpus exactly ONCE (the E-step relabel); the E-step
+    joins are all broadcast (the 1-row prior rides a broadcast
+    nested loop, the NB-langid dim convention) — no SortMergeJoin,
+    no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_dawid_skene"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 1
+    assert "ExistingRDD" in plan  # the checkpointed M-step tables
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_rater_quality_single_corpus_scan(spark):
+    """data_rater_quality: the corpus is touched only by the
+    checkpointed 45-group count agg (ExistingRDD in the final plan);
+    everything downstream is dictionary arithmetic — zero corpus
+    scans remain."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_rater_quality"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_verify_candidates_first_no_cartesian(spark):
+    """dedup_edit_verify: the quadratic DP runs on LSH candidate
+    pairs only — candidate and prefix stages are checkpointed
+    (ExistingRDD), no CartesianProduct, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["dedup_edit_verify"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_rrf_fusion_bounded_probe_no_cartesian(spark):
+    """emb_rrf_fusion: both arms are the bounded broadcast-query
+    probe plan; the fusion join is over <= 20-rows-per-query tables.
+    No CartesianProduct, no global rangepartitioning sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_rrf_fusion"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
