@@ -791,3 +791,99 @@ def pagerank_trace(
     for t in traces[1:]:
         out = out.union(t)
     return out
+
+
+def boruvka_mst(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Minimum spanning forest via Boruvka's algorithm —
+    ``edges(a, b, key)`` undirected (one row per unordered pair)
+    with ``key`` a TOTALLY-ORDERED edge key unique per edge (ties in
+    raw weight must be broken inside the key, e.g.
+    ``'<w>|<a>|<b>'``); returns the forest's edge rows (a, b, key).
+
+    Uniqueness of the key makes the MSF unique, which is what lets a
+    DuckDB oracle verify the output through the cut property (an
+    edge is in the MSF iff it is the minimax-bottleneck edge between
+    its endpoints — see web_mst_backbone's closure oracle) without
+    replaying the algorithm.
+
+    The distributed shape (each round):
+      1. re-key both endpoints to current component labels (two
+         keyed joins against the label table),
+      2. per component, pick the minimum out-edge — a window
+         PARTITIONED by component (never a global sort),
+      3. contract: connected components over the selected
+         component-graph edges (pointer-jump CC — the shared
+         canonicalize operator), relabel.
+    Components at least halve per round, so ceil(log2(V)) rounds
+    suffice; every loop invariant is localCheckpoint()ed (the
+    O(2^round) lineage-blowup discipline of the iterative family).
+    The early-exit probe is one limit(1) count on the (tiny)
+    selected-edge table.
+    """
+    from pyspark.sql import Window
+
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    e = edges.select("a", "b", "key").localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select("b"))
+        .distinct()
+    )
+    labels = nodes.select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint()
+    forest = e.where(F.lit(False)).localCheckpoint()  # empty, same schema
+    for _ in range(rounds):
+        ce = (
+            e.join(
+                labels.select(F.col("node").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .where(F.col("ca") != F.col("cb"))
+        )
+        inc = ce.select(
+            F.col("ca").alias("comp"), "key", "a", "b", F.col("cb").alias("other")
+        ).unionByName(
+            ce.select(
+                F.col("cb").alias("comp"), "key", "a", "b", F.col("ca").alias("other")
+            )
+        )
+        sel = (
+            inc.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("comp").orderBy("key")),
+            )
+            .where(F.col("rn") == 1)
+            .localCheckpoint()
+        )
+        if sel.limit(1).count() == 0:
+            break
+        forest = (
+            forest.unionByName(sel.select("a", "b", "key").distinct())
+            .distinct()
+            .localCheckpoint()
+        )
+        mapping = connected_components(
+            sel.select(F.col("comp").alias("src"), F.col("other").alias("dst")),
+            src="src",
+            dst="dst",
+        )
+        labels = (
+            labels.join(
+                mapping.select(
+                    F.col("node").alias("comp"), F.col("component").alias("newc")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("newc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+    return forest

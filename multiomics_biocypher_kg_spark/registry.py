@@ -736,7 +736,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # text_ttr, dedup_bcubed_eval, dedup_savings_report,
 # emb_quantization_recall, kg_rotate_score, ev_changepoint,
 # data_dp_histogram, data_dawid_skene, data_rater_quality,
-# dedup_edit_verify, emb_rrf_fusion) were
+# dedup_edit_verify, emb_rrf_fusion, web_mst_backbone,
+# text_ks_lengths, ev_ab_test) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -2448,3 +2448,250 @@ def data_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n") + noise, 6).alias("dp_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning backbone of the weighted host graph (Boruvka)
+# ---------------------------------------------------------------------------
+
+_MST_ROUNDS = 8  # ceil(log2(51 hosts)) = 6, +2 slack
+_MST_SQ = 6  # closure squarings: paths up to 2^6 = 64 > 50 edges
+
+
+def _mst_oracle() -> str:
+    """Cut-property oracle: an edge is in the (unique, under the
+    total key order) minimum spanning forest iff its key equals the
+    minimax-bottleneck distance between its endpoints — computed by
+    min-max semiring closure (squaring, the onto_closure discipline)
+    over the string edge keys. The oracle thus verifies Boruvka's
+    OUTPUT through an independent characterization instead of
+    replaying the algorithm."""
+    parts = [
+        f"hg AS (SELECT src_host, dst_host, n_links FROM ({_HOST_GRAPH_SQL}))",
+        """und AS (
+      SELECT least(src_host, dst_host) AS a,
+        greatest(src_host, dst_host) AS b,
+        greatest(1, 6 - least(5, CAST(sum(n_links) AS INTEGER))) AS w
+      FROM hg WHERE src_host <> dst_host GROUP BY 1, 2
+    )""",
+        """keyed AS (
+      SELECT a, b, w, CAST(w AS VARCHAR) || '|' || a || '|' || b AS k
+      FROM und
+    )""",
+        """d0 AS (
+      SELECT a AS u, b AS v, k FROM keyed
+      UNION ALL SELECT b, a, k FROM keyed
+      UNION ALL SELECT node, node, '' FROM
+        (SELECT a AS node FROM keyed UNION SELECT b FROM keyed)
+    )""",
+    ]
+    for i in range(_MST_SQ):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+      SELECT x.u, y.v, min(greatest(x.k, y.k)) AS k
+      FROM d{i} x JOIN d{i} y ON x.v = y.u
+      GROUP BY x.u, y.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT k.a AS host_a, k.b AS host_b, CAST(k.w AS INTEGER) AS w
+    FROM keyed k
+    JOIN d{_MST_SQ} d ON d.u = k.a AND d.v = k.b AND d.k = k.k"""
+    )
+
+
+@register("web_mst_backbone", oracle=_mst_oracle())
+def web_mst_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning backbone of the weighted host link graph via
+    distributed Boruvka — the cheapest edge set keeping every
+    connected host reachable, under the same traversal cost as
+    web_weighted_sssp (cost 1..5 falls with link multiplicity, so
+    the backbone prefers strongly-linked host pairs). The operations
+    use: the minimal crawl/replication backbone, and the skeleton
+    single-linkage clustering of the host graph (cutting the k-1
+    heaviest MSF edges yields the k single-linkage clusters).
+
+    Ties are impossible by construction: the edge key
+    '<w>|<a>|<b>' is a strict total order, making the forest UNIQUE
+    — which is what lets the oracle verify through the CUT PROPERTY
+    (edge in MSF <=> its key equals the min-max bottleneck distance
+    between its endpoints, computed by minimax closure squaring —
+    the onto_closure discipline) rather than replaying Boruvka.
+    Algorithm and oracle share no structure; agreement IS the
+    theorem.
+
+    Scale shape (operators/linkgraph.boruvka_mst): per round, two
+    keyed label joins + a min-out-edge window PARTITIONED by
+    component + pointer-jump CC contraction; ceil(log2(V)) rounds,
+    every invariant checkpointed. The corpus is touched once (the
+    host-graph agg); everything after runs on the host dictionary.
+    All-integer weights, string keys — nothing floats."""
+    from multiomics_biocypher_kg_spark.operators.linkgraph import boruvka_mst
+
+    hg = host_graph(href_edges(pages_from_documents(spark, sf_dir)))
+    und = (
+        hg.where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+            "n_links",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n_links").alias("n"))
+        .select(
+            "a",
+            "b",
+            F.greatest(
+                F.lit(1), F.lit(6) - F.least(F.lit(5), F.col("n").cast("int"))
+            ).alias("w"),
+        )
+    )
+    keyed = und.select(
+        "a",
+        "b",
+        "w",
+        F.concat(
+            F.col("w").cast("string"), F.lit("|"), F.col("a"), F.lit("|"), F.col("b")
+        ).alias("key"),
+    ).localCheckpoint()
+    mst = boruvka_mst(keyed.select("a", "b", "key"), rounds=_MST_ROUNDS)
+    return mst.join(F.broadcast(keyed), ["a", "b", "key"]).select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        F.col("w").cast("int").alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test over document lengths
+# ---------------------------------------------------------------------------
+
+_KS_COEF = 1.358  # alpha = 0.05 two-sample coefficient
+_KS_LANG = "en"
+
+
+@register(
+    "text_ks_lengths",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len(string_split(text, ' ')) AS n, (lang = '{_KS_LANG}') AS in_a
+      FROM documents
+    ),
+    counts AS (
+      SELECT n,
+        sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+        sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+      FROM lens GROUP BY n
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM counts
+    ),
+    cum AS (
+      SELECT n,
+        sum(ca) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS cum_a,
+        sum(cb) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS cum_b
+      FROM counts
+    ),
+    diffs AS (
+      SELECT n,
+        abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb) AS d
+      FROM cum CROSS JOIN tot
+    ),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY round(d, 6) DESC, n ASC) AS rk
+      FROM diffs
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+      round(b.d, 6) AS ks_stat,
+      CAST(b.n AS INTEGER) AS ks_at_value,
+      round({_KS_COEF} * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)), 6)
+        AS critical_005,
+      b.d > {_KS_COEF} * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb))
+        AS reject
+    FROM best b CROSS JOIN tot t WHERE b.rk = 1
+    """,
+)
+def text_ks_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: is the token-length
+    distribution of '{lang}' documents drawn from the same
+    distribution as the rest of the corpus? D = max over values of
+    |ECDF_A - ECDF_B|, rejected at alpha=0.05 when D exceeds
+    {coef} * sqrt((n_a+n_b)/(n_a*n_b)) — the distribution-free test
+    a curation pipeline runs before pooling sources/languages into
+    one length-bucketed sampler (mean/variance checks miss shape
+    differences; KS is sensitive to the whole CDF). Complements the
+    parametric monitors (CUSUM on means, MAD on outliers) with an
+    exact nonparametric two-sample answer.
+
+    Scale shape: corpus-sized work is ONE map-side-combined count
+    agg keyed by token-length value; the ECDF cumulative windows run
+    over the VALUE DICTIONARY (distinct lengths — bounded by the
+    max document length, thousands of rows at any corpus size, the
+    ev_changepoint daily-table defense), and the argmax is
+    rank-by-ROUNDED-D with smallest-value tiebreak. ECDF ratios are
+    exact integer cumulative counts over fixed denominators — the
+    only floats are two divisions and one sqrt (IEEE-exact in both
+    engines)."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        F.size(F.split("text", " ")).alias("n"),
+        (F.col("lang") == _KS_LANG).alias("in_a"),
+    )
+    counts = (
+        lens.groupBy("n")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+        )
+        # value-dictionary-sized; checkpointed so totals + ECDF
+        # windows don't each re-inline the corpus scan
+        .localCheckpoint()
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "n",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        ).alias("d"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.round(F.col("d"), 6).desc(), F.col("n").asc())
+    )
+    crit = F.lit(_KS_COEF) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb"))
+    )
+    return (
+        diffs.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round("d", 6).alias("ks_stat"),
+            F.col("n").cast("int").alias("ks_at_value"),
+            F.round(crit, 6).alias("critical_005"),
+            (F.col("d") > crit).alias("reject"),
+        )
+    )
+
+
+text_ks_lengths.__doc__ = text_ks_lengths.__doc__.format(
+    lang=_KS_LANG, coef=_KS_COEF
+)

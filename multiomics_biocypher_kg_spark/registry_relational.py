@@ -3507,3 +3507,133 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test with Wilson intervals (A/A calibration)
+# ---------------------------------------------------------------------------
+
+from multiomics_biocypher_kg_spark.functions.hashing import (  # noqa: E402
+    md5_long,
+    md5_long_sql,
+)
+
+_AB_SALT = "#ab0"
+_AB_Z = 1.96  # two-sided alpha = 0.05
+
+
+@register(
+    "ev_ab_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT ({md5_long_sql("CAST(event_id AS VARCHAR) || '" + _AB_SALT + "'")}
+              % 2 = 0) AS in_a,
+        (event_type = 'purchase') AS converted
+      FROM events
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN in_a AND converted THEN 1 ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN NOT in_a AND converted THEN 1 ELSE 0 END)
+          AS BIGINT) AS conv_b
+      FROM assigned
+    ),
+    rates AS (
+      SELECT *,
+        CAST(conv_a AS DOUBLE) / n_a AS p_a,
+        CAST(conv_b AS DOUBLE) / n_b AS p_b,
+        CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+      FROM agg
+    )
+    SELECT n_a, conv_a, round(p_a, 6) AS rate_a,
+      round((p_a + {_AB_Z} * {_AB_Z} / (2 * n_a)
+             - {_AB_Z} * sqrt(p_a * (1 - p_a) / n_a
+               + {_AB_Z} * {_AB_Z} / (4.0 * n_a * n_a)))
+            / (1 + {_AB_Z} * {_AB_Z} / n_a), 6) AS wilson_lo_a,
+      round((p_a + {_AB_Z} * {_AB_Z} / (2 * n_a)
+             + {_AB_Z} * sqrt(p_a * (1 - p_a) / n_a
+               + {_AB_Z} * {_AB_Z} / (4.0 * n_a * n_a)))
+            / (1 + {_AB_Z} * {_AB_Z} / n_a), 6) AS wilson_hi_a,
+      n_b, conv_b, round(p_b, 6) AS rate_b,
+      round((p_b + {_AB_Z} * {_AB_Z} / (2 * n_b)
+             - {_AB_Z} * sqrt(p_b * (1 - p_b) / n_b
+               + {_AB_Z} * {_AB_Z} / (4.0 * n_b * n_b)))
+            / (1 + {_AB_Z} * {_AB_Z} / n_b), 6) AS wilson_lo_b,
+      round((p_b + {_AB_Z} * {_AB_Z} / (2 * n_b)
+             + {_AB_Z} * sqrt(p_b * (1 - p_b) / n_b
+               + {_AB_Z} * {_AB_Z} / (4.0 * n_b * n_b)))
+            / (1 + {_AB_Z} * {_AB_Z} / n_b), 6) AS wilson_hi_b,
+      round((p_a - p_b) / sqrt(p_pool * (1 - p_pool)
+            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+      abs((p_a - p_b) / sqrt(p_pool * (1 - p_pool)
+            * (1.0 / n_a + 1.0 / n_b))) > {_AB_Z} AS significant
+    FROM rates
+    """,
+)
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test with per-arm Wilson 95% intervals over
+    a deterministic hash split of the event stream — run here as the
+    A/A CALIBRATION every experimentation platform ships before
+    trusting its A/B readouts: arms are assigned by salted hash of
+    the event id (the same replayable-randomness convention as
+    data_split_assign), conversion = the 'purchase' event type, and
+    because assignment is independent of behavior the test must NOT
+    reject (z near 0; pytest-asserted) — a rejection here means the
+    harness, not the treatment, is broken. The Wilson interval
+    (score interval) is used instead of the Wald normal
+    approximation because it stays inside [0,1] and behaves at
+    small/skewed counts — it is the interval real platforms report.
+
+    Scale shape: ONE map-side-combined aggregation over the event
+    scan (four conditional counts); every statistic after that is a
+    1-row projection — z, pooled rate, both Wilson bounds — in a
+    pinned expression order (divisions and one sqrt; IEEE-exact in
+    both engines, round(6) at output)."""
+    ev = _read(spark, sf_dir, "events")
+    in_a = (
+        md5_long(F.concat(F.col("event_id").cast("string"), F.lit(_AB_SALT))) % 2
+        == 0
+    )
+    converted = F.col("event_type") == "purchase"
+    agg = ev.select(in_a.alias("in_a"), converted.alias("converted")).agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a") & F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("in_a") & F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    z = F.lit(_AB_Z)
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+
+    def _wilson(p, n, sign: int):
+        center = p + z * z / (2 * n)
+        margin = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        return (center + sign * margin) / (1 + z * z / n)
+
+    zstat = (p_a - p_b) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(_wilson(p_a, F.col("n_a"), -1), 6).alias("wilson_lo_a"),
+        F.round(_wilson(p_a, F.col("n_a"), 1), 6).alias("wilson_hi_a"),
+        "n_b",
+        "conv_b",
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(_wilson(p_b, F.col("n_b"), -1), 6).alias("wilson_lo_b"),
+        F.round(_wilson(p_b, F.col("n_b"), 1), 6).alias("wilson_hi_b"),
+        F.round(zstat, 6).alias("z_score"),
+        (F.abs(zstat) > z).alias("significant"),
+    )

@@ -1531,3 +1531,41 @@ def test_rrf_fusion_bounded_probe_no_cartesian(spark):
     plan = _plan(QUERIES["emb_rrf_fusion"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_mst_component_windows_no_cartesian(spark):
+    """web_mst_backbone: Boruvka's min-out-edge selection windows
+    are PARTITIONED by component, the label/contract joins are
+    keyed; checkpointed invariants show as ExistingRDD. No
+    CartesianProduct, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_mst_backbone"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ks_single_scan_value_dictionary_windows(spark):
+    """text_ks_lengths: the corpus is touched only by the
+    checkpointed per-length count agg (ExistingRDD in the final
+    plan); the ECDF windows run over the length-value dictionary —
+    the 1-row totals ride a broadcast nested loop (allowed dim
+    convention), never a corpus-sized cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_ks_lengths"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 0  # checkpointed count agg
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_test_single_agg_no_join(spark):
+    """ev_ab_test: one map-side-combined conditional-count agg over
+    the event scan; all statistics are a 1-row projection."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_ab_test"](spark, SF_TINY))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
