@@ -3637,3 +3637,161 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zstat, 6).alias("z_score"),
         (F.abs(zstat) > z).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (power iteration, order-pinned folds)
+# ---------------------------------------------------------------------------
+
+_MSTAT_ITERS = 8
+
+_MSTAT_TRANS_SQL = """
+    seq AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, sum(n) AS t FROM trans GROUP BY prev_type),
+    pmat AS (
+      SELECT tr.prev_type, tr.next_type,
+        CAST(tr.n AS DOUBLE) / tot.t AS p
+      FROM trans tr JOIN tot ON tr.prev_type = tot.prev_type
+    ),
+    states AS (SELECT DISTINCT prev_type AS s FROM trans),
+    nstates AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+    pi0 AS (SELECT s, 1.0 / (SELECT k FROM nstates) AS p FROM states)
+"""
+
+
+def _mstat_sql() -> str:
+    parts = [_MSTAT_TRANS_SQL.strip()]
+    for i in range(_MSTAT_ITERS):
+        parts.append(
+            f"""pi{i + 1} AS MATERIALIZED (
+      SELECT t.next_type AS s,
+        list_reduce(list(CAST(p.p * t.p AS DOUBLE) ORDER BY t.prev_type),
+                    (x, y) -> x + y) AS p
+      FROM pi{i} p JOIN pmat t ON t.prev_type = p.s
+      GROUP BY t.next_type
+    )"""
+        )
+    return (
+        "WITH "
+        + (",\n    ".join(parts)).replace("pi0 AS (", "pi0 AS MATERIALIZED (", 1)
+        + f""",
+    emp AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    emp_tot AS (SELECT sum(n) AS tot FROM emp)
+    SELECT pi.s AS event_type, round(pi.p, 6) AS stationary_p,
+      round(CAST(e.n AS DOUBLE) / (SELECT tot FROM emp_tot), 6)
+        AS empirical_share,
+      round(pi.p - CAST(e.n AS DOUBLE) / (SELECT tot FROM emp_tot), 6)
+        AS delta
+    FROM pi{_MSTAT_ITERS} pi JOIN emp e ON e.event_type = pi.s"""
+    )
+
+
+@register("ev_markov_stationary", oracle=_mstat_sql())
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain — {it} power-iteration steps from the uniform vector over
+    the transition matrix ev_markov_transitions estimates — beside
+    the raw empirical type share. The two answer different
+    questions: the empirical share is "what fraction of events ARE
+    type X", the stationary vector is "where does the PROCESS spend
+    its time in the long run" — they diverge exactly when some type
+    is a transient entry point (users start at signup but never
+    return to it), which is the funnel-health reading this query
+    surfaces as `delta`. States are the types observed as transition
+    SOURCES (every type in the fixture both sends and receives).
+
+    The float discipline is the interesting part at cross-engine
+    exactness: pi'_c = sum_s pi_s * P(s,c) is an UNORDERED float sum
+    under groupBy — so both engines fold the contributions in the
+    SAME pinned order instead (Spark: F.aggregate over
+    sort_array(collect_list(struct(s, contrib))); DuckDB:
+    list_reduce(list(contrib ORDER BY prev_type)) — left folds over
+    the state-sorted list, bit-identical because x+0.0 and
+    first-element init agree on positive doubles). Scale shape: the
+    corpus is touched twice (transition-pair agg; empirical-share
+    agg — both map-side combined); each iteration is a |types|^2
+    dictionary join, checkpointed per round (the iterative-family
+    lineage discipline)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    pmat = (
+        trans.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            (F.col("n").cast("double") / F.col("t")).alias("p"),
+        )
+        # |types|^2 rows — the loop invariant, checkpointed once
+        .localCheckpoint()
+    )
+    states = pmat.select(F.col("prev_type").alias("s")).distinct()
+    k = states.count()  # |types| — tiny driver-side constant
+    pi = states.select("s", (F.lit(1.0) / k).alias("p")).localCheckpoint()
+    for _ in range(_MSTAT_ITERS):
+        contribs = pi.join(pmat, pi["s"] == pmat["prev_type"]).select(
+            F.col("next_type"),
+            F.col("prev_type"),
+            (pi["p"] * pmat["p"]).alias("v"),
+        )
+        pi = (
+            contribs.groupBy(F.col("next_type").alias("s"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("prev_type").alias("o"),
+                                F.col("v").alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("p")
+            )
+            .localCheckpoint()
+        )
+    emp = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # |types| rows; checkpointed so the share join and the total
+        # don't each re-scan the corpus
+        .localCheckpoint()
+    )
+    emp_tot = emp.agg(F.sum("n").alias("tot"))
+    share = F.col("n").cast("double") / F.col("tot")
+    return (
+        pi.join(emp, pi["s"] == emp["event_type"])
+        .crossJoin(F.broadcast(emp_tot))
+        .select(
+            F.col("s").alias("event_type"),
+            F.round("p", 6).alias("stationary_p"),
+            F.round(share, 6).alias("empirical_share"),
+            F.round(F.col("p") - share, 6).alias("delta"),
+        )
+    )
+
+
+ev_markov_stationary.__doc__ = ev_markov_stationary.__doc__.format(
+    it=_MSTAT_ITERS
+)

@@ -3336,3 +3336,82 @@ def data_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 data_deletion_impact.__doc__ = data_deletion_impact.__doc__.format(m=_FORGET_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis A-ES keys)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 20
+
+
+@register(
+    "text_weighted_reservoir",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        ln((CAST({md5_long_sql("CAST(doc_id AS VARCHAR) || '#wsample'")}
+             % 999999 AS DOUBLE) + 1) / 1000000.0)
+          / len(string_split(text, ' ')) AS lnkey
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    top AS (SELECT * FROM pri ORDER BY lnkey DESC, doc_id LIMIT {_WSAMPLE_K})
+    SELECT CAST(row_number() OVER (ORDER BY lnkey DESC, doc_id) AS BIGINT)
+      AS sample_rank, doc_id, w, round(lnkey, 6) AS lnkey
+    FROM top
+    """,
+)
+def text_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-proportional sample without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each doc gets key u^(1/w) for a
+    per-doc uniform u and weight w = token count; the top-{k} keys
+    are a sample where inclusion probability is proportional to
+    weight — i.e. sampling DOCUMENTS such that TOKENS are sampled
+    (approximately) uniformly, the right frame for token-budget
+    estimates (a 10k-token page should influence a corpus statistic
+    250x more than a 40-token stub; text_reservoir_sample's uniform
+    frame underweights it). Ranking by ln(u)/w (monotone in
+    u^(1/w)) keeps the arithmetic to one ln and one division.
+
+    Same replayable-randomness contract as the uniform reservoir:
+    u is the md5 hash-uniform, so the sample is identical on replay
+    / resume and the oracle re-derives every key. Scale shape:
+    keys are a pure scan projection; top-{k} is orderBy().limit()
+    — TakeOrderedAndProject, per-partition heaps + a {k}-row driver
+    merge, never a global sort (plan-asserted); zero-token docs are
+    out of frame (weight 0 = never sampled) by contract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.size(F.split("text", " "))
+    u = (
+        (
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#wsample")))
+            % 999999
+        ).cast("double")
+        + 1
+    ) / 1000000.0
+    pri = docs.where(w > 0).select(
+        "doc_id",
+        w.cast("long").alias("w"),
+        (F.log(u) / w).alias("lnkey"),
+    )
+    top = pri.orderBy(F.col("lnkey").desc(), F.col("doc_id").asc()).limit(
+        _WSAMPLE_K
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("lnkey").desc(), F.col("doc_id").asc())
+    )
+    return top.select(
+        rk.cast("long").alias("sample_rank"),
+        "doc_id",
+        "w",
+        F.round("lnkey", 6).alias("lnkey"),
+    )
+
+
+text_weighted_reservoir.__doc__ = text_weighted_reservoir.__doc__.format(
+    k=_WSAMPLE_K
+)

@@ -1569,3 +1569,40 @@ def test_ab_test_single_agg_no_join(spark):
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_markov_stationary_dictionary_loop(spark):
+    """ev_markov_stationary: the transition matrix and every pi
+    iterate are checkpointed dictionary tables (ExistingRDD); the
+    corpus appears only in the empirical-share agg scan. No
+    cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_markov_stationary"](spark, SF_TINY))
+    assert plan.count("events.parquet") == 0  # all aggs checkpointed
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_kendall_dictionary_self_join(spark):
+    """web_rank_correlation: the pair enumeration is a self-join of
+    the checkpointed HOST dictionary (broadcast nested loop over the
+    bounded host table is the declared contract); corpus-sized work
+    is only the host-graph agg feeding it."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_rank_correlation"](spark, SF_TINY))
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_weighted_reservoir_take_ordered(spark):
+    """text_weighted_reservoir: top-k is TakeOrderedAndProject
+    (per-partition heaps), never a global rangepartitioning sort of
+    the corpus."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_weighted_reservoir"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("documents.parquet") == 1
