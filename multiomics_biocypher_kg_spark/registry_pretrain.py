@@ -1350,10 +1350,7 @@ def _nb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_nb_langid",
-    oracle=f"""
-    WITH aug AS ({_NB_PAGE_SQL}),
+_NB_SCORE_CTES = f"""aug AS ({_NB_PAGE_SQL}),
     train AS (
       SELECT lang, unnest(string_split(text, ' ')) AS token
       FROM aug WHERE doc_id % 5 <> 0
@@ -1392,49 +1389,15 @@ def _nb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN hits h ON g.doc_id = h.doc_id AND g.lang = h.lang
       JOIN doclen dl ON g.doc_id = dl.doc_id
       JOIN totals tt ON g.lang = tt.lang
-    ),
-    pred AS (
-      SELECT doc_id, gold, lang AS pred FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rn
-        FROM scores) WHERE rn = 1
-    ),
-    per AS (
-      SELECT gold AS lang, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_correct
-      FROM pred GROUP BY gold
-    )
-    SELECT lang, n_docs, n_correct,
-      round(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy
-    FROM per
-    UNION ALL
-    SELECT 'all', CAST(sum(n_docs) AS BIGINT),
-      CAST(sum(n_correct) AS BIGINT),
-      round(CAST(sum(n_correct) AS DOUBLE) / sum(n_docs), 6)
-    FROM per
-    """,
-)
-def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINED multinomial Naive Bayes language ID with a
-    leakage-safe holdout — the learned upgrade of the stopword
-    heuristic text_langid ships (functions/textstats.py): add-1-
-    smoothed per-language token likelihoods are TRAINED on the
-    doc_id%5!=0 split against the corpus's real lang labels and
-    evaluated on the held-out %5==0 split (the data_split_assign
-    discipline — never resubstitution). The smoothing identity
-    score = sum_t c_t*ln(n_tl+1) - N_doc*ln(T_l+V) + ln(D_l/D)
-    makes unseen tokens contribute exactly 0 to the hit sum, so the
-    scorer is a LEFT join against observed (token, lang) rows only
-    — no token x lang grid ever materializes.
+    )"""
 
-    Scale: the model is a dictionary-sized (token, lang, count)
-    table built by one map-side-combined agg over the train split;
-    scoring is one equi-join keyed by token (dictionary vs test
-    tokens), one (doc, lang) agg, and the argmax window partitioned
-    by doc — per-partition sorts of |langs| rows, never global.
-    Argmax orders by round(score, 6) then lang (the rounded-score
-    tie discipline — cross-engine FP-sum jitter cannot flip it)."""
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-NB log-likelihood scores per (held-out doc,
+    candidate lang) — the shared pipeline behind text_nb_langid's
+    accuracy report and data_uncertainty_sample's margin ranking
+    (SQL twin: _NB_SCORE_CTES). Returns (doc_id, gold, lang,
+    score)."""
     docs = _nb_augmented(spark, sf_dir)
     train = docs.where(F.col("doc_id") % 5 != 0)
     test = docs.where(F.col("doc_id") % 5 == 0)
@@ -1486,6 +1449,56 @@ def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+    return scores
+
+
+@register(
+    "text_nb_langid",
+    oracle=f"""
+    WITH {_NB_SCORE_CTES},
+    pred AS (
+      SELECT doc_id, gold, lang AS pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rn
+        FROM scores) WHERE rn = 1
+    ),
+    per AS (
+      SELECT gold AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct
+      FROM pred GROUP BY gold
+    )
+    SELECT lang, n_docs, n_correct,
+      round(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy
+    FROM per
+    UNION ALL
+    SELECT 'all', CAST(sum(n_docs) AS BIGINT),
+      CAST(sum(n_correct) AS BIGINT),
+      round(CAST(sum(n_correct) AS DOUBLE) / sum(n_docs), 6)
+    FROM per
+    """,
+)
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED multinomial Naive Bayes language ID with a
+    leakage-safe holdout — the learned upgrade of the stopword
+    heuristic text_langid ships (functions/textstats.py): add-1-
+    smoothed per-language token likelihoods are TRAINED on the
+    doc_id%5!=0 split against the corpus's real lang labels and
+    evaluated on the held-out %5==0 split (the data_split_assign
+    discipline — never resubstitution). The smoothing identity
+    score = sum_t c_t*ln(n_tl+1) - N_doc*ln(T_l+V) + ln(D_l/D)
+    makes unseen tokens contribute exactly 0 to the hit sum, so the
+    scorer is a LEFT join against observed (token, lang) rows only
+    — no token x lang grid ever materializes.
+
+    Scale: the model is a dictionary-sized (token, lang, count)
+    table built by one map-side-combined agg over the train split;
+    scoring is one equi-join keyed by token (dictionary vs test
+    tokens), one (doc, lang) agg, and the argmax window partitioned
+    by doc — per-partition sorts of |langs| rows, never global.
+    Argmax orders by round(score, 6) then lang (the rounded-score
+    tie discipline — cross-engine FP-sum jitter cannot flip it)."""
+    scores = _nb_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("lang")
     )
@@ -3270,3 +3283,96 @@ def data_rater_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 data_rater_quality.__doc__ = data_rater_quality.__doc__.format(w=_DS_WIDTHS)
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty sampling (margin-based active learning)
+# ---------------------------------------------------------------------------
+
+_UNC_K = 20
+
+
+@register(
+    "data_uncertainty_sample",
+    oracle=f"""
+    WITH {_NB_SCORE_CTES},
+    ranked AS (
+      SELECT doc_id, gold, lang, round(score, 6) AS rscore,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rn
+      FROM scores
+    ),
+    margins AS (
+      SELECT r1.doc_id, r1.gold, r1.lang AS pred,
+        r1.rscore - r2.rscore AS margin
+      FROM ranked r1 JOIN ranked r2
+        ON r1.doc_id = r2.doc_id AND r2.rn = 2
+      WHERE r1.rn = 1
+    ),
+    top AS (SELECT * FROM margins ORDER BY margin ASC, doc_id ASC
+            LIMIT {_UNC_K})
+    SELECT CAST(row_number() OVER (ORDER BY margin ASC, doc_id ASC)
+                AS BIGINT) AS sample_rank,
+      doc_id, gold, pred, round(margin, 6) AS margin
+    FROM top
+    """,
+)
+def data_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling (Lewis & Gale 1994; the
+    active-learning default): the {k} held-out documents where the
+    trained NB classifier is LEAST sure — smallest margin between
+    the top-2 per-doc log-likelihoods — are the ones to send for
+    labeling next. This closes the repo's labeling loop:
+    data_uncertainty_sample picks the batch, the Fleiss-kappa /
+    Dawid-Skene pair aggregates the raters' answers, and
+    data_rater_quality audits the raters — the human-in-the-loop
+    cycle every classifier-curated corpus runs. Margins are
+    differences of ROUNDED scores (the text_nb_langid argmax
+    discipline: cross-engine FP-sum jitter in the ln-sum scores
+    cannot flip a rounded comparison), ordered margin-asc with
+    doc-id tiebreak.
+
+    Scale shape: identical to text_nb_langid through the scores
+    stage (dictionary-sized model, token-keyed scoring join, per-doc
+    windows over |langs| rows); the rank-1/rank-2 self-join runs on
+    the per-doc ranked table (2 rows per doc survive the filter) and
+    the final top-{k} is orderBy().limit() — TakeOrderedAndProject,
+    never a global sort."""
+    scores = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("lang")
+    )
+    ranked = scores.select(
+        "doc_id",
+        "gold",
+        "lang",
+        F.round("score", 6).alias("rscore"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 2)
+    r1 = ranked.where(F.col("rn") == 1).select(
+        "doc_id", "gold", F.col("lang").alias("pred"), F.col("rscore").alias("s1")
+    )
+    r2 = ranked.where(F.col("rn") == 2).select(
+        "doc_id", F.col("rscore").alias("s2")
+    )
+    margins = r1.join(r2, "doc_id").select(
+        "doc_id", "gold", "pred", (F.col("s1") - F.col("s2")).alias("margin")
+    )
+    top = margins.orderBy(F.col("margin").asc(), F.col("doc_id").asc()).limit(
+        _UNC_K
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
+    )
+    return top.select(
+        rk.cast("long").alias("sample_rank"),
+        "doc_id",
+        "gold",
+        "pred",
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+data_uncertainty_sample.__doc__ = data_uncertainty_sample.__doc__.format(
+    k=_UNC_K
+)

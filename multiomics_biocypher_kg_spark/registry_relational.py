@@ -3795,3 +3795,305 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ev_markov_stationary.__doc__ = ev_markov_stationary.__doc__.format(
     it=_MSTAT_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# One-pass permutation test + Benjamini-Hochberg FDR across types
+# ---------------------------------------------------------------------------
+
+_PERM_K = 64
+_PERM_ALPHA = 0.1
+
+
+def _perm_arm_sql(salt: str) -> str:
+    return f"({md5_long_sql('CAST(event_id AS VARCHAR) || ' + repr('#' + salt))} % 2)"
+
+
+def _perm_sql() -> str:
+    arm_aggs = ",\n        ".join(
+        f"sum({_perm_arm_sql(f'perm{k}')}) AS n1_{k},\n        "
+        f"sum(CASE WHEN {_perm_arm_sql(f'perm{k}')} = 1 THEN cents ELSE 0 END)"
+        f" AS s1_{k}"
+        for k in range(_PERM_K)
+    )
+    diff = (
+        "(CAST({s} AS DOUBLE) / {n}"
+        " - CAST(tot_s - {s} AS DOUBLE) / (tot_n - {n}))"
+    )
+    exceed = "\n        + ".join(
+        "(CASE WHEN abs"
+        + diff.format(s=f"s1_{k}", n=f"n1_{k}")
+        + " >= abs(obs_diff) THEN 1 ELSE 0 END)"
+        for k in range(_PERM_K)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+        CAST(floor(value * 100) AS BIGINT) AS cents,
+        {_perm_arm_sql('permobs')} AS obs_arm,
+        event_id
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS tot_n,
+        CAST(sum(cents) AS BIGINT) AS tot_s,
+        sum(obs_arm) AS obs_n1,
+        sum(CASE WHEN obs_arm = 1 THEN cents ELSE 0 END) AS obs_s1,
+        {arm_aggs}
+      FROM base GROUP BY event_type
+    ),
+    obs AS (
+      SELECT *, {diff.format(s='obs_s1', n='obs_n1')} AS obs_diff FROM agg
+    ),
+    pvals AS (
+      SELECT event_type, tot_n, obs_diff,
+        (1.0 + ({exceed})) / {_PERM_K + 1}.0 AS p
+      FROM obs
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pvals),
+    ranked AS (
+      SELECT p.*, (SELECT m FROM m) AS m,
+        row_number() OVER (ORDER BY p.p, p.event_type) AS r
+      FROM pvals p
+    ),
+    bh AS (
+      SELECT *, least(1.0, min(p * m / r) OVER (ORDER BY r DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q
+      FROM ranked
+    )
+    SELECT event_type, tot_n AS n_events, round(obs_diff, 6) AS obs_diff,
+      round(p, 6) AS p_value, round(q, 6) AS q_value,
+      q <= {_PERM_ALPHA} AS reject
+    FROM bh
+    """
+
+
+@register("ev_permutation_fdr", oracle=_perm_sql())
+def ev_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test per event type — does the
+    mean monetary value differ between the two hash-assigned arms?
+    — with Benjamini-Hochberg FDR control across the type family.
+    The permutation machinery is what makes inference possible
+    WITHOUT a normal-CDF primitive (neither engine exposes erf):
+    the null distribution is built from {k} deterministic hash
+    re-assignments of the arm label, p = (1 + #{{|perm diff| >=
+    |obs diff|}}) / ({k}+1) — exact, assumption-free, and the
+    multiple-comparisons correction (rank p ascending, q_r =
+    min_{{j>=r}} p_j * m / j, reject at q <= {a}) is the FDR
+    discipline any per-segment metric sweep needs before paging an
+    on-call. Arms here are hash splits (an A/A family), so rejects
+    are calibrated false positives — expected ~0 of m at {a}.
+
+    Scale shape: ALL {k} permutations + the observed split are
+    conditional sums inside ONE map-side-combined aggregation over
+    a single corpus scan (2 x {k} + 4 agg expressions — the
+    minhash wide-agg discipline; no per-permutation pass, no
+    explode). Monetary values enter as EXACT integer cents (the
+    Benford convention), so every permutation sum is int64-exact;
+    floats appear only in the final mean differences. The BH
+    windows run over the m-row TYPE dictionary."""
+    ev = _read(spark, sf_dir, "events")
+
+    def arm(salt: str):
+        return (
+            md5_long(
+                F.concat(F.col("event_id").cast("string"), F.lit(f"#{salt}"))
+            )
+            % 2
+        )
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        arm("permobs").alias("obs_arm"),
+        *[arm(f"perm{k}").alias(f"a{k}") for k in range(_PERM_K)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("tot_n"),
+        F.sum("cents").cast("long").alias("tot_s"),
+        F.sum("obs_arm").alias("obs_n1"),
+        F.sum(F.when(F.col("obs_arm") == 1, F.col("cents")).otherwise(0)).alias(
+            "obs_s1"
+        ),
+    ]
+    for k in range(_PERM_K):
+        aggs.append(F.sum(F.col(f"a{k}")).alias(f"n1_{k}"))
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"a{k}") == 1, F.col("cents")).otherwise(0)
+            ).alias(f"s1_{k}")
+        )
+    agg = base.groupBy("event_type").agg(*aggs)
+
+    def diff(s, n):
+        return F.col(s).cast("double") / F.col(n) - (
+            F.col("tot_s") - F.col(s)
+        ).cast("double") / (F.col("tot_n") - F.col(n))
+
+    obs_diff = diff("obs_s1", "obs_n1")
+    exceed = sum(
+        F.when(F.abs(diff(f"s1_{k}", f"n1_{k}")) >= F.abs(obs_diff), 1).otherwise(
+            0
+        )
+        for k in range(_PERM_K)
+    )
+    pvals = agg.select(
+        "event_type",
+        "tot_n",
+        obs_diff.alias("obs_diff"),
+        ((1.0 + exceed) / float(_PERM_K + 1)).alias("p"),
+    ).localCheckpoint()  # m-row dictionary; feeds count + rank + BH
+    m = pvals.count()  # m types — driver-side constant
+    from pyspark.sql import Window
+
+    r = F.row_number().over(Window.orderBy(F.col("p"), F.col("event_type")))
+    ranked = pvals.withColumn("r", r)
+    wq = Window.orderBy(F.col("r").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = F.least(F.lit(1.0), F.min(F.col("p") * m / F.col("r")).over(wq))
+    return ranked.select(
+        "event_type",
+        F.col("tot_n").alias("n_events"),
+        F.round("obs_diff", 6).alias("obs_diff"),
+        F.round("p", 6).alias("p_value"),
+        F.round(q, 6).alias("q_value"),
+        (q <= _PERM_ALPHA).alias("reject"),
+    )
+
+
+ev_permutation_fdr.__doc__ = ev_permutation_fdr.__doc__.format(
+    k=_PERM_K, a=_PERM_ALPHA
+)
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery over a candidate set (TANE-style check)
+# ---------------------------------------------------------------------------
+
+# (table, lhs columns, rhs column) — a mix of key FDs (must hold),
+# plausible-but-false candidates a profiler must refute (including
+# the composite (l_orderkey, l_linenumber), which the synthetic feed
+# does NOT keep unique — exactly the schema assumption this check
+# exists to catch), and one sample-size-fragile FD
+# (s_nationkey -> s_acctbal holds at sf0.001 by accident and breaks
+# at sf0.01 — the approximate-FD caution the violation_ratio column
+# quantifies).
+_FD_CANDS = [
+    ("nation", ("n_nationkey",), "n_regionkey"),
+    ("nation", ("n_regionkey",), "n_nationkey"),
+    ("orders", ("o_orderkey",), "o_orderstatus"),
+    ("orders", ("o_custkey",), "o_orderpriority"),
+    ("lineitem", ("l_orderkey",), "l_returnflag"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("part", ("p_partkey",), "p_brand"),
+    ("part", ("p_brand",), "p_type"),
+    ("customer", ("c_nationkey",), "c_mktsegment"),
+    ("supplier", ("s_nationkey",), "s_acctbal"),
+]
+
+
+def _fd_sql() -> str:
+    selects = []
+    for table, lhs, rhs in _FD_CANDS:
+        label = f"{table}: {','.join(lhs)} -> {rhs}"
+        lhs_list = ", ".join(lhs)
+        selects.append(
+            f"""SELECT '{label}' AS fd, '{table}' AS table_name,
+      CAST(count(DISTINCT ({lhs_list})) AS BIGINT) AS n_lhs,
+      CAST(count(DISTINCT ({lhs_list}, {rhs})) AS BIGINT) AS n_pairs
+    FROM {table}"""
+        )
+    return f"""
+    WITH checks AS (
+      {'''
+      UNION ALL
+      '''.join(selects)}
+    )
+    SELECT fd, table_name, n_lhs, n_pairs,
+      n_lhs = n_pairs AS holds,
+      round(CAST(n_pairs - n_lhs AS DOUBLE) / n_pairs, 6)
+        AS violation_ratio
+    FROM checks
+    """
+
+
+@register("rel_fd_discovery", oracle=_fd_sql())
+def rel_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check over a declared candidate set —
+    the TANE/metanome primitive behind schema profiling: lhs -> rhs
+    holds exactly when |distinct(lhs)| == |distinct(lhs, rhs)|, and
+    the violation ratio (extra (lhs, rhs) combinations per observed
+    pair) grades APPROXIMATE FDs. The candidate list mixes key FDs
+    (must hold), plausible-but-false candidates (must be refuted —
+    including the composite (l_orderkey, l_linenumber) "primary
+    key", which the synthetic feed does NOT keep unique: the broken
+    schema assumption this check exists to catch), and one
+    sample-size-fragile FD (s_nationkey -> s_acctbal holds at
+    sf0.001 by accident, breaks at sf0.01) — discovered invariants a
+    pipeline then enforces as data-quality checks
+    (data_quality_checks is the enforcement side; this is the
+    discovery side; reference analog: the YAML schema_config's
+    declared field dependencies, schema.py).
+
+    Scale shape: per TABLE, all its candidates collapse into ONE
+    aggregation of count-distinct pairs (each a hash-partial
+    distinct agg — map-side combined, no row blowup); the report
+    unions dictionary-sized 1-row results. No joins, no windows, no
+    floats until the final ratio."""
+    parts = []
+    by_table: dict[str, list] = {}
+    for table, lhs, rhs in _FD_CANDS:
+        by_table.setdefault(table, []).append((lhs, rhs))
+    for table, cands in by_table.items():
+        df = _read(spark, sf_dir, table)
+        aggs = []
+        for lhs, rhs in cands:
+            tag = f"{'_'.join(lhs)}__{rhs}"
+            aggs.append(
+                F.countDistinct(*[F.col(c) for c in lhs])
+                .cast("long")
+                .alias(f"l_{tag}")
+            )
+            aggs.append(
+                F.countDistinct(*([F.col(c) for c in lhs] + [F.col(rhs)]))
+                .cast("long")
+                .alias(f"p_{tag}")
+            )
+        row = df.agg(*aggs)
+        # all the table's candidates leave the ONE agg row through a
+        # single explode — a per-candidate select would re-inline
+        # the scan once per candidate (plan-guarded)
+        structs = []
+        for lhs, rhs in cands:
+            tag = f"{'_'.join(lhs)}__{rhs}"
+            label = f"{table}: {','.join(lhs)} -> {rhs}"
+            structs.append(
+                F.struct(
+                    F.lit(label).alias("fd"),
+                    F.lit(table).alias("table_name"),
+                    F.col(f"l_{tag}").alias("n_lhs"),
+                    F.col(f"p_{tag}").alias("n_pairs"),
+                )
+            )
+        parts.append(
+            row.select(F.explode(F.array(*structs)).alias("c")).select(
+                "c.fd", "c.table_name", "c.n_lhs", "c.n_pairs"
+            )
+        )
+    checks = parts[0]
+    for p in parts[1:]:
+        checks = checks.unionByName(p)
+    return checks.select(
+        "fd",
+        "table_name",
+        "n_lhs",
+        "n_pairs",
+        (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
+        F.round(
+            (F.col("n_pairs") - F.col("n_lhs")).cast("double") / F.col("n_pairs"),
+            6,
+        ).alias("violation_ratio"),
+    )

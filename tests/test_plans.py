@@ -1606,3 +1606,39 @@ def test_weighted_reservoir_take_ordered(spark):
     plan = _plan(QUERIES["text_weighted_reservoir"](spark, SF_TINY))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_permutation_single_wide_agg(spark):
+    """ev_permutation_fdr: all 64 permutations + the observed split
+    are conditional sums in ONE aggregation over a single events
+    scan (minhash wide-agg discipline); BH runs over the
+    checkpointed type dictionary."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_permutation_fdr"](spark, SF_TINY))
+    assert "ExistingRDD" in plan  # checkpointed p-value dictionary
+    assert plan.count("events.parquet") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_fd_discovery_one_agg_per_table(spark):
+    """rel_fd_discovery: each table is scanned once (all its
+    candidates share one aggregation); no joins anywhere."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_fd_discovery"](spark, SF_TINY))
+    for t in ["nation", "orders", "lineitem", "part", "customer", "supplier"]:
+        assert plan.count(f"{t}.parquet") == 1, t
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_uncertainty_sample_bounded_topk(spark):
+    """data_uncertainty_sample: per-doc windows are PARTITIONED by
+    doc_id; the final top-20 is TakeOrderedAndProject — no global
+    rangepartitioning sort of the margin table."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_uncertainty_sample"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
