@@ -739,7 +739,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # dedup_edit_verify, emb_rrf_fusion, web_mst_backbone,
 # text_ks_lengths, ev_ab_test, text_weighted_reservoir,
 # ev_markov_stationary, web_rank_correlation, ev_permutation_fdr,
-# rel_fd_discovery, data_uncertainty_sample) were
+# rel_fd_discovery, data_uncertainty_sample, emb_mmr_rerank,
+# web_kmv_host_jaccard, text_platt_scaling) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -1942,3 +1942,226 @@ def emb_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_rrf_fusion.__doc__ = emb_rrf_fusion.__doc__.format(
     a=_RRF_ARM_K, k=_RRF_K, t=_RRF_TOP
 )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking (unrolled greedy selection)
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDS = 20
+_MMR_K = 5
+_MMR_NQ = 5  # queries: vec_id < 5
+
+
+def _mmr_sql() -> str:
+    parts = [
+        f"""cand0 AS (
+      SELECT query_id, neighbor_id, cosine AS rel,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM cos
+    )""",
+        f"ctop AS (SELECT * FROM cand0 WHERE rk <= {_MMR_CANDS})",
+        """pairs0 AS (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b
+      FROM ctop a JOIN ctop b ON a.query_id = b.query_id
+        AND a.neighbor_id <> b.neighbor_id
+    )""",
+        """psim AS MATERIALIZED (
+      SELECT p.query_id, p.id_a, p.id_b,
+        round(sum(x.x * y.x) / (nx.nrm * ny.nrm), 6) AS sim
+      FROM pairs0 p
+      JOIN exploded x ON x.vec_id = p.id_a
+      JOIN exploded y ON y.vec_id = p.id_b AND y.dim = x.dim
+      JOIN norms nx ON nx.vec_id = p.id_a
+      JOIN norms ny ON ny.vec_id = p.id_b
+      GROUP BY p.query_id, p.id_a, p.id_b, nx.nrm, ny.nrm
+    )""",
+        """keyed_rel AS (
+      SELECT *, CAST(round(rel * 1000000, 0) AS BIGINT) AS rel6
+      FROM ctop
+    )""",
+        """selall1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, 1 AS sel_rank, rel,
+        7 * rel6 AS mmr_score_e7
+      FROM keyed_rel WHERE rk = 1
+    )""",
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"""mx{r} AS (
+      SELECT c.query_id, c.neighbor_id, c.rel, c.rel6,
+        max(CAST(round(p.sim * 1000000, 0) AS BIGINT)) AS maxsim6
+      FROM keyed_rel c
+      LEFT JOIN selall{r - 1} s0 ON c.query_id = s0.query_id
+        AND c.neighbor_id = s0.neighbor_id
+      JOIN psim p ON p.query_id = c.query_id AND p.id_a = c.neighbor_id
+      JOIN selall{r - 1} s ON s.query_id = p.query_id
+        AND s.neighbor_id = p.id_b
+      WHERE s0.neighbor_id IS NULL
+      GROUP BY c.query_id, c.neighbor_id, c.rel, c.rel6
+    )""",
+        )
+        parts.append(
+            f"""selall{r} AS MATERIALIZED (
+      SELECT * FROM selall{r - 1}
+      UNION ALL
+      SELECT query_id, neighbor_id, {r} AS sel_rank, rel,
+        7 * rel6 - 3 * maxsim6 AS mmr_score_e7
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY 7 * rel6 - 3 * maxsim6 DESC,
+          neighbor_id ASC) AS rn
+        FROM mx{r}
+      ) WHERE rn = 1
+    )""",
+        )
+    return (
+        f"""
+    WITH {_pair_cosine_sql(f'q.vec_id < {_MMR_NQ}')},
+    """
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(sel_rank AS INTEGER) AS sel_rank,
+      rel, CAST(mmr_score_e7 AS BIGINT) AS mmr_score_e7
+    FROM selall{_MMR_K}"""
+    )
+
+
+@register("emb_mmr_rerank", oracle=_mmr_sql())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's top-{c} cosine candidates, greedily
+    select {k} results maximizing lambda*rel(d) -
+    (1-lambda)*max_sim(d, selected) (lambda={lam}) — THE standard
+    diversification step between retrieval and a RAG context window
+    (top-k by similarity alone packs near-duplicate passages; MMR
+    buys coverage with a bounded relevance cost). Sits on the same
+    probe protocol as ann_bruteforce_topk / emb_rrf_fusion.
+
+    Greedy selection is inherently sequential; the scale discipline
+    is that each of the {k} unrolled rounds runs ONLY on
+    candidate-sized tables: the {c}x{c} pairwise-sim table per
+    query is computed once (candidates-first — never corpus
+    pairs), each round is a keyed join + a window PARTITIONED by
+    query, and every selected-set iterate is checkpointed. The MMR
+    arithmetic is EXACT INTEGER: 6dp cosines are lifted to micro
+    units (round(x*1e6) — recovers the integer both engines store)
+    and lambda=0.7 becomes score_e7 = 7*rel6 - 3*maxsim6, an int64
+    with no rounding boundary anywhere (a float 0.7*rel lands
+    exactly on the 7th-digit half systematically — the DistMult
+    exact-int contract applied to selection); argmax by integer
+    score + id tiebreak; the output emits score_e7 itself."""
+    from multiomics_biocypher_kg_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < _MMR_NQ).select("vec_id")
+    ctop = (
+        cosine_topk(emb, query_ids=q, k=_MMR_CANDS)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("rel"), "rank")
+        .localCheckpoint()
+    )
+    cand_ids = ctop.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    cvec = emb.join(cand_ids, "vec_id", "leftsemi").select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    from multiomics_biocypher_kg_spark.operators.simsearch import _dot, _norm
+
+    a = ctop.select("query_id", F.col("neighbor_id").alias("id_a"))
+    b = ctop.select("query_id", F.col("neighbor_id").alias("id_b"))
+    pairs0 = a.join(b, "query_id").where(F.col("id_a") != F.col("id_b"))
+    psim = (
+        pairs0.join(
+            cvec.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            cvec.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    keyed = ctop.withColumn(
+        "rel6", F.round(F.col("rel") * 1000000, 0).cast("long")
+    )
+    sel = (
+        keyed.where(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("sel_rank"),
+            "rel",
+            (7 * F.col("rel6")).alias("mmr_score_e7"),
+        )
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    for r in range(2, _MMR_K + 1):
+        remaining = keyed.join(
+            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        psim_r = psim.select(
+            F.col("query_id").alias("pq"), "id_a", "id_b", "sim"
+        )
+        sel_r = sel.select(
+            F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sid")
+        )
+        mx = (
+            remaining.join(
+                psim_r,
+                (F.col("pq") == F.col("query_id"))
+                & (F.col("id_a") == F.col("neighbor_id")),
+            )
+            .join(
+                sel_r,
+                (F.col("sq") == F.col("query_id"))
+                & (F.col("sid") == F.col("id_b")),
+            )
+            .groupBy("query_id", "neighbor_id", "rel", "rel6")
+            .agg(
+                F.max(F.round(F.col("sim") * 1000000, 0).cast("long")).alias(
+                    "maxsim6"
+                )
+            )
+        )
+        score = 7 * F.col("rel6") - 3 * F.col("maxsim6")
+        w = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            mx.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).alias("sel_rank"),
+                "rel",
+                score.alias("mmr_score_e7"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        "neighbor_id",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "rel",
+        F.col("mmr_score_e7").cast("long").alias("mmr_score_e7"),
+    )
+
+
+emb_mmr_rerank.__doc__ = emb_mmr_rerank.__doc__.format(
+    c=_MMR_CANDS, k=_MMR_K, lam=_MMR_LAMBDA
+)

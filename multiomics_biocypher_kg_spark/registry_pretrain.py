@@ -3376,3 +3376,149 @@ def data_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 data_uncertainty_sample.__doc__ = data_uncertainty_sample.__doc__.format(
     k=_UNC_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling (logistic calibration, unrolled Newton)
+# ---------------------------------------------------------------------------
+
+_PLATT_ITERS = 4
+
+# per-doc (score, label): score = mean milli-logit / 1000 (in ~[-1,1]),
+# label = the text_quality_auc gold (sign of the jittered score) —
+# correlated but noisy, so the calibrated slope is finite.
+_PLATT_BASE_SQL = f"""
+      SELECT CAST({_S_SQL} AS DOUBLE) / {_N_SQL} / 1000.0 AS s,
+        CASE WHEN {_S_SQL} + {_noise_sql('gold', _AUC_NOISE)} * {_N_SQL} >= 0
+          THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+"""
+
+
+def _platt_sql() -> str:
+    parts = [f"base AS MATERIALIZED ({_PLATT_BASE_SQL})",
+             "p0 AS (SELECT 1.0 AS a, 0.0 AS b)"]
+    for i in range(1, _PLATT_ITERS + 1):
+        parts.append(
+            f"""g{i} AS (
+      SELECT p.a, p.b,
+        sum((1.0 / (1.0 + exp(-(p.a * s + p.b))) - y) * s) AS ga,
+        sum(1.0 / (1.0 + exp(-(p.a * s + p.b))) - y) AS gb,
+        sum((1.0 / (1.0 + exp(-(p.a * s + p.b))))
+            * (1.0 - 1.0 / (1.0 + exp(-(p.a * s + p.b)))) * s * s) AS haa,
+        sum((1.0 / (1.0 + exp(-(p.a * s + p.b))))
+            * (1.0 - 1.0 / (1.0 + exp(-(p.a * s + p.b)))) * s) AS hab,
+        sum((1.0 / (1.0 + exp(-(p.a * s + p.b))))
+            * (1.0 - 1.0 / (1.0 + exp(-(p.a * s + p.b))))) AS hbb
+      FROM base CROSS JOIN p{i - 1} p GROUP BY p.a, p.b
+    )""")
+        parts.append(
+            f"""p{i} AS (
+      SELECT
+        round(a - (hbb * ga - hab * gb) / (haa * hbb - hab * hab), 6) AS a,
+        round(b - (haa * gb - hab * ga) / (haa * hbb - hab * hab), 6) AS b
+      FROM g{i}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    nll AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_docs,
+        sum(ln(1.0 + exp(-(2.0 * y - 1.0) * (1.0 * s + 0.0)))) AS nll_u,
+        sum(ln(1.0 + exp(-(2.0 * y - 1.0) * (p.a * s + p.b)))) AS nll_c
+      FROM base CROSS JOIN p{_PLATT_ITERS} p
+      GROUP BY p.a, p.b
+    )
+    SELECT n.n_docs, p.a, p.b,
+      round(n.nll_u / n.n_docs, 6) AS nll_uncalibrated,
+      round(n.nll_c / n.n_docs, 6) AS nll_calibrated,
+      n.nll_c < n.nll_u AS improved
+    FROM nll n CROSS JOIN p{_PLATT_ITERS} p"""
+    )
+
+
+@register("text_platt_scaling", oracle=_platt_sql())
+def text_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999): fit p = sigmoid(a*s + b) to the
+    gold quality labels by {it} unrolled Newton-Raphson steps from
+    (a, b) = (1, 0) — the CALIBRATION FIX the diagnostic family
+    (text_quality_ece reports the miscalibration; this repairs it)
+    applies before a classifier score is used as a sampling weight
+    or a threshold: after Platt, "p = 0.8" means 80% — pytest and
+    the `improved` column assert the mean log-loss strictly drops
+    vs the uncalibrated sigmoid.
+
+    The iterative-fit discipline: each Newton step is ONE
+    map-side-combined aggregation over the corpus (five sufficient
+    sums: gradient and 2x2 Hessian entries), the update is a 1-row
+    projection, and the parameters are ROUNDED to 6dp per iteration
+    — the pagerank-family convention that pins the iterate against
+    cross-engine float-sum jitter. The 2x2 solve is written in one
+    pinned expression order (closed-form inverse, shared
+    determinant). {it} steps from a sane init converge to ~1e-6 on
+    a 1-D logistic — more steps only churn the 6th decimal.
+    Corpus cost: {it}+1 scans ({it} Newton sums + the final NLL
+    report); the per-doc (s, y) projection is all-integer until the
+    final divisions."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s_sum = _ts.quality_logit_milli(F.col("text"))
+    base = docs.select(
+        (s_sum.cast("double") / n / 1000.0).alias("s"),
+        F.when(
+            s_sum + _noise_col("gold", _AUC_NOISE) * n >= 0, F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    params = spark.range(1).select(
+        F.lit(1.0).alias("a"), F.lit(0.0).alias("b")
+    )
+    for _ in range(_PLATT_ITERS):
+        j = base.crossJoin(F.broadcast(params))
+        p = 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+        w = p * (1.0 - p)
+        g = j.groupBy("a", "b").agg(
+            F.sum((p - F.col("y")) * F.col("s")).alias("ga"),
+            F.sum(p - F.col("y")).alias("gb"),
+            F.sum(w * F.col("s") * F.col("s")).alias("haa"),
+            F.sum(w * F.col("s")).alias("hab"),
+            F.sum(w).alias("hbb"),
+        )
+        det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+        params = g.select(
+            F.round(
+                F.col("a")
+                - (F.col("hbb") * F.col("ga") - F.col("hab") * F.col("gb")) / det,
+                6,
+            ).alias("a"),
+            F.round(
+                F.col("b")
+                - (F.col("haa") * F.col("gb") - F.col("hab") * F.col("ga")) / det,
+                6,
+            ).alias("b"),
+        ).localCheckpoint()
+    j = base.crossJoin(F.broadcast(params))
+    t = (2.0 * F.col("y") - 1.0)
+    nll = j.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.log(1.0 + F.exp(-t * (1.0 * F.col("s") + 0.0)))).alias("nll_u"),
+        F.sum(
+            F.log(1.0 + F.exp(-t * (F.col("a") * F.col("s") + F.col("b"))))
+        ).alias("nll_c"),
+    )
+    return nll.select(
+        "n_docs",
+        "a",
+        "b",
+        F.round(F.col("nll_u") / F.col("n_docs"), 6).alias("nll_uncalibrated"),
+        F.round(F.col("nll_c") / F.col("n_docs"), 6).alias("nll_calibrated"),
+        (F.col("nll_c") < F.col("nll_u")).alias("improved"),
+    )
+
+
+text_platt_scaling.__doc__ = text_platt_scaling.__doc__.format(
+    it=_PLATT_ITERS
+)

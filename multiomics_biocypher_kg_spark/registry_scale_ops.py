@@ -3415,3 +3415,156 @@ def text_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_weighted_reservoir.__doc__ = text_weighted_reservoir.__doc__.format(
     k=_WSAMPLE_K
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch Jaccard between host vocabularies
+# ---------------------------------------------------------------------------
+
+_KMVJ_K = 8
+
+
+@register(
+    "web_kmv_host_jaccard",
+    oracle=f"""
+    WITH ht AS (
+      SELECT DISTINCT {_FAM_HOST_SQL} AS host,
+        {md5_long_sql("unnest(string_split(text, ' '))")} AS h
+      FROM documents
+    ),
+    sk AS (
+      SELECT host, list(h ORDER BY h)[1:{_KMVJ_K}] AS sketch,
+        count(*) AS n_exact
+      FROM (
+        SELECT host, h, row_number() OVER (PARTITION BY host ORDER BY h)
+          AS rk
+        FROM ht
+      ) ranked
+      GROUP BY host
+    ),
+    pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+        a.sketch AS ska, b.sketch AS skb
+      FROM sk a JOIN sk b ON a.host < b.host
+    ),
+    est AS (
+      SELECT host_a, host_b,
+        least({_KMVJ_K},
+              len(list_distinct(list_concat(ska, skb)))) AS n_union_k,
+        len(list_intersect(
+          list_sort(list_distinct(list_concat(ska, skb)))[1:{_KMVJ_K}],
+          list_intersect(ska, skb))) AS matches
+      FROM pairs
+    ),
+    exact AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS inter
+      FROM ht a JOIN ht b ON a.h = b.h AND a.host < b.host
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT host, count(*) AS sz FROM ht GROUP BY host)
+    SELECT e.host_a, e.host_b,
+      CAST(e.matches AS BIGINT) AS matches,
+      CAST(e.n_union_k AS BIGINT) AS n_union_k,
+      round(CAST(e.matches AS DOUBLE) / e.n_union_k, 6) AS est_jaccard,
+      round(CAST(coalesce(x.inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - coalesce(x.inter, 0)), 6) AS exact_jaccard,
+      round(abs(CAST(e.matches AS DOUBLE) / e.n_union_k
+            - CAST(coalesce(x.inter, 0) AS DOUBLE)
+              / (sa.sz + sb.sz - coalesce(x.inter, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN exact x ON e.host_a = x.host_a AND e.host_b = x.host_b
+    JOIN sizes sa ON e.host_a = sa.host
+    JOIN sizes sb ON e.host_b = sb.host
+    """,
+)
+def web_kmv_host_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every host pair from {k}-value KMV
+    (bottom-k) sketches — the set-RESEMBLANCE estimator that rides
+    the same bottom-k sketch text_kmv_cardinality keeps for sizes
+    (Beyer et al., SIGMOD 2007): J_est = |U_k ∩ A_k ∩ B_k| / |U_k|,
+    where U_k is the k smallest of the sketch union — because the k
+    smallest hashes of A ∪ B are a uniform sample of the union, the
+    fraction also present in both sketches estimates the Jaccard.
+    The operational question it answers at crawl scale: WHICH host
+    pairs publish near-identical vocabularies (mirror candidates,
+    syndication networks) without ever joining the vocabularies —
+    per-host state is k int64s regardless of vocabulary size. The
+    EXACT Jaccard rides along as the eval column (computable here
+    because the fixture's host count is bounded; at 10^8 hosts only
+    the sketch column survives — the declared contract).
+
+    Scale shape: sketches = one distinct (host, token-hash) pass +
+    a bottom-k window PARTITIONED by host; the pair stage joins
+    {k}-int arrays over the HOST dictionary; every estimator input
+    is an exact integer (hash values, intersection counts) — the
+    only floats are the final ratios."""
+    docs = _docs(spark, sf_dir)
+    ht = (
+        docs.select(
+            _fam_host_col().alias("host"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .select("host", md5_long(F.col("token")).alias("h"))
+        .distinct()
+        .localCheckpoint()  # consumed by sketches, exact-inter, sizes
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.partitionBy("host").orderBy("h"))
+    sk = (
+        ht.withColumn("rk", rk)
+        .where(F.col("rk") <= _KMVJ_K)
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+        .localCheckpoint()
+    )
+    pairs = (
+        sk.select(F.col("host").alias("host_a"), F.col("sketch").alias("ska"))
+        .join(
+            sk.select(F.col("host").alias("host_b"), F.col("sketch").alias("skb")),
+            F.col("host_a") < F.col("host_b"),
+        )
+    )
+    union_all = F.array_union(F.col("ska"), F.col("skb"))
+    n_union_k = F.least(F.lit(_KMVJ_K), F.size(F.array_distinct(union_all)))
+    u_k = F.slice(F.array_sort(F.array_distinct(union_all)), 1, _KMVJ_K)
+    matches = F.size(
+        F.array_intersect(u_k, F.array_intersect(F.col("ska"), F.col("skb")))
+    )
+    est = pairs.select(
+        "host_a",
+        "host_b",
+        matches.cast("long").alias("matches"),
+        n_union_k.cast("long").alias("n_union_k"),
+    )
+    exact = (
+        ht.select(F.col("host").alias("host_a"), "h")
+        .join(ht.select(F.col("host").alias("host_b"), "h"), "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = ht.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
+    est_j = F.col("matches").cast("double") / F.col("n_union_k")
+    inter = F.coalesce(F.col("inter"), F.lit(0))
+    exact_j = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
+    return (
+        est.join(exact, ["host_a", "host_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("sa"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("sb"))),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "matches",
+            "n_union_k",
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(exact_j, 6).alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact_j), 6).alias("abs_err"),
+        )
+    )

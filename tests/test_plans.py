@@ -1642,3 +1642,41 @@ def test_uncertainty_sample_bounded_topk(spark):
     plan = _plan(QUERIES["data_uncertainty_sample"](spark, SF_TINY))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_candidates_first_no_cartesian(spark):
+    """emb_mmr_rerank: the pairwise-sim table and every greedy
+    iterate are candidate-sized and checkpointed; no corpus
+    CartesianProduct, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_mmr_rerank"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_kmv_jaccard_host_windows(spark):
+    """web_kmv_host_jaccard: the bottom-k window is PARTITIONED by
+    host; the pair join runs over the checkpointed host dictionary
+    (broadcast sizes); no corpus cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_kmv_host_jaccard"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_platt_newton_corpus_scans(spark):
+    """text_platt_scaling: the final plan holds only the NLL-report
+    scan plus the checkpointed 1-row parameter table (the 4 Newton
+    sums ran eagerly at build); no joins beyond the broadcast
+    params, no sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_platt_scaling"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 1  # the NLL report scan
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
