@@ -740,7 +740,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # text_ks_lengths, ev_ab_test, text_weighted_reservoir,
 # ev_markov_stationary, web_rank_correlation, ev_permutation_fdr,
 # rel_fd_discovery, data_uncertainty_sample, emb_mmr_rerank,
-# web_kmv_host_jaccard, text_platt_scaling) were
+# web_kmv_host_jaccard, text_platt_scaling,
+# kg_components_incremental, ev_exponential_gof,
+# data_dataset_card) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

@@ -2498,3 +2498,129 @@ def kg_rotate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (neg - pos).alias("margin_d2"),
         ((neg - pos) > 0).alias("plausible"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (delta maintenance vs full oracle)
+# ---------------------------------------------------------------------------
+
+# The same-as evidence splits 75/25 by edge hash into the BASE graph
+# (yesterday's canonicalization) and the DELTA batch (today's new
+# evidence).
+
+
+def _inc_components_sql() -> str:
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long_sql
+    from multiomics_biocypher_kg_spark.oracle_fragments import SAMEAS_SQL
+
+    h = md5_long_sql("id_a || '|' || id_b || '#inc'")
+    return f"""
+    WITH RECURSIVE raw AS ({SAMEAS_SQL}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM raw
+      UNION
+      SELECT id_b, id_a FROM raw
+    ),
+    base AS (
+      SELECT id_a, id_b FROM raw WHERE NOT ({h} % 4 = 0)
+    ),
+    bund AS (
+      SELECT id_a AS a, id_b AS b FROM base
+      UNION
+      SELECT id_b, id_a FROM base
+      UNION
+      SELECT id_a, id_a FROM raw
+      UNION
+      SELECT id_b, id_b FROM raw
+    ),
+    breach(node, lbl) AS (
+      SELECT a, a FROM bund
+      UNION
+      SELECT u.a, r.lbl FROM bund u JOIN breach r ON u.b = r.node
+    ),
+    bcomp AS (SELECT node, min(lbl) AS base_component
+              FROM breach GROUP BY node),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT c.node, c.component, b.base_component,
+      c.component <> b.base_component AS changed
+    FROM comp c JOIN bcomp b ON c.node = b.node
+    """
+
+
+@register("kg_components_incremental", oracle=_inc_components_sql())
+def kg_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL canonicalization maintenance: given yesterday's
+    component labels (the base same-as graph, a deterministic 75%
+    hash split of the evidence) and today's DELTA batch (the other
+    25%), recompute labels by running pointer-jump CC over the STAR
+    GRAPH of the old labels (one node -> label edge per node) plus
+    ONLY the delta edges — never re-touching the base edge set. This
+    is the nightly-canonicalization shape the north rule's MERGE
+    checkpoints feed: the base graph at 10^12 scale is too large to
+    re-scan per batch, but the label table is one row per node and
+    the star graph is label-equivalent to it, so CC(star U delta) ==
+    CC(base U delta) exactly — including component ids, because
+    labels are min member nodes and every member appears in the star
+    graph. The ORACLE proves it by doing what the operator avoids: a
+    FULL recursive-CTE recompute over base U delta, plus the
+    base-only recompute for the `changed` flag. Agreement is the
+    correctness-of-incremental-maintenance theorem, checked value
+    for value.
+
+    Scale shape: the base CC runs once (amortized across batches);
+    the per-batch cost is pointer-jump CC over |V| star edges +
+    |delta|, which converges in ~2 rounds because the star side is
+    already flat — vs log-diameter rounds over the full graph.
+    `changed` marks nodes whose canonical id the delta moved — the
+    rows a MERGE INTO actually has to rewrite."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+    from multiomics_biocypher_kg_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from multiomics_biocypher_kg_spark.plans.pipeline import (
+        sameas_from_documents,
+    )
+
+    sameas = sameas_from_documents(spark, sf_dir).localCheckpoint(eager=False)
+    is_delta = (
+        md5_long(
+            F.concat(F.col("id_a"), F.lit("|"), F.col("id_b"), F.lit("#inc"))
+        )
+        % 4
+        == 0
+    )
+    base = sameas.where(~is_delta)
+    delta = sameas.where(is_delta)
+    # every node must carry a base label even if isolated in the
+    # base graph: seed the base CC with self-loops over ALL nodes
+    all_nodes = (
+        sameas.select(F.col("id_a").alias("node"))
+        .union(sameas.select("id_b"))
+        .distinct()
+    )
+    base_edges = base.select("id_a", "id_b").unionByName(
+        all_nodes.select(
+            F.col("node").alias("id_a"), F.col("node").alias("id_b")
+        )
+    )
+    bcomp = connected_components(base_edges, src="id_a", dst="id_b").select(
+        "node", F.col("component").alias("base_component")
+    )
+    bcomp = bcomp.localCheckpoint()  # yesterday's label table
+    star = bcomp.select(
+        F.col("node").alias("id_a"), F.col("base_component").alias("id_b")
+    )
+    final = connected_components(
+        star.unionByName(delta.select("id_a", "id_b")), src="id_a", dst="id_b"
+    )
+    return final.join(bcomp, "node").select(
+        "node",
+        "component",
+        "base_component",
+        (F.col("component") != F.col("base_component")).alias("changed"),
+    )

@@ -2815,3 +2815,126 @@ def web_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_y",
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (the one-row corpus summary a release ships)
+# ---------------------------------------------------------------------------
+
+from multiomics_biocypher_kg_spark.functions import textstats as _ts  # noqa: E402
+
+_CARD_BAND = 50  # |mean milli-logit| >= 50 => high/low (the shared scheme)
+
+
+@register(
+    "data_dataset_card",
+    oracle=f"""
+    WITH proj AS (
+      SELECT lang, source,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) AS n_chars,
+        md5(text) AS h,
+        CASE WHEN list_sum(list_transform(string_split(text, ' '),
+               t -> {md5_long_sql('t')} % 2001 - 1000))
+             >= {_CARD_BAND} * len(string_split(text, ' '))
+          THEN 1 ELSE 0 END AS is_high
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        quantile_cont(n_tokens, 0.5) AS median_tokens,
+        CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(is_high) AS BIGINT) AS n_high
+      FROM proj
+    ),
+    top AS (
+      SELECT lang AS top_lang, count(*) AS top_n
+      FROM proj GROUP BY lang
+      ORDER BY count(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT a.n_docs, a.n_langs, a.n_sources, t.top_lang,
+      round(CAST(t.top_n AS DOUBLE) / a.n_docs, 6) AS top_lang_share,
+      a.total_tokens,
+      round(CAST(a.total_tokens AS DOUBLE) / a.n_docs, 6) AS mean_tokens,
+      round(a.median_tokens, 6) AS median_tokens,
+      round(1.0 - CAST(a.n_unique_texts AS DOUBLE) / a.n_docs, 6)
+        AS dup_rate,
+      round(CAST(a.n_high AS DOUBLE) / a.n_docs, 6) AS pct_quality_high,
+      round(CAST(a.total_chars AS DOUBLE) / a.n_docs, 6) AS mean_chars
+    FROM agg a CROSS JOIN top t
+    """,
+)
+def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD composition table — the one-row summary
+    every corpus release publishes (Datasheets for Datasets, Gebru
+    et al. 2021): size, language spread and the dominant language's
+    share, token totals and central tendency (mean + EXACT median,
+    the percentile() <-> quantile_cont convention), the exact-hash
+    duplication rate, the high-quality-band share (the shared
+    milli-logit banding scheme), and mean bytes — the numbers a
+    consumer reads before the first query, and the numbers the DP
+    histogram (data_dp_histogram) releases privately when the
+    corpus is sensitive. Composes what the repo measures piecemeal
+    (text_stats, dedup_savings_report, curation gates) into the
+    artifact a release actually ships.
+
+    Scale shape: TWO corpus scans — one wide projection feeding a
+    single aggregation (conditional counts, exact distincts, exact
+    percentile), and the language-mode scan (dictionary agg + a
+    1-row TakeOrdered) — everything after is 1-row arithmetic; no
+    windows over the corpus, no joins beyond the 1-row cross."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s = _ts.quality_logit_milli(F.col("text"))
+    proj = docs.select(
+        "lang",
+        "source",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("h"),
+        F.when(s >= _CARD_BAND * n, 1).otherwise(0).alias("is_high"),
+    )
+    agg = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.percentile("n_tokens", 0.5).alias("median_tokens"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("is_high").cast("long").alias("n_high"),
+    )
+    top = (
+        proj.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_n"))
+        .orderBy(F.col("top_n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_n")
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "top_lang",
+        F.round(F.col("top_n").cast("double") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_tokens"),
+        F.round("median_tokens", 6).alias("median_tokens"),
+        F.round(
+            1.0 - F.col("n_unique_texts").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(F.col("n_high").cast("double") / F.col("n_docs"), 6).alias(
+            "pct_quality_high"
+        ),
+        F.round(
+            F.col("total_chars").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_chars"),
+    )

@@ -4097,3 +4097,139 @@ def rel_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("violation_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential goodness-of-fit for inter-arrival times (Lilliefors KS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_exponential_gof",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+        date_diff('second',
+          lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+          ts) AS gap
+      FROM events
+    ),
+    g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL AND gap > 0),
+    counts AS (
+      SELECT event_type, gap, count(*) AS c FROM g GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        CAST(sum(gap * c) AS BIGINT) AS s
+      FROM counts GROUP BY event_type
+    ),
+    cum AS (
+      SELECT event_type, gap, c,
+        sum(c) OVER (PARTITION BY event_type ORDER BY gap
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM counts
+    ),
+    diffs AS (
+      SELECT c.event_type, c.gap,
+        greatest(
+          abs(CAST(c.cumc AS DOUBLE) / t.n
+              - (1.0 - exp(-(CAST(t.n AS DOUBLE) / t.s) * c.gap))),
+          abs(CAST(c.cumc - c.c AS DOUBLE) / t.n
+              - (1.0 - exp(-(CAST(t.n AS DOUBLE) / t.s) * c.gap)))
+        ) AS d,
+        t.n, t.s
+      FROM cum c JOIN tot t ON c.event_type = t.event_type
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY round(d, 6) DESC, gap ASC) AS rk
+      FROM diffs
+    )
+    SELECT event_type, n AS n_gaps,
+      round(CAST(s AS DOUBLE) / n, 6) AS mean_gap_sec,
+      round(d, 6) AS ks_stat,
+      CAST(gap AS BIGINT) AS ks_at_gap,
+      round(1.094 / sqrt(CAST(n AS DOUBLE)), 6) AS critical_005,
+      d > 1.094 / sqrt(CAST(n AS DOUBLE)) AS reject_exponential
+    FROM best WHERE rk = 1
+    """,
+)
+def ev_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the per-type event stream Poisson? Kolmogorov-Smirnov
+    goodness-of-fit of the inter-arrival gaps against
+    Exponential(1/mean) with the rate ESTIMATED from the data —
+    critical value 1.094/sqrt(n), the Stephens/Lilliefors correction
+    for an estimated parameter (the vanilla 1.358 coefficient is
+    anti-conservative when the null's parameter comes from the same
+    sample). The crawl/ops reading: a memoryless feed passes;
+    batching, retry storms, and bot schedules reject — the
+    distribution-level complement to ev_bot_regularity's CV gate and
+    ev_burst_detect's local spikes. Both ECDF steps are checked at
+    each gap value (sup over F_n(x-) too — the right-continuous ECDF
+    only touches the sup from one side).
+
+    Scale shape: gaps come from one lag window PARTITIONED by type
+    (ordered by event time — the sessionize discipline), then ONE
+    map-side-combined (type, gap) count agg; the ECDF windows and
+    the argmax run over the GAP-VALUE dictionary per type (bounded
+    by the horizon in seconds, the ev_changepoint defense). Gap sums
+    are exact int64; floats are the rate, the exponential CDF (exp —
+    IEEE-consistent in both engines), and the final ratios."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    counts = (
+        gaps.groupBy("event_type", "gap")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # gap-value dictionary; two consumers (totals + ECDF)
+        .localCheckpoint()
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).cast("long").alias("s"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type", "gap", "c", F.sum("c").over(wc).alias("cumc")
+    )
+    lam = F.col("n").cast("double") / F.col("s")
+    cdf = 1.0 - F.exp(-lam * F.col("gap"))
+    d = F.greatest(
+        F.abs(F.col("cumc").cast("double") / F.col("n") - cdf),
+        F.abs((F.col("cumc") - F.col("c")).cast("double") / F.col("n") - cdf),
+    )
+    diffs = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type", "gap", d.alias("d"), "n", "s"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.round(F.col("d"), 6).desc(), F.col("gap").asc()
+        )
+    )
+    crit = F.lit(1.094) / F.sqrt(F.col("n").cast("double"))
+    return (
+        diffs.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "mean_gap_sec"
+            ),
+            F.round("d", 6).alias("ks_stat"),
+            F.col("gap").cast("long").alias("ks_at_gap"),
+            F.round(crit, 6).alias("critical_005"),
+            (F.col("d") > crit).alias("reject_exponential"),
+        )
+    )

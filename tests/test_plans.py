@@ -1680,3 +1680,39 @@ def test_platt_newton_corpus_scans(spark):
     assert "ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_incremental_cc_star_plus_delta_only(spark):
+    """kg_components_incremental: the per-batch CC runs on the
+    checkpointed LABEL table (star edges) plus the delta — the base
+    edge set never reappears in the final plan; pointer-jump only,
+    no cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["kg_components_incremental"](spark, SF_TINY))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_exponential_gof_partitioned_windows(spark):
+    """ev_exponential_gof: lag + ECDF + argmax windows all
+    PARTITIONED by event_type; the gap-value dictionary is
+    checkpointed; no global sort, no cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_exponential_gof"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_dataset_card_two_scans(spark):
+    """data_dataset_card: one wide-agg projection scan + the
+    language-mode scan; everything after is 1-row arithmetic."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_dataset_card"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 2
+    assert "TakeOrderedAndProject" in plan  # the 1-row language mode
+    assert "CartesianProduct" not in plan
