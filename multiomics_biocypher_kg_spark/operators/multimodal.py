@@ -353,3 +353,76 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = (
+    "doc_id long, in_width int, in_height int, out_width int, "
+    "out_height int, n_units long, mean_value double, mean_r double, "
+    "mean_g double, mean_b double, payload binary"
+)
+
+
+def resize_real_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL nearest-neighbor image downscale through the Arrow
+    contract: parse the P6 PPM payload, keep every ``factor``-th
+    pixel in both axes (the top-left representative — the standard
+    nearest-neighbor convention for integer factors), re-emit a
+    VALID resized P6 payload plus per-channel statistics of the
+    resized plane. Non-PPM payloads raise NotImplementedError (the
+    declared codec slot). The companion registry oracle recomputes
+    the kept-pixel statistics from the source text via the pixel
+    index arithmetic, so a stride/offset bug in the slicing is a
+    hash mismatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # heavier codecs would init here, once per partition
+        for pdf in batches:
+            out = {
+                "doc_id": [], "in_width": [], "in_height": [],
+                "out_width": [], "out_height": [], "n_units": [],
+                "mean_value": [], "mean_r": [], "mean_g": [],
+                "mean_b": [], "payload": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise NotImplementedError(
+                        f"no resize for container magic {b[:4]!r}"
+                    )
+                w, h, px = _parse_ppm(b)
+                ow, oh = w // factor, h // factor
+                kept = bytearray()
+                for r in range(oh):
+                    for c in range(ow):
+                        base = ((r * factor) * w + (c * factor)) * 3
+                        kept += px[base : base + 3]
+                header = f"P6\n{ow} {oh}\n255\n".encode("ascii")
+                chans = [kept[i::3] for i in range(3)]
+                out["doc_id"].append(doc_id)
+                out["in_width"].append(w)
+                out["in_height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["n_units"].append(len(kept))
+                out["mean_value"].append(sum(kept) / len(kept))
+                out["mean_r"].append(sum(chans[0]) / len(chans[0]))
+                out["mean_g"].append(sum(chans[1]) / len(chans[1]))
+                out["mean_b"].append(sum(chans[2]) / len(chans[2]))
+                out["payload"].append(bytes(header + kept))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "in_width": pd.Series(out["in_width"], dtype="int32"),
+                    "in_height": pd.Series(out["in_height"], dtype="int32"),
+                    "out_width": pd.Series(out["out_width"], dtype="int32"),
+                    "out_height": pd.Series(out["out_height"], dtype="int32"),
+                    "n_units": pd.Series(out["n_units"], dtype="int64"),
+                    "mean_value": pd.Series(out["mean_value"], dtype="float64"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                    "payload": pd.Series(out["payload"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_REAL_SCHEMA)

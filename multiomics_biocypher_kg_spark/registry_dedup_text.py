@@ -2165,3 +2165,80 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_mmr_rerank.__doc__ = emb_mmr_rerank.__doc__.format(
     c=_MMR_CANDS, k=_MMR_K, lam=_MMR_LAMBDA
 )
+
+
+@register(
+    "mm_resize_real",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    kept AS (
+      SELECT doc_id, ch.ch AS ch,
+        ord(substr(text,
+          ((((2 * r.r) * 8 + (2 * c.c)) * 3 + ch.ch) % L) + 1, 1)) AS v
+      FROM b
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ch) ch
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_units,
+        sum(v) AS s,
+        sum(CASE WHEN ch = 0 THEN v END) AS sr,
+        sum(CASE WHEN ch = 1 THEN v END) AS sg,
+        sum(CASE WHEN ch = 2 THEN v END) AS sb
+      FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(8 AS INTEGER) AS in_width,
+      CAST(8 AS INTEGER) AS in_height,
+      CAST(4 AS INTEGER) AS out_width, CAST(4 AS INTEGER) AS out_height,
+      n_units,
+      round(CAST(s AS DOUBLE) / n_units, 6) AS mean_value,
+      round(CAST(sr AS DOUBLE) / 16, 6) AS mean_r,
+      round(CAST(sg AS DOUBLE) / 16, 6) AS mean_g,
+      round(CAST(sb AS DOUBLE) / 16, 6) AS mean_b
+    FROM agg
+    """,
+)
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: the synthesized binary P6 PPMs
+    (mm_decode_real's valid files) go through the mapInPandas
+    nearest-neighbor downscale (8x8 -> 4x4, top-left representative
+    per 2x2 block), which re-emits a VALID resized PPM payload plus
+    per-channel statistics of the resized plane — the thumbnail /
+    fixed-resolution-preprocessing step a multimodal training
+    pipeline runs between decode and feature extraction. The oracle
+    recomputes the kept-pixel statistics straight from the source
+    text via the pixel index arithmetic (((2r)*8 + 2c)*3 + ch cycled
+    over the text bytes), so a stride, offset, or channel-order bug
+    in the real slicing is a hash mismatch — the same
+    decode-verified discipline as mm_decode_real, now covering a
+    TRANSFORM, not just a parse.
+
+    Scale shape: one mapInPandas pass over the image partition
+    (Arrow batches, init-once contract); per-image work is O(out
+    pixels); everything else is scan projection. Rounding happens
+    engine-side (both engines share the HALF_UP rule)."""
+    from multiomics_biocypher_kg_spark.operators.multimodal import (
+        attach_real_payloads,
+        resize_real_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_real_payloads(docs).where(F.col("kind") == "image")
+    feats = resize_real_images(media, factor=2)
+    return feats.select(
+        "doc_id",
+        "in_width",
+        "in_height",
+        "out_width",
+        "out_height",
+        "n_units",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -3522,3 +3522,236 @@ def text_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_platt_scaling.__doc__ = text_platt_scaling.__doc__.format(
     it=_PLATT_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption plan + fill-in-the-middle transform
+# ---------------------------------------------------------------------------
+
+_SPAN_START_MOD = 20  # ~5% start rate x mean span 3 => ~15% masked
+_SPAN_MAX_LOOKBACK = 3  # max span length 4 => a start <=3 back can cover
+
+
+def _span_start_sql() -> str:
+    return (
+        md5_long_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+                     " || '#spanstart'")
+        + f" % {_SPAN_START_MOD} = 0"
+    )
+
+
+def _span_len_sql() -> str:
+    return (
+        "2 + "
+        + md5_long_sql(
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+            " || '#spanlen'"
+        )
+        + " % 3"
+    )
+
+
+@register(
+    "text_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER)
+          AS pos,
+        unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+        CASE WHEN {_span_start_sql()} THEN 1 ELSE 0 END AS is_start,
+        {_span_len_sql()} AS span_len
+      FROM toks
+    ),
+    masked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+          {" OR ".join(
+            f"(coalesce(lag(is_start, {k}) OVER w, 0) = 1"
+            f" AND coalesce(lag(span_len, {k}) OVER w, 0) > {k})"
+            for k in range(_SPAN_MAX_LOOKBACK + 1)
+          )} AS m
+        FROM flagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE m
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM masked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+        CAST(count(*) AS BIGINT) AS n_masked
+      FROM runs GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_start)
+           AS INTEGER) AS sentinel_id,
+      span_start, span_end, n_masked
+    FROM spans
+    """,
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020): the
+    deterministic mask schedule a seq2seq pretraining job applies —
+    hash-selected span starts (1-in-{m} positions; expected mask
+    rate ~15% at mean span 3), hash-drawn span lengths 2-4,
+    OVERLAPPING spans merged into maximal masked runs, and sentinel
+    ids numbered per doc in order (the <extra_id_N> sequence). The
+    replayable-randomness contract matters doubly here: a resumed
+    epoch must mask the SAME spans (or targets and inputs desync),
+    and the oracle re-derives every draw.
+
+    Scale shape: no join anywhere — a span start <= {lb} positions
+    back covers position p iff its drawn length exceeds the offset,
+    so `masked` is a fixed OR over {lb}+1 lag windows PARTITIONED by
+    doc; runs collapse via the pos - row_number grouping idiom
+    (also per-doc windows); output is one row per span. All hashing
+    in the scan projection."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+    start_h = md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+            F.lit("#spanstart"),
+        )
+    )
+    len_h = md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+            F.lit("#spanlen"),
+        )
+    )
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        F.when(start_h % _SPAN_START_MOD == 0, 1).otherwise(0).alias(
+            "is_start"
+        ),
+        (2 + len_h % 3).alias("span_len"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    m = None
+    for k in range(_SPAN_MAX_LOOKBACK + 1):
+        term = (
+            F.coalesce(F.lag("is_start", k).over(w), F.lit(0)) == 1
+        ) & (F.coalesce(F.lag("span_len", k).over(w), F.lit(0)) > k)
+        m = term if m is None else (m | term)
+    masked = flagged.withColumn("m", m).where(F.col("m")).select(
+        "doc_id", "pos"
+    )
+    grp = F.col("pos") - F.row_number().over(w)
+    runs = masked.withColumn("grp", grp)
+    spans = runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        F.max("pos").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_masked"),
+    )
+    sid = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("span_start")
+    )
+    return spans.select(
+        "doc_id",
+        sid.cast("int").alias("sentinel_id"),
+        "span_start",
+        "span_end",
+        "n_masked",
+    )
+
+
+text_span_corruption.__doc__ = text_span_corruption.__doc__.format(
+    m=_SPAN_START_MOD, lb=_SPAN_MAX_LOOKBACK
+)
+
+
+@register(
+    "text_fim_transform",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS arr,
+        len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    cuts AS (
+      SELECT doc_id, arr, n,
+        1 + {md5_long_sql("CAST(doc_id AS VARCHAR) || '#fim1'")} % (n - 2)
+          AS c1
+      FROM base
+    ),
+    cuts2 AS (
+      SELECT *, c1 + 1
+        + {md5_long_sql("CAST(doc_id AS VARCHAR) || '#fim2'")} % (n - c1 - 1)
+        AS c2
+      FROM cuts
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+      CAST(c2 - c1 AS BIGINT) AS middle_len,
+      md5('<PRE> ' || array_to_string(arr[1:c1], ' ')
+          || ' <SUF> ' || array_to_string(arr[c2 + 1:n], ' ')
+          || ' <MID> ' || array_to_string(arr[c1 + 1:c2], ' '))
+        AS fim_md5
+    FROM cuts2
+    """,
+)
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, the
+    OpenAI FIM recipe): split each document at two hash-drawn token
+    cuts into (prefix, middle, suffix) and re-serialize in PSM order
+    — '<PRE> prefix <SUF> suffix <MID> middle' — the data transform
+    that teaches a causal LM to infill. Cuts guarantee all three
+    segments non-empty (c1 in [1, n-2], c2 in [c1+1, n-1]); docs
+    under 3 tokens are out of frame by contract. The transformed
+    text is emitted as its md5 (the byte-identical-extraction
+    discipline: the hash pins every byte of the reordering without
+    shipping the full string through the compare).
+
+    Scale shape: pure scan projection — split, two hash draws, three
+    array slices, one concat, one md5; ZERO shuffles (plan-asserted
+    no Exchange). Replayable: a resumed epoch re-derives identical
+    cuts."""
+    docs = _docs(spark, sf_dir)
+    arr = F.split("text", " ")
+    base = docs.select("doc_id", arr.alias("arr"), F.size(arr).alias("n")).where(
+        F.col("n") >= 3
+    )
+    h1 = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#fim1")))
+    h2 = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#fim2")))
+    cuts = base.withColumn("c1", 1 + h1 % (F.col("n") - 2))
+    cuts = cuts.withColumn(
+        "c2", F.col("c1") + 1 + h2 % (F.col("n") - F.col("c1") - 1)
+    )
+    prefix = F.array_join(F.slice("arr", F.lit(1), F.col("c1")), " ")
+    middle = F.array_join(
+        F.slice("arr", F.col("c1") + 1, F.col("c2") - F.col("c1")), " "
+    )
+    suffix = F.array_join(
+        F.slice("arr", F.col("c2") + 1, F.col("n") - F.col("c2")), " "
+    )
+    psm = F.concat(
+        F.lit("<PRE> "), prefix, F.lit(" <SUF> "), suffix,
+        F.lit(" <MID> "), middle,
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("c1").cast("long").alias("cut1"),
+        F.col("c2").cast("long").alias("cut2"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("middle_len"),
+        F.md5(psm).alias("fim_md5"),
+    )

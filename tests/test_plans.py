@@ -1716,3 +1716,34 @@ def test_dataset_card_two_scans(spark):
     assert plan.count("documents.parquet") == 2
     assert "TakeOrderedAndProject" in plan  # the 1-row language mode
     assert "CartesianProduct" not in plan
+
+
+def test_resize_real_arrow_batch_path(spark):
+    """mm_resize_real: one mapInPandas (ArrowEvalPython/MapInPandas)
+    pass over the image partition; no shuffle beyond it."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["mm_resize_real"](spark, SF_TINY))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_span_corruption_window_only_no_join(spark):
+    """text_span_corruption: the lookback is lag windows PARTITIONED
+    by doc — no join anywhere in the plan."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_span_corruption"](spark, SF_TINY))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_fim_pure_projection_zero_exchange(spark):
+    """text_fim_transform: pure scan projection — no Exchange of any
+    kind in the plan."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_fim_transform"](spark, SF_TINY))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
