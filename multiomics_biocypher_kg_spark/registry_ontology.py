@@ -651,3 +651,89 @@ def onto_wupalmer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DAG diamond audit (multiple-inheritance double-count risk)
+# --------------------------------------------------------------------------
+
+# The base ontology fixture is a TREE (doc_id // 4); the diamond
+# audit needs a DAG, so every doc_id % 3 == 2 class gets a SECOND
+# parent (doc_id // 5) — the multiple-inheritance pattern real
+# ontologies (GO, BRITE) carry and the reference's subtree rollups
+# must not double-count through.
+ONTO_DAG_EDGES_SQL = f"""
+  SELECT child, parent FROM ({ONTO_EDGES_SQL})
+  UNION
+  SELECT format('n{{:04d}}', doc_id) AS child,
+         format('n{{:04d}}', doc_id // 5) AS parent
+  FROM documents
+  WHERE doc_id > 0 AND doc_id % 3 = 2 AND doc_id // 5 <> doc_id // 4
+"""
+
+
+def _onto_dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    second = docs.where(
+        (F.col("doc_id") > 0)
+        & (F.col("doc_id") % 3 == 2)
+        & (F.floor(F.col("doc_id") / 5) != F.floor(F.col("doc_id") / 4))
+    ).select(
+        F.format_string("n%04d", F.col("doc_id")).alias("child"),
+        F.format_string(
+            "n%04d", F.floor(F.col("doc_id") / 5).cast("int")
+        ).alias("parent"),
+    )
+    return _onto_edges(spark, sf_dir).unionByName(second).distinct()
+
+
+@register(
+    "onto_diamond_audit",
+    oracle=f"""
+    WITH edges AS ({ONTO_DAG_EDGES_SQL}),
+    two AS (
+      SELECT a.child AS node, b.parent AS grand,
+        count(DISTINCT a.parent) AS n_paths
+      FROM edges a JOIN edges b ON a.parent = b.child
+      GROUP BY 1, 2
+    )
+    SELECT node, grand AS grand_ancestor,
+      CAST(n_paths AS BIGINT) AS n_paths,
+      CAST(n_paths * (n_paths - 1) // 2 AS BIGINT) AS n_diamonds
+    FROM two WHERE n_paths >= 2
+    """,
+)
+def onto_diamond_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAMOND detection in the multiple-inheritance ontology DAG:
+    (class, grand-ancestor) pairs reachable through >= 2 distinct
+    intermediate parents — the exact structural pattern that makes
+    naive subtree rollups DOUBLE-COUNT (a gene annotated to the
+    class propagates to the grand-ancestor once per path unless the
+    rollup dedups by node, which onto_subtree_rollup's
+    count-distinct discipline does; this query measures how much
+    that discipline is load-bearing). Reference analog: GO / BRITE
+    are DAGs, not trees — brite_adapter.py's prune-to-reachable
+    walks multiple parents.
+
+    Scale shape: one self-join of the edge dictionary keyed by the
+    shared mid node (edges are dictionary-sized in any ontology —
+    this is the wedge-count shape of kg_triangles, degree-bounded),
+    one (node, grand) count-distinct agg, all-integer output
+    (n_paths choose 2)."""
+    edges = _onto_dag_edges(spark, sf_dir).localCheckpoint()
+    a = edges.select(F.col("child").alias("node"), F.col("parent").alias("mid"))
+    b = edges.select(F.col("child").alias("mid"), F.col("parent").alias("grand"))
+    two = (
+        a.join(b, "mid")
+        .groupBy("node", "grand")
+        .agg(F.countDistinct("mid").alias("n_paths"))
+        .where(F.col("n_paths") >= 2)
+    )
+    return two.select(
+        "node",
+        F.col("grand").alias("grand_ancestor"),
+        F.col("n_paths").cast("long").alias("n_paths"),
+        (F.col("n_paths") * (F.col("n_paths") - 1) / 2)
+        .cast("long")
+        .alias("n_diamonds"),
+    )

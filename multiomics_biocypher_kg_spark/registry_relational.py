@@ -4319,3 +4319,351 @@ def rel_temporal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("violation_rate"),
         "worst_days_early",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2-shape: min-cost supplier per part within a region
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "ECONOMY"
+_Q2_TOP = 20
+
+
+@register(
+    "rel_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+        min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+    ),
+    region_supp AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{_Q2_REGION}'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_size, sp.l_suppkey, rs.s_name, rs.n_name,
+        sp.unit_cost,
+        row_number() OVER (PARTITION BY p.p_partkey
+          ORDER BY round(sp.unit_cost, 6) ASC, sp.l_suppkey ASC) AS rn
+      FROM supply sp
+      JOIN region_supp rs ON sp.l_suppkey = rs.s_suppkey
+      JOIN part p ON sp.l_partkey = p.p_partkey
+      WHERE p.p_type = '{_Q2_TYPE}'
+    )
+    SELECT p_partkey, CAST(p_size AS INTEGER) AS p_size,
+      l_suppkey AS s_suppkey, s_name, n_name,
+      round(unit_cost, 6) AS unit_cost
+    FROM cand WHERE rn = 1
+    ORDER BY round(unit_cost, 6) ASC, p_partkey ASC LIMIT {_Q2_TOP}
+    """,
+)
+def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape — "which supplier offers each part cheapest
+    within a region" — re-expressed Spark-first: the spec's
+    correlated MIN subquery becomes a window min PARTITIONED by part
+    (the standard decorrelation), supply costs come from observed
+    line unit prices (the synthetic schema has no partsupp), the
+    region restriction is two BROADCAST dim hops
+    (supplier->nation->region), and the final top-{k} is
+    TakeOrderedAndProject. The deterministic-tiebreak discipline:
+    per-part argmin by (ROUNDED unit cost, supplier key), global
+    order by (rounded cost, part key).
+
+    Scale shape: one map-side-combined (part, supplier) min agg over
+    the fact table; all three dims broadcast (SortMergeJoin asserted
+    absent — supplier/nation/region are classic broadcast dims; the
+    part join stays broadcastable because the type filter prunes it
+    in the scan); the per-part window sees only that part's regional
+    candidates."""
+    li = _read(spark, sf_dir, "lineitem")
+    supply = (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    region_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == _Q2_REGION)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == _Q2_TYPE)
+    from pyspark.sql import Window
+
+    cand = (
+        supply.join(
+            F.broadcast(region_supp),
+            supply["l_suppkey"] == region_supp["s_suppkey"],
+        )
+        .join(F.broadcast(p), supply["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_partkey", "p_size", "l_suppkey", "s_name", "n_name", "unit_cost"
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.round(F.col("unit_cost"), 6).asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .orderBy(F.round(F.col("unit_cost"), 6).asc(), F.col("p_partkey").asc())
+        .limit(_Q2_TOP)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain, unrolled)
+# ---------------------------------------------------------------------------
+
+# Channels = the fixture's non-conversion event types (pinned as a
+# literal, the _NB_LANG_LIST convention; pytest asserts the set
+# matches the data). 'purchase' is the conversion absorber.
+_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+_ATTR_ITERS = 12
+
+_ATTR_TRANS_SQL = """
+    seq AS (
+      SELECT user_id, ts, event_id, event_type,
+        coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS journey,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    jseq AS (
+      SELECT *, lead(event_type) OVER (PARTITION BY user_id, journey
+        ORDER BY ts, event_id) AS next_type,
+        row_number() OVER (PARTITION BY user_id, journey
+          ORDER BY ts, event_id) AS jrn
+      FROM seq
+    ),
+    raw_trans AS (
+      SELECT event_type AS f,
+        CASE WHEN next_type = 'purchase' THEN 'CONV'
+             WHEN next_type IS NULL THEN 'NULL'
+             ELSE next_type END AS t
+      FROM jseq WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT 'START',
+        CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END
+      FROM jseq WHERE jrn = 1
+    ),
+    tc AS (SELECT f, t, count(*) AS n FROM raw_trans GROUP BY f, t),
+    tt AS (SELECT f, sum(n) AS tot FROM tc GROUP BY f),
+    pmat AS (
+      SELECT tc.f, tc.t, CAST(tc.n AS DOUBLE) / tt.tot AS p
+      FROM tc JOIN tt ON tc.f = tt.f
+    )
+"""
+
+
+def _attr_iter_sql(tag: str, removed: str | None) -> str:
+    """K unrolled absorption-probability iterations for one chain
+    variant: p_{i+1}(s) = sorted-fold_t P(s,t) * val_i(t), with
+    val(CONV)=1, val(NULL)=0, and val(removed)=0."""
+    zero = (
+        f"WHEN m.t = '{removed}' THEN 0.0" if removed is not None else ""
+    )
+    parts = [
+        f"""{tag}0 AS (
+      SELECT f AS s, 0.0 AS p FROM tt
+    )"""
+    ]
+    for i in range(1, _ATTR_ITERS + 1):
+        parts.append(
+            f"""{tag}{i} AS MATERIALIZED (
+      SELECT m.f AS s,
+        list_reduce(list(CAST(m.p * (CASE WHEN m.t = 'CONV' THEN 1.0
+          WHEN m.t = 'NULL' THEN 0.0 {zero}
+          ELSE coalesce(pv.p, 0.0) END) AS DOUBLE) ORDER BY m.t),
+          (x, y) -> x + y) AS p
+      FROM pmat m LEFT JOIN {tag}{i - 1} pv ON pv.s = m.t
+      GROUP BY m.f
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _attr_sql() -> str:
+    variants = [("b", None)] + [
+        (f"v{k}", ch) for k, ch in enumerate(_ATTR_CHANNELS)
+    ]
+    chains = ",\n    ".join(_attr_iter_sql(tag, rem) for tag, rem in variants)
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, "
+        f"(SELECT p FROM v{k}{_ATTR_ITERS} WHERE s = 'START') AS p_without"
+        for k, ch in enumerate(_ATTR_CHANNELS)
+    )
+    return f"""
+    WITH {_ATTR_TRANS_SQL},
+    {chains},
+    base AS (SELECT p AS p_base FROM b{_ATTR_ITERS} WHERE s = 'START'),
+    rem AS (
+      {rows}
+    ),
+    eff AS (
+      SELECT r.channel, b.p_base, r.p_without,
+        1.0 - r.p_without / b.p_base AS removal_effect
+      FROM rem r CROSS JOIN base b
+    )
+    SELECT channel, round(p_base, 6) AS p_conv_base,
+      round(p_without, 6) AS p_conv_without,
+      round(removal_effect, 6) AS removal_effect,
+      round(removal_effect / sum(removal_effect) OVER (), 6)
+        AS attribution_share
+    FROM eff
+    """
+
+
+@register("ev_markov_attribution", oracle=_attr_sql())
+def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (the data-driven
+    multi-touch model; Anderl et al. 2016): journeys are per-user
+    event runs ending at a 'purchase' (CONV) or stream end (NULL);
+    the first-order chain over channels + START is estimated from
+    journey transitions, absorption-to-CONV probabilities come from
+    {it} unrolled fixed-point iterations, and each channel's credit
+    is 1 - P(conv | channel removed) / P(conv) — what first/last-
+    touch (ev_attribution) structurally cannot express: a middle
+    touchpoint that every converting journey passes through gets
+    the credit it earns. Removal = the channel's absorption value
+    pinned to 0 (transitions into it become dead ends), the
+    standard formulation.
+
+    The float discipline is the ev_markov_stationary one: each
+    fixed-point sum folds its terms in sorted-successor order
+    (F.aggregate over sort_array(collect_list) == DuckDB
+    list_reduce(list(... ORDER BY))) so both engines produce
+    bit-identical doubles; all five chain variants (base + 4
+    removals) iterate over the same checkpointed |states|^2
+    transition dictionary. Corpus cost: ONE scan building journey
+    transitions (two window passes partitioned by user); everything
+    after is dictionary arithmetic."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    jseq = seq.select(
+        "event_type",
+        F.lead("event_type").over(wj).alias("next_type"),
+        F.row_number().over(wj).alias("jrn"),
+    )
+    chan_trans = jseq.where(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("f"),
+        F.when(F.col("next_type") == "purchase", "CONV")
+        .when(F.col("next_type").isNull(), "NULL")
+        .otherwise(F.col("next_type"))
+        .alias("t"),
+    )
+    start_trans = jseq.where(F.col("jrn") == 1).select(
+        F.lit("START").alias("f"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    )
+    tc = (
+        chan_trans.unionByName(start_trans)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tt = tc.groupBy("f").agg(F.sum("n").alias("tot"))
+    pmat = (
+        tc.join(tt, "f")
+        .select("f", "t", (F.col("n").cast("double") / F.col("tot")).alias("p"))
+        .localCheckpoint()  # |states|^2 dictionary, 5 chain variants
+    )
+    states = pmat.select(F.col("f").alias("s")).distinct().localCheckpoint()
+
+    def absorb(removed: str | None):
+        pv = states.select("s", F.lit(0.0).alias("p"))
+        for i in range(_ATTR_ITERS):
+            val = (
+                F.when(F.col("t") == "CONV", F.lit(1.0))
+                .when(F.col("t") == "NULL", F.lit(0.0))
+            )
+            if removed is not None:
+                val = val.when(F.col("t") == removed, F.lit(0.0))
+            val = val.otherwise(F.coalesce(F.col("pv_p"), F.lit(0.0)))
+            j = pmat.join(
+                pv.select(F.col("s").alias("t"), F.col("p").alias("pv_p")),
+                "t",
+                "left",
+            )
+            pv = (
+                j.groupBy(F.col("f").alias("s"))
+                .agg(
+                    F.aggregate(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("t").alias("o"),
+                                    (F.col("p") * val).alias("v"),
+                                )
+                            )
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["v"],
+                    ).alias("p")
+                )
+            )
+            if (i + 1) % 4 == 0:
+                pv = pv.localCheckpoint()
+        return pv
+
+    base_p = absorb(None).where(F.col("s") == "START").select(
+        F.col("p").alias("p_base")
+    )
+    rem = None
+    for ch in _ATTR_CHANNELS:
+        row = (
+            absorb(ch)
+            .where(F.col("s") == "START")
+            .select(F.lit(ch).alias("channel"), F.col("p").alias("p_without"))
+        )
+        rem = row if rem is None else rem.unionByName(row)
+    eff = rem.crossJoin(F.broadcast(base_p)).select(
+        "channel",
+        "p_base",
+        "p_without",
+        (1.0 - F.col("p_without") / F.col("p_base")).alias("removal_effect"),
+    )
+    w = Window.partitionBy()
+    return eff.select(
+        "channel",
+        F.round("p_base", 6).alias("p_conv_base"),
+        F.round("p_without", 6).alias("p_conv_without"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round(
+            F.col("removal_effect") / F.sum("removal_effect").over(w), 6
+        ).alias("attribution_share"),
+    )

@@ -1783,3 +1783,40 @@ def test_psi_integer_binning_single_agg(spark):
     assert plan.count("documents.parquet") == 0  # checkpointed grid
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_broadcast_dims_no_smj(spark):
+    """rel_min_cost_supplier: supplier/nation/region/part all
+    broadcast; the per-part argmin window partitions by part; the
+    global top-20 is TakeOrderedAndProject."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_min_cost_supplier"](spark, SF_TINY))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_diamond_audit_wedge_join(spark):
+    """onto_diamond_audit: one self-join of the checkpointed edge
+    dictionary keyed by the mid node (the kg_triangles wedge shape);
+    no cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["onto_diamond_audit"](spark, SF_TINY))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_markov_attribution_dictionary_chains(spark):
+    """ev_markov_attribution: the transition matrix is checkpointed
+    once and all five chain variants iterate over it; the corpus
+    never reappears in the final plan."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_markov_attribution"](spark, SF_TINY))
+    assert plan.count("events.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
