@@ -4667,3 +4667,210 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("removal_effect") / F.sum("removal_effect").over(w), 6
         ).alias("attribution_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (islands & gaps) per user
+# ---------------------------------------------------------------------------
+
+_COV_WINDOW_SEC = 1800  # each event opens a 30-minute activity interval
+
+
+@register(
+    "ev_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        CAST(floor(epoch(ts)) AS BIGINT) + {_COV_WINDOW_SEC} AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, s, e,
+        sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    islands AS (
+      SELECT user_id, island, min(s) AS island_start, max(e) AS island_end
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+      CAST(count(*) AS BIGINT) AS n_islands,
+      CAST(sum(island_end - island_start) AS BIGINT) AS covered_sec,
+      CAST(min(island_start) AS BIGINT) AS first_start,
+      CAST(max(island_end) AS BIGINT) AS last_end,
+      round(CAST(sum(island_end - island_start) AS DOUBLE)
+            / (max(island_end) - min(island_start)), 6) AS coverage_ratio
+    FROM islands GROUP BY user_id
+    """,
+)
+def ev_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user — the classic islands-and-
+    gaps pattern the repo's window family was still missing: each
+    event opens a {w}-second activity interval; overlapping
+    intervals merge into islands (a new island starts exactly when
+    an interval's start exceeds the running max of all previous
+    ends), and the report is per-user island count, total covered
+    seconds (the UNION length — naive sum over events double-counts
+    every overlap), span, and coverage ratio. The ops reading:
+    actual attended time vs wall-clock span (engagement), or crawl
+    windows actually covered vs elapsed (freshness debt);
+    ev_sessionize answers "how many visits", this answers "how much
+    TIME".
+
+    Scale shape: two windows PARTITIONED by user (running max of
+    ends with a 1-row lag exclusion; running sum of island starts)
+    over integer epochs + one keyed island agg + one keyed user agg
+    — no self-join (the naive interval-overlap join is quadratic
+    per user), no floats until the final ratio."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + _COV_WINDOW_SEC).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("long")
+        .alias("covered_sec"),
+        F.min("island_start").cast("long").alias("first_start"),
+        F.max("island_end").cast("long").alias("last_end"),
+        F.round(
+            F.sum(F.col("island_end") - F.col("island_start")).cast("double")
+            / (F.max("island_end") - F.min("island_start")),
+            6,
+        ).alias("coverage_ratio"),
+    )
+
+
+ev_interval_coverage.__doc__ = ev_interval_coverage.__doc__.format(
+    w=_COV_WINDOW_SEC
+)
+
+
+# ---------------------------------------------------------------------------
+# Peak detection with prominence over daily volumes
+# ---------------------------------------------------------------------------
+
+_PEAK_NEIGHBORHOOD = 3  # days each side for the prominence baseline
+
+
+@register(
+    "ev_peak_detect",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT event_type, day, c,
+        lag(c, 1) OVER w AS prev_c,
+        lead(c, 1) OVER w AS next_c,
+        greatest(
+          coalesce(lag(c, 1) OVER w, 0), coalesce(lag(c, 2) OVER w, 0),
+          coalesce(lag(c, 3) OVER w, 0), coalesce(lead(c, 1) OVER w, 0),
+          coalesce(lead(c, 2) OVER w, 0), coalesce(lead(c, 3) OVER w, 0)
+        ) AS nbr_max,
+        least(
+          coalesce(lag(c, 1) OVER w, c), coalesce(lag(c, 2) OVER w, c),
+          coalesce(lag(c, 3) OVER w, c), coalesce(lead(c, 1) OVER w, c),
+          coalesce(lead(c, 2) OVER w, c), coalesce(lead(c, 3) OVER w, c)
+        ) AS nbr_min
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+      CAST(c - nbr_min AS BIGINT) AS prominence
+    FROM ctx
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND c > prev_c AND c > next_c AND c >= nbr_max
+    """,
+)
+def ev_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence readout over per-type
+    daily volumes: a day is a peak when it strictly exceeds both
+    neighbors AND is >= the max of the +/-{k}-day neighborhood
+    (interior days only — boundary days have no two-sided
+    evidence); prominence = height above the neighborhood minimum.
+    The complement to the repo's other time-series monitors:
+    ev_burst_detect flags threshold crossings, ev_changepoint dates
+    a regime shift, this pins the LOCAL extrema a capacity review
+    reads ("which days spiked, and by how much over their valley").
+
+    Scale shape: corpus-sized work is exactly the shared daily
+    count agg; the lag/lead comparisons are one window pass
+    PARTITIONED by event_type over the day dictionary (the
+    ev_changepoint defense); all-integer arithmetic throughout."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("c", k).over(w) for k in range(1, _PEAK_NEIGHBORHOOD + 1)]
+    leads = [F.lead("c", k).over(w) for k in range(1, _PEAK_NEIGHBORHOOD + 1)]
+    nbr_max = F.greatest(*[F.coalesce(x, F.lit(0)) for x in lags + leads])
+    nbr_min = F.least(*[F.coalesce(x, F.col("c")) for x in lags + leads])
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "c",
+        lags[0].alias("prev_c"),
+        leads[0].alias("next_c"),
+        nbr_max.alias("nbr_max"),
+        nbr_min.alias("nbr_min"),
+    )
+    return ctx.where(
+        F.col("prev_c").isNotNull()
+        & F.col("next_c").isNotNull()
+        & (F.col("c") > F.col("prev_c"))
+        & (F.col("c") > F.col("next_c"))
+        & (F.col("c") >= F.col("nbr_max"))
+    ).select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("n_events"),
+        (F.col("c") - F.col("nbr_min")).cast("long").alias("prominence"),
+    )
+
+
+ev_peak_detect.__doc__ = ev_peak_detect.__doc__.format(k=_PEAK_NEIGHBORHOOD)

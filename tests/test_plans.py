@@ -1820,3 +1820,36 @@ def test_markov_attribution_dictionary_chains(spark):
     assert plan.count("events.parquet") == 0
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_coverage_windows_no_self_join(spark):
+    """ev_interval_coverage: the island merge is two windows
+    PARTITIONED by user + two keyed aggs — no interval self-join,
+    no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_interval_coverage"](spark, SF_TINY))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_peak_detect_day_dictionary_window(spark):
+    """ev_peak_detect: one daily count agg + one lag/lead window
+    pass PARTITIONED by type over the day dictionary."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["ev_peak_detect"](spark, SF_TINY))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_burstiness_take_ordered_no_vocab_window(spark):
+    """text_term_burstiness: top-k is TakeOrderedAndProject over the
+    vocabulary — never the unpartitioned global-rank window the
+    round-3 VERDICT flagged."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_term_burstiness"](spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
