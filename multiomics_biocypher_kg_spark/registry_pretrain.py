@@ -3965,3 +3965,207 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_term_burstiness.__doc__ = text_term_burstiness.__doc__.format(
     k=_BURST_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Slice finder (worst-performing evaluation slices)
+# ---------------------------------------------------------------------------
+
+_SLICE_LEN = 100  # tokens; short vs long band boundary
+
+
+@register(
+    "data_slice_finder",
+    oracle=f"""
+    WITH {_NB_SCORE_CTES},
+    pred AS (
+      SELECT doc_id, gold, lang AS pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rn
+        FROM scores) WHERE rn = 1
+    ),
+    banded AS (
+      SELECT p.doc_id, p.gold, p.pred,
+        CASE WHEN len(string_split(d.text, ' ')) < {_SLICE_LEN}
+          THEN 'short' ELSE 'long' END AS len_band
+      FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    ),
+    overall AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+        CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+          AS c_all
+      FROM banded
+    ),
+    slices AS (
+      SELECT gold AS lang, len_band,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT s.lang, s.len_band, s.n, s.n_correct,
+      round(CAST(s.n_correct AS DOUBLE) / s.n, 6) AS accuracy,
+      round(CAST(o.c_all AS DOUBLE) / o.n_all, 6) AS overall_accuracy,
+      round((CAST(s.n_correct AS DOUBLE) / s.n
+             - CAST(o.c_all AS DOUBLE) / o.n_all)
+            / sqrt((CAST(o.c_all AS DOUBLE) / o.n_all)
+                   * (1.0 - CAST(o.c_all AS DOUBLE) / o.n_all) / s.n), 6)
+        AS z_score,
+      (CAST(s.n_correct AS DOUBLE) / s.n
+       - CAST(o.c_all AS DOUBLE) / o.n_all)
+      / sqrt((CAST(o.c_all AS DOUBLE) / o.n_all)
+             * (1.0 - CAST(o.c_all AS DOUBLE) / o.n_all) / s.n) < -1.96
+        AS underperforms
+    FROM slices s CROSS JOIN overall o
+    """,
+)
+def data_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SliceFinder-lite (Chung et al., ICDE 2019 shape): per
+    evaluation SLICE — (gold language x length band) — the trained
+    NB classifier's accuracy, the overall accuracy, and a one-sample
+    z-score of the slice against the overall rate; slices with
+    z < -1.96 are flagged as UNDERPERFORMING. The aggregate-accuracy
+    number text_nb_langid reports hides exactly this: a model can be
+    90% overall and 50% on short Chinese docs, and the slice report
+    is what decides targeted data collection (with
+    data_uncertainty_sample picking the specific documents).
+
+    Scale shape: rides the shared _nb_scores pipeline to per-doc
+    predictions (dictionary model, token-keyed join, per-doc
+    windows); banding is one keyed join back to the doc table; the
+    slice and overall aggregates are two map-side-combined counts;
+    the z arithmetic is per-slice projection against the 1-row
+    overall dim."""
+    scores = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("lang")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "gold", F.col("lang").alias("pred"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.size(F.split("text", " ")) < _SLICE_LEN, "short")
+        .otherwise("long")
+        .alias("len_band"),
+    )
+    banded = pred.join(docs, "doc_id").localCheckpoint()
+    overall = banded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum((F.col("pred") == F.col("gold")).cast("int"))
+        .cast("long")
+        .alias("c_all"),
+    )
+    slices = banded.groupBy(
+        F.col("gold").alias("lang"), "len_band"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("pred") == F.col("gold")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    acc_all = F.col("c_all").cast("double") / F.col("n_all")
+    acc_s = F.col("n_correct").cast("double") / F.col("n")
+    z = (acc_s - acc_all) / F.sqrt(acc_all * (1.0 - acc_all) / F.col("n"))
+    return slices.crossJoin(F.broadcast(overall)).select(
+        "lang",
+        "len_band",
+        "n",
+        "n_correct",
+        F.round(acc_s, 6).alias("accuracy"),
+        F.round(acc_all, 6).alias("overall_accuracy"),
+        F.round(z, 6).alias("z_score"),
+        (z < -1.96).alias("underperforms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose gate (with planted code docs)
+# ---------------------------------------------------------------------------
+
+# Deterministic code plant (the NB marker-injection convention):
+# every doc_id % 11 == 7 page gets a code-looking tail, so the gate
+# has true positives to find and the pytest contract is exact.
+_CODE_TAIL = " def f ( x ) : return { x } ; import sys // x == y != z"
+_CODE_KEYWORDS = "('def', 'return', 'import', 'function', 'var')"
+_CODE_SYMBOL_RE = "[{}();=<>:/]"
+
+
+@register(
+    "text_code_gate",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 11 = 7 THEN '{_CODE_TAIL}' ELSE '' END
+          AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        CAST(length(t) AS BIGINT) AS n_chars,
+        CAST(length(t) - length(regexp_replace(t, '{_CODE_SYMBOL_RE}', '',
+          'g')) AS BIGINT) AS symbol_chars,
+        CAST(len(list_filter(string_split(t, ' '),
+          x -> x IN {_CODE_KEYWORDS})) AS BIGINT) AS kw_hits
+      FROM aug
+    )
+    SELECT doc_id, n_chars, symbol_chars,
+      round(CAST(symbol_chars AS DOUBLE) / n_chars, 6) AS symbol_ratio,
+      kw_hits,
+      (kw_hits >= 2 OR CAST(symbol_chars AS DOUBLE) / n_chars > 0.02)
+        AS is_code
+    FROM feat
+    """,
+)
+def text_code_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose gate — the router every mixed crawl needs
+    before language-specific curation (prose gates like repetition/
+    perplexity MIS-SCORE code, and code deduplication wants
+    different shingling): per doc, the structural-symbol character
+    ratio and programming-keyword hits, flagged is_code at
+    kw_hits >= 2 OR symbol_ratio > 2%. The fixture plants a
+    code-looking tail on every doc_id %% 11 == 7 page (the NB
+    marker-injection convention) so the gate has exact true
+    positives — pytest asserts the flag set IS the planted set, zero
+    false positives on the prose remainder.
+
+    Scale shape: pure scan projection — one regexp_replace length
+    diff (native, whole-stage codegen) and one token filter count;
+    ZERO shuffles (plan-asserted no Exchange); per-doc output."""
+    docs = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 7, F.lit(_CODE_TAIL)).otherwise(
+            F.lit("")
+        ),
+    )
+    kws = ["def", "return", "import", "function", "var"]
+    feat = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        (
+            F.length(t)
+            - F.length(F.regexp_replace(t, _CODE_SYMBOL_RE, ""))
+        )
+        .cast("long")
+        .alias("symbol_chars"),
+        F.size(
+            F.filter(
+                F.split(t, " "),
+                lambda x: x.isin(*kws),
+            )
+        )
+        .cast("long")
+        .alias("kw_hits"),
+    )
+    ratio = F.col("symbol_chars").cast("double") / F.col("n_chars")
+    return feat.select(
+        "doc_id",
+        "n_chars",
+        "symbol_chars",
+        F.round(ratio, 6).alias("symbol_ratio"),
+        "kw_hits",
+        ((F.col("kw_hits") >= 2) | (ratio > 0.02)).alias("is_code"),
+    )

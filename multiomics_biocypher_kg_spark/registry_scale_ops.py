@@ -3568,3 +3568,129 @@ def web_kmv_host_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est_j - exact_j), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 point-in-time join (temporal dimension lookup)
+# ---------------------------------------------------------------------------
+
+_SCD2_VERSIONS_SQL = f"""
+    s AS (
+      SELECT sn.url, sn.ts_epoch, sn.doc_id, md5(d.text) AS content_md5
+      FROM ({_SNAPS_SQL}) sn JOIN documents d ON sn.doc_id = d.doc_id
+    ),
+    seq AS (
+      SELECT *, lag(content_md5)
+        OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS prev
+      FROM s
+    ),
+    vers AS (
+      SELECT url, ts_epoch, doc_id, content_md5 FROM seq
+      WHERE prev IS NULL OR prev <> content_md5
+    ),
+    dim AS (
+      SELECT url, content_md5,
+        CAST(ts_epoch AS BIGINT) AS valid_from,
+        CAST(lead(ts_epoch)
+          OVER (PARTITION BY url ORDER BY ts_epoch, doc_id) AS BIGINT)
+          AS valid_to
+      FROM vers
+    )
+"""
+
+
+@register(
+    "rel_scd2_pointintime",
+    oracle=f"""
+    WITH {_SCD2_VERSIONS_SQL},
+    facts AS (
+      SELECT event_id,
+        'https://' || CASE WHEN event_id % 125 % 10 < 3
+             THEN 'hot.example.com'
+             ELSE 'h' || CAST(event_id % 125 % 50 AS VARCHAR)
+                  || '.example.org' END
+          || '/doc/' || lpad(CAST(event_id % 125 AS VARCHAR), 6, '0') AS url,
+        1767225600 + (event_id % 500) AS t
+      FROM events
+    )
+    SELECT f.event_id, f.url, CAST(f.t AS BIGINT) AS t,
+      d.content_md5, CAST(d.valid_from AS BIGINT) AS valid_from,
+      d.valid_to IS NULL AS is_current_version
+    FROM facts f
+    JOIN dim d ON f.url = d.url
+      AND d.valid_from <= f.t
+      AND (d.valid_to IS NULL OR f.t < d.valid_to)
+    """,
+)
+def rel_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD-2 CONSUMPTION pattern: a point-in-time join of a fact
+    stream onto the versioned dimension web_scd2_history builds —
+    each fact (here: an event mapped onto the crawl's url timeline)
+    picks the ONE version whose [valid_from, valid_to) interval
+    contains its timestamp, the open current version matching
+    everything after its valid_from. This is what the history table
+    exists FOR ("what did the page say when the user saw it"), and
+    the join shape — equi-join on the natural key PLUS a range
+    predicate on the validity interval — is the warehouse-standard
+    temporal lookup; facts predating a url's first version
+    correctly match nothing (inner-join contract).
+
+    Scale shape: the dimension is versions-per-key small (the SCD-2
+    point: one row per CHANGE, not per snapshot) and BROADCASTS;
+    the range predicate then filters the per-key version fan-in —
+    never a time-range shuffle join of two fact-sized tables. The
+    history build itself is the web_scd2_history plan (two per-url
+    windows)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fam = F.col("doc_id") % 125
+    url = F.concat(
+        F.lit("https://"),
+        _fam_host_col(),
+        F.lit("/doc/"),
+        F.lpad(fam.cast("string"), 6, "0"),
+    )
+    s = docs.select(
+        url.alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+    )
+    w = Window.partitionBy("url").orderBy("ts_epoch", "doc_id")
+    vers = s.withColumn("prev", F.lag("content_md5").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("content_md5"))
+    )
+    dim = vers.select(
+        "url",
+        "content_md5",
+        F.col("ts_epoch").cast("long").alias("valid_from"),
+        F.lead("ts_epoch").over(w).cast("long").alias("valid_to"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    efam = F.col("event_id") % 125
+    ehost = F.when(efam % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (efam % 50).cast("string"), F.lit(".example.org"))
+    )
+    facts = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://"), ehost, F.lit("/doc/"),
+            F.lpad(efam.cast("string"), 6, "0"),
+        ).alias("url"),
+        (F.lit(1767225600) + (F.col("event_id") % 500)).cast("long").alias("t"),
+    )
+    j = facts.join(
+        F.broadcast(dim),
+        (facts["url"] == dim["url"])
+        & (dim["valid_from"] <= facts["t"])
+        & (dim["valid_to"].isNull() | (facts["t"] < dim["valid_to"])),
+    )
+    return j.select(
+        "event_id",
+        facts["url"].alias("url"),
+        "t",
+        "content_md5",
+        "valid_from",
+        F.col("valid_to").isNull().alias("is_current_version"),
+    )

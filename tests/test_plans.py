@@ -1853,3 +1853,36 @@ def test_burstiness_take_ordered_no_vocab_window(spark):
     plan = _plan(QUERIES["text_term_burstiness"](spark, SF_TINY))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_scd2_pointintime_broadcast_dimension(spark):
+    """rel_scd2_pointintime: the versioned dimension BROADCASTS (the
+    temporal-lookup contract); no SortMergeJoin of two fact-sized
+    sides, no cartesian."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["rel_scd2_pointintime"](spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_slice_finder_dictionary_aggs(spark):
+    """data_slice_finder: predictions ride the shared NB pipeline;
+    banding is one keyed join; slice + overall stats come from the
+    checkpointed prediction dictionary."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["data_slice_finder"](spark, SF_TINY))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_code_gate_pure_projection(spark):
+    """text_code_gate: scan projection only — no Exchange, no
+    join."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["text_code_gate"](spark, SF_TINY))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
