@@ -2624,3 +2624,131 @@ def kg_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_component",
         (F.col("component") != F.col("base_component")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style late-interaction MaxSim retrieval
+# ---------------------------------------------------------------------------
+
+_CB_DIM = 8
+_CB_QTOKENS = 6
+_CB_NQ = 5
+_CB_TOP = 10
+
+
+def _cb_comp_sql(tok_expr: str, j: int) -> str:
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long_sql
+
+    suffix = " || '#tv" + str(j) + "'"
+    return f"({md5_long_sql(tok_expr + suffix)} % 256 - 128)"
+
+
+def _cb_dot_sql() -> str:
+    terms = [
+        f"{_cb_comp_sql('q.qtok', j)} * {_cb_comp_sql('t.token', j)}"
+        for j in range(_CB_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "emb_colbert_maxsim",
+    oracle=f"""
+    WITH qtoks AS (
+      SELECT doc_id AS query_id,
+        generate_subscripts(string_split(text, ' ')[1:{_CB_QTOKENS}], 1)
+          AS qpos,
+        unnest(string_split(text, ' ')[1:{_CB_QTOKENS}]) AS qtok
+      FROM documents WHERE doc_id < {_CB_NQ}
+    ),
+    dtoks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    dots AS (
+      SELECT q.query_id, q.qpos, t.doc_id,
+        max({_cb_dot_sql()}) AS best
+      FROM qtoks q CROSS JOIN dtoks t
+      GROUP BY q.query_id, q.qpos, t.doc_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+      FROM dots GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY maxsim DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, maxsim, rank
+    FROM ranked WHERE rank <= {_CB_TOP}
+    """,
+)
+def emb_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT, Khattab & Zaharia,
+    SIGIR 2020): instead of one vector per document, every TOKEN
+    carries a vector, and the query-document score is
+    MaxSim — sum over query tokens of the max dot product against
+    any document token — which preserves term-level matching that
+    single-vector pooling destroys (the reason ColBERT-style
+    retrievers beat bi-encoders on precise queries). Queries are
+    the first {nq} docs' first {qt} tokens; token vectors are the
+    hash-derived int8 components of the decoder family (dim {d}),
+    so every dot product, max, and sum is EXACT int64 — the
+    DistMult no-float contract applied to a retrieval paradigm.
+
+    Scale shape: the {nq}x{qt}-row query-token table BROADCASTS
+    against the DISTINCT (doc, token) stream (max over a multiset
+    == max over the set, so the distinct pass also dedups work) —
+    the cosine_topk broadcast-probe convention; the MaxSim
+    reduction is two keyed aggs (per-(query-token, doc) max, then
+    per-(query, doc) sum — both map-side combinable); top-{k} per
+    query via a window partitioned by query. At index scale the
+    candidate generation step (an impact-index or ANN first pass)
+    slots in front; the fixture scores the full corpus because it
+    is the oracle-checkable exact form."""
+    from multiomics_biocypher_kg_spark.functions.hashing import md5_long
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qtoks = docs.where(F.col("doc_id") < _CB_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.posexplode(F.slice(F.split("text", " "), 1, _CB_QTOKENS)).alias(
+            "qpos", "qtok"
+        ),
+    )
+    dtoks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+
+    def comp(col, j):
+        return md5_long(F.concat(col, F.lit(f"#tv{j}"))) % 256 - 128
+
+    dot = sum(
+        comp(F.col("qtok"), j) * comp(F.col("token"), j)
+        for j in range(_CB_DIM)
+    )
+    dots = (
+        dtoks.crossJoin(F.broadcast(qtoks))
+        # keyed by query-token POSITION: a repeated query token
+        # contributes once per OCCURRENCE (true MaxSim semantics)
+        .groupBy("query_id", "qpos", "doc_id")
+        .agg(F.max(dot).alias("best"))
+    )
+    scored = dots.groupBy("query_id", "doc_id").agg(
+        F.sum("best").cast("long").alias("maxsim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _CB_TOP)
+        .select("query_id", "doc_id", "maxsim", "rank")
+    )
+
+
+emb_colbert_maxsim.__doc__ = emb_colbert_maxsim.__doc__.format(
+    nq=_CB_NQ, qt=_CB_QTOKENS, d=_CB_DIM, k=_CB_TOP
+)

@@ -1886,3 +1886,16 @@ def test_code_gate_pure_projection(spark):
     plan = _plan(QUERIES["text_code_gate"](spark, SF_TINY))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_colbert_broadcast_probe_integer_aggs(spark):
+    """emb_colbert_maxsim: the query-token table broadcasts against
+    the distinct (doc, token) stream (the cosine_topk probe
+    convention — a BroadcastNestedLoopJoin over a 30-row broadcast
+    side); the MaxSim reduction is two map-side-combinable keyed
+    aggs; no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["emb_colbert_maxsim"](spark, SF_TINY))
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
