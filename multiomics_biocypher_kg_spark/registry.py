@@ -747,7 +747,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # data_psi_drift, rel_min_cost_supplier, onto_diamond_audit,
 # ev_markov_attribution, ev_interval_coverage, ev_peak_detect,
 # text_term_burstiness, rel_scd2_pointintime, data_slice_finder,
-# text_code_gate, emb_colbert_maxsim) were
+# text_code_gate, emb_colbert_maxsim, web_effective_diameter) were
 # registered after this window froze
 # (its 50 slots are exactly filled by the 43 never-driver-checked
 # round-4 queries + the 7 reimplemented veterans); they are

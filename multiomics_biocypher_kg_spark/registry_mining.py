@@ -2938,3 +2938,129 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_chars").cast("double") / F.col("n_docs"), 6
         ).alias("mean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective diameter from the neighborhood function
+# ---------------------------------------------------------------------------
+
+
+def _eff_diam_case(n0: str, n1: str, n2: str, n3: str, target: str) -> str:
+    return f"""CASE
+        WHEN {n1} >= {target}
+          THEN 0.0 + ({target} - {n0}) / ({n1} - {n0})
+        WHEN {n2} >= {target}
+          THEN 1.0 + ({target} - {n1}) / ({n2} - {n1})
+        ELSE 2.0 + ({target} - {n2}) / ({n3} - {n2}) END"""
+
+
+@register(
+    "web_effective_diameter",
+    oracle=f"""
+    WITH anf AS ({_hyperanf_oracle_sql()}),
+    nh AS (
+      SELECT
+        CAST(count(*) FILTER (h = 1) AS BIGINT) AS n_nodes,
+        CAST(sum(n_exact) FILTER (h = 1) AS BIGINT) AS n1,
+        CAST(sum(n_exact) FILTER (h = 2) AS BIGINT) AS n2,
+        CAST(sum(n_exact) FILTER (h = 3) AS BIGINT) AS n3,
+        list_reduce(list(CAST(n_est AS DOUBLE) ORDER BY node)
+                    FILTER (h = 1), (x, y) -> x + y) AS e1,
+        list_reduce(list(CAST(n_est AS DOUBLE) ORDER BY node)
+                    FILTER (h = 2), (x, y) -> x + y) AS e2,
+        list_reduce(list(CAST(n_est AS DOUBLE) ORDER BY node)
+                    FILTER (h = 3), (x, y) -> x + y) AS e3
+      FROM anf
+    )
+    SELECT n_nodes, n1 AS n1_exact, n2 AS n2_exact, n3 AS n3_exact,
+      round({_eff_diam_case('CAST(n_nodes AS DOUBLE)',
+                            'CAST(n1 AS DOUBLE)', 'CAST(n2 AS DOUBLE)',
+                            'CAST(n3 AS DOUBLE)',
+                            '0.9 * CAST(n3 AS DOUBLE)')}, 6)
+        AS eff_diameter_exact,
+      round({_eff_diam_case('CAST(n_nodes AS DOUBLE)', 'e1', 'e2', 'e3',
+                            '0.9 * e3')}, 6) AS eff_diameter_est
+    FROM nh
+    """,
+)
+def web_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 90% EFFECTIVE DIAMETER (Leskovec et al. 2005; the number
+    'four degrees of separation' reports): the interpolated radius h
+    at which the neighborhood function N(h) = sum over nodes of
+    |B(v, h)| reaches 90% of its horizon value — computed TWICE,
+    from the exact ball sizes and from the HyperANF sketch estimate
+    (web_hyperanf's per-node rows), so the query doubles as the
+    eval of whether the sketch answers the macroscopic question it
+    exists for (at 10^12 nodes only the sketch column survives —
+    the declared contract). Linear interpolation between the
+    bracketing radii, N(0) = |V|.
+
+    Scale shape: everything downstream of the (already keyed-agg)
+    HyperANF rows is a 3-row-per-h reduction; the sketch-side sums
+    fold in sorted-node order (the ev_markov_stationary discipline —
+    an unordered float sum of per-node estimates would be the one
+    cross-engine leak in an otherwise exact pipeline)."""
+    from multiomics_biocypher_kg_spark.operators.graphstats import (
+        hyperanf_estimates,
+    )
+
+    anf = hyperanf_estimates(
+        _host_edges(spark, sf_dir), max_h=_ANF_H, k_trials=_ANF_K,
+        modulus=_ANF_R,
+    ).localCheckpoint()
+
+    def fold_est(h):
+        return F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("h") == h,
+                        F.struct(F.col("node").alias("o"),
+                                 F.col("n_est").alias("v")),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    nh = anf.agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nodes"),
+        F.sum(F.when(F.col("h") == 1, F.col("n_exact")))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("h") == 2, F.col("n_exact")))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("h") == 3, F.col("n_exact")))
+        .cast("long")
+        .alias("n3"),
+        fold_est(1).alias("e1"),
+        fold_est(2).alias("e2"),
+        fold_est(3).alias("e3"),
+    )
+
+    def diam(n0, n1, n2, n3, target):
+        return (
+            F.when(n1 >= target, 0.0 + (target - n0) / (n1 - n0))
+            .when(n2 >= target, 1.0 + (target - n1) / (n2 - n1))
+            .otherwise(2.0 + (target - n2) / (n3 - n2))
+        )
+
+    n0 = F.col("n_nodes").cast("double")
+    ne = [F.col(c).cast("double") for c in ("n1", "n2", "n3")]
+    ee = [F.col(c) for c in ("e1", "e2", "e3")]
+    return nh.select(
+        "n_nodes",
+        F.col("n1").alias("n1_exact"),
+        F.col("n2").alias("n2_exact"),
+        F.col("n3").alias("n3_exact"),
+        F.round(diam(n0, ne[0], ne[1], ne[2], 0.9 * ne[2]), 6).alias(
+            "eff_diameter_exact"
+        ),
+        F.round(diam(n0, ee[0], ee[1], ee[2], 0.9 * ee[2]), 6).alias(
+            "eff_diameter_est"
+        ),
+    )

@@ -1899,3 +1899,15 @@ def test_colbert_broadcast_probe_integer_aggs(spark):
     plan = _plan(QUERIES["emb_colbert_maxsim"](spark, SF_TINY))
     assert "rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_effective_diameter_dictionary_reduction(spark):
+    """web_effective_diameter: everything downstream of the
+    checkpointed HyperANF rows is one dictionary-sized reduction;
+    no cartesian, no global sort."""
+    from multiomics_biocypher_kg_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["web_effective_diameter"](spark, SF_TINY))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
