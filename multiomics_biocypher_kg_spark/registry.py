@@ -673,141 +673,105 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The grading driver oracle-checks the FIRST 50 entries of queries().
-# Round-4 rotation: the only two queries without a driver
-# CORRECTNESS row (web_snapshot_diff / text_inverted_index — they
-# landed after the r3 window was fixed) go first, followed by every
-# round-4 addition, then queries whose implementation changed this
-# round (dedup_exact rebalance scoping, text_vocabulary /
-# kg_negative_samples distributed-index rewrites) so the driver
-# re-verifies the new plans. Remaining slots fill from registry
-# order with green veterans. All rotated-out queries hold green
-# r01-r03 driver rows and stay oracle-gated by
-# tests/test_queries_oracle.py, which sweeps the whole registry.
-# NOTE: web_adamic_adar, data_lang_sampling_weights,
-# web_random_walks, text_span_dedup, text_quality_classifier,
-# text_tokenizer_fertility, data_contamination, dedup_prefix_filter,
-# kg_shacl_check, emb_matryoshka_eval, data_epoch_order,
-# web_quality_calibration, data_budget_select, and the
-# registry_kg_embed batch (emb_ivfpq_adc, kg_transe_score,
-# kg_path_2hop, kg_nt_export, kg_reify_statements,
-# web_seed_distance, text_zipf_fit, kg_entity_salience,
-# text_ccnet_buckets, kg_neo4j_export) and the registry_pretrain
-# batch (text_bpe_train, data_bitext_mine, kg_snapshot_asof,
-# web_main_density, kg_skipgram_pairs, kg_rule_mining,
-# kg_truth_discovery, dedup_eval_pr, kg_mrr_eval, ann_recall_eval,
-# web_url_templates, kg_clustering_coeff, ev_burst_detect,
-# kg_window_comention, ev_retention_cohorts) and the
-# registry_mining batch (kg_fellegi_sunter, dedup_winnowing,
-# web_simrank, text_rake_keywords, emb_label_outliers,
-# web_hop_neighborhood, web_hyperanf, data_k_anonymity,
-# data_split_by_cluster, web_wl_roles, emb_random_projection,
-# data_mixing_epochs, kg_schema_inference, web_change_rate,
-# text_textrank_keywords, rel_ams_f2, kg_gtest_edges,
-# dedup_threshold_curve, web_assortativity, kg_transitive_reduction,
-# web_percolation_robustness, text_readability) and the final batch
-# (kg_validity_intervals, web_spam_mass, text_kmv_cardinality,
-# kg_entity_ppr, text_kn_perplexity, web_harmonic_centrality,
-# kg_node2vec_transitions, text_bm25, text_phrase_search,
-# data_rendezvous_shards, text_query_likelihood,
-# data_manifest_pruning, data_skew_audit, text_rm3_expansion,
-# onto_resnik_similarity, web_modularity, emb_drift_monitor,
-# emb_power_iteration, ev_markov_transitions, kg_temporal_conflicts,
-# kg_hearst_patterns, web_bowtie_structure, ev_survival_km,
-# text_quality_auc, text_quality_confusion, data_fleiss_kappa,
-# text_nb_langid, emb_hamming_topk, text_ndcg_eval,
-# text_quality_ece, web_weighted_sssp, ev_cusum_drift,
-# data_conformal_gate, kg_distmult_score, kg_type_inference,
-# data_bootstrap_ci, data_zorder_layout, kg_label_propagation,
-# ev_seasonality, data_quality_checks, web_politeness_schedule,
-# emb_hamming_neardup, web_surt_index, ev_attribution,
-# ev_rfm_segments, text_heaps_fit, ev_bot_regularity,
-# data_range_split_points, kg_complex_score,
-# onto_wupalmer_similarity, ev_ewma_forecast, web_ktruss,
-# text_mojibake_gate, kg_symmetry_audit, data_kcenter_coreset,
-# ev_anomaly_mad, text_domain_kld, text_ngram_novelty,
-# kg_cardinality_profile, emb_dim_variance,
-# web_pagerank_delta_trace, emb_silhouette,
-# data_sample_bias_audit, text_bpe_apply, ev_autocorrelation,
-# kg_completeness_profile, kg_decoder_agreement, ev_user_entropy,
-# data_shuffle_quality, data_profile_columns, ev_winsorized_stats,
-# web_lang_consistency, data_blocking_recall, kg_inverse_discovery,
-# ev_benford_audit, rel_shipping_priority, ev_active_users,
-# data_deletion_impact, ev_concentration, rel_supplier_part_counts,
-# text_ttr, dedup_bcubed_eval, dedup_savings_report,
-# emb_quantization_recall, kg_rotate_score, ev_changepoint,
-# data_dp_histogram, data_dawid_skene, data_rater_quality,
-# dedup_edit_verify, emb_rrf_fusion, web_mst_backbone,
-# text_ks_lengths, ev_ab_test, text_weighted_reservoir,
-# ev_markov_stationary, web_rank_correlation, ev_permutation_fdr,
-# rel_fd_discovery, data_uncertainty_sample, emb_mmr_rerank,
-# web_kmv_host_jaccard, text_platt_scaling,
-# kg_components_incremental, ev_exponential_gof,
-# data_dataset_card, mm_resize_real, text_span_corruption,
-# text_fim_transform, rel_temporal_integrity, emb_triplet_mine,
-# data_psi_drift, rel_min_cost_supplier, onto_diamond_audit,
-# ev_markov_attribution, ev_interval_coverage, ev_peak_detect,
-# text_term_burstiness, rel_scd2_pointintime, data_slice_finder,
-# text_code_gate, emb_colbert_maxsim, web_effective_diameter) were
-# registered after this window froze
-# (its 50 slots are exactly filled by the 43 never-driver-checked
-# round-4 queries + the 7 reimplemented veterans); they are
-# INTENTIONALLY deferred — local-sweep-verified this round; rotate
-# them to the top of this list in round 5.
+# Round-5 rotation (final round): all 50 round-4 window occupants went
+# green in CORRECTNESS_r04 and rotate out (141 distinct queries now
+# hold green driver rows across r01-r04, zero ever failed). The 50
+# slots below are the HIGHEST-RISK of the 183 never-driver-checked
+# queries — iterative graph algorithms (HyperANF, SimRank, k-truss,
+# Boruvka MST, bowtie), order-pinned float folds (Kneser-Ney / Markov
+# stationary), statistical tests (permutation+FDR, Fleiss kappa,
+# Dawid-Skene), the KG-embedding decoder family, and the flagship
+# dedup/ANN paths — balanced across every registry family. Every
+# rotated-out and still-deferred query remains oracle-gated by
+# tests/test_queries_oracle.py, which sweeps the whole 324-query
+# registry against DuckDB at sf0.001.
+# NOTE: the following 133 queries remain without a driver row after
+# this final window (local-sweep-verified only):
+# ev_burst_detect, ev_retention_cohorts, ev_markov_transitions, ev_survival_km,
+# ev_cusum_drift, ev_seasonality, data_quality_checks, ev_attribution,
+# ev_rfm_segments, ev_bot_regularity, ev_ewma_forecast, ev_anomaly_mad,
+# ev_autocorrelation, ev_user_entropy, ev_winsorized_stats, ev_benford_audit,
+# rel_shipping_priority, ev_active_users, ev_concentration, rel_supplier_part_counts,
+# ev_changepoint, ev_ab_test, rel_fd_discovery, ev_exponential_gof,
+# rel_temporal_integrity, rel_min_cost_supplier, ev_markov_attribution, ev_interval_coverage,
+# ev_peak_detect, kg_type_inference, onto_wupalmer_similarity, onto_diamond_audit,
+# text_quality_classifier, text_tokenizer_fertility, emb_hamming_neardup, dedup_savings_report,
+# emb_quantization_recall, dedup_edit_verify, emb_rrf_fusion, mm_resize_real,
+# web_random_walks, web_quality_calibration, data_budget_select, web_url_templates,
+# kg_clustering_coeff, kg_window_comention, kg_validity_intervals, web_spam_mass,
+# text_phrase_search, text_query_likelihood, web_politeness_schedule, web_surt_index,
+# web_pagerank_delta_trace, web_lang_consistency, data_lang_sampling_weights, emb_matryoshka_eval,
+# data_epoch_order, text_kmv_cardinality, data_rendezvous_shards, data_manifest_pruning,
+# data_skew_audit, kg_temporal_conflicts, data_zorder_layout, data_range_split_points,
+# data_kcenter_coreset, data_sample_bias_audit, data_shuffle_quality, data_profile_columns,
+# data_deletion_impact, text_weighted_reservoir, web_kmv_host_jaccard, kg_path_2hop,
+# kg_nt_export, kg_reify_statements, web_seed_distance, text_zipf_fit,
+# kg_entity_salience, text_ccnet_buckets, kg_neo4j_export, ann_recall_eval,
+# kg_node2vec_transitions, kg_symmetry_audit, kg_cardinality_profile, emb_dim_variance,
+# emb_silhouette, kg_completeness_profile, kg_decoder_agreement, kg_inverse_discovery,
+# data_bitext_mine, kg_snapshot_asof, web_main_density, kg_skipgram_pairs,
+# kg_rule_mining, dedup_eval_pr, text_quality_auc, text_quality_confusion,
+# text_ndcg_eval, text_quality_ece, data_bootstrap_ci, text_heaps_fit,
+# text_mojibake_gate, text_domain_kld, text_ngram_novelty, text_bpe_apply,
+# data_blocking_recall, text_ttr, data_rater_quality, data_uncertainty_sample,
+# text_span_corruption, text_fim_transform, data_psi_drift, text_term_burstiness,
+# text_rake_keywords, emb_label_outliers, web_hop_neighborhood, data_k_anonymity,
+# web_wl_roles, emb_random_projection, data_mixing_epochs, kg_schema_inference,
+# web_change_rate, rel_ams_f2, kg_gtest_edges, dedup_threshold_curve,
+# web_assortativity, kg_transitive_reduction, text_readability, emb_drift_monitor,
+# emb_power_iteration, data_dp_histogram, text_ks_lengths, web_rank_correlation,
+# data_dataset_card
 _DRIVER_WINDOW_FIRST = [
-    # round-4e additions (newest, never driver-checked)
-    "dedup_keep_best",
-    "text_line_dedup",
-    "web_mirror_hosts",
-    "text_heavy_hitters_cms",
-    "text_bigram_perplexity",
-    # never driver-checked (registered post-rotation in round 3)
-    "web_snapshot_diff",
-    "text_inverted_index",
-    # round-4 additions
-    "mm_decode_real",
-    "text_hll_host_cardinality",
-    "text_reservoir_sample",
-    "text_stratified_sample",
-    "web_boilerplate_shingles",
-    "web_bloom_revisit",
-    "text_bpe_pretokenize",
-    "kg_degree_distribution",
-    "text_quantile_sketch",
-    "web_incremental_crawl_merge",
-    "text_minhash_doc_signature",
-    "kg_blocking_keys",
-    "dedup_incremental_lsh",
-    "text_unigram_perplexity",
-    "web_reciprocity",
-    "kg_warc_scan",
-    "text_chunk_windows",
-    "text_pack_sequences",
-    "data_split_assign",
-    "data_split_leakage",
-    "emb_quantize_int8",
-    "kg_fuzzy_vocab_match",
-    "web_redirect_chains",
-    "web_scd2_history",
-    "web_hits",
-    "web_communities",
-    "web_kcore",
-    "web_trustrank",
-    "text_semdedup",
-    "text_dsir_weights",
-    "text_char_entropy",
-    "ev_funnel",
-    "web_sitemap_coverage",
-    "ev_rolling_window",
-    "web_session_paths",
-    "emb_pq_codes",
-    # round-4 reimplementations (plans changed; re-verify)
-    "kg_negative_samples",
-    "text_vocabulary",
-    "dedup_exact",
-    "dedup_containment",
-    "kg_comention_delta",
-    "kg_pmi_edges",
-    "kg_triangles",
+    "web_hyperanf",
+    "web_effective_diameter",
+    "web_mst_backbone",
+    "web_simrank",
+    "web_modularity",
+    "web_ktruss",
+    "web_weighted_sssp",
+    "web_harmonic_centrality",
+    "web_bowtie_structure",
+    "web_percolation_robustness",
+    "web_adamic_adar",
+    "kg_transe_score",
+    "kg_distmult_score",
+    "kg_complex_score",
+    "kg_rotate_score",
+    "kg_mrr_eval",
+    "kg_components_incremental",
+    "kg_entity_ppr",
+    "kg_label_propagation",
+    "kg_fellegi_sunter",
+    "kg_hearst_patterns",
+    "kg_truth_discovery",
+    "kg_shacl_check",
+    "text_kn_perplexity",
+    "text_nb_langid",
+    "text_bm25",
+    "text_rm3_expansion",
+    "text_textrank_keywords",
+    "text_bpe_train",
+    "text_platt_scaling",
+    "dedup_winnowing",
+    "dedup_prefix_filter",
+    "dedup_bcubed_eval",
+    "text_span_dedup",
+    "text_code_gate",
+    "emb_ivfpq_adc",
+    "emb_colbert_maxsim",
+    "emb_mmr_rerank",
+    "emb_hamming_topk",
+    "emb_triplet_mine",
+    "data_dawid_skene",
+    "data_contamination",
+    "data_split_by_cluster",
+    "data_fleiss_kappa",
+    "data_slice_finder",
+    "data_conformal_gate",
+    "ev_permutation_fdr",
+    "ev_markov_stationary",
+    "rel_scd2_pointintime",
+    "onto_resnik_similarity",
 ]
 
 
