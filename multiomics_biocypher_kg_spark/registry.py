@@ -136,12 +136,17 @@ def kg_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5) from the source table, so header parsing, framing, and the
     byte-exact body round-trip are all value-gated. At crawl scale
     the archive arrives as many files; the partition-per-file reader
-    is the same shape the built-in sources use."""
+    is the same shape the built-in sources use. The fixture itself
+    is synthesized DISTRIBUTED (write_warc_files_distributed: file
+    assignment doc_id % n_files, one shuffle co-locating each file's
+    records, executor-side streaming writes) — no driver collect, so
+    archive synthesis survives any corpus size."""
     import os
 
+    from multiomics_biocypher_kg_spark.sources.pages import url_of
     from multiomics_biocypher_kg_spark.sources.warc import (
         register_warc_source,
-        write_warc_files,
+        write_warc_files_distributed,
     )
 
     base = os.path.join(
@@ -151,24 +156,18 @@ def kg_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
-        rows = (
+        n_files = 8
+        recs = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
-            .collect()
-        )
-        recs = []
-        for r in rows:
-            did = r["doc_id"]
-            host = (
-                "hot.example.com"
-                if did % 10 < 3
-                else f"h{did % 50}.example.org"
+            .select(
+                (F.col("doc_id") % n_files).cast("int").alias("file_id"),
+                F.col("doc_id").alias("sort_key"),
+                url_of(F.col("doc_id")).alias("url"),
+                F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+                F.encode("text", "UTF-8").alias("body"),
             )
-            url = f"https://{host}/doc/{did:06d}"
-            date = "2026-01-01T00:00:00Z"
-            recs.append((url, date, r["text"].encode("utf-8")))
-        write_warc_files(recs, base, n_files=8)
+        )
+        write_warc_files_distributed(recs, base, n_files=n_files)
         with open(marker, "w") as f:
             f.write("ok")
     register_warc_source(spark)

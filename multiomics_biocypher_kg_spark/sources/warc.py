@@ -47,19 +47,60 @@ def write_warc_files(
     handles = [open(p, "wb") for p in paths]
     try:
         for i, (url, date, body) in enumerate(records):
-            h = handles[i % n_files]
-            h.write(b"WARC/1.0" + _CRLF)
-            h.write(b"WARC-Type: response" + _CRLF)
-            h.write(b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF)
-            h.write(b"WARC-Date: " + date.encode("ascii") + _CRLF)
-            h.write(b"Content-Length: " + str(len(body)).encode() + _CRLF)
-            h.write(_CRLF)
-            h.write(body)
-            h.write(_CRLF + _CRLF)
+            _write_warc_record(handles[i % n_files], url, date, body)
     finally:
         for h in handles:
             h.close()
     return paths
+
+
+def _write_warc_record(h, url: str, date: str, body: bytes) -> None:
+    h.write(b"WARC/1.0" + _CRLF)
+    h.write(b"WARC-Type: response" + _CRLF)
+    h.write(b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF)
+    h.write(b"WARC-Date: " + date.encode("ascii") + _CRLF)
+    h.write(b"Content-Length: " + str(len(body)).encode() + _CRLF)
+    h.write(_CRLF)
+    h.write(body)
+    h.write(_CRLF + _CRLF)
+
+
+def write_warc_files_distributed(df, out_dir: str, n_files: int = 8) -> None:
+    """Write a DataFrame of ``(file_id int, sort_key long, url string,
+    warc_date string, body binary)`` into ``n_files`` WARC/1.0 files
+    WITHOUT collecting to the driver: one shuffle co-locates each
+    file's records (``repartition(n_files, file_id)`` — a file_id
+    lands in exactly one partition, a partition may own several
+    files), ``sortWithinPartitions`` pins in-file record order, and
+    each executor task streams its files out with constant memory.
+    This is the archive-synthesis shape that survives any corpus
+    size; the driver-side ``write_warc_files`` remains only for
+    micro-fixtures in unit tests. Executors write to ``out_dir``
+    directly (shared storage on a real cluster; local fs here)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_partition(rows) -> None:
+        handles: dict[int, object] = {}
+        try:
+            for r in rows:
+                fid = int(r["file_id"])
+                h = handles.get(fid)
+                if h is None:
+                    p = os.path.join(out_dir, f"part-{fid:05d}.warc")
+                    h = handles[fid] = open(p, "wb")
+                _write_warc_record(h, r["url"], r["warc_date"], bytes(r["body"]))
+        finally:
+            for h in handles.values():
+                h.close()
+
+    (
+        df.select("file_id", "sort_key", "url", "warc_date", "body")
+        .repartition(n_files, F.col("file_id"))
+        .sortWithinPartitions("file_id", "sort_key")
+        .foreachPartition(_write_partition)
+    )
 
 
 def parse_warc_file(path: str) -> Iterator[tuple[str, str, bytes]]:
