@@ -592,7 +592,13 @@ def data_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomics_biocypher_kg_spark.registry_dedup_text import _dedup_corpus
 
     corpus = _dedup_corpus(spark, sf_dir)
-    pairs = dd.minhash_neardup_pairs(corpus, 0.5).select("id_a", "id_b")
+    # two consumers (the CC pass and the leakage audit join): truncate
+    # once so the shingle->minhash->band LSH pipeline runs a single time.
+    pairs = (
+        dd.minhash_neardup_pairs(corpus, 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     comp = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), "component"
     )

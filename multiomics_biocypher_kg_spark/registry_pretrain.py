@@ -131,6 +131,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("seg", F.regexp_replace("word", "(.)", "($1)"))
+        # the corpus token stream must be scanned ONCE: each round's
+        # argmax is an action, and without truncation round r would
+        # replay the explode+groupBy from parquet r times. Checkpoint
+        # the word dictionary eagerly here and after every rewrite so
+        # each round costs exactly one dictionary pass.
+        .localCheckpoint(eager=True)
     )
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -163,7 +169,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"replace(seg, '({left})({right})', '({left}{right})')"
             ),
-        )
+        ).localCheckpoint(eager=True)  # dictionary-sized; keeps round
+        # r+1's argmax lineage one rewrite deep instead of r deep.
     return spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, "
@@ -704,6 +711,10 @@ def kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(docs), "doc_id")
         .select("source", "entity_id", F.col("lang").alias("value"))
         .distinct()
+        # three consumers (vote agg, trust join, trust-weighted
+        # re-vote): truncate once so the link->doc derivation runs a
+        # single time instead of being re-inlined per consumer.
+        .localCheckpoint(eager=False)
     )
     s1 = claims.groupBy("entity_id", "value").agg(
         F.count(F.lit(1)).cast("double").alias("score1")
