@@ -74,6 +74,10 @@ def run_headline() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # machine-state stamp: this VM's documented co-tenant interference
+    # (BENCH/rebench_r5.md attributed a +17% headline swing to it)
+    # makes load at launch/finish part of the measurement record.
+    load_start = os.getloadavg()
     spark = _session()
     timings: dict[str, float] = {}
     n_triples = 0
@@ -121,6 +125,8 @@ def run_headline() -> None:
                 "sf": sf,
                 "kg_triples_rows": n_triples,
                 "triples_per_sec": round(n_triples / max(triple_sec, 1e-9), 1),
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
