@@ -1782,14 +1782,22 @@ _CONF_ALPHA_PCT = 10  # target miscoverage 10% -> >=90% coverage
       FROM h
     ),
     cal AS (
+      -- nonconformity ranked by its INTEGER sigmoid argument m:
+      -- nc = 1-sigmoid(bin) for gold=1 is exactly sigmoid(-bin), so
+      -- every nc is sigmoid(m) with m = (gold=1 ? -bin : bin) and
+      -- ordering/threshold tests on m are ordering/tests on nc in
+      -- EXACT arithmetic. Comparing the floats directly diverged
+      -- cross-engine at sf0.1: JVM Math.exp and libm exp differ by
+      -- 1 ulp, which flips `<=` when a test nc ties a cal nc from
+      -- the mirrored bin.
       SELECT bin, gold, n,
-        CASE WHEN gold = 1 THEN 1.0 - p1 ELSE p1 END AS nc
-      FROM conf WHERE split = 'cal'
+        CASE WHEN gold = 1 THEN -bin ELSE bin END AS m
+      FROM h WHERE split = 'cal'
     ),
     tot AS (SELECT sum(n) AS n_cal FROM cal),
     cum AS (
-      SELECT nc,
-        sum(n) OVER (ORDER BY nc ASC, bin ASC, gold ASC
+      SELECT m,
+        sum(n) OVER (ORDER BY m ASC, bin ASC, gold ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
         t.n_cal,
         CAST(ceil((t.n_cal + 1) * (100 - {_CONF_ALPHA_PCT}) / 100.0)
@@ -1797,21 +1805,26 @@ _CONF_ALPHA_PCT = 10  # target miscoverage 10% -> >=90% coverage
       FROM cal CROSS JOIN tot t
     ),
     q AS (
-      SELECT coalesce(min(nc) FILTER (cum_n >= k), 1.0) AS qhat,
+      SELECT min(m) FILTER (cum_n >= k) AS qm,
         any_value(n_cal) AS n_cal
       FROM cum
     ),
     test AS (
-      SELECT c.bin, c.gold, c.n, c.p1,
-        (1.0 - c.p1) <= q.qhat AS in1,
-        c.p1 <= q.qhat AS in0
-      FROM conf c CROSS JOIN q WHERE c.split = 'test'
+      -- qm NULL (k past the calibration mass) = include everything,
+      -- matching the old coalesce(qhat, 1.0); the sentinel exceeds
+      -- the bin cap so it can never collide with a real m
+      SELECT c.bin, c.gold, c.n,
+        (-c.bin) <= coalesce(q.qm, {_AUC_BINS} + 1) AS in1,
+        c.bin <= coalesce(q.qm, {_AUC_BINS} + 1) AS in0
+      FROM h c CROSS JOIN q WHERE c.split = 'test'
     )
     SELECT
       (SELECT CAST(n_cal AS BIGINT) FROM q) AS n_cal,
       CAST(sum(n) AS BIGINT) AS n_test,
       round({_CONF_ALPHA_PCT} / 100.0, 6) AS alpha,
-      round((SELECT qhat FROM q), 6) AS qhat,
+      round((SELECT CASE WHEN qm IS NULL THEN 1.0
+        ELSE 1.0 / (1.0 + exp(-CAST(qm AS DOUBLE) / 1000.0)) END
+        FROM q), 6) AS qhat,
       round(sum(n * CASE WHEN (gold = 1 AND in1) OR (gold = 0 AND in0)
                     THEN 1 ELSE 0 END) * 1.0 / sum(n), 6) AS coverage,
       round(sum(n * (CAST(in1 AS INTEGER) + CAST(in0 AS INTEGER)))
@@ -1865,42 +1878,54 @@ def data_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint(eager=False)
     )
-    p1 = 1.0 / (1.0 + F.exp(-F.col("bin").cast("double") / 1000.0))
-    conf = h.select("split", "bin", "gold", "n", p1.alias("p1"))
-    cal = conf.where(F.col("split") == "cal").select(
+    # nonconformity ranked by its INTEGER sigmoid argument m: nc =
+    # 1-sigmoid(bin) for gold=1 is exactly sigmoid(-bin), so every nc
+    # is sigmoid(m) with m = (gold=1 ? -bin : bin), and because
+    # sigmoid is strictly increasing, ordering and threshold tests on
+    # m ARE the nc ordering/tests in exact arithmetic. The float form
+    # diverged cross-engine at sf0.1: JVM Math.exp and libm exp are
+    # each <=1 ulp accurate but differ, flipping `<=` when a test nc
+    # ties a cal nc from the mirrored bin.
+    cal = h.where(F.col("split") == "cal").select(
         "bin", "gold", "n",
-        F.when(F.col("gold") == 1, 1.0 - F.col("p1"))
-        .otherwise(F.col("p1"))
-        .alias("nc"),
+        F.when(F.col("gold") == 1, -F.col("bin"))
+        .otherwise(F.col("bin"))
+        .alias("m"),
     )
     tot = cal.agg(F.sum("n").alias("n_cal"))
     w = Window.orderBy(
-        F.col("nc").asc(), F.col("bin").asc(), F.col("gold").asc()
+        F.col("m").asc(), F.col("bin").asc(), F.col("gold").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # the unpartitioned window is over the HISTOGRAM (<= 4004 rows
     # at any corpus size), not the corpus — the dictionary-window
     # contract of the AUC family
     cum = cal.crossJoin(F.broadcast(tot)).select(
-        "nc", "n_cal",
+        "m", "n_cal",
         F.sum("n").over(w).alias("cum_n"),
         F.ceil((F.col("n_cal") + 1) * (100 - _CONF_ALPHA_PCT) / 100.0)
         .cast("long")
         .alias("k"),
     )
+    # qm NULL (k past the calibration mass) = include everything; the
+    # sentinel exceeds the bin cap so it never collides with a real m
     q = cum.agg(
         F.coalesce(
-            F.min(F.when(F.col("cum_n") >= F.col("k"), F.col("nc"))),
-            F.lit(1.0),
-        ).alias("qhat"),
+            F.min(F.when(F.col("cum_n") >= F.col("k"), F.col("m"))),
+            F.lit(_AUC_BINS + 1),
+        ).alias("qm"),
         F.first("n_cal").alias("n_cal"),
     )
+    qhat_report = F.when(F.col("qm") > _AUC_BINS, F.lit(1.0)).otherwise(
+        1.0 / (1.0 + F.exp(-F.col("qm").cast("double") / 1000.0))
+    )
     test = (
-        conf.where(F.col("split") == "test")
+        h.where(F.col("split") == "test")
         .crossJoin(F.broadcast(q))
         .select(
-            "gold", "n", "n_cal", "qhat",
-            ((1.0 - F.col("p1")) <= F.col("qhat")).alias("in1"),
-            (F.col("p1") <= F.col("qhat")).alias("in0"),
+            "gold", "n", "n_cal",
+            qhat_report.alias("qhat"),
+            ((-F.col("bin")) <= F.col("qm")).alias("in1"),
+            (F.col("bin") <= F.col("qm")).alias("in0"),
         )
     )
     covered = F.when(

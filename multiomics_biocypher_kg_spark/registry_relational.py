@@ -1456,14 +1456,20 @@ def ev_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle keyed by user + one sort; the frame is evaluated by
     a sliding two-pointer over each partition — no self-join, no
     per-event re-scan (the naive equi-join-on-user + ts-range filter
-    would be quadratic in the per-user event count at scale)."""
+    would be quadratic in the per-user event count at scale).
+
+    The range key is EXACT integer microseconds (unix_micros), not
+    unix_timestamp: second-truncation admitted rows up to 0.999 s
+    beyond the hour that the oracle's INTERVAL frame (microsecond
+    timestamp arithmetic) excludes — caught at sf0.1 where one row
+    sat in that sub-second band."""
     from pyspark.sql import Window
 
     ev = _read(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -2449,7 +2455,11 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-      round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
+      -- exact integer half-up rounding of the rational s1/n at 6dp
+      -- (see the Spark twin): float round() diverged on a half
+      -- boundary at sf0.1
+      CAST((2 * s1 + n_gaps) // (2 * n_gaps) AS DOUBLE) / 1e6
+        AS mean_gap_s,
       round(
         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps)
              / (n_gaps - 1))
@@ -2504,10 +2514,18 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2d = F.col("s2").cast("double")
     mean = s1d / F.col("n_gaps")
     sd = F.sqrt((s2d - s1d * F.col("s1") / F.col("n_gaps")) / (F.col("n_gaps") - 1))
+    # mean_gap_s is the RATIONAL s1/(n*1e6): round it half-up in exact
+    # integer arithmetic — round6(s1/n/1e6)*1e6 = round_half_up(s1/n)
+    # = (2*s1 + n) DIV (2*n) — because rounding the double with the
+    # engines' float round() diverged at a 6th-decimal half boundary
+    # (one sf0.1 row: Spark's exact-decimal HALF_UP vs DuckDB's
+    # multiply-then-round). The irrational cv keeps the float round:
+    # its value is never exactly on a decimal half in real arithmetic.
+    mean_us_rounded = F.expr("(2 * s1 + n_gaps) DIV (2 * n_gaps)")
     return mom.select(
         "user_id",
         "n_gaps",
-        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        (mean_us_rounded.cast("double") / F.lit(1e6)).alias("mean_gap_s"),
         F.round(sd / mean, 6).alias("cv"),
         ((sd / mean) < 0.1).alias("is_regular"),
     )

@@ -102,7 +102,8 @@ def main() -> int:
         "results": results,
     }
     suffix = "" if shard_n == 1 else f"_shard_{shard_i}_{shard_n}"
-    path = f"/root/repo/CORRECTNESS_LOCAL_SF01_r5{suffix}.json"
+    tag = os.environ.get("SWEEP_TAG", "SF01")
+    path = f"/root/repo/CORRECTNESS_LOCAL_{tag}_r5{suffix}.json"
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"\n{n_ok}/{len(names)} ok -> {path}")
