@@ -75,6 +75,34 @@ def connected_components(
         .distinct()
     )
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the undirected edge list ONCE: every round's
+    # neighbor join re-executes ``und`` otherwise — for a cheap scan
+    # that is one redundant distinct per round, and when the caller's
+    # ``edges`` is itself a pipeline (the dedup-cluster path feeds
+    # verified LSH pairs in) the whole upstream DAG would re-run
+    # every round. One checkpoint job up front, O(rounds) saved.
+    und = _ckpt(und, checkpoint)
+    if checkpoint in ("local", "reliable"):
+        # round-state exchanges sized by the MATERIALIZED edge count
+        # (plans.tuning): the label/frontier tables the loop shuffles
+        # are bounded by it, and the count is a cached-block scan.
+        from multiomics_biocypher_kg_spark.plans.tuning import (
+            scaled_partitions,
+            scoped_shuffle_partitions,
+        )
+
+        with scoped_shuffle_partitions(
+            edges.sparkSession, scaled_partitions(edges.sparkSession, und.count())
+        ):
+            return _cc_rounds(und, max_iter, checkpoint, shortcut)
+    return _cc_rounds(und, max_iter, checkpoint, shortcut)
+
+
+def _cc_rounds(
+    und: DataFrame, max_iter: int, checkpoint: str, shortcut: bool
+) -> DataFrame:
+    """The propagation loop of :func:`connected_components` (split out
+    so the scale-adaptive partition scope wraps every round plan)."""
     # fused init = the first propagation round: label(v) = min(v, N(v))
     # in the same agg that enumerates the nodes — saves one full
     # checkpoint job vs initializing to the identity labeling.

@@ -223,10 +223,14 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     (id, i). The hash family is compile-time literal — no broadcast
     build job, no join in the plan.
 
-    Prefer :func:`minhash_signatures_arrays` when the input is still
-    per-document rows: it computes identical values with ZERO shuffle.
-    This stream form remains for callers that already hold an
-    exploded (id, shingle) stream.
+    (A zero-shuffle per-document array-expression variant — 16
+    array_min traversals of the per-doc hash array — was
+    A/B-measured SLOWER for the full LSH query at sf1.0, 9.0 s vs
+    7.1 s best-of-4 interleaved: higher-order array functions
+    evaluate interpreted, and the codegen'd explode + map-side-
+    combined agg beats them even counting its exchange. The array
+    form survives only where it removes work outright — the verify
+    sets in :func:`minhash_neardup_pairs`.)
     """
     hashed = sh.select("id", (md5_long(F.col("shingle")) % R).alias("x"))
     return hashed.groupBy("id").agg(
@@ -258,31 +262,6 @@ def shingle_arrays(
     )
     return docs.where(F.size(toks) >= k).select(
         F.col(id_col).alias("id"), sh.alias("sh_arr")
-    )
-
-
-def minhash_signatures_arrays(doc_sh: DataFrame) -> DataFrame:
-    """WIDE signatures from the per-doc shingle array — MAP-ONLY.
-
-    Each document row hashes its shingle array once
-    (``x = md5_long(s) % R``) and takes the 16 affine minima with
-    ``array_min`` traversals: identical values to
-    :func:`minhash_signatures` (min over the multiset array == min
-    over the exploded stream), but the explode and the id-keyed
-    aggregation shuffle are gone entirely — the signature stage
-    becomes a scan-projection chain (guide §2.4: remove shuffles
-    outright). A/B on the sf1.0 dedup corpus: 2.04 s -> 1.65 s for
-    the signature job, and one fewer exchange in every LSH plan."""
-    xs = F.transform(F.col("sh_arr"), lambda s: md5_long(s) % R)
-    hashed = doc_sh.select("id", xs.alias("xs"))
-    return hashed.select(
-        "id",
-        *[
-            F.array_min(
-                F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % R)
-            ).alias(f"mh{i}")
-            for i, a, b in MINHASH_COEFFS
-        ],
     )
 
 
@@ -363,10 +342,12 @@ def incremental_neardup_pairs(
 
     -> (id_a = base id, id_b = batch id, jaccard >= threshold)
     """
+    raw_base = shingles(base_docs, id_col=id_col, text_col=text_col, distinct=False)
+    raw_batch = shingles(batch_docs, id_col=id_col, text_col=text_col, distinct=False)
     sh_base = shingle_arrays(base_docs, id_col=id_col, text_col=text_col)
     sh_batch = shingle_arrays(batch_docs, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs_cross(
-        minhash_signatures_arrays(sh_base), minhash_signatures_arrays(sh_batch)
+        minhash_signatures(raw_base), minhash_signatures(raw_batch)
     ).localCheckpoint()
     # set semantics restored per candidate DOC with array_distinct on
     # the per-doc shingle array (== the former collect_set, order
@@ -410,22 +391,20 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_
     """MinHash-LSH discovery + exact Jaccard verification computed
     on the candidate pairs only (never all co-shingled pairs).
 
-    Shuffle budget: signatures come straight off the per-document
-    shingle ARRAY (min() is multiset-invariant, so neither a
-    corpus-wide distinct nor any id-keyed regroup is needed — the
-    signature stage is a pure scan projection), and set semantics
-    are restored only on the shingle arrays of candidate ids
-    (broadcast semi-join first: a tiny fraction of the corpus).
+    Shuffle budget: the signature aggregation runs on the RAW
+    (non-distinct) shingle stream — min() is multiset-invariant, so
+    the corpus-wide distinct shuffle is skipped entirely — and set
+    semantics are restored only on the shingle arrays of candidate
+    ids (broadcast semi-join first: a tiny fraction of the corpus).
     The verify is SET-ALGEBRA on per-candidate-doc shingle sets:
-    broadcast-semi-join the per-doc shingle ARRAYS to candidate ids,
-    array_distinct per doc (no shuffle — the former collect_set
-    regroup removed), then |A∩B| via array_intersect on the pair
-    rows — no per-shingle pair join at all. Both stages consume the
-    per-doc shingle array carrier (:func:`shingle_arrays` +
-    :func:`minhash_signatures_arrays`), so the explode + id-keyed
-    aggregation shuffles of the former stream path are gone and the
-    only exchanges left in the whole query are the band-bucket join
-    and the candidate distinct. The two SMALL intermediates
+    broadcast-semi-join the per-doc shingle ARRAYS
+    (:func:`shingle_arrays`) to candidate ids, array_distinct per
+    doc (a pure projection — the former second explode +
+    collect_set regroup shuffle are both gone; interleaved A/B at
+    sf1.0: 7.1 s vs 7.9 s best-of-4, and far lower variance under
+    load because one corpus-wide shuffle stage disappeared), then
+    |A∩B| via array_intersect on the pair rows — no per-shingle
+    pair join at all. The two SMALL intermediates
     (candidate pairs; candidate shingle sets) are
     localCheckpoint()ed: without the barrier every downstream
     reference re-inlines the whole upstream pipeline (measured: 90
@@ -433,8 +412,9 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_
     corpus scans (signatures; verify semi-join), zero full-stream
     distincts. On a cluster the checkpoints are the 'persist the
     candidate stage tables' steps of the curation DAG."""
+    raw = shingles(docs, id_col=id_col, text_col=text_col, distinct=False)
     doc_sh = shingle_arrays(docs, id_col=id_col, text_col=text_col)
-    cands = lsh_candidate_pairs(minhash_signatures_arrays(doc_sh)).localCheckpoint()
+    cands = lsh_candidate_pairs(minhash_signatures(raw)).localCheckpoint()
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )

@@ -105,7 +105,17 @@ def ancestors_closure(
     the shortest-path depth exactly (min-plus semiring squaring).
     Each round re-aggregates, so the checkpoint lands on fresh
     attribute ids (the Spark-4 AQE workaround documented earlier).
+
+    Round exchanges are sized from the MATERIALIZED closure row
+    count each round (plans.tuning): closure state is ontology-
+    sized, and per-round eager checkpoints make the count a
+    cached-block scan.
     """
+    from multiomics_biocypher_kg_spark.plans.tuning import (
+        scaled_partitions,
+        scoped_shuffle_partitions,
+    )
+
     base = (
         edges.select(
             F.col(child).alias("node"),
@@ -116,6 +126,7 @@ def ancestors_closure(
         .localCheckpoint(eager=True)
     )
     closure = base
+    n_state = base.count()
     rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
     for _ in range(rounds):
         step = (
@@ -128,12 +139,16 @@ def ancestors_closure(
                 (F.col("a.depth") + F.col("b.depth")).alias("depth"),
             )
         )
-        closure = (
-            closure.union(step)
-            .groupBy("node", "ancestor")
-            .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
-        )
+        with scoped_shuffle_partitions(
+            edges.sparkSession, scaled_partitions(edges.sparkSession, n_state)
+        ):
+            closure = (
+                closure.union(step)
+                .groupBy("node", "ancestor")
+                .agg(F.min("depth").alias("depth"))
+                .localCheckpoint(eager=True)
+            )
+        n_state = closure.count()
     return closure
 
 

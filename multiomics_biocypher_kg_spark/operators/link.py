@@ -97,15 +97,43 @@ def _lookup(vocab: DataFrame, tier: int, lowered: bool) -> DataFrame:
 
 
 def link(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
-    """mentions(..., token) -> links(..., entity_id, resolution_method)."""
-    t1 = _lookup(vocab, 1, lowered=False)
+    """mentions(..., token) -> links(..., entity_id, resolution_method).
+
+    The cascade probes exactly THREE keys per mention (exact token,
+    lowered token, normalized token), so the five logical lookups
+    collapse into three broadcast joins: the tier-1 and tier-2
+    entries on the SAME key merge into one lookup table built by a
+    SINGLE aggregation with per-tier conditional aggregates (no
+    join anywhere in the dictionary subtree). A key with no rows in
+    one tier carries count 0 / entity NULL for it, which falls
+    through the priority CASE exactly like the former left-join
+    miss, so method/entity are unchanged — two fewer probes of the
+    mention stream, and the exact and normalized probes share one
+    broadcast build (identical subtree -> exchange reuse)."""
     t1ci = _lookup(vocab, 1, lowered=True)
-    t2 = _lookup(vocab, 2, lowered=False)
+    in_t1 = F.when(F.col("tier") == 1, F.col("entity_id"))
+    in_t2 = F.when(F.col("tier") == 2, F.col("entity_id"))
+    both = (
+        vocab.where(~F.col("surface").contains(" "))
+        .groupBy(F.col("surface").alias("k"))
+        .agg(
+            F.min(in_t1).alias("_e1"),
+            F.countDistinct(in_t1).alias("_n1"),
+            F.min(in_t2).alias("_e2"),
+            F.countDistinct(in_t2).alias("_n2"),
+        )
+    )
 
     m = mentions.withColumn("norm_token", heuristic_normalize(F.col("token")))
     j = (
         m.join(
-            F.broadcast(t1.select(F.col("k").alias("x1"), F.col("e").alias("e1"), F.col("n").alias("n1"))),
+            F.broadcast(
+                both.select(
+                    F.col("k").alias("x1"),
+                    F.col("_e1").alias("e1"), F.col("_n1").alias("n1"),
+                    F.col("_e2").alias("e4"), F.col("_n2").alias("n4"),
+                )
+            ),
             m.token == F.col("x1"),
             "left",
         )
@@ -115,18 +143,14 @@ def link(mentions: DataFrame, vocab: DataFrame) -> DataFrame:
             "left",
         )
         .join(
-            F.broadcast(t1.select(F.col("k").alias("x3"), F.col("e").alias("e3"), F.col("n").alias("n3"))),
+            F.broadcast(
+                both.select(
+                    F.col("k").alias("x3"),
+                    F.col("_e1").alias("e3"), F.col("_n1").alias("n3"),
+                    F.col("_e2").alias("e5"), F.col("_n2").alias("n5"),
+                )
+            ),
             F.col("norm_token") == F.col("x3"),
-            "left",
-        )
-        .join(
-            F.broadcast(t2.select(F.col("k").alias("x4"), F.col("e").alias("e4"), F.col("n").alias("n4"))),
-            m.token == F.col("x4"),
-            "left",
-        )
-        .join(
-            F.broadcast(t2.select(F.col("k").alias("x5"), F.col("e").alias("e5"), F.col("n").alias("n5"))),
-            F.col("norm_token") == F.col("x5"),
             "left",
         )
     )

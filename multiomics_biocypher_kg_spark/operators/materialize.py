@@ -28,15 +28,19 @@ from pyspark.sql import functions as F
 
 
 def triples_from_links(links: DataFrame, subj_col: str = "url") -> DataFrame:
-    """Resolved links -> distinct (subj, pred='mentions', obj) triples."""
+    """Resolved links -> distinct (subj, pred='mentions', obj) triples.
+
+    The constant ``pred`` column is attached AFTER the distinct so
+    the dedup exchange moves two columns, not three (guide §2.3:
+    shuffle fewer bytes; a literal adds nothing to the key)."""
     return (
         links.where(F.col("entity_id").isNotNull())
         .select(
             F.col(subj_col).alias("subj"),
-            F.lit("mentions").alias("pred"),
             F.col("entity_id").alias("obj"),
         )
         .distinct()
+        .select("subj", F.lit("mentions").alias("pred"), "obj")
     )
 
 

@@ -76,17 +76,21 @@ def mentions_tokens(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         .distinct()
     )
     keys = [c for c in ("doc_id", "url", "lang") if c in docs.columns]
+    # lowercase ONCE and normalize the lowered form: lower() commutes
+    # with the suffix-stripping normalizer (its patterns are
+    # case-free), so lower(normalize(t)) == normalize(lower(t)) and
+    # the stream pays one lower() instead of two per token
     toks = docs.select(
         *keys,
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
-    )
+    ).withColumn("_lt", F.lower(F.col("token")))
     s1 = surfaces.select(F.col("surface_lc").alias("_s1"))
     s2 = surfaces.select(F.col("surface_lc").alias("_s2"))
     return (
-        toks.join(F.broadcast(s1), F.lower(toks.token) == F.col("_s1"), "left")
+        toks.join(F.broadcast(s1), F.col("_lt") == F.col("_s1"), "left")
         .join(
             F.broadcast(s2),
-            F.lower(heuristic_normalize(toks.token)) == F.col("_s2"),
+            heuristic_normalize(F.col("_lt")) == F.col("_s2"),
             "left",
         )
         .where(F.col("_s1").isNotNull() | F.col("_s2").isNotNull())

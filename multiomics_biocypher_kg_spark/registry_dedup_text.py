@@ -1761,9 +1761,8 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein is exact integer DP (unit costs) in both engines;
     the only float is the final normalized similarity."""
     corpus = _dedup_corpus(spark, sf_dir)
-    cands = dd.lsh_candidate_pairs(
-        dd.minhash_signatures_arrays(dd.shingle_arrays(corpus))
-    ).localCheckpoint()
+    raw = dd.shingles(corpus, distinct=False)
+    cands = dd.lsh_candidate_pairs(dd.minhash_signatures(raw)).localCheckpoint()
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
