@@ -148,7 +148,14 @@ def ancestors_closure(
                 .agg(F.min("depth").alias("depth"))
                 .localCheckpoint(eager=True)
             )
-        n_state = closure.count()
+        new_n = closure.count()
+        # fixed-point early exit: squaring only ever ADDS pairs (a
+        # pair's min-depth is final the round it first appears), so
+        # an unchanged row count IS convergence — skip the remaining
+        # log-rounds when the true diameter undershoots max_depth.
+        if new_n == n_state:
+            break
+        n_state = new_n
     return closure
 
 

@@ -164,13 +164,17 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs.orderBy(F.desc("freq"), F.asc("pair")).first()
         left, right = best["pair"].split("|")
         merges.append((r, left, right, left + right, int(best["freq"])))
-        wc = wc.withColumn(
-            "seg",
-            F.expr(
-                f"replace(seg, '({left})({right})', '({left}{right})')"
-            ),
-        ).localCheckpoint(eager=True)  # dictionary-sized; keeps round
-        # r+1's argmax lineage one rewrite deep instead of r deep.
+        if r < _BPE_ROUNDS:
+            # no consumer after the final merge — skip the last
+            # rewrite+checkpoint (one full dictionary-rewrite job,
+            # ~1 of N rounds of pure waste)
+            wc = wc.withColumn(
+                "seg",
+                F.expr(
+                    f"replace(seg, '({left})({right})', '({left}{right})')"
+                ),
+            ).localCheckpoint(eager=True)  # dictionary-sized; keeps round
+            # r+1's argmax lineage one rewrite deep instead of r deep.
     return spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string, "
