@@ -696,6 +696,10 @@ def line_dedup(
             )
         ).alias("s"),
     ).select("doc_id", "s.line_idx", "s.line", F.md5(F.col("s.line")).alias("h"))
+    # the line stream has two consumers (frequency build, probe
+    # join): materialize it once instead of re-running the segment
+    # explode per consumer (interleaved A/B at sf1.0: 3.10 -> 2.59 s)
+    lines = lines.localCheckpoint(eager=True)
     freq = lines.groupBy("h").agg(
         F.countDistinct("doc_id").alias("line_df")
     )
@@ -778,6 +782,9 @@ def span_dedup(
             )
         ).alias("s"),
     ).select("doc_id", "s.start_idx", "s.h")
+    # two consumers of the span stream (frequency build, dup join) —
+    # materialize once, same pattern as line_dedup
+    spans = spans.localCheckpoint(eager=True)
     freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("span_df"))
     dup = (
         spans.join(freq.where(F.col("span_df") >= min_doc_freq), "h")

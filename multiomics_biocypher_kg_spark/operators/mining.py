@@ -175,7 +175,12 @@ def winnowing_pairs(
     fingerprints. Fingerprints present in more than ``max_df`` docs
     are dropped first (boilerplate/skew guard: a site-wide footer
     fingerprint would otherwise fan out quadratically, exactly the
-    hot-key failure the co-mention cap exists for)."""
+    hot-key failure the co-mention cap exists for).
+
+    The fingerprint table has two consumers (frequency build, pair
+    join), so it materializes once and the upstream selection
+    windows run once (interleaved A/B at sf1.0: 4.63 -> 3.69 s)."""
+    fps = fps.localCheckpoint(eager=True)
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     keep = fps.join(
         df_counts.where(F.col("df") <= max_df).select("fp"), "fp"

@@ -1594,10 +1594,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the unigram dictionary (t = sum c2, v = n rows) — identical
     # values, but three corpus scans become ZERO extra ones (the
     # former shape re-scanned + re-exploded the corpus for each).
-    # (kept UN-checkpointed deliberately: the four dictionary builds
-    # materialize as concurrent broadcast-build futures at action
-    # time — eager checkpoints here serialized them and cost ~35%
-    # wall, A/B-measured at sf1.0: 8.1 s vs 5.7 s)
+    # the bigram STREAM materializes once and feeds both the model
+    # build and the scoring probe (one zip_with explode instead of
+    # two; interleaved A/B at sf1.0: 4.44 s -> 3.77 s best-of-4).
+    # The dictionary tables stay UN-checkpointed: they build as
+    # concurrent broadcast futures at action time, and eager
+    # checkpoints THERE serialized them (A/B: 8.1 s vs 5.7 s).
+    bg = bg.localCheckpoint(eager=True)
     bgm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     pref = bgm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     uni = (
